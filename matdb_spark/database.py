@@ -1,0 +1,87 @@
+"""Database handle: create/open, recovery, transaction issuance.
+
+Re-creates src/database.rs of the reference: ``create`` (:35-50) /
+``open`` (:52-66) persist/load ``schema.json``; open runs the recovery
+scan (:100-127); ``new_transaction`` captures the snapshot horizon
+(:68-72). The segment/block caches of the reference (:133-192,
+cache.rs) are not carried over — Spark's block manager, Parquet
+footer caching and the OS page cache fill that role (SURVEY §4 P6).
+
+Single-writer embedded model, like the reference. The storage layout
+is object-store-friendly (immutable data files + one manifest per
+commit), so scaling to concurrent writers later only requires a txn-id
+allocator + conditional manifest PUT; readers are unaffected.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from matdb_spark import manifest
+from matdb_spark.schema import Schema
+from matdb_spark.transaction import Transaction
+
+SCHEMA_FILENAME = "schema.json"  # reference: storage.rs:21
+
+
+class Database:
+    def __init__(self, spark: SparkSession, path: str, schema: Schema):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.schema = schema
+        self.next_txn_id = manifest.recover(self.path)
+
+    # ---- lifecycle --------------------------------------------------
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, schema: Schema) -> "Database":
+        """Create a new database directory (reference: database.rs:35-50).
+        Fails if a database already exists there."""
+        path = os.path.abspath(path)
+        schema_path = os.path.join(path, SCHEMA_FILENAME)
+        if os.path.exists(schema_path):
+            raise FileExistsError(f"database already exists at {path}")
+        os.makedirs(path, exist_ok=True)
+        manifest.init_layout(path)
+        schema.save(schema_path)
+        return cls(spark, path, schema)
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "Database":
+        """Open an existing database; runs crash recovery
+        (reference: database.rs:52-66, :100-127)."""
+        path = os.path.abspath(path)
+        schema = Schema.load(os.path.join(path, SCHEMA_FILENAME))
+        return cls(spark, path, schema)
+
+    @classmethod
+    def create_or_open(cls, spark: SparkSession, path: str, schema: Schema) -> "Database":
+        schema_path = os.path.join(path, SCHEMA_FILENAME)
+        if os.path.exists(schema_path):
+            return cls.open(spark, path)
+        return cls.create(spark, path, schema)
+
+    # ---- transactions ----------------------------------------------
+    def begin(self) -> Transaction:
+        """Start a transaction whose snapshot horizon is the current
+        next-txn-id (reference: database.rs:68-72)."""
+        return Transaction(self, horizon=self.next_txn_id)
+
+    def allocate_txn_id(self) -> int:
+        """Lazy txn-id allocation at first flush
+        (reference: transaction.rs:152-160)."""
+        txn_id = self.next_txn_id
+        self.next_txn_id += 1
+        return txn_id
+
+    def note_committed(self, txn_id: int) -> None:
+        # next_txn_id already advanced at allocation; nothing to do,
+        # kept as an explicit hook for a future multi-writer allocator.
+        pass
+
+    # ---- convenience ------------------------------------------------
+    def snapshot(self):
+        """Read-only snapshot DataFrame at the current horizon."""
+        txn = self.begin()
+        return txn.query(ordered=False)

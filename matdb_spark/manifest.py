@@ -1,0 +1,137 @@
+"""Manifest-commit protocol: the transactional heart of the engine.
+
+The reference publishes a transaction by renaming its segment files
+``XXXXXXXX.XXXXXXXX.tmp`` → final, in reverse segment order, so the
+transaction appears atomically when segment 0 lands (reference:
+src/transaction.rs:121-136, src/segment.rs:195-200). Rename is not
+atomic on object stores, so the Spark-native equivalent (SURVEY §3.3,
+§4 P7-P8) is a *manifest* protocol:
+
+- data files for txn ``t`` are written under ``data/txn=<t>/...``
+  and are invisible to every reader until
+- one small JSON manifest ``_commits/<t>.json`` is atomically
+  published (tmp file + rename on a local/HDFS filesystem; on S3 this
+  would be a conditional PUT — single point of visibility either way).
+
+Snapshot resolution (reference: database.rs:68-72, :85-89 — horizon =
+next txn id; a txn sees segments with id < horizon) becomes: list
+``_commits/``, keep manifests with ``txn < horizon``. The resolved
+*file list* is pinned at transaction start, so a Scan DataFrame is a
+true snapshot even under Spark's lazy evaluation (SURVEY §7.4.2).
+
+Scale note: manifests are O(1) driver-side metadata — a listing of
+``_commits/`` is one directory scan regardless of data volume, and the
+data read is a plain multi-directory Parquet scan that Spark
+distributes. Nothing here touches row-level data on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import time
+
+_COMMITS_DIR = "_commits"
+_DATA_DIR = "data"
+_MANIFEST_RE = re.compile(r"^(\d{8})\.json$")
+TXN_DIR_RE = re.compile(r"^txn=(\d+)$")
+
+
+def commits_dir(db_path: str) -> str:
+    return os.path.join(db_path, _COMMITS_DIR)
+
+
+def data_dir(db_path: str) -> str:
+    return os.path.join(db_path, _DATA_DIR)
+
+
+def txn_data_dir(db_path: str, txn_id: int) -> str:
+    return os.path.join(data_dir(db_path), f"txn={txn_id}")
+
+
+def manifest_path(db_path: str, txn_id: int) -> str:
+    return os.path.join(commits_dir(db_path), f"{txn_id:08d}.json")
+
+
+def init_layout(db_path: str) -> None:
+    os.makedirs(commits_dir(db_path), exist_ok=True)
+    os.makedirs(data_dir(db_path), exist_ok=True)
+
+
+def committed_txn_ids(db_path: str) -> list[int]:
+    """All committed transaction ids, ascending (one listing call)."""
+    out = []
+    for name in os.listdir(commits_dir(db_path)):
+        m = _MANIFEST_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def visible_txn_ids(db_path: str, horizon: int) -> list[int]:
+    """Snapshot rule from the reference (database.rs:85-89):
+    committed txn ids strictly below the horizon."""
+    return [t for t in committed_txn_ids(db_path) if t < horizon]
+
+
+def staged_txn_ids(db_path: str) -> list[int]:
+    """Txn ids with data on disk (committed or not)."""
+    out = []
+    for name in os.listdir(data_dir(db_path)):
+        m = TXN_DIR_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def publish(db_path: str, txn_id: int, segment_count: int) -> None:
+    """Atomically commit ``txn_id``. Mirrors the atomic-on-segment-0
+    rename of the reference (transaction.rs:121-126): the manifest file
+    is the single publication point."""
+    payload = {
+        "txn": txn_id,
+        "segments": segment_count,
+        "committed_at": time.time(),
+        "format": 1,
+    }
+    path = manifest_path(db_path, txn_id)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def discard_txn_data(db_path: str, txn_id: int) -> None:
+    """Rollback: delete staged data (reference: transaction.rs:138-150
+    deletes temp segment files)."""
+    d = txn_data_dir(db_path, txn_id)
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+
+
+def recover(db_path: str) -> int:
+    """Crash recovery on open (reference: database.rs:100-127 — delete
+    uncommitted ``.tmp`` segments, compute next txn id). Here: delete
+    ``data/txn=*`` directories with no manifest, drop orphaned manifest
+    tmp files, and return the next transaction id.
+
+    Single-writer assumption, as in the reference (it is an embedded
+    single-process store); a multi-writer deployment would allocate txn
+    ids from a coordination service and skip the orphan sweep.
+    """
+    init_layout(db_path)
+    committed = set(committed_txn_ids(db_path))
+    staged = set(staged_txn_ids(db_path))
+    for name in os.listdir(commits_dir(db_path)):
+        if name.endswith(".tmp"):
+            os.unlink(os.path.join(commits_dir(db_path), name))
+    for t in staged - committed:
+        discard_txn_data(db_path, t)
+    # Next id counts past *every* id ever seen, including just-deleted
+    # orphans (reference: database.rs:116-124 max_seen includes .tmp).
+    all_ids = committed | staged
+    return (max(all_ids) + 1) if all_ids else 1

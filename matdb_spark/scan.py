@@ -1,0 +1,155 @@
+"""The query operator: snapshot scan with version resolution.
+
+The reference's entire query surface is one operator — an ordered,
+k-way merge over every visible block, deduplicating equal keys to the
+newest transaction (reference: src/scan.rs:55-239; contract
+README.md:61-66, :107-109). Rebuilt Spark-first, that operator is a
+*declarative plan*, not a merge loop:
+
+    parquet scan of pinned visible files        (O1 source)
+      → union with staged / in-memory rows      (P9 read-your-own-writes)
+      → groupBy(dims).agg(max_by(values, (txn, seq)))   (O2 version dedup)
+      → orderBy(dims)                           (O1 ordering contract)
+
+Catalyst supplies everything the reference hand-built:
+- lazy block activation (scan.rs:119-180) → Parquet row-group
+  on-demand reads + min/max stats skipping,
+- zone maps (segment.rs:138-163) → Parquet column statistics,
+- chunk routing (schema.rs:28-38) → Hive partition pruning on
+  ``__chunk_*`` directory columns,
+- the merge itself → hash aggregation (one shuffle, map-side partial
+  aggregation) instead of a single-threaded k-way merge.
+
+Version resolution implements the *documented* newest-txn-wins
+semantics (README.md:107-109) — the reference's code path is stubbed
+(scan.rs:162 tags every live source ``TransactionId::MAX``); see
+SURVEY §2.1 O2. Within-transaction duplicates resolve to the highest
+write sequence (last-write-wins, mirroring the in-place cell overwrite
+of block.rs:45-49).
+
+Scale: the only shuffle is the dedup aggregation, partitioned by the
+full dimension tuple (maximum key cardinality → no skew beyond actual
+key skew, which AQE skew handling covers). If a caller does not need
+global order, ``ordered=False`` skips the range shuffle entirely.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+from pyspark.sql import DataFrame, Row, SparkSession, functions as F
+
+from matdb_spark.schema import Schema, SEQ_COL, TXN_COL
+from matdb_spark import manifest
+
+
+@dataclass
+class ScanSource:
+    """Pinned inputs of one snapshot scan (reference: ScanSource,
+    database.rs:91-98 + transaction.rs:67-85). Captured eagerly at
+    transaction start so lazy execution cannot see later commits
+    (SURVEY §7.4.2)."""
+
+    db_path: str
+    schema: Schema
+    visible_txns: list[int] = field(default_factory=list)  # committed, < horizon
+    own_txn: int | None = None          # this txn's staged (flushed) data
+    own_staged_segments: int = 0
+    buffered_rows: list[tuple] = field(default_factory=list)  # unsaved, with seq
+
+
+def _chunked(df: DataFrame, schema: Schema) -> DataFrame:
+    for d in schema.chunked_dims:
+        df = df.withColumn(d.chunk_col, F.floor(F.col(d.name) / F.lit(d.chunk_size)))
+    return df
+
+
+def scan_dataframe(
+    spark: SparkSession,
+    source: ScanSource,
+    ordered: bool = True,
+    include_txn: bool = False,
+    drop_null_value_rows: bool = True,
+) -> DataFrame:
+    """Build the snapshot-scan DataFrame for a pinned source set."""
+    schema = source.schema
+    dims = schema.dim_names
+    vals = schema.value_names
+
+    parts: list[DataFrame] = []
+
+    read_txns = list(source.visible_txns)
+    if source.own_txn is not None and source.own_staged_segments > 0:
+        read_txns.append(source.own_txn)
+    if read_txns:
+        dirs = [manifest.txn_data_dir(source.db_path, t) for t in read_txns]
+        df = (
+            spark.read.option("basePath", manifest.data_dir(source.db_path))
+            .parquet(*dirs)
+        )
+        # Partition dirs contribute txn=<t>, seg=<s>, __chunk_* columns.
+        df = df.select(
+            F.col("txn").cast("long").alias(TXN_COL),
+            F.col(SEQ_COL),
+            *[F.col(c) for c in dims],
+            *[F.col(c) for c in vals],
+        )
+        parts.append(df)
+
+    if source.buffered_rows:
+        # Read-your-own-writes overlay for unflushed rows
+        # (reference: transaction.rs:80-83). Driver-side by nature:
+        # these are rows the application just add_row()ed.
+        own = source.own_txn if source.own_txn is not None else 1 << 62
+        buf = spark.createDataFrame(source.buffered_rows, schema.staging_schema())
+        buf = buf.select(
+            F.lit(own).cast("long").alias(TXN_COL),
+            F.col(SEQ_COL),
+            *[F.col(c) for c in dims],
+            *[F.col(c) for c in vals],
+        )
+        parts.append(buf)
+
+    if not parts:
+        empty = spark.createDataFrame([], schema.spark_schema())
+        out = empty.select(*dims, *vals)
+        if include_txn:
+            out = out.withColumn(TXN_COL, F.lit(None).cast("long"))
+        return out
+
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+
+    # O2: newest-(txn, seq) wins per key. max_by keeps map-side partial
+    # aggregation (one shuffle) — cheaper at scale than a row_number
+    # window, which cannot partially aggregate.
+    version = F.struct(F.col(TXN_COL), F.col(SEQ_COL))
+    payload = F.struct(*[F.col(v) for v in vals], F.col(TXN_COL))
+    winner = F.max_by(payload, version).alias("__w")
+    df = df.groupBy(*[F.col(d) for d in dims]).agg(winner)
+    cols = [F.col(d) for d in dims] + [F.col(f"__w.{v}").alias(v) for v in vals]
+    if include_txn:
+        cols.append(F.col(f"__w.{TXN_COL}").alias(TXN_COL))
+    df = df.select(*cols)
+
+    if drop_null_value_rows and vals:
+        # Reference scans never emit unset cells (block.rs:277-279):
+        # a row whose value cells are all absent does not exist.
+        cond = F.lit(False)
+        for v in vals:
+            cond = cond | F.col(v).isNotNull()
+        df = df.filter(cond)
+
+    if ordered:
+        # O1 ordering contract (scan.rs:38-54): ascending lexicographic
+        # key order. Range-partitioned sort; skipped when ordered=False.
+        df = df.orderBy(*[F.col(d).asc() for d in dims])
+    return df
+
+
+def iterate_rows(df: DataFrame) -> Iterator[Row]:
+    """Reference-style consumption (``for row in txn.query()``) without
+    collecting the full result on the driver."""
+    return df.toLocalIterator(prefetchPartitions=True)

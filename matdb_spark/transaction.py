@@ -1,0 +1,209 @@
+"""MVCC transaction: buffered writes, segment flush, atomic commit.
+
+Re-creates the reference transaction lifecycle (src/transaction.rs):
+``add_row`` (:31-42), ``flush`` (:90-119), ``commit`` (:60-65,
+:121-136), ``rollback`` (:50-53, :138-150; also the drop default,
+:163-168), ``query`` (:67-85) — on Parquet + the manifest protocol.
+
+Two write paths:
+- ``add_row`` / ``add_rows``: driver-buffered, reference-style point
+  inserts. Fine for the embedded-API use case; ``flush`` turns the
+  buffer into one segment write.
+- ``add_dataframe``: the scale path. A distributed DataFrame is
+  routed by chunk columns and written directly as a segment —
+  no driver materialization, arbitrarily large inputs. This replaces
+  the reference example's parser-threads→channel→writer pipeline
+  (examples/sensor-log.rs:241-305) with Spark's own parallelism.
+
+Every row carries a write sequence (``__seq``): within a transaction
+the newest sequence wins at scan time, faithfully producing the
+in-place-overwrite upsert semantics of the reference
+(src/block.rs:45-49) without mutating files.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterable, Iterator, Sequence
+
+from pyspark.sql import DataFrame, Row, functions as F
+
+from matdb_spark import manifest
+from matdb_spark.scan import ScanSource, iterate_rows, scan_dataframe
+from matdb_spark.schema import SEQ_COL
+
+if TYPE_CHECKING:
+    from matdb_spark.database import Database
+
+
+class Transaction:
+    """One writer/reader transaction with snapshot isolation.
+
+    The snapshot horizon and its visible manifest list are pinned at
+    construction (reference: database.rs:68-72, :85-89). The txn id is
+    allocated lazily at first flush (reference: transaction.rs:152-160).
+    """
+
+    def __init__(self, db: "Database", horizon: int):
+        self.db = db
+        self.schema = db.schema
+        self.horizon = horizon
+        self.visible_txns = manifest.visible_txn_ids(db.path, horizon)
+        self.txn_id: int | None = None
+        self.segments_flushed = 0
+        self._buffer: list[tuple] = []
+        self._seq = 0
+        self._closed = False
+
+    # ---- writes -----------------------------------------------------
+    def add_row(self, values: Sequence) -> None:
+        """Point insert/upsert, positional (dims then values) like the
+        reference's ``add_row(&[Datum])`` (transaction.rs:31-42)."""
+        self._check_open()
+        expect = len(self.schema.column_names)
+        if len(values) != expect:
+            raise ValueError(f"expected {expect} column values, got {len(values)}")
+        self._seq += 1
+        self._buffer.append(tuple(values) + (self._seq,))
+
+    def add_rows(self, rows: Iterable[Sequence]) -> None:
+        for r in rows:
+            self.add_row(r)
+
+    def add_dataframe(self, df: DataFrame) -> None:
+        """Bulk upsert of a distributed DataFrame (the 100 TB path).
+
+        The frame must contain the schema's dimension and value columns.
+        All rows in one call share a write sequence: duplicate keys
+        *within* the call resolve arbitrarily (a distributed batch has
+        no insertion order); across calls, later calls win.
+        """
+        self._check_open()
+        self._seq += 1
+        stamped = df.select(
+            *self.schema.column_names, F.lit(self._seq).alias(SEQ_COL)
+        )
+        self._write_segment(stamped)
+
+    # ---- flush / segments ------------------------------------------
+    def _ensure_txn_id(self) -> int:
+        if self.txn_id is None:
+            self.txn_id = self.db.allocate_txn_id()
+        return self.txn_id
+
+    def _write_segment(self, stamped: DataFrame) -> None:
+        """Write one segment (reference: one file per flush,
+        segment.rs:30-46). Layout discipline = the engine's physical
+        strategy at scale:
+        - route rows by chunk columns (``partitionBy``) so the reader
+          gets Hive partition pruning (reference chunk routing,
+          schema.rs:28-38);
+        - repartition by chunk before writing so each chunk's rows are
+          produced by few tasks (bounded file counts at scale; AQE
+          coalesces tiny outputs locally);
+        - sort within partitions by key so Parquet row-group min/max
+          stats act as the reference's zone maps (block.rs:210-232).
+        """
+        txn = self._ensure_txn_id()
+        seg = self.segments_flushed
+        seg_dir = f"{manifest.txn_data_dir(self.db.path, txn)}/seg={seg}"
+
+        schema = self.schema
+        from matdb_spark.scan import _chunked
+
+        # Canonicalize column types so every segment file carries the
+        # exact declared schema — mixed int/long inputs must not create
+        # per-segment parquet schema drift (breaks multi-segment scans).
+        canon = [
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in schema.spark_schema().fields
+        ] + [F.col(SEQ_COL).cast("long").alias(SEQ_COL)]
+        out = _chunked(stamped.select(*canon), schema)
+        chunk_cols = schema.chunk_cols
+        sort_cols = chunk_cols + schema.dim_names
+        if chunk_cols:
+            out = out.repartition(*[F.col(c) for c in chunk_cols])
+        out = out.sortWithinPartitions(*sort_cols)
+        writer = out.write.mode("error")
+        if chunk_cols:
+            writer = writer.partitionBy(*chunk_cols)
+        writer.parquet(seg_dir)
+        self.segments_flushed += 1
+
+    def flush(self) -> None:
+        """Persist buffered rows as a new segment
+        (reference: transaction.rs:90-119)."""
+        self._check_open()
+        if not self._buffer:
+            return
+        df = self.db.spark.createDataFrame(self._buffer, self.schema.staging_schema())
+        self._buffer = []
+        self._write_segment(df)
+
+    # ---- read -------------------------------------------------------
+    def _source(self) -> ScanSource:
+        return ScanSource(
+            db_path=self.db.path,
+            schema=self.schema,
+            visible_txns=self.visible_txns,
+            own_txn=self.txn_id,
+            own_staged_segments=self.segments_flushed,
+            buffered_rows=list(self._buffer),
+        )
+
+    def query(
+        self,
+        ordered: bool = True,
+        include_txn: bool = False,
+    ) -> DataFrame:
+        """The one query operator (reference: transaction.rs:67-85 →
+        scan.rs): every visible row, one version per key, newest wins,
+        in ascending key order. Returns a DataFrame — the full Spark
+        analytics surface (joins/aggs/windows/SQL) applies on top."""
+        self._check_open()
+        return scan_dataframe(
+            self.db.spark, self._source(), ordered=ordered, include_txn=include_txn
+        )
+
+    def query_rows(self) -> Iterator[Row]:
+        """Iterate results reference-style without driver collect."""
+        return iterate_rows(self.query(ordered=True))
+
+    def sql_view(self, name: str) -> None:
+        """Expose the snapshot as a temp view for spark.sql()."""
+        self.query(ordered=False).createOrReplaceTempView(name)
+
+    # ---- commit / rollback -----------------------------------------
+    def commit(self) -> None:
+        """Flush then atomically publish (reference: transaction.rs:60-65).
+
+        A transaction that never wrote commits as a no-op (no txn id is
+        ever allocated — mirroring lazy id allocation)."""
+        self._check_open()
+        self.flush()
+        if self.txn_id is not None:
+            manifest.publish(self.db.path, self.txn_id, self.segments_flushed)
+            self.db.note_committed(self.txn_id)
+        self._closed = True
+
+    def rollback(self) -> None:
+        """Discard buffered rows and staged segments
+        (reference: transaction.rs:50-53, :138-150)."""
+        if self._closed:
+            return
+        self._buffer = []
+        if self.txn_id is not None:
+            manifest.discard_txn_data(self.db.path, self.txn_id)
+        self._closed = True
+
+    # Context-manager protocol: rollback is the default on exit, as in
+    # the reference's Drop impl (transaction.rs:163-168).
+    def __enter__(self) -> "Transaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if not self._closed:
+            self.rollback()
+
+    def _check_open(self) -> None:
+        if self._closed:
+            raise RuntimeError("transaction is closed")
