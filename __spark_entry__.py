@@ -1,38 +1,728 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` is the operator inventory of SURVEY.md §2 made concrete:
+every entry is a (spark, sf_dir) → DataFrame callable with a matching
+DuckDB oracle in ``oracle_sql()``. Engine-semantics queries (mvcc_scan)
+exercise the matdb_spark transactional core; the rest exercise the
+analytics surface (§2.2 mappings) and the training-data-pipeline
+operators (dedup / similarity / text / multimodal).
+
+Numeric parity policy: sums over doubles are order-dependent, so every
+aggregated money/value column is cast to DECIMAL before summing (exact,
+order-independent) and cast back to DOUBLE at the end; both engines
+then produce bit-identical doubles. Cross-engine hashes use md5-hex →
+integer (identical everywhere). Rankings always carry a unique
+tie-break column.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
+
+from matdb_spark.functions.text import (
+    LANG_STOPWORDS,
+    PUNCT_PATTERN,
+    TOKEN_PATTERN,
+    fingerprint,
+    lang_id,
+    normalize,
+    punct_count,
+    quality_score,
+    stopword_count,
+    token_count,
+    whitespace_token_count,
+)
+from matdb_spark.operators import dedup, similarity
+from matdb_spark.operators.asof import asof_join
+from matdb_spark.operators.rangejoin import range_join
+from matdb_spark.operators.sessionize import sessionize
+from matdb_spark.operators.topk import top_k_per_group
+from matdb_spark.sources.tables import load_table
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SCRATCH = os.path.join(REPO, ".scratch")
+
+
+def _dec(c, scale: int = 2):
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(f"decimal(18,{scale})")
+
+
+def _ms(ts_col):
+    # integer division (micros fit in double, but keep it exact anyway)
+    return F.floor(F.unix_micros(ts_col) / F.lit(1000)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H-style Q5 local-supplier-volume join pipeline on
+    sf0.001 (6-table join, broadcast dims, decimal-exact revenue)."""
+    return q05_local_supplier_volume(spark, "/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# classic analytics (SURVEY §2.2 — Spark built-ins over the star schema)
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"))
+    )
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.sum(_dec("o_totalprice")).over(w.rowsBetween(W.unboundedPreceding, 0)).cast("double").alias("running_spend"),
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    out = top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    j = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+
+
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn("cohort", F.col("user_id") % 10)
+    return ev.cube("event_type", "cohort").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("value", 4)).cast("double").alias("sum_val"),
+    )
+
+
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    return y95.intersect(y96)
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    return y95.subtract(y96)
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id").pivot("event_type", types).count().na.fill(0, types)
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_ms=30 * 60 * 1000)
+    return s.groupBy("user_id").agg(
+        (F.max("session_id") + 1).cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    out = asof_join(purchases, clicks, on="ts", by=["user_id"])
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("event_id_right").alias("click_event_id"),
+        F.col("ts_right").alias("click_ts"),
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", "event_id", _ms(F.col("ts")).alias("lo_ms"))
+        .withColumn("hi_ms", F.col("lo_ms") + 3600000)
+    )
+    others = ev.select(F.col("user_id"), F.col("event_id").alias("r_event_id"), F.col("ts").alias("r_ts"))
+    joined = range_join(
+        signups,
+        others,
+        lo="lo_ms",
+        hi="hi_ms",
+        right_value=_ms(F.col("r_ts")),
+        on=["user_id"],
+        bucket_width=3_600_000,
+    )
+    return joined.groupBy("user_id", "event_id").agg(F.count(F.lit(1)).alias("n_following"))
+
+
+# ---------------------------------------------------------------------------
+# engine semantics (the matdb core) through the gate
+# ---------------------------------------------------------------------------
+
+def q_mvcc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a matdb_spark database from the events table in two
+    transactions — txn1 inserts everything, txn2 upserts value+1000
+    for event_id % 10 == 0 — and return the snapshot scan. Exercises
+    chunk routing, manifest commit, and newest-txn-wins dedup; the
+    oracle states the equivalent CASE expression over events."""
+    from matdb_spark import Database, Dimension, Schema, Value
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    db_path = os.path.join(SCRATCH, f"gate_mvcc_{tag}")
+    shutil.rmtree(db_path, ignore_errors=True)
+
+    # Chunk sizes sized to the key domain: a chunk ≈ one healthy parquet
+    # partition. Too-fine chunks (e.g. user_id/10) explode into tens of
+    # thousands of tiny partition dirs at sf0.1 — measured 300 s+ vs
+    # ~15 s with domain-proportional chunks.
+    schema = Schema(
+        dimensions=[Dimension("user_id", 1000), Dimension("event_id", 100_000)],
+        values=[Value("value", type="double")],
+    )
+    db = Database.create(spark, db_path, schema)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    t1 = db.begin()
+    t1.add_dataframe(ev)
+    t1.commit()
+    t2 = db.begin()
+    t2.add_dataframe(
+        ev.filter(F.col("event_id") % 10 == 0).withColumn("value", F.col("value") + 1000)
+    )
+    t2.commit()
+    return db.begin().query(ordered=True)
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents)
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count(t).cast("long").alias("n_ws_tokens"),
+        token_count(t).cast("long").alias("n_tokens"),
+        punct_count(t).cast("long").alias("n_punct"),
+        stopword_count(t, "en").cast("long").alias("n_stop_en"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fp"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deduplication (documents)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs, "doc_id", "text")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=32, bands=8)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash64(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.cosine_topk(emb, queries, k=5)
+    # rounded similarity both for output and (inside cosine_topk) the
+    # rank ordering is re-derived here on the rounded value for exact
+    # cross-engine rank parity
+    scored = out.select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (binary columns)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")  # stand-in binary column
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("byte_len"),
+        F.length("text").cast("long").alias("char_len"),
+        F.md5(payload).alias("checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_shipping_priority": q03_shipping_priority,
+        "q05_local_supplier_volume": q05_local_supplier_volume,
+        "q06_forecast_revenue": q06_forecast_revenue,
+        "q_window_running": q_window_running,
+        "q_topk_per_group": q_topk_per_group,
+        "q_distinct_agg": q_distinct_agg,
+        "q_rollup_acctbal": q_rollup_acctbal,
+        "q_cube_events": q_cube_events,
+        "q_set_intersect": q_set_intersect,
+        "q_set_except": q_set_except,
+        "q_semi_join": q_semi_join,
+        "q_anti_join": q_anti_join,
+        "q_json_extract": q_json_extract,
+        "q_pivot_events": q_pivot_events,
+        "q_sessionize": q_sessionize,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        "q_mvcc_scan": q_mvcc_scan,
+        "q_text_stats": q_text_stats,
+        "q_lang_id": q_lang_id,
+        "q_token_stats_by_source": q_token_stats_by_source,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_similarity_topk": q_similarity_topk,
+        "q_multimodal_meta": q_multimodal_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+def _lang_hits_sql() -> str:
+    cols = ",\n      ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}')) AS hits_{code}"
+        for code, pat in LANG_STOPWORDS.items()
+    )
+    return f"SELECT lang, {cols} FROM documents"
+
+
+def _lang_pred_sql() -> str:
+    codes = list(LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"hits_{c}" for c in codes) + ")"
+    whens = " ".join(f"WHEN hits_{c} = __best THEN '{c}'" for c in codes)
+    return (
+        f"WITH h AS ({_lang_hits_sql()}), b AS (SELECT lang, {best} AS __best, * FROM h) "
+        f"SELECT lang, CASE WHEN __best = 0 THEN 'und' {whens} END AS predicted, COUNT(*) AS n "
+        "FROM b GROUP BY lang, predicted"
+    )
+
+
+_SHINGLES = (
+    "WITH words AS (SELECT doc_id, string_split(" + _NORM + ", ' ') AS w FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s "
+    "FROM words, unnest(range(1, greatest(len(w) - 1, 1))) AS u(i))"
+)
+
+
+def _minhash_sql() -> str:
+    params = dedup.minhash_params(32)
+    p = dedup.MERSENNE_P
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {p}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    r = 32 // 8
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, {key} AS key FROM sig".format(
+            band=bi,
+            key=" || ',' || ".join(f"CAST(m{bi * r + j} AS VARCHAR)" for j in range(r)),
+        )
+        for bi in range(8)
+    )
+    return (
+        _SHINGLES + ", "
+        "h AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT) AS h FROM sh), "
+        f"sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id), "
+        f"bands AS ({band_selects}) "
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a "
+        "JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"
+    )
+
+
+def _simhash_sql() -> str:
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h & {1 << bit}) != 0 THEN 1 ELSE -1 END) AS b{bit}"
+        for bit in range(60)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN b{bit} > 0 THEN CAST({1 << bit} AS BIGINT) ELSE 0 END)" for bit in range(60)
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(string_split(" + _NORM + ", ' ')) AS t FROM documents), "
+        "h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM toks WHERE t != ''), "
+        f"s AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id) "
+        f"SELECT doc_id, {assemble} AS simhash FROM s"
+    )
+
+
+def _cosine_sql() -> str:
+    dot = "list_sum(list_transform(range(1, 65), i -> qv[i] * v[i]))"
+    nq = "sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))"
+    nv = "sqrt(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])))"
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10), "
+        f"pairs AS (SELECT query_id, e.vec_id AS neighbor_id, ROUND({dot} / ({nq} * {nv}), 6) AS cos_sim "
+        "FROM e, q WHERE e.vec_id <> q.query_id), "
+        "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM pairs) "
+        "SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qs = {
+        "q01_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM({_DISC}) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q03_shipping_priority": f"""
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   CAST(SUM({_DISC}) AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "q05_local_supplier_volume": f"""
+            SELECT n_name, CAST(SUM({_DISC}) AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY n_name
+        """,
+        "q06_forecast_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q_window_running": """
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   ROW_NUMBER() OVER w AS rn,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "q_topk_per_group": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+                FROM orders) WHERE rank <= 3
+        """,
+        "q_distinct_agg": """
+            SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
+                   COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_rollup_acctbal": """
+            SELECT r_name, n_name,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+                   COUNT(*) AS n_cust
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "q_cube_events": """
+            SELECT event_type, cohort, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+            FROM (SELECT event_type, user_id % 10 AS cohort, value FROM events)
+            GROUP BY CUBE(event_type, cohort)
+        """,
+        "q_set_intersect": """
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+            INTERSECT
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        """,
+        "q_set_except": """
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        """,
+        "q_semi_join": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        """,
+        "q_anti_join": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "q_json_extract": """
+            SELECT event_type,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "q_pivot_events": """
+            SELECT user_id,
+                   COUNT(*) FILTER (WHERE event_type = 'click') AS "click",
+                   COUNT(*) FILTER (WHERE event_type = 'error') AS "error",
+                   COUNT(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+                   COUNT(*) FILTER (WHERE event_type = 'signup') AS "signup",
+                   COUNT(*) FILTER (WHERE event_type = 'view') AS "view"
+            FROM events GROUP BY user_id
+        """,
+        "q_sessionize": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                                 OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                            THEN 1 ELSE 0 END AS ns
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "q_asof_join": """
+            SELECT p.user_id, p.event_id, p.ts,
+                   c.event_id AS click_event_id, c.ts AS click_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+            ON p.user_id = c.user_id AND c.ts <= p.ts
+        """,
+        "q_range_join": """
+            SELECT s.user_id, s.event_id, COUNT(*) AS n_following
+            FROM (SELECT * FROM events WHERE event_type = 'signup') s
+            JOIN events e ON e.user_id = s.user_id
+                 AND epoch_ms(e.ts) >= epoch_ms(s.ts)
+                 AND epoch_ms(e.ts) <= epoch_ms(s.ts) + 3600000
+            GROUP BY s.user_id, s.event_id
+        """,
+        "q_mvcc_scan": """
+            SELECT user_id, event_id,
+                   CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
+            FROM events
+        """,
+        "q_text_stats": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS BIGINT) AS n_punct,
+                   CAST(len(regexp_extract_all(lower(text), '{LANG_STOPWORDS["en"]}')) AS BIGINT) AS n_stop_en,
+                   least(1.0, CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 100.0) * 0.4
+                     + (1.0 - least(1.0, CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS DOUBLE) / greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0))) * 0.4
+                     + least(1.0, CAST(len(regexp_extract_all(lower(text), '{LANG_STOPWORDS["en"]}')) AS DOUBLE) / greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0) * 5.0) * 0.2
+                     AS quality,
+                   md5({_NORM}) AS fp
+            FROM documents
+        """,
+        "q_lang_id": _lang_pred_sql(),
+        "q_token_stats_by_source": f"""
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))) AS BIGINT) AS total_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY source
+        """,
+        "q_dedup_exact": f"""
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id,
+                   COUNT(*) OVER (PARTITION BY fp) AS cluster_size
+            FROM (SELECT doc_id, md5({_NORM}) AS fp FROM documents)
+        """,
+        "q_dedup_ngram_jaccard": _SHINGLES + """,
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b,
+                   CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.6
+        """,
+        "q_dedup_minhash_lsh": _minhash_sql(),
+        "q_dedup_simhash": _simhash_sql(),
+        "q_similarity_topk": _cosine_sql(),
+        "q_multimodal_meta": """
+            SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                   CAST(length(text) AS BIGINT) AS char_len, md5(text) AS checksum
+            FROM documents
+        """,
+    }
+    return {k: v.strip() for k, v in qs.items()}

@@ -1,0 +1,65 @@
+"""Ingest encoders, re-creating the reference example's scalar
+transforms (examples/sensor-log.rs) as JVM-side column expressions:
+
+- O19 timestamp parse (sensor-log.rs:123-128): ``"%d/%m/%Y %I:%M:%S
+  %p"`` with ``a.m./p.m.`` normalization → epoch milliseconds.
+- O20 fixed-point encode (sensor-log.rs:130-136): f64 string → ×1000
+  truncated long; empty → 0.
+- O21 dictionary encoding (sensor-log.rs:19-105): persistent
+  (component, sensor, kind) → dense id mapping; see
+  sources/sensor_tsv.py for the table-level implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def parse_sensor_time(col: Column) -> Column:
+    """``14/02/2023 3:05:09 p.m.`` → epoch millis (UTC).
+    Normalizes ``a.m./p.m.`` → ``AM/PM`` then parses with the
+    reference's format string (d/M/yyyy h:mm:ss a)."""
+    norm = F.upper(F.regexp_replace(col, r"([ap])\.m\.", r"$1m"))
+    ts = F.to_timestamp(norm, "d/M/yyyy h:mm:ss a")
+    return F.unix_millis(ts)
+
+
+def fixed_point_encode(col: Column, scale: int = 1000) -> Column:
+    """Parse a decimal string, multiply by ``scale``, truncate to long;
+    empty/invalid → 0 (reference: parse_value, sensor-log.rs:130-136)."""
+    d = F.coalesce(col.cast("double"), F.lit(0.0))
+    return (d * scale).cast("long")
+
+
+def fixed_point_decode(col: Column, scale: int = 1000) -> Column:
+    return col.cast("double") / scale
+
+
+def dictionary_encode(
+    df: DataFrame,
+    key_cols: list[str],
+    existing: DataFrame | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """Assign dense ids (from 1, or continuing ``existing``) to each
+    distinct key tuple — the Spark form of the reference's
+    ``sensors.json`` dictionary (ids allocated on first sight,
+    sensor-log.rs:85-104).
+
+    Deterministic: new keys are numbered in sorted key order via a
+    global row_number — acceptable because the dictionary is by
+    definition small (it gets broadcast in the encode join); the big
+    side never shuffles.
+    """
+    distinct = df.select(*key_cols).distinct()
+    if existing is not None:
+        start = existing.agg(F.max(id_col)).first()[0] or 0
+        new = distinct.join(existing.select(*key_cols), key_cols, "left_anti")
+    else:
+        start = 0
+        new = distinct
+    w = Window.orderBy(*[F.col(c).asc() for c in key_cols])
+    numbered = new.withColumn(id_col, (F.row_number().over(w) + start).cast("long"))
+    if existing is not None:
+        numbered = existing.select(id_col, *key_cols).unionByName(numbered)
+    return numbered.select(id_col, *key_cols)

@@ -1,0 +1,96 @@
+"""Text-analysis column expressions for training-data pipelines.
+
+Everything here is a composition of built-in JVM-side functions
+(regexp_count / md5 / conv / lower ...) — no UDFs — so the operators
+stay inside whole-stage codegen and scale linearly with no shuffle.
+Patterns stick to the regex subset with identical semantics in Java
+regex (Spark) and RE2 (DuckDB oracle): ``\\S``, classes, ``\\b``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# languages for the n-gram/stopword language-ID heuristic
+LANG_STOPWORDS = {
+    "en": r"\b(the|and|of|to|a|in|is|it|that|was)\b",
+    "de": r"\b(der|die|und|das|ist|nicht|ein|zu|mit|den)\b",
+    "fr": r"\b(le|la|et|les|des|est|un|une|du|que)\b",
+    "es": r"\b(el|la|de|los|y|en|que|un|una|es)\b",
+    "zh": r"[一-鿿]",
+}
+
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # BPE-ish pre-tokenizer split
+PUNCT_PATTERN = r"[.,;:!?]"
+
+
+def normalize(text: Column) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, collapse
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(r"\S+"))
+
+
+def token_count(text: Column) -> Column:
+    """Count of BPE-ish pre-tokens (letter runs, digit runs, single
+    punctuation)."""
+    return F.regexp_count(text, F.lit(TOKEN_PATTERN))
+
+
+def punct_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(PUNCT_PATTERN))
+
+
+def stopword_count(text: Column, lang: str = "en") -> Column:
+    return F.regexp_count(F.lower(text), F.lit(LANG_STOPWORDS[lang]))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: enough tokens, not punctuation-heavy,
+    has common-word signal. Deterministic double arithmetic."""
+    n_tok = whitespace_token_count(text).cast("double")
+    n_punct = punct_count(text).cast("double")
+    n_stop = stopword_count(text).cast("double")
+    length_part = F.least(F.lit(1.0), n_tok / F.lit(100.0))
+    punct_part = F.lit(1.0) - F.least(F.lit(1.0), n_punct / F.greatest(n_tok, F.lit(1.0)))
+    stop_part = F.least(F.lit(1.0), n_stop / F.greatest(n_tok, F.lit(1.0)) * F.lit(5.0))
+    return length_part * F.lit(0.4) + punct_part * F.lit(0.4) + stop_part * F.lit(0.2)
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-hit language ID: the language with the most pattern
+    hits wins; ties break in fixed language order; no hits → 'und'."""
+    lowered = F.lower(text)
+    hits = [
+        (code, F.regexp_count(lowered, F.lit(pat)))
+        for code, pat in LANG_STOPWORDS.items()
+    ]
+    best_code, best_n = F.lit("und"), F.lit(0)
+    # fixed iteration order; strict > keeps the earlier language on ties
+    for code, n in hits:
+        is_better = n > best_n
+        best_code = F.when(is_better, F.lit(code)).otherwise(best_code)
+        best_n = F.when(is_better, n).otherwise(best_n)
+    return best_code
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(F.encode(normalize(text), "utf-8"))
+
+
+def hash_hex(col: Column, digits: int) -> Column:
+    """Stable positive integer hash usable across engines: first
+    ``digits`` hex digits of md5, base-16 → long (4·digits bits)."""
+    return F.conv(
+        F.substring(F.md5(F.encode(col.cast("string"), "utf-8")), 1, digits), 16, 10
+    ).cast("long")
+
+
+def hash64(col: Column) -> Column:
+    """60-bit variant (safe for bit tests; NOT for multiplication —
+    products overflow 64-bit integers)."""
+    return hash_hex(col, 15)

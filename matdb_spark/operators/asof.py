@@ -1,0 +1,123 @@
+"""As-of join — Spark lacks a native one; two composable strategies.
+
+Semantics: for each left row, attach the single right row with the
+greatest ``right_on <= left_on`` (backward; forward is the mirror),
+optionally within equal ``by`` keys. Matches DuckDB/kdb ASOF JOIN and
+pandas ``merge_asof``.
+
+Strategy A (default, ``asof_join``): range-join + max_by aggregation.
+    left ⋈ right on (by, right_on <= left_on) → groupBy left pk →
+    max_by(right payload, right_on).
+    Pure built-ins, partial aggregation, no Python. The intermediate
+    is bounded by (left rows × matching right rows); with a
+    ``tolerance`` bound the match window stays small and Spark's
+    range-join machinery + AQE handle the rest.
+
+Strategy B (``asof_join_sorted``): union + window carry-forward.
+    Tag right rows, union with left, window partitioned by ``by``
+    ordered by time, ``last(right_payload, ignorenulls=True)`` carries
+    the latest right row forward onto each left row. Exactly one
+    shuffle on ``by`` regardless of window size — the 100 TB choice
+    when ``by`` has reasonable cardinality and no tolerance is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    right_on: str | None = None,
+    by: list[str] | None = None,
+    right_by: list[str] | None = None,
+    tolerance_ms: int | None = None,
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """Strategy A: range join + max_by. Left columns are preserved;
+    right columns arrive suffixed (including the time column)."""
+    right_on = right_on or on
+    by = by or []
+    right_by = right_by or by
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    r = right
+    for c in right.columns:
+        r = r.withColumnRenamed(c, c + suffix)
+    r_on = right_on + suffix
+
+    cond = F.lit(True)
+    for lb, rb in zip(by, right_by):
+        cond = cond & (left[lb] == r[rb + suffix])
+    if direction == "backward":
+        cond = cond & (r[r_on] <= left[on])
+        if tolerance_ms is not None:
+            cond = cond & (
+                r[r_on] >= F.timestamp_micros(F.unix_micros(left[on]) - tolerance_ms * 1000)
+            )
+        order = r[r_on]
+    else:
+        cond = cond & (r[r_on] >= left[on])
+        if tolerance_ms is not None:
+            cond = cond & (
+                r[r_on] <= F.timestamp_micros(F.unix_micros(left[on]) + tolerance_ms * 1000)
+            )
+        order = -F.unix_micros(r[r_on])
+
+    joined = left.join(r, cond, "left")
+    payload_cols = [c for c in r.columns]
+    payload = F.struct(*[joined[c] for c in payload_cols])
+    agg = joined.groupBy(*[joined[c] for c in left.columns]).agg(
+        F.max_by(payload, order).alias("__m")
+    )
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col(f"__m.{c}").alias(c) for c in payload_cols
+    ]
+    return agg.select(*out_cols)
+
+
+def asof_join_sorted(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """Strategy B: single-shuffle union + carry-forward window
+    (backward direction). Preferred at scale for keyed time series."""
+    r_payload = [c for c in right.columns if c not in by]
+    tagged_r = right.select(
+        *by,
+        F.col(on).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.struct(*[F.col(c).alias(c + suffix) for c in r_payload]).alias("__p"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in by],
+    )
+    tagged_l = left.select(
+        *by,
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(tagged_r.schema["__p"].dataType).alias("__p"),
+        *[F.col(c) for c in left.columns if c not in by],
+    )
+    u = tagged_r.unionByName(tagged_l)
+    # right rows sort before left rows at equal timestamps so a
+    # same-instant right row is visible to the left row (<= semantics)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = u.withColumn("__last", F.last("__p", ignorenulls=True).over(w))
+    out = carried.filter(F.col("__is_left") == 1)
+    cols = (
+        [F.col(c) for c in by]
+        + [F.col("__t").alias(on)]
+        + [F.col(c) for c in left.columns if c not in by and c != on]
+        + [F.col(f"__last.{c + suffix}").alias(c + suffix) for c in r_payload]
+    )
+    return out.select(*cols)

@@ -1,0 +1,217 @@
+"""Deduplication operators for large-scale text corpora.
+
+Four tiers, each a different cost/recall point; all deterministic and
+UDF-free (built-in functions only) so they codegen and scale:
+
+- **exact**: hash-groupBy on a normalized-text fingerprint. One
+  shuffle on the 128-bit hash; at 100 TB this is the cheapest pass and
+  always runs first.
+- **n-gram Jaccard**: token-shingle sets, candidate pairs by shared
+  shingle (blocking), exact Jaccard on candidates. Quadratic only
+  within a block; used on small/medium corpora or downstream of LSH.
+- **MinHash + LSH**: k permutation-style hashes over shingles → band
+  signatures → bucket join. Near-dup recall at linear cost — the
+  100 TB path. Hashing is (a·x + b) mod p over a 60-bit md5-derived
+  shingle id, reproducible in any SQL engine.
+- **SimHash**: 64-bit bitwise-majority fingerprint; hamming-close
+  pairs via band buckets. Cheapest near-dup signal.
+
+(Embedding-cosine near-dup lives in operators/similarity.py.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from matdb_spark.functions.text import fingerprint, hash64, hash_hex, normalize
+
+# Fixed, public hash-family parameters, reproducible in any engine.
+# All values stay below 2^31 so a*h+b with a 28-bit shingle hash fits
+# in a signed 64-bit integer without overflow (engines differ on
+# overflow behavior: Spark wraps, DuckDB raises).
+MERSENNE_P = (1 << 31) - 1
+_SEED_A = 2654435761  # Knuth multiplicative hashing constant
+_SEED_B = 2246822519  # xxHash prime
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for k hash functions, each < 2^31."""
+    out = []
+    for i in range(k):
+        a = (_SEED_A * (i + 1)) % MERSENNE_P
+        b = (_SEED_B * (i + 1)) % MERSENNE_P
+        out.append((a | 1, b))
+    return out
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of the normalized text (array<string>).
+    Built-ins only: split → sequence → transform → array_distinct."""
+    words = F.split(normalize(text), " ")
+    count = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), count - 1)
+    shingle = lambda i: F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)])
+    return F.array_distinct(
+        F.when(count > 0, F.transform(idx, shingle)).otherwise(F.array().cast("array<string>"))
+    )
+
+
+# ---------------------------------------------------------------- exact
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, canonical_id, cluster_size) per row: rows sharing a
+    normalized-text fingerprint cluster together; the smallest id is
+    canonical. One shuffle on the fingerprint."""
+    fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("__fp"))
+    w = Window.partitionBy("__fp")
+    return (
+        fp.withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .select(id_col, "canonical_id", "cluster_size")
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard over n-word shingles for candidate pairs that
+    share at least one shingle. Returns (id_a, id_b, jaccard) with
+    id_a < id_b and jaccard >= threshold.
+
+    Scale note: blocking by shared shingle bounds the pair space to
+    co-occurring docs; for web-scale corpora run minhash_lsh_pairs
+    first and feed its candidates here as the verify step.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"), F.explode(word_shingles(F.col(text_col), n)).alias("__s")
+    )
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("__sa"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("__sb"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__inter").cast("double")
+            / (F.col("__sa") + F.col("__sb") - F.col("__inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# --------------------------------------------------------- MinHash+LSH
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """(id, sig: array<long>[k]) MinHash signatures over word shingles.
+
+    h_i(s) = (a_i * hash28(s) + b_i) mod 2^31-1; signature[i] = min
+    over the doc's shingles. Computed as k min-expressions over the
+    exploded shingle relation → one groupBy(id) shuffle with partial
+    min aggregation map-side.
+    """
+    params = minhash_params(k)
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s")
+    ).withColumn("__h", hash_hex(F.col("__s"), 7))
+    mins = sh.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"__m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    return mins.select(
+        F.col(id_col), F.array(*[F.col(f"__m{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: split the k-wide
+    signature into ``bands`` rows of k/bands hashes, bucket on the
+    band value, emit co-bucketed pairs (id_a < id_b), distinct.
+
+    This is the linear-cost 100 TB near-dup path: cost ~ docs × k for
+    signatures + one shuffle per banding join (done as one explode +
+    groupless equi-join on (band_idx, band_key)).
+    """
+    if k % bands:
+        raise ValueError("k must be divisible by bands")
+    r = k // bands
+    sig = minhash_signatures(df, id_col, text_col, k, shingle_n)
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(",", *[F.col("sig")[bi * r + j].cast("string") for j in range(r)]).alias("key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col).alias("__id"), F.explode(band_struct).alias("b")).select(
+        "__id", F.col("b.band").alias("__band"), F.col("b.key").alias("__key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__key") == F.col("b.__key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+# ------------------------------------------------------------- SimHash
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash: long) 60-bit SimHash over whitespace tokens of the
+    normalized text: per bit, sign of Σ±1 across token hashes.
+
+    One groupBy(id) with 60 masked conditional-sum expressions (all
+    partial-aggregating map-side), then driver-free bit reassembly in
+    the projection — a single shuffle total.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(normalize(F.col(text_col)), " ")).alias("__t")
+    ).filter(F.col("__t") != "")
+    toks = toks.withColumn("__h", hash64(F.col("__t")))
+    per_bit = [
+        F.sum(
+            F.when(F.col("__h").bitwiseAND(F.lit(1 << bit)) != 0, 1).otherwise(-1)
+        ).alias(f"__b{bit}")
+        for bit in range(60)
+    ]
+    sums = toks.groupBy(id_col).agg(*per_bit)
+    assembled = sums.select(
+        F.col(id_col),
+        sum(
+            [
+                F.when(F.col(f"__b{bit}") > 0, F.lit(1 << bit).cast("long")).otherwise(F.lit(0).cast("long"))
+                for bit in range(60)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return assembled

@@ -1,0 +1,134 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: exact brute-force top-k — broadcast the (small)
+  query set against the corpus, per-row JVM cosine, grouped top-k via
+  the WindowGroupLimit-optimized ranking window. O(|corpus|·|queries|)
+  compute but embarrassingly parallel and shuffle-light (only the
+  final per-query top-k); the correctness baseline.
+- ``ivf_topk``: IVF-style approximate search — partition the corpus
+  by nearest centroid once, then probe only ``nprobe`` inverted lists
+  per query. Cuts compute by ~ncells/nprobe at the cost of recall;
+  the scale path when |queries| is large.
+- ``cosine_near_dup_pairs``: embedding near-duplicate detection via
+  the same centroid partitioning (pairs inside a cell only).
+
+All cosine math is built-in higher-order functions (functions/vectors)
+— no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from matdb_spark.functions.vectors import as_double, cosine
+from matdb_spark.operators.topk import top_k_per_group
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k neighbors: (query_id, neighbor_id, cos_sim, rank).
+    Ties broken by neighbor id — fully deterministic output."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), as_double(F.col(vec_col)).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv")
+    )
+    joined = c.crossJoin(F.broadcast(q))
+    if not include_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col(query_id_col))
+    scored = joined.select(
+        query_id_col,
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+    )
+    return top_k_per_group(
+        scored,
+        [query_id_col],
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cell_id",
+) -> DataFrame:
+    """Nearest-centroid assignment (the IVF build step). Centroids are
+    broadcast; ties break to the lowest cell id (deterministic)."""
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+    cents = centroids.select(
+        F.col(centroid_id_col), as_double(F.col(vec_col)).alias("__cv")
+    )
+    scored = c.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "__v",
+        centroid_id_col,
+        cosine(F.col("__v"), F.col("__cv")).alias("__sim"),
+    )
+    best = top_k_per_group(
+        scored, [id_col], [F.col("__sim").desc(), F.col(centroid_id_col).asc()], 1
+    )
+    return best.select(id_col, centroid_id_col, F.col("__v").alias(vec_col))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate top-k: probe only the ``nprobe`` nearest cells per
+    query. (query_id, neighbor_id, cos_sim, rank), deterministic."""
+    cells = assign_cells(corpus, centroids, id_col, vec_col)
+    cents = centroids.select(F.col("cell_id"), as_double(F.col(vec_col)).alias("__cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv"))
+    probe = top_k_per_group(
+        q.crossJoin(F.broadcast(cents)).select(
+            "query_id", "__qv", "cell_id", cosine(F.col("__qv"), F.col("__cv")).alias("__sim")
+        ),
+        ["query_id"],
+        [F.col("__sim").desc(), F.col("cell_id").asc()],
+        nprobe,
+    ).select("query_id", "__qv", "cell_id")
+    cand = probe.join(cells.withColumnRenamed(id_col, "neighbor_id"), "cell_id")
+    cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col(vec_col)).alias("cos_sim")
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("cos_sim").desc(), F.col("neighbor_id").asc()], k
+    )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cos_sim) with cos_sim >= threshold, id_a < id_b.
+    Pairs are only compared within an IVF cell — linear-ish cost; an
+    exact variant would cross-join cells' neighbors too."""
+    cells = assign_cells(corpus, centroids, id_col, vec_col)
+    a = cells.select(F.col("cell_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = cells.select(F.col("cell_id"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    pairs = a.join(b, "cell_id").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
