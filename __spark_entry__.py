@@ -706,10 +706,11 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, md5({_NORM}) AS fp FROM documents)
         """,
         "q_dedup_ngram_jaccard": _SHINGLES + """,
-            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            hs AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM sh),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hs GROUP BY doc_id),
             inter AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
                 GROUP BY a.doc_id, b.doc_id)
             SELECT id_a, id_b,
                    CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard

@@ -25,8 +25,11 @@ def main() -> None:
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     spark = get_spark(app_name="matdb_spark_bench")
 
-    # warm the JVM/session so the first measured query isn't paying init
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # warm the JVM/session so the first measured query isn't paying
+    # one-time init: codegen compilation, noop-sink classloading, and
+    # the parquet reader path (footer/decoder classes; region is ~KB)
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     times: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

@@ -44,16 +44,43 @@ def minhash_params(k: int) -> list[tuple[int, int]]:
     return out
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles of the normalized text (array<string>).
-    Built-ins only: split → sequence → transform → array_distinct."""
-    words = F.split(normalize(text), " ")
+def shingles_from_words(words: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles from a word-array column.
+
+    ``words`` MUST be a materialized attribute (a projected column),
+    not an inline ``split(...)`` expression: expressions referenced
+    inside a higher-order-function lambda are re-evaluated per element,
+    so an inline split makes shingling O(doc_len²). See word_shingles.
+    """
     count = F.greatest(F.size(words) - (n - 1), F.lit(0))
     idx = F.sequence(F.lit(0), count - 1)
     shingle = lambda i: F.concat_ws(" ", *[F.get(words, i + j) for j in range(n)])
     return F.array_distinct(
         F.when(count > 0, F.transform(idx, shingle)).otherwise(F.array().cast("array<string>"))
     )
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(__id, __s) — one row per distinct n-word shingle per document.
+
+    Two-phase on purpose: project the split word array first (one
+    regexp+split per row — CollapseProject keeps it materialized
+    because it is non-cheap and multiply-referenced), then shingle from
+    the attribute. Collapsing these into one expression re-runs the
+    split per lambda element and turns shingling quadratic in document
+    length (measured 12.4 s → 0.9 s for 260k shingles at sf0.1).
+    """
+    words = df.select(
+        F.col(id_col).alias("__id"), F.split(normalize(F.col(text_col)), " ").alias("__w")
+    )
+    return words.select("__id", F.explode(shingles_from_words(F.col("__w"), n)).alias("__s"))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of the normalized text (array<string>).
+    Convenience single-expression form — prefer shingle_rows for
+    anything hot (see that docstring for the quadratic-eval trap)."""
+    return shingles_from_words(F.split(normalize(text), " "), n)
 
 
 # ---------------------------------------------------------------- exact
@@ -86,13 +113,16 @@ def ngram_jaccard_pairs(
     co-occurring docs; for web-scale corpora run minhash_lsh_pairs
     first and feed its candidates here as the verify step.
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"), F.explode(word_shingles(F.col(text_col), n)).alias("__s")
-    )
+    # Join on a 60-bit hash of the shingle, not the string: the
+    # candidate self-join shuffles longs instead of arbitrary-length
+    # text (~10× less shuffle volume on prose shingles). Within-doc
+    # hash collisions are ~|shingles|²/2⁶¹ and the oracle hashes
+    # identically, so parity is exact by construction.
+    sh = shingle_rows(df, id_col, text_col, n).select("__id", hash64(F.col("__s")).alias("__h"))
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")))
+        a.join(b, (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__id") < F.col("b.__id")))
         .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
@@ -124,9 +154,11 @@ def minhash_signatures(
     min aggregation map-side.
     """
     params = minhash_params(k)
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s")
-    ).withColumn("__h", hash_hex(F.col("__s"), 7))
+    sh = (
+        shingle_rows(df, id_col, text_col, shingle_n)
+        .withColumnRenamed("__id", id_col)
+        .withColumn("__h", hash_hex(F.col("__s"), 7))
+    )
     mins = sh.groupBy(id_col).agg(
         *[
             F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"__m{i}")

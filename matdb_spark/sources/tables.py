@@ -33,15 +33,37 @@ _TS_COLS = {
 }
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, min_parallelism: int | None = None
+) -> DataFrame:
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    # A parquet file is splittable only at row-group boundaries; a
+    # single-row-group file pins the whole scan (and everything up to
+    # the first shuffle) to ONE task no matter how many cores exist.
+    # Round-robin repartition restores parallelism; Catalyst still
+    # pushes later filters/pruning through the exchange down to the
+    # scan, so the shuffle carries post-pushdown rows only. Tiny dim
+    # tables are left alone (they get broadcast anyway).
+    import os as _os
+
+    try:
+        fsize = _os.path.getsize(path)
+    except OSError:
+        fsize = 0
     for c in _TS_COLS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             # integer division: ns values (~1.7e18) exceed double's
             # 53-bit mantissa, so float division drifts by ±1 µs
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    target = min_parallelism or spark.sparkContext.defaultParallelism
+    if fsize > 100 * 1024 and df.rdd.getNumPartitions() < target:
+        # ts conversion above is applied BEFORE this exchange so later
+        # filters on converted columns are pushed below the shuffle
+        # (evaluated scan-side) instead of filtering post-shuffle.
+        df = df.repartition(target)
     return df
 
 
