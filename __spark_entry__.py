@@ -221,8 +221,10 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # anti-join against 1995 orders: every customer has SOME order in
+    # this data, so the unfiltered anti set would be trivially empty
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
         "c_custkey", "c_mktsegment"
     )
@@ -287,9 +289,316 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("user_id", "event_id").agg(F.count(F.lit(1)).alias("n_following"))
 
 
-# ---------------------------------------------------------------------------
-# engine semantics (the matdb core) through the gate
-# ---------------------------------------------------------------------------
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: no l_commitdate in this schema — the
+    EXISTS predicate is 'some lineitem shipped after the order date')."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: revenue shipped between two nations, by year and
+    direction. Supplier/customer nation via two broadcast dim joins."""
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    n1 = nation.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(F.sum(revenue).cast("double").alias("revenue"))
+
+
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_5's share of ASIA PROMO-part revenue by year."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    n_supp = nation.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    n_cust = nation.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey"))
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == region.r_regionkey)
+    )
+    per_year = j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_5", revenue).otherwise(F.lit(0).cast("decimal(18,2)"))).alias("__n"),
+        F.sum(revenue).alias("__d"),
+    )
+    return per_year.select(
+        "o_year",
+        (F.col("__n").cast("double") / F.col("__d").cast("double")).alias("mkt_share"),
+    )
+
+
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp table → profit = discounted revenue)
+    for parts named like '%widget%', by supplier nation and year."""
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"), F.year("l_shipdate").cast("long").alias("o_year")
+    ).agg(F.sum(revenue).cast("double").alias("sum_profit"))
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top 20 customers by revenue lost to returns."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (no l_shipmode — classify by line status):
+    high- vs low-priority order counts per l_linestatus, 1996."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count (left outer
+    join keeps zero-order customers)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: PROMO-part share of 1996 revenue (percent)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    agg = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0).cast("decimal(18,2)"))).alias("__p"),
+        F.sum(revenue).alias("__t"),
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("__p").cast("double") / F.col("__t").cast("double")).alias("promo_revenue")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: yearly revenue loss if small-quantity orders (below
+    20% of the part's average quantity) were dropped, Brand#1 parts.
+    The avg comparison is done in exact decimal cross-multiplied form
+    (qty·5·cnt < sum_qty) so both engines agree on boundary rows."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    li = load_table(spark, sf_dir, "lineitem")
+    li_b = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    stats = li_b.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum(_dec("l_quantity")).alias("__sum_qty"), F.count(F.lit(1)).alias("__cnt")
+    )
+    j = li_b.join(F.broadcast(stats), li_b.l_partkey == F.col("__pk")).filter(
+        _dec("l_quantity") * F.lit(5) * F.col("__cnt") < F.col("__sum_qty")
+    )
+    return j.agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds 150 units."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__q"))
+        .filter(F.col("__q") > F.lit(150).cast("decimal(18,2)"))
+        .select("l_orderkey", F.col("__q").cast("double").alias("sum_qty"))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue under disjunctive brand/size/quantity
+    predicates — exercises OR-of-ANDs predicate pushdown."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 15) & qty.between(5, 15))
+        | ((F.col("p_brand") == "Brand#5") & (F.col("p_size") <= 25) & qty.between(1, 20))
+        | ((F.col("p_brand") == "Brand#9") & (F.col("p_size") <= 40) & qty.between(10, 30))
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return j.filter(cond).agg(F.sum(revenue).cast("double").alias("revenue"))
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (no phone column — grouped by nation instead):
+    customers above the positive-balance average with no orders.
+    Membership test uses exact cross-multiplication (bal·n > sum)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).alias("__sum"), F.count(F.lit(1)).alias("__n")
+    )
+    orders95 = orders.filter(F.year("o_orderdate") == 1995)
+    rich = (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(_dec("c_acctbal") * F.col("__n") > F.col("__sum"))
+        .join(orders95, cust.c_custkey == orders95.o_custkey, "left_anti")
+    )
+    return (
+        rich.join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over lineitem — the SQL surface on the same
+    relation (SURVEY §2.2 aggregations)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    view = f"lineitem_gsets_{tag}"
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM {view}
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """)
+
+
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag/ntile/first_value analytics over each customer's order
+    history — one window partition spec, four frame functions."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.first_value(F.col("o_orderkey")).over(w).alias("first_orderkey"),
+    )
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface over part names (upper/length/replace/
+    split/levenshtein), all JVM built-ins with DuckDB twins."""
+    part = load_table(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return part.select(
+        "p_partkey",
+        F.upper(name).alias("uname"),
+        F.length(name).cast("long").alias("name_len"),
+        F.regexp_replace(name, "widget", "gadget").alias("renamed"),
+        F.split(name, " ").getItem(0).alias("first_word"),
+        F.levenshtein(name, F.lit("blue widget")).cast("long").alias("lev_dist"),
+        F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over embeddings: size/min/max/first and
+    an aggregated L2 norm via higher-order functions."""
+    from matdb_spark.functions.vectors import as_double, dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.array_min(v), 6).alias("min_elem"),
+        F.round(F.array_max(v), 6).alias("max_elem"),
+        F.round(F.get(v, 0), 6).alias("first_elem"),
+        F.round(F.sqrt(dot(v, v)), 6).alias("l2_norm"),
+    )
 
 def q_mvcc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a matdb_spark database from the events table in two
@@ -388,6 +697,32 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # similarity search (embeddings)
 # ---------------------------------------------------------------------------
 
+def _centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic IVF centroid seed: every 100th vector. (A real
+    build would k-means; a fixed seed keeps the oracle replayable.)"""
+    return emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+
+
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ivf_topk(emb, queries, _centroids(emb), k=5, nprobe=2)
+    scored = out.select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 0.35 ≈ the top-0.1% pair threshold for this synthetic corpus
+    # (max pairwise cosine is 0.51 — no true dups); a real corpus
+    # would use ~0.95.
+    out = similarity.cosine_near_dup_pairs(emb, _centroids(emb), threshold=0.35)
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -430,6 +765,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_distinct_agg": q_distinct_agg,
         "q_rollup_acctbal": q_rollup_acctbal,
         "q_cube_events": q_cube_events,
+        "q04_order_priority": q04_order_priority,
+        "q07_volume_shipping": q07_volume_shipping,
+        "q08_market_share": q08_market_share,
+        "q09_product_profit": q09_product_profit,
+        "q10_returned_items": q10_returned_items,
+        "q12_priority_class": q12_priority_class,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q22_idle_customers": q22_idle_customers,
+        "q_grouping_sets": q_grouping_sets,
+        "q_window_analytics": q_window_analytics,
+        "q_string_funcs": q_string_funcs,
+        "q_array_funcs": q_array_funcs,
+        "q_similarity_ivf": q_similarity_ivf,
+        "q_embed_near_dup": q_embed_near_dup,
         "q_set_intersect": q_set_intersect,
         "q_set_except": q_set_except,
         "q_semi_join": q_semi_join,
@@ -526,6 +879,52 @@ def _simhash_sql() -> str:
     )
 
 
+def _cos(a: str, b: str) -> str:
+    """DuckDB cosine between two DOUBLE[] columns (64-dim)."""
+    d = f"list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+    na = f"sqrt(list_sum(list_transform(range(1, 65), i -> {a}[i] * {a}[i])))"
+    nb = f"sqrt(list_sum(list_transform(range(1, 65), i -> {b}[i] * {b}[i])))"
+    return f"({d} / ({na} * {nb}))"
+
+
+def _ivf_sql() -> str:
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+        assign AS (
+            SELECT vec_id, cell_id, v FROM (
+                SELECT e.vec_id, c.cell_id, e.v,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_cos('e.v', 'c.cv')} DESC, c.cell_id) AS rn
+                FROM e, c) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        probe AS (
+            SELECT query_id, cell_id, qv FROM (
+                SELECT q.query_id, c.cell_id, q.qv,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY {_cos('q.qv', 'c.cv')} DESC, c.cell_id) AS rn
+                FROM q, c) WHERE rn <= 2),
+        cand AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id, ROUND({_cos('p.qv', 'a.v')}, 6) AS cos_sim
+            FROM probe p JOIN assign a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM cand)
+        SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """
+
+
+def _near_dup_sql() -> str:
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+        assign AS (
+            SELECT vec_id, cell_id, v FROM (
+                SELECT e.vec_id, c.cell_id, e.v,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_cos('e.v', 'c.cv')} DESC, c.cell_id) AS rn
+                FROM e, c) WHERE rn = 1)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_cos('a.v', 'b.v')}, 6) AS cos_sim
+        FROM assign a JOIN assign b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        WHERE {_cos('a.v', 'b.v')} >= 0.35
+    """
+
+
 def _cosine_sql() -> str:
     dot = "list_sum(list_transform(range(1, 65), i -> qv[i] * v[i]))"
     nq = "sqrt(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])))"
@@ -615,6 +1014,165 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_type, user_id % 10 AS cohort, value FROM events)
             GROUP BY CUBE(event_type, cohort)
         """,
+        "q04_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "q07_volume_shipping": f"""
+            SELECT supp_nation, cust_nation, l_year, CAST(SUM(vol) AS DOUBLE) AS revenue FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       CAST(year(l_shipdate) AS BIGINT) AS l_year, {_DISC} AS vol
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q08_market_share": f"""
+            SELECT o_year, CAST(__n AS DOUBLE) / CAST(__d AS DOUBLE) AS mkt_share FROM (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       SUM(CASE WHEN n1.n_name = 'NATION_5' THEN {_DISC} ELSE CAST(0 AS DECIMAL(18,2)) END) AS __n,
+                       SUM({_DISC}) AS __d
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                JOIN region ON n2.n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                GROUP BY o_year)
+        """,
+        "q09_product_profit": f"""
+            SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+                   CAST(SUM({_DISC}) AS DOUBLE) AS sum_profit
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY n_name, CAST(year(l_shipdate) AS BIGINT)
+        """,
+        "q10_returned_items": f"""
+            SELECT c_custkey, c_name, c_acctbal, n_name, CAST(SUM({_DISC}) AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "q12_priority_class": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_linestatus
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, COUNT(*) AS custdist FROM (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer LEFT OUTER JOIN orders
+                  ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+                GROUP BY c_custkey)
+            GROUP BY c_count
+        """,
+        "q14_promo_revenue": f"""
+            SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   / CAST(SUM({_DISC}) AS DOUBLE) AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        """,
+        "q17_small_quantity_revenue": """
+            WITH b AS (SELECT l_partkey, l_quantity, l_extendedprice
+                       FROM lineitem JOIN part ON l_partkey = p_partkey
+                       WHERE p_brand = 'Brand#1'),
+            s AS (SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                         COUNT(*) AS cnt
+                  FROM b GROUP BY l_partkey)
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+            FROM b JOIN s ON b.l_partkey = s.pk
+            WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty
+        """,
+        "q18_large_volume_customers": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   CAST(__q AS DOUBLE) AS sum_qty
+            FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS __q
+                  FROM lineitem GROUP BY l_orderkey) t
+            JOIN orders ON t.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE __q > CAST(150 AS DECIMAL(18,2))
+        """,
+        "q19_disjunctive_revenue": f"""
+            SELECT CAST(SUM({_DISC}) AS DOUBLE) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity BETWEEN 5 AND 15)
+               OR (p_brand = 'Brand#5' AND p_size <= 25 AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#9' AND p_size <= 40 AND l_quantity BETWEEN 10 AND 30)
+        """,
+        "q22_idle_customers": """
+            WITH pos AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+                         FROM customer WHERE c_acctbal > 0)
+            SELECT n_name, COUNT(*) AS numcust,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+            FROM customer CROSS JOIN pos
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+            GROUP BY n_name
+        """,
+        "q_grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   COUNT(*) AS n
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """,
+        "q_window_analytics": """
+            SELECT o_custkey, o_orderkey,
+                   lag(o_totalprice, 1) OVER w AS prev_price,
+                   lead(o_totalprice, 1) OVER w AS next_price,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                   first_value(o_orderkey) OVER w AS first_orderkey
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "q_string_funcs": """
+            SELECT p_partkey, upper(p_name) AS uname,
+                   CAST(length(p_name) AS BIGINT) AS name_len,
+                   regexp_replace(p_name, 'widget', 'gadget', 'g') AS renamed,
+                   string_split(p_name, ' ')[1] AS first_word,
+                   CAST(levenshtein(p_name, 'blue widget') AS BIGINT) AS lev_dist,
+                   p_brand || '|' || p_type AS brand_type
+            FROM part
+        """,
+        "q_array_funcs": """
+            SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+                   ROUND(list_min(CAST(embedding AS DOUBLE[])), 6) AS min_elem,
+                   ROUND(list_max(CAST(embedding AS DOUBLE[])), 6) AS max_elem,
+                   ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+                   ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm
+            FROM embeddings
+        """,
+        "q_similarity_ivf": _ivf_sql(),
+        "q_embed_near_dup": _near_dup_sql(),
         "q_set_intersect": """
             SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
             INTERSECT
@@ -631,7 +1189,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_anti_join": """
             SELECT c_custkey, c_mktsegment FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
         """,
         "q_json_extract": """
             SELECT event_type,
