@@ -634,6 +634,56 @@ def q_mvcc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# streaming (Structured Streaming over the events table)
+# ---------------------------------------------------------------------------
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming execution: file-source readStream →
+    5-minute tumbling event-time windows per event_type → memory sink
+    (complete mode, availableNow). The returned DataFrame is the final
+    materialized result; the oracle recomputes the same windows with
+    epoch-aligned floor arithmetic."""
+    from matdb_spark.streaming import events_stream, tumbling_agg
+    from matdb_spark.streaming.windows import run_to_memory_sink
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    name = f"stream_tumbling_{tag}"
+    ckpt = os.path.join(SCRATCH, f"ckpt_{name}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    out = tumbling_agg(
+        events_stream(spark, sf_dir),
+        "ts",
+        "5 minutes",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value", 4)).cast("double").alias("sum_val"),
+        ],
+    )
+    run_to_memory_sink(out, name, ckpt, "complete")
+    return spark.table(name).drop("window_end")
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30 min) per user over events — the
+    same session_agg code path runs unchanged on a stream with a
+    watermark (tests/test_streaming.py); batch mode here for an exact
+    oracle."""
+    from matdb_spark.streaming import session_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = session_agg(
+        ev,
+        "ts",
+        "30 minutes",
+        keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+    )
+    return out.select("user_id", F.col("window_start").alias("session_start"),
+                      F.col("window_end").alias("session_end"), "n_events")
+
+
+# ---------------------------------------------------------------------------
 # text analysis (documents)
 # ---------------------------------------------------------------------------
 
@@ -793,6 +843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_mvcc_scan": q_mvcc_scan,
+        "q_stream_tumbling": q_stream_tumbling,
+        "q_session_window": q_session_window,
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
         "q_token_stats_by_source": q_token_stats_by_source,
@@ -1237,6 +1289,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id,
                    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
             FROM events
+        """,
+        "q_stream_tumbling": """
+            SELECT make_timestamp(CAST(floor(epoch_ms(ts) / 300000) AS BIGINT) * 300000000) AS window_start,
+                   event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+            FROM events GROUP BY window_start, event_type
+        """,
+        "q_session_window": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+                            THEN 1 ELSE 0 END AS ns
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT user_id, ts,
+                         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o)
+            SELECT user_id, MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "q_text_stats": f"""
             SELECT doc_id,

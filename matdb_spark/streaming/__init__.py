@@ -1,0 +1,32 @@
+"""Structured Streaming surface of matdb_spark.
+
+The reference is purely batch (SURVEY §2.2: no streaming anywhere in
+ejrh/matdb); this package is the scale extension for continuous
+ingest and event-time analytics, built entirely on Structured
+Streaming primitives:
+
+- ``sources.events_stream``: file-source readStream with the same
+  schema/timestamp normalization as the batch loader.
+- ``windows``: tumbling / sliding / session-window aggregations that
+  accept EITHER a batch or a streaming DataFrame (one code path; the
+  streaming variant adds a watermark for state eviction).
+- ``ingest.stream_into_database``: micro-batch ingest into the MVCC
+  store — each micro-batch commits as one transaction, so concurrent
+  snapshot readers always see batch-aligned consistent state.
+- ``stateful.sessionize_with_state``: applyInPandasWithState custom
+  stateful operator (per-key session accumulation with timeout).
+"""
+
+from matdb_spark.streaming.sources import events_stream
+from matdb_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
+from matdb_spark.streaming.ingest import stream_into_database
+from matdb_spark.streaming.stateful import sessionize_with_state
+
+__all__ = [
+    "events_stream",
+    "tumbling_agg",
+    "sliding_agg",
+    "session_agg",
+    "stream_into_database",
+    "sessionize_with_state",
+]

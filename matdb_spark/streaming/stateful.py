@@ -1,0 +1,89 @@
+"""Custom stateful streaming operator: applyInPandasWithState.
+
+``session_window`` (windows.py) covers gap-sessionization declaratively;
+this module is the escape hatch pattern for session logic Spark's
+built-ins cannot express (custom merge rules, per-session payloads,
+early emission). It demonstrates the full plumbing: state schema,
+Arrow-batched update function, append-mode emission of *closed*
+sessions, state carry across micro-batches.
+
+Scale notes: state lives in the state store partitioned by the group
+key — the same shuffle as a groupBy. Unbounded keys need a timeout
+(event-time + watermark in production) so abandoned sessions are
+flushed and their state evicted; NoTimeout here keeps the finite-test
+behavior deterministic.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def sessionize_with_state(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Per-user gap sessions over a stream; emits a row per CLOSED
+    session (a session closes when a later event arrives >= gap after
+    its last event). The open tail session stays in state.
+
+    Output: (user_id, session_start_ms, session_end_ms, n_events),
+    end = last event + gap — matching F.session_window semantics.
+    """
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start_ms", LongType()),
+            StructField("session_end_ms", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_ms", LongType()),
+            StructField("last_ms", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user = key[0]
+        start, last, n = state.get if state.exists else (None, None, 0)
+        ts_ms: list[int] = []
+        for pdf in pdfs:
+            col = pdf[ts_col]
+            # timestamps arrive as datetime64[ns] through Arrow
+            ts_ms.extend((col.astype("int64") // 1_000_000).tolist())
+        ts_ms.sort()
+        closed: list[tuple[int, int, int, int]] = []
+        for t in ts_ms:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last >= gap_ms:
+                closed.append((user, start, last + gap_ms, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        if start is not None:
+            state.update((int(start), int(last), int(n)))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start_ms", "session_end_ms", "n_events"],
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

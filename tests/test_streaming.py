@@ -1,0 +1,112 @@
+"""Streaming surface tests: batch/stream parity for window aggs,
+micro-batch MVCC ingest, and cross-batch stateful sessionization."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from matdb_spark import Database, Dimension, Schema, Value
+from matdb_spark.sources.tables import load_table
+from matdb_spark.streaming import (
+    events_stream,
+    session_agg,
+    sessionize_with_state,
+    stream_into_database,
+    tumbling_agg,
+)
+from matdb_spark.streaming.windows import run_to_memory_sink
+
+SF = "/root/testdata/sf0.001"
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+
+
+def _fresh(*parts: str) -> str:
+    p = os.path.join(SCRATCH, *parts)
+    shutil.rmtree(p, ignore_errors=True)
+    return p
+
+
+def test_tumbling_stream_matches_batch(spark):
+    batch = tumbling_agg(
+        load_table(spark, SF, "events"), "ts", "5 minutes", keys=["event_type"]
+    )
+    expected = {tuple(r) for r in batch.collect()}
+
+    stream = tumbling_agg(events_stream(spark, SF), "ts", "5 minutes", keys=["event_type"])
+    assert stream.isStreaming
+    run_to_memory_sink(stream, "t_tumbling", _fresh("ckpt_tumbling"), "complete")
+    got = {tuple(r) for r in spark.table("t_tumbling").collect()}
+    assert got == expected and len(got) > 0
+
+
+def test_stream_ingest_commits_microbatches(spark):
+    ev = load_table(spark, SF, "events")
+    n_events = ev.count()
+
+    db_path = _fresh("stream_db")
+    schema = Schema(
+        dimensions=[Dimension("user_id", 100), Dimension("event_id", 100_000)],
+        values=[Value("value", type="double")],
+    )
+    db = Database.create(spark, db_path, schema)
+
+    stream = events_stream(spark, SF).select("user_id", "event_id", "value")
+    q = stream_into_database(stream, db, _fresh("ckpt_ingest"))
+    q.awaitTermination(120)
+
+    snap = db.begin().query(ordered=False)
+    assert snap.count() == n_events
+
+
+def test_stateful_sessionize_across_batches(spark):
+    # two files processed as separate micro-batches: the session opened
+    # in batch 1 must close (and emit) only when batch 2's late event
+    # arrives beyond the gap — state carries across batches.
+    src = _fresh("sess_src")
+    os.makedirs(src)
+    t0 = 1_000_000_000_000  # ms
+    min_ = 60_000
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        df.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, name))
+        for root, _, files in os.walk(os.path.join(src, name)):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    ts = lambda ms: F.timestamp_millis(F.lit(ms))
+    import datetime as dt
+
+    mk = lambda ms: dt.datetime.utcfromtimestamp(ms / 1000)
+    write_file("b1", [(1, mk(t0)), (1, mk(t0 + 10 * min_))], time.time() - 100)
+    write_file("b2", [(1, mk(t0 + 15 * min_)), (1, mk(t0 + 90 * min_))], time.time())
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*"))
+    )
+    out = sessionize_with_state(stream, gap_ms=30 * min_)
+    run_to_memory_sink(out, "t_sessions", _fresh("ckpt_sess"), "append")
+    rows = spark.table("t_sessions").collect()
+    assert [tuple(r) for r in rows] == [(1, t0, t0 + 45 * min_, 3)]
+
+
+def test_session_agg_batch(spark):
+    ev = load_table(spark, SF, "events")
+    out = session_agg(ev, "ts", "30 minutes", keys=["user_id"])
+    # every event is in exactly one session
+    total = out.agg(F.sum("n")).first()[0]
+    assert total == ev.count()
+    # session windows of one user never overlap
+    w = out.filter(F.col("user_id") == out.first()["user_id"]).orderBy("window_start")
+    prev_end = None
+    for r in w.collect():
+        if prev_end is not None:
+            assert r["window_start"] >= prev_end
+        prev_end = r["window_end"]
