@@ -789,6 +789,36 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal plumbing (binary columns)
 # ---------------------------------------------------------------------------
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode + resize pipeline over binary payloads (the
+    codec itself is a deterministic md5-keyed stub — see
+    operators/multimodal.py; the Arrow/pandas plumbing is real)."""
+    from matdb_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = mm.attach_payload(docs, "text")
+    decoded = mm.decode_assets(assets, "doc_id")
+    return mm.resize_plan(decoded, 256).select(
+        "doc_id", "byte_len", "checksum", "width", "height",
+        "n_frames", "brightness", "resized_w", "resized_h",
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling explosion: one output row per pseudo-frame."""
+    from matdb_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = mm.decode_assets(mm.attach_payload(docs, "text"), "doc_id")
+    out = mm.sample_frames(decoded, "doc_id", every_ms=40)
+    return out.select(
+        "doc_id",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     payload = F.encode(F.col("text"), "utf-8")  # stand-in binary column
@@ -854,6 +884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_simhash": q_dedup_simhash,
         "q_similarity_topk": q_similarity_topk,
         "q_multimodal_meta": q_multimodal_meta,
+        "q_multimodal_decode": q_multimodal_decode,
+        "q_multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -1356,6 +1388,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                    CAST(length(text) AS BIGINT) AS char_len, md5(text) AS checksum
             FROM documents
+        """,
+        "q_multimodal_decode": """
+            WITH d AS (
+                SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                       md5(text) AS h FROM documents),
+            m AS (
+                SELECT doc_id, byte_len, h AS checksum,
+                       CAST(CAST(('0x' || substr(h, 1, 4)) AS INT) % 512 + 16 AS INT) AS width,
+                       CAST(CAST(('0x' || substr(h, 5, 4)) AS INT) % 512 + 16 AS INT) AS height,
+                       CAST(CAST(('0x' || substr(h, 9, 2)) AS INT) % 8 + 1 AS INT) AS n_frames,
+                       ROUND(CAST(('0x' || substr(h, 11, 2)) AS INT) / 255.0, 6) AS brightness
+                FROM d)
+            SELECT doc_id, byte_len, checksum, width, height, n_frames, brightness,
+                   CAST(CASE WHEN greatest(width, height) <= 256 THEN width
+                             WHEN width >= height THEN 256
+                             ELSE (width * 256) // height END AS INT) AS resized_w,
+                   CAST(CASE WHEN greatest(width, height) <= 256 THEN height
+                             WHEN height > width THEN 256
+                             ELSE (height * 256) // width END AS INT) AS resized_h
+            FROM m
+        """,
+        "q_multimodal_frames": """
+            WITH m AS (
+                SELECT doc_id,
+                       CAST(CAST(('0x' || substr(md5(text), 9, 2)) AS INT) % 8 + 1 AS BIGINT) AS n_frames
+                FROM documents)
+            SELECT doc_id, n_frames, CAST(f AS BIGINT) AS frame_idx,
+                   CAST(f * 40 AS BIGINT) AS frame_ts_ms
+            FROM m, unnest(range(n_frames)) AS u(f)
         """,
     }
     return {k: v.strip() for k, v in qs.items()}
