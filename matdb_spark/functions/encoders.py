@@ -20,7 +20,9 @@ def parse_sensor_time(col: Column) -> Column:
     Normalizes ``a.m./p.m.`` → ``AM/PM`` then parses with the
     reference's format string (d/M/yyyy h:mm:ss a)."""
     norm = F.upper(F.regexp_replace(col, r"([ap])\.m\.", r"$1m"))
-    ts = F.to_timestamp(norm, "d/M/yyyy h:mm:ss a")
+    # try_: unparsable input → NULL (callers drop it), matching the
+    # reference's skip-bad-line behavior (sensor-log.rs:199-204)
+    ts = F.try_to_timestamp(norm, F.lit("d/M/yyyy h:mm:ss a"))
     return F.unix_millis(ts)
 
 
