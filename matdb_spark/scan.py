@@ -65,14 +65,49 @@ def _chunked(df: DataFrame, schema: Schema) -> DataFrame:
     return df
 
 
+def _range_filters(
+    schema: Schema, bounds: dict[str, tuple], with_chunks: bool
+) -> list:
+    """Filters for a key-range scan: per bounded dim, a row-level
+    predicate (drives parquet row-group min/max skipping — the zone
+    maps of segment.rs:138-163) and, when the dim is chunked and the
+    relation still carries its ``__chunk_*`` partition column, the
+    derived chunk-range predicate floor(lo/size)..floor(hi/size) —
+    which Catalyst turns into Hive partition pruning (the merge-scan's
+    lazy block activation, scan.rs:119-180, at directory granularity).
+    """
+    conds = []
+    by_name = {d.name: d for d in schema.dimensions}
+    for name, (lo, hi) in bounds.items():
+        d = by_name[name]
+        col = F.col(name)
+        if lo is not None:
+            conds.append(col >= F.lit(lo))
+        if hi is not None:
+            conds.append(col <= F.lit(hi))
+        if with_chunks and d.chunk_size:
+            ccol = F.col(d.chunk_col)
+            if lo is not None:
+                conds.append(ccol >= F.lit(lo // d.chunk_size))
+            if hi is not None:
+                conds.append(ccol <= F.lit(hi // d.chunk_size))
+    return conds
+
+
 def scan_dataframe(
     spark: SparkSession,
     source: ScanSource,
     ordered: bool = True,
     include_txn: bool = False,
     drop_null_value_rows: bool = True,
+    bounds: dict[str, tuple] | None = None,
 ) -> DataFrame:
-    """Build the snapshot-scan DataFrame for a pinned source set."""
+    """Build the snapshot-scan DataFrame for a pinned source set.
+
+    ``bounds`` maps dim name → (lo, hi) inclusive key bounds (either
+    side None for open): applied at the scan relation itself so both
+    partition pruning and parquet stats pruning engage before any
+    shuffle."""
     schema = source.schema
     dims = schema.dim_names
     vals = schema.value_names
@@ -88,6 +123,9 @@ def scan_dataframe(
             spark.read.option("basePath", manifest.data_dir(source.db_path))
             .parquet(*dirs)
         )
+        # Prune BEFORE projecting away the __chunk_* partition columns.
+        for cond in _range_filters(schema, bounds or {}, with_chunks=True):
+            df = df.filter(cond)
         # Partition dirs contribute txn=<t>, seg=<s>, __chunk_* columns.
         df = df.select(
             F.col("txn").cast("long").alias(TXN_COL),
@@ -103,6 +141,8 @@ def scan_dataframe(
         # these are rows the application just add_row()ed.
         own = source.own_txn if source.own_txn is not None else 1 << 62
         buf = spark.createDataFrame(source.buffered_rows, schema.staging_schema())
+        for cond in _range_filters(schema, bounds or {}, with_chunks=False):
+            buf = buf.filter(cond)
         buf = buf.select(
             F.lit(own).cast("long").alias(TXN_COL),
             F.col(SEQ_COL),

@@ -164,6 +164,28 @@ class Transaction:
             self.db.spark, self._source(), ordered=ordered, include_txn=include_txn
         )
 
+    def query_range(
+        self,
+        bounds: dict[str, tuple],
+        ordered: bool = True,
+        include_txn: bool = False,
+    ) -> DataFrame:
+        """Key-range scan: like ``query`` but with inclusive per-dim
+        bounds ``{dim: (lo, hi)}`` (either side None for open) applied
+        AT THE SCAN — chunked dims prune whole partition directories
+        (the reference's chunk routing, schema.rs:28-38) and parquet
+        row-group stats skip blocks inside them (its zone maps,
+        segment.rs:138-163). The reference exposes no filtered query;
+        this is its missing range-scan made first-class."""
+        self._check_open()
+        return scan_dataframe(
+            self.db.spark,
+            self._source(),
+            ordered=ordered,
+            include_txn=include_txn,
+            bounds=bounds,
+        )
+
     def query_rows(self) -> Iterator[Row]:
         """Iterate results reference-style without driver collect."""
         return iterate_rows(self.query(ordered=True))
