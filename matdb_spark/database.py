@@ -80,6 +80,51 @@ class Database:
         # kept as an explicit hook for a future multi-writer allocator.
         pass
 
+    # ---- maintenance ------------------------------------------------
+    def compact(self) -> int | None:
+        """Rewrite the current snapshot as ONE new transaction that
+        supersedes every visible txn (manifest ``replaces`` list).
+
+        The many-small-transactions problem at scale: every commit adds
+        segment directories; scans stay correct but accumulate file
+        listings and dedup work. Compaction folds them: read the
+        version-resolved snapshot (dedup applied once, durably), write
+        it through the normal segment path, publish with ``replaces``.
+        Readers before the compaction commit see the old txns; after,
+        exactly the compacted one — never both. Superseded data becomes
+        garbage collected by ``vacuum()``.
+
+        Version semantics are preserved because the compaction txn id
+        is greater than everything it replaces and smaller than any
+        future txn. Returns the compaction txn id (None if <2 visible
+        txns — nothing to fold).
+        """
+        from matdb_spark import manifest as m
+
+        visible = m.visible_txn_ids(self.path, self.next_txn_id)
+        if len(visible) < 2:
+            return None
+        snap = self.begin().query(ordered=False)
+        txn = self.begin()
+        txn.add_dataframe(snap)
+        txn.commit(replaces=visible)
+        return txn.txn_id
+
+    def vacuum(self) -> list[int]:
+        """Delete data and manifests of txns superseded by a committed
+        compaction. Safe when no reader holds a pre-compaction snapshot
+        (single-writer embedded model; a shared deployment would add a
+        retention window, as Delta/Iceberg do). Returns removed ids."""
+        from matdb_spark import manifest as m
+
+        removed = sorted(m.replaced_txn_ids(self.path))
+        for t in removed:
+            m.discard_txn_data(self.path, t)
+            p = m.manifest_path(self.path, t)
+            if os.path.exists(p):
+                os.unlink(p)
+        return removed
+
     # ---- convenience ------------------------------------------------
     def snapshot(self):
         """Read-only snapshot DataFrame at the current horizon."""

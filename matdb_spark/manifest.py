@@ -70,10 +70,35 @@ def committed_txn_ids(db_path: str) -> list[int]:
     return sorted(out)
 
 
+def read_manifest(db_path: str, txn_id: int) -> dict:
+    with open(manifest_path(db_path, txn_id)) as f:
+        return json.load(f)
+
+
 def visible_txn_ids(db_path: str, horizon: int) -> list[int]:
-    """Snapshot rule from the reference (database.rs:85-89):
-    committed txn ids strictly below the horizon."""
-    return [t for t in committed_txn_ids(db_path) if t < horizon]
+    """Snapshot rule from the reference (database.rs:85-89): committed
+    txn ids strictly below the horizon — minus any txns superseded by a
+    visible compaction (its manifest lists them in ``replaces``; the
+    compacted segment carries their merged content). Chained
+    compactions resolve naturally: a later compaction's replaces list
+    includes every earlier id it absorbed, compactions included."""
+    visible = set()
+    replaced: set[int] = set()
+    for t in committed_txn_ids(db_path):
+        if t >= horizon:
+            continue
+        visible.add(t)
+        m = read_manifest(db_path, t)
+        replaced.update(m.get("replaces", []))
+    return sorted(visible - replaced)
+
+
+def replaced_txn_ids(db_path: str) -> set[int]:
+    """Every txn superseded by any committed compaction (vacuum set)."""
+    out: set[int] = set()
+    for t in committed_txn_ids(db_path):
+        out.update(read_manifest(db_path, t).get("replaces", []))
+    return out
 
 
 def staged_txn_ids(db_path: str) -> list[int]:
@@ -86,16 +111,21 @@ def staged_txn_ids(db_path: str) -> list[int]:
     return sorted(out)
 
 
-def publish(db_path: str, txn_id: int, segment_count: int) -> None:
+def publish(
+    db_path: str, txn_id: int, segment_count: int, replaces: list[int] | None = None
+) -> None:
     """Atomically commit ``txn_id``. Mirrors the atomic-on-segment-0
     rename of the reference (transaction.rs:121-126): the manifest file
-    is the single publication point."""
+    is the single publication point. ``replaces`` marks a compaction:
+    the listed committed txns are superseded by this one."""
     payload = {
         "txn": txn_id,
         "segments": segment_count,
         "committed_at": time.time(),
         "format": 1,
     }
+    if replaces:
+        payload["replaces"] = sorted(replaces)
     path = manifest_path(db_path, txn_id)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

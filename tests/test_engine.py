@@ -172,3 +172,50 @@ def test_chunk_partition_layout(spark, tmp_db_path):
     df = db.snapshot().filter("time >= 50")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert df.count() == 5
+
+
+def test_compact_and_vacuum(spark, tmp_db_path):
+    """Compaction folds many txns into one superseding txn; the
+    snapshot is byte-identical before/after; vacuum removes the
+    superseded data; future upserts still win over compacted rows."""
+    from matdb_spark import manifest
+
+    db = Database.create(spark, os.path.join(tmp_db_path, "compact"), grid_schema())
+    t1 = db.begin()
+    t1.add_rows([[i, 0, i] for i in range(20)])
+    t1.commit()
+    t2 = db.begin()
+    t2.add_rows([[i, 0, i + 100] for i in range(0, 20, 2)])  # upsert evens
+    t2.commit()
+    t3 = db.begin()
+    t3.add_rows([[i, 1, i] for i in range(5)])
+    t3.commit()
+
+    before = sorted(tuple(r) for r in db.snapshot().collect())
+    cid = db.compact()
+    assert cid == 4
+    assert manifest.visible_txn_ids(db.path, db.next_txn_id) == [cid]
+    after = sorted(tuple(r) for r in db.snapshot().collect())
+    assert after == before
+
+    # compacted store still accepts upserts that win over folded rows
+    t5 = db.begin()
+    t5.add_row([0, 0, 777])
+    t5.commit()
+    assert db.snapshot().filter("time = 0 and sensor_id = 0").first()["value"] == 777
+
+    # vacuum removes superseded txn data + manifests; reopen still sane
+    removed = db.vacuum()
+    assert removed == [1, 2, 3]
+    for t in removed:
+        assert not os.path.isdir(os.path.join(db.path, "data", f"txn={t}"))
+    db2 = Database.open(spark, db.path)
+    again = sorted(tuple(r) for r in db2.snapshot().collect())
+    assert [r for r in again if r[:2] != (0, 0)] == [r for r in after if r[:2] != (0, 0)]
+
+    # two visible txns remain (compaction + the later upsert): a second
+    # compaction folds them and chains the replaces resolution
+    cid2 = db2.compact()
+    assert cid2 == 6
+    assert manifest.visible_txn_ids(db2.path, db2.next_txn_id) == [cid2]
+    assert db2.snapshot().filter("time = 0 and sensor_id = 0").first()["value"] == 777
