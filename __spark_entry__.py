@@ -633,6 +633,63 @@ def q_mvcc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return db.begin().query(ordered=True)
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per order status (the scale path
+    would use approx_percentile; exact keeps the oracle bit-checkable)."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = lambda q: F.round(F.percentile(F.col("o_totalprice"), F.lit(q)), 6)
+    return orders.groupBy("o_orderstatus").agg(
+        p(0.25).alias("p25"), p(0.5).alias("p50"), p(0.75).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function surface: year/quarter/month buckets with distinct
+    day counts and ISO-weekday splits."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.groupBy(
+        F.year(d).cast("long").alias("y"),
+        F.quarter(d).cast("long").alias("q"),
+        F.month(d).cast("long").alias("m"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.dayofmonth(d)).alias("n_days"),
+        F.sum(F.when(F.weekday(d) + 1 <= 5, 1).otherwise(0)).alias("n_weekday"),
+    )
+
+
+def q_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-collecting aggregation, canonicalized to a sorted joined
+    string so the cross-engine comparison is order-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = (F.col("user_id") % 50).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.array_join(F.sort_array(F.collect_set(cohort)), ",").alias("cohorts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF (the sanctioned Python
+    escape hatch — batch-at-a-time, ~10-100x faster than row UDFs).
+    The arithmetic (x*2.5 + 1) is exact in binary floating point, so
+    the SQL oracle matches bit-for-bit."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no pd.Series annotations: this module uses postponed annotation
+    # evaluation (PEP 563), which pandas_udf cannot introspect
+    @pandas_udf("double")
+    def affine(v):
+        return v * 2.5 + 1.0
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.round(affine(F.col("value")), 6).alias("scaled")
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming (Structured Streaming over the events table)
 # ---------------------------------------------------------------------------
@@ -873,6 +930,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_mvcc_scan": q_mvcc_scan,
+        "q_percentiles": q_percentiles,
+        "q_date_extract": q_date_extract,
+        "q_collect_agg": q_collect_agg,
+        "q_pandas_udf_scalar": q_pandas_udf_scalar,
         "q_stream_tumbling": q_stream_tumbling,
         "q_session_window": q_session_window,
         "q_text_stats": q_text_stats,
@@ -1321,6 +1382,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id,
                    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
             FROM events
+        """,
+        "q_percentiles": """
+            SELECT o_orderstatus,
+                   ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+                   ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+                   COUNT(*) AS n
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "q_date_extract": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+                   CAST(quarter(o_orderdate) AS BIGINT) AS q,
+                   CAST(month(o_orderdate) AS BIGINT) AS m,
+                   COUNT(*) AS n,
+                   COUNT(DISTINCT day(o_orderdate)) AS n_days,
+                   CAST(SUM(CASE WHEN isodow(o_orderdate) <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_weekday
+            FROM orders GROUP BY y, q, m
+        """,
+        "q_collect_agg": """
+            SELECT event_type,
+                   array_to_string(list_sort(list(DISTINCT user_id % 50)), ',') AS cohorts,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "q_pandas_udf_scalar": """
+            SELECT event_id, ROUND(value * 2.5 + 1.0, 6) AS scaled FROM events
         """,
         "q_stream_tumbling": """
             SELECT make_timestamp(CAST(floor(epoch_ms(ts) / 300000) AS BIGINT) * 300000000) AS window_start,

@@ -91,3 +91,27 @@ def test_mvcc_scan_reads_visible_segments_only(spark):
     # a snapshot opened BEFORE t2 commits must not even list its files
     plan = physical_plan(db.begin().query(ordered=False))
     assert "txn=2" in plan or "txn=1" in plan  # sanity: scans manifest dirs
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketed+sorted on the join key → sort-merge join
+    with zero Exchange and zero Sort (shuffle paid once at write)."""
+    from matdb_spark.sources.bucketed import colocated, write_bucketed
+    from matdb_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_bkt", ["l_orderkey"], 4, sort_cols=["l_orderkey"])
+    write_bucketed(orders, "o_bkt", ["o_orderkey"], 4, sort_cols=["o_orderkey"])
+
+    a, b = colocated(spark, "li_bkt"), colocated(spark, "o_bkt")
+    joined = a.join(b, a.l_orderkey == b.o_orderkey)
+    # broadcast would defeat the point at real scale — force SMJ path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert exchange_count(joined) == 0
+        plan = physical_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
