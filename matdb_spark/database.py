@@ -63,10 +63,20 @@ class Database:
         return cls.create(spark, path, schema)
 
     # ---- transactions ----------------------------------------------
-    def begin(self) -> Transaction:
+    def begin(self, as_of: int | None = None) -> Transaction:
         """Start a transaction whose snapshot horizon is the current
-        next-txn-id (reference: database.rs:68-72)."""
-        return Transaction(self, horizon=self.next_txn_id)
+        next-txn-id (reference: database.rs:68-72) — or, with
+        ``as_of=t``, a TIME-TRAVEL snapshot seeing exactly the commits
+        with txn id <= t. Historical snapshots fall out of the manifest
+        protocol for free (immutable segments + per-txn manifests);
+        they remain readable until ``vacuum()`` garbage-collects
+        segments superseded by a later compaction. The reference
+        cannot express this (its visibility is always "now")."""
+        if as_of is None:
+            return Transaction(self, horizon=self.next_txn_id)
+        if as_of >= self.next_txn_id:
+            raise ValueError(f"as_of={as_of} is in the future (next txn {self.next_txn_id})")
+        return Transaction(self, horizon=as_of + 1, read_only=True)
 
     def allocate_txn_id(self) -> int:
         """Lazy txn-id allocation at first flush
@@ -126,7 +136,8 @@ class Database:
         return removed
 
     # ---- convenience ------------------------------------------------
-    def snapshot(self):
-        """Read-only snapshot DataFrame at the current horizon."""
-        txn = self.begin()
+    def snapshot(self, as_of: int | None = None):
+        """Read-only snapshot DataFrame at the current horizon (or at
+        historical txn ``as_of`` — time travel)."""
+        txn = self.begin(as_of=as_of)
         return txn.query(ordered=False)

@@ -43,10 +43,11 @@ class Transaction:
     allocated lazily at first flush (reference: transaction.rs:152-160).
     """
 
-    def __init__(self, db: "Database", horizon: int):
+    def __init__(self, db: "Database", horizon: int, read_only: bool = False):
         self.db = db
         self.schema = db.schema
         self.horizon = horizon
+        self.read_only = read_only
         self.visible_txns = manifest.visible_txn_ids(db.path, horizon)
         self.txn_id: int | None = None
         self.segments_flushed = 0
@@ -58,7 +59,7 @@ class Transaction:
     def add_row(self, values: Sequence) -> None:
         """Point insert/upsert, positional (dims then values) like the
         reference's ``add_row(&[Datum])`` (transaction.rs:31-42)."""
-        self._check_open()
+        self._check_writable()
         expect = len(self.schema.column_names)
         if len(values) != expect:
             raise ValueError(f"expected {expect} column values, got {len(values)}")
@@ -77,7 +78,7 @@ class Transaction:
         *within* the call resolve arbitrarily (a distributed batch has
         no insertion order); across calls, later calls win.
         """
-        self._check_open()
+        self._check_writable()
         self._seq += 1
         stamped = df.select(
             *self.schema.column_names, F.lit(self._seq).alias(SEQ_COL)
@@ -232,3 +233,12 @@ class Transaction:
     def _check_open(self) -> None:
         if self._closed:
             raise RuntimeError("transaction is closed")
+
+    def _check_writable(self) -> None:
+        self._check_open()
+        if self.read_only:
+            raise RuntimeError(
+                "time-travel (as_of) transactions are read-only: a write "
+                "from a historical horizon would silently drop every "
+                "commit after it"
+            )

@@ -219,3 +219,26 @@ def test_compact_and_vacuum(spark, tmp_db_path):
     assert cid2 == 6
     assert manifest.visible_txn_ids(db2.path, db2.next_txn_id) == [cid2]
     assert db2.snapshot().filter("time = 0 and sensor_id = 0").first()["value"] == 777
+
+
+def test_time_travel_snapshots(spark, tmp_db_path):
+    """begin(as_of=t) sees exactly commits <= t; time-travel txns are
+    read-only; as_of in the future is rejected."""
+    import pytest as _pytest
+
+    db = Database.create(spark, os.path.join(tmp_db_path, "tt"), grid_schema())
+    t1 = db.begin(); t1.add_row([0, 0, 1]); t1.commit()
+    t2 = db.begin(); t2.add_row([0, 0, 2]); t2.commit()
+    t3 = db.begin(); t3.add_row([1, 0, 3]); t3.commit()
+
+    assert db.snapshot(as_of=1).collect() == [(0, 0, 1)] or \
+        [tuple(r) for r in db.snapshot(as_of=1).collect()] == [(0, 0, 1)]
+    assert {tuple(r) for r in db.snapshot(as_of=2).collect()} == {(0, 0, 2)}
+    assert {tuple(r) for r in db.snapshot(as_of=3).collect()} == {(0, 0, 2), (1, 0, 3)}
+    assert {tuple(r) for r in db.snapshot().collect()} == {(0, 0, 2), (1, 0, 3)}
+
+    ro = db.begin(as_of=2)
+    with _pytest.raises(RuntimeError, match="read-only"):
+        ro.add_row([9, 9, 9])
+    with _pytest.raises(ValueError, match="future"):
+        db.begin(as_of=99)
