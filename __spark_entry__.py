@@ -212,6 +212,13 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return y95.subtract(y96)
 
 
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 350000).select("o_custkey")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    return big.union(y95).distinct()
+
+
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
@@ -922,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_near_dup": q_embed_near_dup,
         "q_set_intersect": q_set_intersect,
         "q_set_except": q_set_except,
+        "q_set_union": q_set_union,
         "q_semi_join": q_semi_join,
         "q_anti_join": q_anti_join,
         "q_json_extract": q_json_extract,
@@ -1327,6 +1335,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
             EXCEPT
             SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        """,
+        "q_set_union": """
+            SELECT o_custkey FROM orders WHERE o_totalprice > 350000
+            UNION
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
         """,
         "q_semi_join": """
             SELECT c_custkey, c_mktsegment FROM customer
