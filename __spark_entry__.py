@@ -728,6 +728,43 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).drop("window_end")
 
 
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (10 min window, 5 min slide — each
+    event lands in 2 windows), executed as a REAL streaming query."""
+    from matdb_spark.streaming import events_stream, sliding_agg
+    from matdb_spark.streaming.windows import run_to_memory_sink
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    name = f"stream_sliding_{tag}"
+    ckpt = os.path.join(SCRATCH, f"ckpt_{name}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    out = sliding_agg(
+        events_stream(spark, sf_dir), "ts", "10 minutes", "5 minutes",
+        keys=["event_type"],
+    )
+    run_to_memory_sink(out, name, ckpt, "complete")
+    return spark.table(name).drop("window_end")
+
+
+def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState sessionizer over a finite stream: with
+    one micro-batch (availableNow, single file) it emits every CLOSED
+    session — i.e. all sessions except each user's open tail — which
+    the oracle reproduces exactly with window functions."""
+    from matdb_spark.streaming import events_stream, sessionize_with_state
+    from matdb_spark.streaming.windows import run_to_memory_sink
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    name = f"stream_sessions_{tag}"
+    ckpt = os.path.join(SCRATCH, f"ckpt_{name}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    out = sessionize_with_state(
+        events_stream(spark, sf_dir).select("user_id", "ts"), gap_ms=30 * 60 * 1000
+    )
+    run_to_memory_sink(out, name, ckpt, "append")
+    return spark.table(name)
+
+
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows (30 min) per user over events — the
     same session_agg code path runs unchanged on a stream with a
@@ -943,6 +980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_collect_agg": q_collect_agg,
         "q_pandas_udf_scalar": q_pandas_udf_scalar,
         "q_stream_tumbling": q_stream_tumbling,
+        "q_stream_sliding": q_stream_sliding,
+        "q_stream_stateful_sessions": q_stream_stateful_sessions,
         "q_session_window": q_session_window,
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
@@ -1427,6 +1466,29 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
             FROM events GROUP BY window_start, event_type
+        """,
+        "q_stream_sliding": """
+            SELECT make_timestamp((CAST(floor(epoch_ms(ts) / 300000) AS BIGINT) - i) * 300000000) AS window_start,
+                   event_type, COUNT(*) AS n
+            FROM events, unnest([0, 1]) AS u(i)
+            GROUP BY window_start, event_type
+        """,
+        "q_stream_stateful_sessions": """
+            WITH o AS (
+                SELECT user_id, epoch_ms(ts) AS ms,
+                       CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                                 OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+                            THEN 1 ELSE 0 END AS ns
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT user_id, ms,
+                         SUM(ns) OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM o),
+            agg AS (SELECT user_id, sid, MIN(ms) AS session_start_ms,
+                           MAX(ms) + 1800000 AS session_end_ms, COUNT(*) AS n_events
+                    FROM s GROUP BY user_id, sid),
+            mx AS (SELECT user_id, MAX(sid) AS last_sid FROM s GROUP BY user_id)
+            SELECT a.user_id, session_start_ms, session_end_ms, n_events
+            FROM agg a JOIN mx ON a.user_id = mx.user_id AND a.sid < mx.last_sid
         """,
         "q_session_window": """
             WITH o AS (
