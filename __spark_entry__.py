@@ -839,6 +839,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=32, bands=8)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the MinHash-LSH
+    candidate pairs (iterative label propagation; the oracle computes
+    the same components with a recursive CTE)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=32, bands=8)
+    return dedup.connected_components(pairs)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash64(docs, "doc_id", "text")
@@ -989,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_dedup_simhash": q_dedup_simhash,
         "q_similarity_topk": q_similarity_topk,
         "q_multimodal_meta": q_multimodal_meta,
@@ -1052,6 +1062,23 @@ def _minhash_sql() -> str:
         f"bands AS ({band_selects}) "
         "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a "
         "JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    """Connected components over the MinHash pair set via a recursive
+    reachability CTE (fixpoint), canonical id = MIN over the component."""
+    m = _minhash_sql()
+    head, tail = m.rsplit("SELECT DISTINCT", 1)
+    return (
+        head.replace("WITH words", "WITH RECURSIVE words", 1)
+        + ", mpairs AS (SELECT DISTINCT"
+        + tail
+        + "), edges AS (SELECT id_a AS s, id_b AS d FROM mpairs "
+        + "UNION SELECT id_b, id_a FROM mpairs), "
+        + "reach AS (SELECT s AS node, s AS r FROM edges "
+        + "UNION SELECT e.s AS node, r.r FROM edges e JOIN reach r ON e.d = r.node) "
+        + "SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node"
     )
 
 
@@ -1544,6 +1571,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.6
         """,
         "q_dedup_minhash_lsh": _minhash_sql(),
+        "q_dedup_clusters": _dedup_clusters_sql(),
         "q_dedup_simhash": _simhash_sql(),
         "q_similarity_topk": _cosine_sql(),
         "q_multimodal_meta": """

@@ -216,6 +216,58 @@ def minhash_lsh_pairs(
     return pairs
 
 
+# -------------------------------------------------- cluster resolution
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(doc_id, cluster_id) for every node in ``pairs``: cluster_id is
+    the minimum id in the node's connected component. Turns pairwise
+    near-dup evidence (LSH/Jaccard output) into dedup clusters so one
+    canonical document per cluster can be kept.
+
+    Iterative min-label propagation: each round, a node's label drops
+    to the min of its own and its neighbors' labels; converges in
+    O(component diameter) rounds. Each round is one join + one groupBy
+    (both on node id); ``localCheckpoint`` truncates the plan each
+    round — without it the lineage doubles per iteration and planning
+    time explodes long before data size matters.
+    """
+    fwd = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
+    rev = pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
+    edges = fwd.union(rev).distinct().localCheckpoint()
+
+    labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.d == labels.node)
+            .groupBy("s")
+            .agg(F.min("label").alias("__nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.s, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("__nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 # ------------------------------------------------------------- SimHash
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash: long) 60-bit SimHash over whitespace tokens of the
