@@ -899,6 +899,20 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal plumbing (binary columns)
 # ---------------------------------------------------------------------------
 
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct counts — the 100 TB path for
+    cardinality (constant memory vs exact distinct's shuffle of every
+    value). NO oracle on purpose: HLL estimates are engine-specific,
+    so the driver records the weaker rows-only check; the exact
+    counterpart q_distinct_agg is fully oracle-checked."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode + resize pipeline over binary payloads (the
     codec itself is a deterministic md5-keyed stub — see
@@ -953,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_running": q_window_running,
         "q_topk_per_group": q_topk_per_group,
         "q_distinct_agg": q_distinct_agg,
+        "q_approx_distinct": q_approx_distinct,
         "q_rollup_acctbal": q_rollup_acctbal,
         "q_cube_events": q_cube_events,
         "q04_order_priority": q04_order_priority,

@@ -135,6 +135,36 @@ class Database:
                 os.unlink(p)
         return removed
 
+    def stats(self) -> dict:
+        """Driver-side store statistics from metadata only (no data
+        scan): committed/visible txns, segment dirs, data file counts
+        and bytes. O(files) listing — cheap next to any query."""
+        from matdb_spark import manifest as m
+
+        committed = m.committed_txn_ids(self.path)
+        visible = m.visible_txn_ids(self.path, self.next_txn_id)
+        n_files = 0
+        n_bytes = 0
+        n_segments = 0
+        for t in visible:
+            d = m.txn_data_dir(self.path, t)
+            for root, dirs, files in os.walk(d):
+                n_segments += sum(1 for x in dirs if x.startswith("seg="))
+                for f in files:
+                    if f.endswith(".parquet"):
+                        n_files += 1
+                        n_bytes += os.path.getsize(os.path.join(root, f))
+        return {
+            "committed_txns": len(committed),
+            "visible_txns": len(visible),
+            # superseded txns whose data still exists (i.e. vacuumable)
+            "replaced_txns": len(m.replaced_txn_ids(self.path) & set(committed)),
+            "segments": n_segments,
+            "data_files": n_files,
+            "data_bytes": n_bytes,
+            "next_txn_id": self.next_txn_id,
+        }
+
     # ---- convenience ------------------------------------------------
     def snapshot(self, as_of: int | None = None):
         """Read-only snapshot DataFrame at the current horizon (or at

@@ -82,6 +82,49 @@ def assign_cells(
     return best.select(id_col, centroid_id_col, F.col("__v").alias(vec_col))
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's iterations for IVF centroid building:
+    init = the k lowest-id vectors (reproducible, no RNG), then
+    assign → per-cell elementwise mean, ``iters`` times.
+
+    Everything stays JVM-side: the elementwise mean is
+    posexplode → avg per (cell, position) → re-assemble with
+    array_agg sorted by position. One shuffle per iteration (the
+    assignment groupBy); lineage cut per iteration via localCheckpoint.
+    Empty cells drop out (k can shrink) — harmless for IVF probing.
+    """
+    cents = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(id_col).alias("cell_id"), as_double(F.col(vec_col)).alias(vec_col))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        cells = assign_cells(corpus, cents, id_col, vec_col)
+        pos = cells.select(
+            "cell_id", F.posexplode(as_double(F.col(vec_col))).alias("__pos", "__x")
+        )
+        means = pos.groupBy("cell_id", "__pos").agg(F.avg("__x").alias("__m"))
+        cents = (
+            means.groupBy("cell_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("__pos", "__m"))).alias("__pm")
+            )
+            .select(
+                "cell_id",
+                F.transform(F.col("__pm"), lambda s: s["__m"]).alias(vec_col),
+            )
+            .localCheckpoint()
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -70,6 +70,18 @@ class Transaction:
         for r in rows:
             self.add_row(r)
 
+    def delete_row(self, key: Sequence) -> None:
+        """Tombstone a key: upsert with every value cell None. The
+        reference has no delete (SURVEY §1.5) — but its own data model
+        implies one: unset cells never appear as rows (block.rs:277-279),
+        so an all-null newest version is an invisible row. Tombstones
+        disappear physically at the next compaction."""
+        self.add_row(list(key) + [None] * len(self.schema.values))
+
+    def delete_rows(self, keys: Iterable[Sequence]) -> None:
+        for k in keys:
+            self.delete_row(k)
+
     def add_dataframe(self, df: DataFrame) -> None:
         """Bulk upsert of a distributed DataFrame (the 100 TB path).
 

@@ -242,3 +242,54 @@ def test_time_travel_snapshots(spark, tmp_db_path):
         ro.add_row([9, 9, 9])
     with _pytest.raises(ValueError, match="future"):
         db.begin(as_of=99)
+
+
+def test_delete_via_null_upsert(spark, tmp_db_path):
+    """The reference has NO delete (SURVEY §1.5); this engine gets one
+    for free from the data model: unset cells never appear as rows
+    (block.rs:277-279 → drop-all-null-values filter), so upserting a
+    key with all-null values tombstones it — newest version wins, and
+    the winning version is invisible."""
+    db = Database.create(spark, os.path.join(tmp_db_path, "del"), grid_schema())
+    t1 = db.begin()
+    t1.add_rows([[1, 1, 10], [2, 2, 20], [3, 3, 30]])
+    t1.commit()
+
+    t2 = db.begin()
+    t2.add_row([2, 2, None])  # tombstone
+    t2.commit()
+
+    keys = {(r.time, r.sensor_id) for r in db.snapshot().collect()}
+    assert keys == {(1, 1), (3, 3)}
+
+    # re-inserting the key resurrects it (newest version wins again)
+    t3 = db.begin()
+    t3.add_row([2, 2, 99])
+    t3.commit()
+    assert db.snapshot().filter("time = 2 and sensor_id = 2").first()["value"] == 99
+
+    # tombstones survive compaction? by design they are dropped during
+    # compaction (the snapshot omits them) — the fold is still correct
+    # because everything it replaces is folded with them applied
+    db.compact()
+    keys = {(r.time, r.sensor_id) for r in db.snapshot().collect()}
+    assert keys == {(1, 1), (2, 2), (3, 3)}
+
+
+def test_delete_api_and_stats(spark, tmp_db_path):
+    db = Database.create(spark, os.path.join(tmp_db_path, "delapi"), grid_schema())
+    t1 = db.begin()
+    t1.add_rows([[1, 1, 10], [2, 2, 20]])
+    t1.commit()
+    t2 = db.begin()
+    t2.delete_row([1, 1])
+    t2.commit()
+    assert {(r.time, r.sensor_id) for r in db.snapshot().collect()} == {(2, 2)}
+
+    s = db.stats()
+    assert s["committed_txns"] == 2 and s["visible_txns"] == 2
+    assert s["data_files"] > 0 and s["data_bytes"] > 0
+    db.compact()
+    db.vacuum()
+    s2 = db.stats()
+    assert s2["visible_txns"] == 1 and s2["replaced_txns"] == 0

@@ -1,0 +1,35 @@
+"""Similarity operators: k-means centroid building and IVF recall
+against the exact brute-force baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from matdb_spark.operators import similarity
+from matdb_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kmeans_centroids_shapes(spark):
+    emb = load_table(spark, SF, "embeddings")
+    cents = similarity.kmeans_centroids(emb, k=4, iters=3)
+    rows = cents.collect()
+    assert 1 <= len(rows) <= 4
+    assert all(len(r["embedding"]) == 64 for r in rows)
+    # every corpus vector is assignable to exactly one cell
+    cells = similarity.assign_cells(emb, cents)
+    assert cells.count() == emb.count()
+    assert cells.select("vec_id").distinct().count() == emb.count()
+
+
+def test_ivf_recall_vs_exact(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = similarity.kmeans_centroids(emb, k=4, iters=2)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    approx = similarity.ivf_topk(emb, queries, cents, k=5, nprobe=2)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # nprobe=2 of 4 cells: expect >= half the exact neighbors found
+    assert len(a & e) >= len(e) // 2
