@@ -115,3 +115,32 @@ def test_bucketed_join_has_no_exchange(spark):
         assert joined.count() == li.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_gate_queries_stay_jvm_side(spark):
+    """The hot path discipline, enforced: no row-at-a-time Python in
+    any gated query. Only the operators whose POINT is Arrow-batched
+    Python (pandas UDF demo, multimodal codec, stateful sessionizer)
+    may show Python evaluation nodes — and those must be the Arrow
+    form (ArrowEvalPython/FlatMapsInPandas...), never BatchEvalPython."""
+    import __spark_entry__ as e
+
+    arrow_ok = {
+        "q_pandas_udf_scalar",
+        "q_multimodal_decode",
+        "q_multimodal_frames",
+        "q_stream_stateful_sessions",
+    }
+    # these execute work at build time (engine/stream pipelines) —
+    # their plan checks are covered by their own tests
+    skip = {"q_mvcc_scan", "q_stream_tumbling", "q_stream_sliding",
+            "q_stream_stateful_sessions"}
+    for name, fn in e.queries().items():
+        if name in skip:
+            continue
+        plan = physical_plan(fn(spark, SF))
+        assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
+        if name not in arrow_ok:
+            assert "EvalPython" not in plan and "InPandas" not in plan, (
+                f"{name} unexpectedly leaves the JVM"
+            )
