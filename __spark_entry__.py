@@ -728,6 +728,30 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).drop("window_end")
 
 
+def q_stream_ingest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming ingest into the MVCC store: file stream →
+    foreachBatch txn commits → snapshot scan. The oracle is simply the
+    source table — proving the stream → store → scan path is lossless
+    and exactly-once."""
+    from matdb_spark import Database, Dimension, Schema, Value
+    from matdb_spark.streaming import events_stream, stream_into_database
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    db_path = os.path.join(SCRATCH, f"gate_stream_ingest_{tag}")
+    ckpt = os.path.join(SCRATCH, f"ckpt_gate_stream_ingest_{tag}")
+    shutil.rmtree(db_path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    schema = Schema(
+        dimensions=[Dimension("user_id", 1000), Dimension("event_id", 100_000)],
+        values=[Value("value", type="double")],
+    )
+    db = Database.create(spark, db_path, schema)
+    stream = events_stream(spark, sf_dir).select("user_id", "event_id", "value")
+    q = stream_into_database(stream, db, ckpt)
+    q.awaitTermination()
+    return db.snapshot()
+
+
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time windows (10 min window, 5 min slide — each
     event lands in 2 windows), executed as a REAL streaming query."""
@@ -1005,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pandas_udf_scalar": q_pandas_udf_scalar,
         "q_stream_tumbling": q_stream_tumbling,
         "q_stream_sliding": q_stream_sliding,
+        "q_stream_ingest_scan": q_stream_ingest_scan,
         "q_stream_stateful_sessions": q_stream_stateful_sessions,
         "q_session_window": q_session_window,
         "q_text_stats": q_text_stats,
@@ -1508,6 +1533,9 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
             FROM events GROUP BY window_start, event_type
+        """,
+        "q_stream_ingest_scan": """
+            SELECT user_id, event_id, value FROM events
         """,
         "q_stream_sliding": """
             SELECT make_timestamp((CAST(floor(epoch_ms(ts) / 300000) AS BIGINT) - i) * 300000000) AS window_start,

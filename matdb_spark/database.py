@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from matdb_spark import manifest
 from matdb_spark.schema import Schema
@@ -171,3 +171,10 @@ class Database:
         historical txn ``as_of`` — time travel)."""
         txn = self.begin(as_of=as_of)
         return txn.query(ordered=False)
+
+    def sql(self, query: str, view: str = "matdb") -> "DataFrame":
+        """Run Spark SQL over the current snapshot, registered as
+        ``view`` (SURVEY §7.2 phase 2: the full SQL surface applies on
+        the snapshot relation)."""
+        self.snapshot().createOrReplaceTempView(view)
+        return self.spark.sql(query)

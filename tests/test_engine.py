@@ -293,3 +293,13 @@ def test_delete_api_and_stats(spark, tmp_db_path):
     db.vacuum()
     s2 = db.stats()
     assert s2["visible_txns"] == 1 and s2["replaced_txns"] == 0
+
+
+def test_db_sql_surface(spark, tmp_db_path):
+    db = Database.create(spark, os.path.join(tmp_db_path, "sqlv"), grid_schema())
+    t = db.begin()
+    t.add_rows([[i, i % 3, i * 10] for i in range(30)])
+    t.commit()
+    out = db.sql("SELECT sensor_id, COUNT(*) AS n, SUM(value) AS s FROM matdb GROUP BY sensor_id")
+    rows = {r["sensor_id"]: (r["n"], r["s"]) for r in out.collect()}
+    assert rows[0][0] == 10 and len(rows) == 3
