@@ -466,6 +466,66 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with maximum quarterly revenue (the
+    revenue-view + scalar-max shape; equality on decimal-exact sums)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    rev = li.groupBy("l_suppkey").agg(F.sum(revenue).alias("__r"))
+    mx = rev.agg(F.max("__r").alias("__mx"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(F.col("__r") == F.col("__mx"))
+    return (
+        top.join(supp, top.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("__r").cast("double").alias("total_revenue"))
+    )
+
+
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join surface: per-nation customer vs supplier counts
+    (either side may be missing)."""
+    cust = load_table(spark, sf_dir, "customer").groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    supp = load_table(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    j = cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full_outer")
+    return j.select(
+        F.coalesce(F.col("c_nationkey"), F.col("s_nationkey")).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): rolling 31-day spend
+    per customer over epoch-day ordering."""
+    orders = load_table(spark, sf_dir, "orders")
+    # cast: o_orderdate may surface as TIMESTAMP_NTZ, which unix_micros
+    # rejects; with a UTC session the cast is value-preserving
+    day = F.floor(
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("__day"))
+        .rangeBetween(-30, 0)
+    )
+    return (
+        orders.withColumn("__day", day)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("__day").alias("day"),
+            F.sum(_dec("o_totalprice")).over(w).cast("double").alias("spend_31d"),
+        )
+    )
+
+
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: yearly revenue loss if small-quantity orders (below
     20% of the part's average quantity) were dropped, Brand#1 parts.
@@ -1002,6 +1062,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_class": q12_priority_class,
         "q13_customer_distribution": q13_customer_distribution,
         "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q_full_outer_join": q_full_outer_join,
+        "q_window_range_frame": q_window_range_frame,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q18_large_volume_customers": q18_large_volume_customers,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
@@ -1357,6 +1420,34 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        """,
+        "q15_top_supplier": f"""
+            WITH rev AS (
+                SELECT l_suppkey, SUM({_DISC}) AS r
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE r = (SELECT MAX(r) FROM rev)
+        """,
+        "q_full_outer_join": """
+            SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+                   COALESCE(n_cust, 0) AS n_cust,
+                   COALESCE(n_supp, 0) AS n_supp
+            FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+            FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+              ON c.c_nationkey = s.s_nationkey
+        """,
+        "q_window_range_frame": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(floor(epoch_ms(o_orderdate) / 86400000) AS BIGINT) AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY CAST(floor(epoch_ms(o_orderdate) / 86400000) AS BIGINT)
+                        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_31d
+            FROM orders
         """,
         "q17_small_quantity_revenue": """
             WITH b AS (SELECT l_partkey, l_quantity, l_extendedprice

@@ -303,3 +303,33 @@ def test_db_sql_surface(spark, tmp_db_path):
     out = db.sql("SELECT sensor_id, COUNT(*) AS n, SUM(value) AS s FROM matdb GROUP BY sensor_id")
     rows = {r["sensor_id"]: (r["n"], r["s"]) for r in out.collect()}
     assert rows[0][0] == 10 and len(rows) == 3
+
+
+def test_multi_value_columns(spark, tmp_db_path):
+    """The reference declares N value columns but physically collapses
+    them onto one grid slot (block.rs:45-49); we support them properly
+    (SURVEY §7.4.6). Versioning is row-level: an upsert replaces ALL
+    value cells of the key; a row is visible while ANY value is
+    non-null; tombstoning needs all-null."""
+    schema = Schema(
+        dimensions=[Dimension("k", 10)],
+        values=[Value("a"), Value("b", type="double")],
+    )
+    db = Database.create(spark, os.path.join(tmp_db_path, "mv"), schema)
+    t1 = db.begin()
+    t1.add_row([1, 10, 1.5])
+    t1.add_row([2, 20, 2.5])
+    t1.commit()
+
+    t2 = db.begin()
+    t2.add_row([1, 11, None])  # row-level replace: b becomes NULL
+    t2.commit()
+
+    rows = {r["k"]: (r["a"], r["b"]) for r in db.snapshot().collect()}
+    assert rows == {1: (11, None), 2: (20, 2.5)}
+
+    # all-null tombstone removes; partial null does not
+    t3 = db.begin()
+    t3.delete_row([2])
+    t3.commit()
+    assert {r["k"] for r in db.snapshot().collect()} == {1}
