@@ -938,6 +938,46 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sampling & curation (documents)
+# ---------------------------------------------------------------------------
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample (hash-threshold filter, no
+    shuffle, reproducible across engines/runs)."""
+    from matdb_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.sample_fraction(docs, "doc_id", 0.1).select("doc_id", "source")
+
+
+def q_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-per-source reservoir via hash-ordered top-n."""
+    from matdb_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.sample_n_per_group(docs, ["source"], "doc_id", 5)
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — the shape of a real corpus-curation job:
+    quality filter → exact-dedup keep-canonical → deterministic 50%
+    sample. Every stage is a plain DataFrame transform; the whole
+    pipeline is one Catalyst plan."""
+    from matdb_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    filtered = docs.withColumn("quality", quality_score(F.col("text"))).filter(
+        F.col("quality") > 0.5
+    )
+    fp = filtered.withColumn("__fp", fingerprint(F.col("text")))
+    canon = fp.withColumn(
+        "__cid", F.min("doc_id").over(W.partitionBy("__fp"))
+    ).filter(F.col("doc_id") == F.col("__cid"))
+    sampled = sampling.sample_fraction(canon, "doc_id", 0.5)
+    return sampled.select("doc_id", "source", F.round("quality", 6).alias("quality"))
+
+
+# ---------------------------------------------------------------------------
 # similarity search (embeddings)
 # ---------------------------------------------------------------------------
 
@@ -1098,6 +1138,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
         "q_token_stats_by_source": q_token_stats_by_source,
+        "q_sample_hash": q_sample_hash,
+        "q_sample_per_source": q_sample_per_source,
+        "q_curation_pipeline": q_curation_pipeline,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1116,6 +1159,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 _DISC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+# deterministic doc-id hash bucket in [0, 1e6) — mirrors operators/sampling.py
+_DOCHASH = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000"
+
+
+def _quality_sql() -> str:
+    """DuckDB twin of functions.text.quality_score (same term order →
+    bit-identical doubles)."""
+    ws = "CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)"
+    return (
+        f"least(1.0, {ws} / 100.0) * 0.4"
+        f" + (1.0 - least(1.0, CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS DOUBLE) / greatest({ws}, 1.0))) * 0.4"
+        f" + least(1.0, CAST(len(regexp_extract_all(lower(text), '{LANG_STOPWORDS['en']}')) AS DOUBLE) / greatest({ws}, 1.0) * 5.0) * 0.2"
+    )
 
 
 def _lang_hits_sql() -> str:
@@ -1685,6 +1741,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))) AS BIGINT) AS total_tokens,
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY source
+        """,
+        "q_sample_hash": f"""
+            SELECT doc_id, source FROM documents WHERE {_DOCHASH} < 100000
+        """,
+        "q_sample_per_source": f"""
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       ROW_NUMBER() OVER (PARTITION BY source ORDER BY {_DOCHASH.replace('% 1000000', '')}, doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 5
+        """,
+        "q_curation_pipeline": f"""
+            WITH flt AS (
+                SELECT doc_id, source, text, {_quality_sql()} AS quality
+                FROM documents WHERE {_quality_sql()} > 0.5),
+            c AS (
+                SELECT doc_id, source, quality,
+                       MIN(doc_id) OVER (PARTITION BY md5({_NORM})) AS cid
+                FROM flt)
+            SELECT doc_id, source, ROUND(quality, 6) AS quality
+            FROM c WHERE doc_id = cid AND {_DOCHASH} < 500000
         """,
         "q_dedup_exact": f"""
             SELECT doc_id,

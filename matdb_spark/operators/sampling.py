@@ -1,0 +1,66 @@
+"""Deterministic sampling for corpus curation.
+
+Training-data pipelines need samples that are (a) reproducible across
+runs/retries/engines — so RNG-based ``df.sample`` is out — and (b)
+stable under data growth (a row's membership never depends on other
+rows). Both come from hashing: a row is in the p% sample iff
+``hash(id) mod M < p·M``. Properties:
+
+- deterministic & engine-portable (md5 — same trick as the dedup
+  oracles);
+- composable: nested samples (10% then 1%) select nested subsets if
+  thresholds nest;
+- zero shuffle for the flat sample (pure filter, full codegen);
+- per-group fixed-size sampling is a hash-ordered top-n (ranking
+  window → WindowGroupLimit: each map task ships ≤ n rows per group).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from matdb_spark.functions.text import hash_hex
+from matdb_spark.operators.topk import top_k_per_group
+
+_MOD = 1_000_000
+
+
+def sample_fraction(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: hash(id||salt) mod 1e6 <
+    fraction·1e6. Different salts give independent samples."""
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    return df.filter(hash_hex(key, 12) % _MOD < int(fraction * _MOD))
+
+
+def sample_stratified(
+    df: DataFrame, id_col: str, strata_col: str, fractions: dict, salt: str = ""
+) -> DataFrame:
+    """Per-stratum deterministic fractions (unlisted strata drop).
+    The membership test stays a pure filter — no shuffle, no RNG."""
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    h = hash_hex(key, 12) % _MOD
+    cond = F.lit(False)
+    for stratum, frac in fractions.items():
+        cond = cond | ((F.col(strata_col) == stratum) & (h < int(frac * _MOD)))
+    return df.filter(cond)
+
+
+def sample_n_per_group(
+    df: DataFrame, keys: Sequence[str], id_col: str, n: int, salt: str = ""
+) -> DataFrame:
+    """Exactly min(n, group size) rows per group, chosen by hash order
+    — a deterministic 'reservoir'. One shuffle (the ranking window),
+    WindowGroupLimit-bounded."""
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    ranked = top_k_per_group(
+        df.withColumn("__h", hash_hex(key, 12)),
+        list(keys),
+        [F.col("__h").asc(), F.col(id_col).asc()],
+        n,
+        rank_col="__rank",
+    )
+    return ranked.drop("__h", "__rank")
