@@ -941,6 +941,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sampling & curation (documents)
 # ---------------------------------------------------------------------------
 
+def q_groupmap_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().applyInPandas (group-map Pandas UDF): per-source rank
+    normalization of document lengths. Integer-exact rank/count math
+    makes the Arrow→pandas→Arrow round trip oracle-checkable."""
+    from matdb_spark.operators.groupmap import rank_normalize
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return rank_normalize(docs, ["source"], "n_chars", "doc_id")
+
+
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~10% corpus sample (hash-threshold filter, no
     shuffle, reproducible across engines/runs)."""
@@ -1138,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_stats": q_text_stats,
         "q_lang_id": q_lang_id,
         "q_token_stats_by_source": q_token_stats_by_source,
+        "q_groupmap_rank": q_groupmap_rank,
         "q_sample_hash": q_sample_hash,
         "q_sample_per_source": q_sample_per_source,
         "q_curation_pipeline": q_curation_pipeline,
@@ -1741,6 +1752,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))) AS BIGINT) AS total_tokens,
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY source
+        """,
+        "q_groupmap_rank": """
+            SELECT source, doc_id,
+                   ROW_NUMBER() OVER w AS rank,
+                   CAST(ROW_NUMBER() OVER w AS DOUBLE)
+                     / COUNT(*) OVER (PARTITION BY source) AS pct_rank
+            FROM documents
+            WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
         """,
         "q_sample_hash": f"""
             SELECT doc_id, source FROM documents WHERE {_DOCHASH} < 100000

@@ -110,3 +110,23 @@ def test_session_agg_batch(spark):
         if prev_end is not None:
             assert r["window_start"] >= prev_end
         prev_end = r["window_end"]
+
+
+def test_stream_static_broadcast_join(spark):
+    """Stream-static enrichment join: the static dim is broadcast into
+    every micro-batch; results equal the batch join."""
+    ev_batch = load_table(spark, SF, "events")
+    dim = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("purchase", 3), ("signup", 4), ("error", 5)],
+        "event_type string, type_id long",
+    )
+    expected = {
+        (r["event_id"], r["type_id"])
+        for r in ev_batch.join(F.broadcast(dim), "event_type").select("event_id", "type_id").collect()
+    }
+    stream = events_stream(spark, SF).join(F.broadcast(dim), "event_type").select(
+        "event_id", "type_id"
+    )
+    run_to_memory_sink(stream, "t_enrich", _fresh("ckpt_enrich"), "append")
+    got = {tuple(r) for r in spark.table("t_enrich").collect()}
+    assert got == expected and len(got) > 0
