@@ -38,6 +38,12 @@ def load_table(
 ) -> DataFrame:
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Defensive for foreign sessions (e.g. a driver harness that did
+    # not use matdb_spark.get_spark): timestamp extraction (year(),
+    # casts) evaluates in the session timezone — anything but UTC
+    # shifts results off the DuckDB oracle, which reads naive UTC.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     # A parquet file is splittable only at row-group boundaries; a
