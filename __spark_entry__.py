@@ -757,6 +757,33 @@ def q_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mvcc_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_range through the gate: the upserted store scanned with
+    key bounds that prune chunk partitions AND parquet row groups
+    before the dedup shuffle (tests/test_plans.py asserts the plan
+    shape; this asserts the values)."""
+    from matdb_spark import Database, Dimension, Schema, Value
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    db_path = os.path.join(SCRATCH, f"gate_mvcc_range_{tag}")
+    shutil.rmtree(db_path, ignore_errors=True)
+    schema = Schema(
+        dimensions=[Dimension("user_id", 100), Dimension("event_id", 100_000)],
+        values=[Value("value", type="double")],
+    )
+    db = Database.create(spark, db_path, schema)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    t1 = db.begin()
+    t1.add_dataframe(ev)
+    t1.commit()
+    t2 = db.begin()
+    t2.add_dataframe(
+        ev.filter(F.col("event_id") % 7 == 0).withColumn("value", F.col("value") * 2)
+    )
+    t2.commit()
+    return db.begin().query_range({"user_id": (25, 74)}, ordered=True)
+
+
 # ---------------------------------------------------------------------------
 # streaming (Structured Streaming over the events table)
 # ---------------------------------------------------------------------------
@@ -1136,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_mvcc_scan": q_mvcc_scan,
+        "q_mvcc_range_scan": q_mvcc_range_scan,
         "q_percentiles": q_percentiles,
         "q_date_extract": q_date_extract,
         "q_collect_agg": q_collect_agg,
@@ -1691,6 +1719,11 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n,
                    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
             FROM events GROUP BY window_start, event_type
+        """,
+        "q_mvcc_range_scan": """
+            SELECT user_id, event_id,
+                   CASE WHEN event_id % 7 = 0 THEN value * 2 ELSE value END AS value
+            FROM events WHERE user_id BETWEEN 25 AND 74
         """,
         "q_stream_ingest_scan": """
             SELECT user_id, event_id, value FROM events

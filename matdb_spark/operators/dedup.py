@@ -222,6 +222,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(doc_id, cluster_id) for every node in ``pairs``: cluster_id is
     the minimum id in the node's connected component. Turns pairwise
@@ -234,10 +235,46 @@ def connected_components(
     (both on node id); ``localCheckpoint`` truncates the plan each
     round — without it the lineage doubles per iteration and planning
     time explodes long before data size matters.
+
+    Size-aware: candidate-pair lists are aggregates, orders of
+    magnitude smaller than the corpus — below ``driver_threshold``
+    edges the components collapse in a driver-side union-find (one
+    collect of the already-tiny pair relation; the corpus itself never
+    moves), skipping the multi-job iteration entirely. The distributed
+    loop remains the path for genuinely huge candidate graphs.
     """
     fwd = pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("d"))
     rev = pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("d"))
     edges = fwd.union(rev).distinct().localCheckpoint()
+
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edges.toLocalIterator():
+            s, d = r["s"], r["d"]
+            parent.setdefault(s, s)
+            parent.setdefault(d, d)
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                # union by min so the root IS the canonical (min) id
+                lo, hi = (rs, rd) if rs < rd else (rd, rs)
+                parent[hi] = lo
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = pairs.schema[id_a].dataType
+        schema = StructType(
+            [StructField("doc_id", id_type), StructField("cluster_id", id_type)]
+        )
+        spark = pairs.sparkSession
+        rows = [(n, find(n)) for n in parent]
+        return spark.createDataFrame(rows, schema)
 
     labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
         "label", F.col("node")

@@ -9,5 +9,13 @@ def test_connected_components_shapes(spark):
         [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (12, 13), (20, 21)],
         "id_a long, id_b long",
     )
+    expected = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+    # driver union-find fast path (default threshold)
     out = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
-    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+    assert out == expected
+    # distributed label-propagation path (threshold forced to 0)
+    out2 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert out2 == expected
