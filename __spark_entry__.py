@@ -913,6 +913,21 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling k-gram + min-window) fingerprints,
+    summarized per document for a compact oracle comparison."""
+    from matdb_spark.functions.text import winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(docs, "doc_id", "text", k=8, w=4)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+        F.sum("fp").alias("sum_fp"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
@@ -1174,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_stateful_sessions": q_stream_stateful_sessions,
         "q_session_window": q_session_window,
         "q_text_stats": q_text_stats,
+        "q_winnowing": q_winnowing,
         "q_lang_id": q_lang_id,
         "q_token_stats_by_source": q_token_stats_by_source,
         "q_groupmap_rank": q_groupmap_rank,
@@ -1778,6 +1794,21 @@ def oracle_sql() -> dict[str, str]:
                      AS quality,
                    md5({_NORM}) AS fp
             FROM documents
+        """,
+        "q_winnowing": f"""
+            WITH d AS (SELECT doc_id, {_NORM} AS nrm FROM documents),
+            g AS (SELECT doc_id, i,
+                         CAST(('0x' || substr(md5(substr(nrm, CAST(i AS INT), 8)), 1, 12)) AS BIGINT) AS h
+                  FROM d, unnest(range(1, greatest(len(nrm) - 6, 1))) AS u(i)),
+            w AS (SELECT doc_id, i,
+                         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+                         COUNT(*) OVER (PARTITION BY doc_id) AS ng
+                  FROM g),
+            dis AS (SELECT DISTINCT doc_id, m FROM w WHERE i <= ng - 3)
+            SELECT doc_id, COUNT(*) AS n_fps, MIN(m) AS min_fp, MAX(m) AS max_fp,
+                   CAST(SUM(m) AS BIGINT) AS sum_fp
+            FROM dis GROUP BY doc_id
         """,
         "q_lang_id": _lang_pred_sql(),
         "q_token_stats_by_source": f"""

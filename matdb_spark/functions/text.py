@@ -94,3 +94,39 @@ def hash64(col: Column) -> Column:
     """60-bit variant (safe for bit tests; NOT for multiplication —
     products overflow 64-bit integers)."""
     return hash_hex(col, 15)
+
+
+def winnowing_fingerprints(df, id_col: str, text_col: str, k: int = 8, w: int = 4):
+    """(id, fp) — winnowing document fingerprints (MOSS-style): hash
+    every k-char gram of the normalized text, slide a w-gram window,
+    keep each window's minimum hash, emit the distinct minima.
+
+    Robust local fingerprints: a shared substring of length ≥ k+w-1
+    guarantees a shared fingerprint, and edits only perturb nearby
+    windows — the rolling-hash fingerprinting the whole-doc md5
+    (``fingerprint``) cannot provide.
+
+    All JVM-side: the normalized text and the gram-hash array are
+    materialized attributes (multiply-referenced non-cheap expressions
+    stay projected — see shingle_rows for the lambda-recompute trap);
+    windows are ``slice`` + ``array_min`` over the attribute. Zero
+    shuffle; cost ~ one md5 per character.
+    """
+    normed = df.select(F.col(id_col), normalize(F.col(text_col)).alias("__n"))
+    n_grams = F.greatest(F.length("__n") - (k - 1), F.lit(0))
+    gram = lambda i: hash_hex(F.col("__n").substr(i, F.lit(k)), 12)
+    grams = normed.select(
+        id_col,
+        F.when(
+            n_grams > 0, F.transform(F.sequence(F.lit(1), n_grams), gram)
+        ).otherwise(F.array().cast("array<long>")).alias("__g"),
+    )
+    n_wins = F.greatest(F.size("__g") - (w - 1), F.lit(0))
+    win_min = lambda j: F.array_min(F.slice("__g", j, w))
+    mins = grams.select(
+        id_col,
+        F.when(
+            n_wins > 0, F.transform(F.sequence(F.lit(1), n_wins), win_min)
+        ).otherwise(F.array().cast("array<long>")).alias("__m"),
+    )
+    return mins.select(id_col, F.explode(F.array_distinct("__m")).alias("fp"))
