@@ -97,6 +97,60 @@ class Transaction:
         )
         self._write_segment(stamped)
 
+    def merge_dataframe(
+        self,
+        source: DataFrame,
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+    ) -> None:
+        """MERGE semantics composed from the engine's own primitives
+        (SURVEY §2.1 O5 maps the reference's upsert to "MERGE INTO if
+        we adopt Delta" — this is the native form, no Delta needed).
+
+        ``when_matched``: 'update' (source row replaces), 'ignore'
+        (existing row wins), or 'delete' (tombstone the key).
+        ``when_not_matched``: 'insert' or 'ignore'.
+
+        Matching is against THIS transaction's current visible state
+        (snapshot + own writes). Implementation is a pair of semi/anti
+        joins against the snapshot keys — one extra scan, no driver
+        materialization; the default ('update', 'insert') shortcut is
+        the plain upsert with no join at all.
+        """
+        if when_matched not in ("update", "ignore", "delete"):
+            raise ValueError(f"when_matched={when_matched!r}")
+        if when_not_matched not in ("insert", "ignore"):
+            raise ValueError(f"when_not_matched={when_not_matched!r}")
+        if when_matched == "update" and when_not_matched == "insert":
+            self.add_dataframe(source)  # plain upsert — no join needed
+            return
+
+        dims = self.schema.dim_names
+        existing_keys = self.query(ordered=False).select(*dims)
+        matched = source.join(existing_keys, dims, "left_semi")
+        unmatched = source.join(existing_keys, dims, "left_anti")
+
+        parts: list[DataFrame] = []
+        if when_matched == "update":
+            parts.append(matched.select(*self.schema.column_names))
+        elif when_matched == "delete":
+            tombstones = matched.select(
+                *dims,
+                *[
+                    F.lit(None).cast(self.schema.spark_schema()[v.name].dataType).alias(v.name)
+                    for v in self.schema.values
+                ],
+            )
+            parts.append(tombstones)
+        if when_not_matched == "insert":
+            parts.append(unmatched.select(*self.schema.column_names))
+        if not parts:
+            return
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=False)
+        self.add_dataframe(out)
+
     # ---- flush / segments ------------------------------------------
     def _ensure_txn_id(self) -> int:
         if self.txn_id is None:

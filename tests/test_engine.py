@@ -333,3 +333,45 @@ def test_multi_value_columns(spark, tmp_db_path):
     t3.delete_row([2])
     t3.commit()
     assert {r["k"] for r in db.snapshot().collect()} == {1}
+
+
+def test_merge_dataframe_modes(spark, tmp_db_path):
+    """MERGE composed from engine primitives: update/ignore/delete on
+    match, insert/ignore on no-match."""
+    def fresh(name):
+        db = Database.create(spark, os.path.join(tmp_db_path, name), grid_schema())
+        t = db.begin()
+        t.add_rows([[1, 1, 10], [2, 2, 20]])
+        t.commit()
+        return db
+
+    src = spark.createDataFrame(
+        [(2, 2, 999), (3, 3, 30)], "time long, sensor_id long, value long"
+    )
+
+    def state(db):
+        return {(r.time, r.sensor_id): r.value for r in db.snapshot().collect()}
+
+    # update + insert == plain upsert
+    db = fresh("m_ui")
+    t = db.begin(); t.merge_dataframe(src); t.commit()
+    assert state(db) == {(1, 1): 10, (2, 2): 999, (3, 3): 30}
+
+    # ignore matched, insert unmatched (insert-if-absent)
+    db = fresh("m_ii")
+    t = db.begin(); t.merge_dataframe(src, when_matched="ignore"); t.commit()
+    assert state(db) == {(1, 1): 10, (2, 2): 20, (3, 3): 30}
+
+    # delete matched, ignore unmatched (targeted delete)
+    db = fresh("m_di")
+    t = db.begin()
+    t.merge_dataframe(src, when_matched="delete", when_not_matched="ignore")
+    t.commit()
+    assert state(db) == {(1, 1): 10}
+
+    # update matched only (no inserts)
+    db = fresh("m_uo")
+    t = db.begin()
+    t.merge_dataframe(src, when_not_matched="ignore")
+    t.commit()
+    assert state(db) == {(1, 1): 10, (2, 2): 999}
