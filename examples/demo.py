@@ -1,0 +1,70 @@
+"""End-to-end tour of matdb_spark — the Spark-native rebuild of the
+reference's examples/sensor-log.rs workflow, plus the capabilities the
+reference doesn't have.
+
+Run:  PYTHONPATH=/root/repo python examples/demo.py
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from matdb_spark import Database, Dimension, Schema, Value, get_spark
+
+
+def main() -> None:
+    spark = get_spark(app_name="matdb_spark_demo", cpus=8)
+    path = "/tmp/matdb_spark_demo"
+    shutil.rmtree(path, ignore_errors=True)
+
+    # 1. create: schema = dimensions (key) + values, chunk sizes route
+    #    rows into prunable partitions (reference: schema.json)
+    db = Database.create(spark, path, Schema(
+        dimensions=[Dimension("time", 1000), Dimension("sensor_id", 10)],
+        values=[Value("value")],
+    ))
+
+    # 2. write: reference-style point upserts AND distributed frames
+    txn = db.begin()
+    txn.add_rows([[t, s, t * 100 + s] for t in range(5000) for s in range(3)])
+    txn.commit()
+
+    big = spark.range(100_000).selectExpr(
+        "id % 10000 as time", "(id div 10000) + 10 as sensor_id", "id as value"
+    )
+    t2 = db.begin()
+    t2.add_dataframe(big)
+    t2.commit()
+
+    # 3. the one query operator: ordered, version-resolved snapshot —
+    #    and the full Spark surface on top of it
+    snap = db.begin().query(ordered=False)
+    print("rows:", snap.count())
+    db.sql("SELECT sensor_id, COUNT(*) n, AVG(value) avg FROM matdb "
+           "GROUP BY sensor_id ORDER BY sensor_id LIMIT 5").show()
+
+    # 4. key-range scan: chunk partitions pruned + row groups skipped
+    rng = db.begin().query_range({"time": (2000, 2099)}, ordered=True)
+    print("range rows:", rng.count())
+
+    # 5. upsert + delete + time travel
+    t3 = db.begin()
+    t3.add_row([0, 0, 777_777])
+    t3.delete_row([1, 0])
+    t3.commit()
+    now = db.snapshot().filter("time in (0, 1) and sensor_id = 0")
+    then = db.snapshot(as_of=2).filter("time in (0, 1) and sensor_id = 0")
+    print("now:", sorted(tuple(r) for r in now.collect()))
+    print("as_of=2:", sorted(tuple(r) for r in then.collect()))
+
+    # 6. maintenance: fold small txns, GC superseded segments
+    print("stats before compact:", db.stats())
+    db.compact()
+    db.vacuum()
+    print("stats after vacuum:  ", db.stats())
+
+
+if __name__ == "__main__":
+    main()
