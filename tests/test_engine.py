@@ -375,3 +375,18 @@ def test_merge_dataframe_modes(spark, tmp_db_path):
     t.merge_dataframe(src, when_not_matched="ignore")
     t.commit()
     assert state(db) == {(1, 1): 10, (2, 2): 999}
+
+
+def test_recovery_removes_stale_manifest_tmp(spark, tmp_db_path):
+    """A crash between manifest tmp-write and rename leaves a .tmp in
+    _commits/: reopening must remove it and not treat it as a commit."""
+    db = Database.create(spark, os.path.join(tmp_db_path, "mtmp"), grid_schema())
+    t = db.begin()
+    t.add_row([1, 1, 1])
+    t.commit()
+    stray = os.path.join(db.path, "_commits", "00000099.json.tmp")
+    with open(stray, "w") as f:
+        f.write("{}")
+    db2 = Database.open(spark, db.path)
+    assert not os.path.exists(stray)
+    assert db2.snapshot().count() == 1
