@@ -1,0 +1,45 @@
+"""Driver-contract guards: registry consistency and storage claims."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+
+from matdb_spark import Database, Dimension, Schema, Value
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+
+
+def test_gate_registry_consistent():
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    # every oracle belongs to a registered query; rows-only entries are
+    # a deliberate, short list
+    assert set(o) <= set(q)
+    assert set(q) - set(o) == {"q_approx_distinct"}
+    assert all(callable(f) for f in q.values())
+    assert all(isinstance(s, str) and s.strip() for s in o.values())
+
+
+def test_segments_written_zstd(spark):
+    """The storage layer's compression parity claim (reference uses
+    zstd level 1, segment.rs:166): our segments must be zstd parquet."""
+    import shutil
+
+    path = os.path.join(SCRATCH, "zstd_check")
+    shutil.rmtree(path, ignore_errors=True)
+    db = Database.create(spark, path, Schema(
+        dimensions=[Dimension("k", 10)], values=[Value("v")]
+    ))
+    t = db.begin()
+    t.add_rows([[i, i] for i in range(100)])
+    t.commit()
+    files = glob.glob(os.path.join(path, "data", "**", "*.parquet"), recursive=True)
+    assert files
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        codecs = {meta.row_group(i).column(0).compression for i in range(meta.num_row_groups)}
+        assert codecs == {"ZSTD"}, f
