@@ -35,7 +35,7 @@ import time
 
 _COMMITS_DIR = "_commits"
 _DATA_DIR = "data"
-_MANIFEST_RE = re.compile(r"^(\d{8})\.json$")
+_MANIFEST_RE = re.compile(r"^(\d{8,})\.json$")
 TXN_DIR_RE = re.compile(r"^txn=(\d+)$")
 
 
@@ -112,12 +112,18 @@ def staged_txn_ids(db_path: str) -> list[int]:
 
 
 def publish(
-    db_path: str, txn_id: int, segment_count: int, replaces: list[int] | None = None
+    db_path: str,
+    txn_id: int,
+    segment_count: int,
+    replaces: list[int] | None = None,
+    extra: dict | None = None,
 ) -> None:
     """Atomically commit ``txn_id``. Mirrors the atomic-on-segment-0
     rename of the reference (transaction.rs:121-126): the manifest file
     is the single publication point. ``replaces`` marks a compaction:
-    the listed committed txns are superseded by this one."""
+    the listed committed txns are superseded by this one. ``extra``
+    carries caller metadata (e.g. the streaming source/batch id used
+    for exactly-once replay suppression)."""
     payload = {
         "txn": txn_id,
         "segments": segment_count,
@@ -126,6 +132,8 @@ def publish(
     }
     if replaces:
         payload["replaces"] = sorted(replaces)
+    if extra:
+        payload.update(extra)
     path = manifest_path(db_path, txn_id)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -133,6 +141,37 @@ def publish(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+    _fsync_dir(os.path.dirname(path))
+
+
+def _fsync_dir(path: str) -> None:
+    """Make the rename itself durable: fsync the directory entry so a
+    power failure after ``publish`` returns cannot lose the commit.
+    No-op where directories can't be opened (e.g. object-store FUSE)."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
+def max_committed_batch_id(db_path: str, source: str) -> int | None:
+    """Highest streaming ``batch_id`` committed for ``source`` (None if
+    none). One manifest sweep — called once per stream (re)start, then
+    cached by the caller; batch ids within one source are monotonic."""
+    best: int | None = None
+    for t in committed_txn_ids(db_path):
+        m = read_manifest(db_path, t)
+        if m.get("stream_source") == source and "batch_id" in m:
+            b = int(m["batch_id"])
+            if best is None or b > best:
+                best = b
+    return best
 
 
 def discard_txn_data(db_path: str, txn_id: int) -> None:

@@ -68,11 +68,18 @@ def asof_join(
             )
         order = -F.unix_micros(r[r_on])
 
-    joined = left.join(r, cond, "left")
+    # Surrogate key so duplicate left rows each survive the group-by
+    # (pandas merge_asof / DuckDB ASOF JOIN preserve every left row;
+    # grouping by the left *columns* would collapse duplicates and
+    # diverge from asof_join_sorted on non-unique inputs).
+    lid = "__asof_lid"
+    left_keyed = left.withColumn(lid, F.monotonically_increasing_id())
+    joined = left_keyed.join(r, cond, "left")
     payload_cols = [c for c in r.columns]
     payload = F.struct(*[joined[c] for c in payload_cols])
-    agg = joined.groupBy(*[joined[c] for c in left.columns]).agg(
-        F.max_by(payload, order).alias("__m")
+    agg = joined.groupBy(joined[lid]).agg(
+        *[F.first(joined[c]).alias(c) for c in left.columns],
+        F.max_by(payload, order).alias("__m"),
     )
     out_cols = [F.col(c) for c in left.columns] + [
         F.col(f"__m.{c}").alias(c) for c in payload_cols

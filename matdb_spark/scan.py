@@ -60,8 +60,25 @@ class ScanSource:
 
 
 def _chunked(df: DataFrame, schema: Schema) -> DataFrame:
+    """Derive ``__chunk_<dim> = dim // chunk_size`` partition columns.
+
+    Exact integer floor division (``x - pmod(x, s)`` is the greatest
+    multiple of ``s`` ≤ ``x``, and ``div`` on it is exact), matching
+    the Python ``//`` used by the read-side chunk-range predicates in
+    ``_range_filters`` for every integral value — including negatives
+    (where ``div`` alone truncates toward zero) and keys above 2^53
+    (where ``floor(x / s)`` in double arithmetic is inexact). Write
+    routing and read pruning must share one arithmetic or rows near
+    chunk boundaries silently vanish from range scans."""
     for d in schema.chunked_dims:
-        df = df.withColumn(d.chunk_col, F.floor(F.col(d.name) / F.lit(d.chunk_size)))
+        n, s = f"`{d.name}`", int(d.chunk_size)
+        if d.type.startswith("decimal"):
+            # div would narrow to BIGINT and overflow near 2^64; stay
+            # in decimal (exact: numerator is a multiple of s).
+            expr = f"CAST(({n} - pmod({n}, {s})) / {s} AS {d.type})"
+        else:
+            expr = f"({n} - pmod({n}, {s})) div {s}"
+        df = df.withColumn(d.chunk_col, F.expr(expr))
     return df
 
 

@@ -45,6 +45,11 @@ _TYPE_MAP: dict[str, T.DataType] = {
 }
 
 
+# Chunking is integer floor-division arithmetic shared between write
+# routing and read pruning — only exact integral types qualify.
+_CHUNKABLE_TYPES = {"long", "int", "decimal(20,0)"}
+
+
 def _dtype(name: str) -> T.DataType:
     try:
         return _TYPE_MAP[name]
@@ -96,6 +101,14 @@ class Schema:
         for n in names:
             if n.startswith("__"):
                 raise ValueError(f"column name {n!r} is reserved (no '__' prefix)")
+        for d in self.dimensions:
+            if d.chunk_size and d.type not in _CHUNKABLE_TYPES:
+                raise ValueError(
+                    f"dimension {d.name!r}: chunk_size requires an integral "
+                    f"type (one of {sorted(_CHUNKABLE_TYPES)}), got {d.type!r}"
+                )
+            if d.chunk_size < 0:
+                raise ValueError(f"dimension {d.name!r}: chunk_size must be >= 0")
 
     # ---- names ------------------------------------------------------
     @property

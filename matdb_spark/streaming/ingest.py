@@ -8,17 +8,24 @@ snapshot scans concurrently always observe batch-aligned state, never
 a torn batch, because visibility flips atomically at manifest publish
 (matdb_spark.manifest).
 
-Exactly-once: the streaming checkpoint guarantees each source batch is
-delivered once to ``foreachBatch``; the manifest commit is atomic. If
-the process dies between segment write and manifest publish, recovery
-discards the orphaned segment (Database.open) and the batch replays —
-the store never double-counts.
+Exactly-once: ``foreachBatch`` alone is at-least-once — a crash after
+manifest publish but before the streaming checkpoint records the batch
+replays it, which the store would otherwise record as a *second*
+committed transaction (visible state stays right only through upsert
+idempotency; txn history and byte/segment stats would double-count).
+So each commit stamps ``(stream_source, batch_id)`` into its manifest,
+and a replayed batch id is detected there and skipped — the classic
+transactional-sink dedup (same idea as Spark's own
+``ForeachBatchSink`` + idempotent-writer recipe and Delta's
+``txnAppId``/``txnVersion``). Detection is one manifest sweep at
+stream (re)start, then an O(1) monotonic check per batch.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from matdb_spark import manifest
 from matdb_spark.database import Database
 
 
@@ -27,18 +34,35 @@ def stream_into_database(
     db: Database,
     checkpoint: str,
     available_now: bool = True,
+    source_name: str | None = None,
 ):
     """Start a streaming query writing ``stream_df`` into ``db``.
 
     Each micro-batch: begin txn → add_dataframe (distributed chunk
-    routing + segment write) → commit (manifest publish). Returns the
-    StreamingQuery; caller awaits/stops it.
+    routing + segment write) → commit (manifest publish stamped with
+    the batch id). Replayed batches (crash between manifest publish
+    and checkpoint write) are recognized by their already-committed
+    batch id and skipped, making the sink exactly-once end-to-end.
+
+    ``source_name`` identifies this logical stream in manifests;
+    defaults to the checkpoint path, which Spark already scopes batch
+    ids to. Returns the StreamingQuery; caller awaits/stops it.
     """
+    source = source_name or checkpoint
+    # Mutable cell: highest batch id already in the store for this
+    # source, discovered lazily on the first batch after (re)start.
+    seen: list[int | None] = [None, False]  # [max_batch_id, scanned?]
 
     def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not seen[1]:
+            seen[0] = manifest.max_committed_batch_id(db.path, source)
+            seen[1] = True
+        if seen[0] is not None and batch_id <= seen[0]:
+            return  # replay of a batch whose manifest already landed
         txn = db.begin()
         txn.add_dataframe(batch_df)
-        txn.commit()
+        txn.commit(extra={"stream_source": source, "batch_id": int(batch_id)})
+        seen[0] = batch_id if seen[0] is None else max(seen[0], batch_id)
 
     writer = (
         stream_df.writeStream.foreachBatch(_commit_batch)

@@ -262,17 +262,24 @@ class Transaction:
         self.query(ordered=False).createOrReplaceTempView(name)
 
     # ---- commit / rollback -----------------------------------------
-    def commit(self, replaces: list[int] | None = None) -> None:
+    def commit(
+        self, replaces: list[int] | None = None, extra: dict | None = None
+    ) -> None:
         """Flush then atomically publish (reference: transaction.rs:60-65).
 
         A transaction that never wrote commits as a no-op (no txn id is
         ever allocated — mirroring lazy id allocation). ``replaces``
-        marks this commit as a compaction superseding those txns."""
+        marks this commit as a compaction superseding those txns;
+        ``extra`` is recorded verbatim in the manifest payload."""
         self._check_open()
         self.flush()
         if self.txn_id is not None:
             manifest.publish(
-                self.db.path, self.txn_id, self.segments_flushed, replaces=replaces
+                self.db.path,
+                self.txn_id,
+                self.segments_flushed,
+                replaces=replaces,
+                extra=extra,
             )
             self.db.note_committed(self.txn_id)
         self._closed = True
