@@ -1131,6 +1131,309 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round 2: TPC-H shapes blocked on missing columns, adapted (the testdata
+# has no partsupp table and no l_commitdate/l_receiptdate — the classic
+# Q2/Q11/Q16/Q20/Q21 predicates are re-expressed over lineitem so the
+# *operator shapes* (correlated min, scalar-subquery threshold, distinct
+# count with anti-join exclusion, nested-agg semi-join, exists/not-exists
+# lateness) are all exercised end-to-end.
+# ---------------------------------------------------------------------------
+
+def q02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per part, the European supplier(s) offering the
+    minimum price (correlated-min subquery → window min, one shuffle on
+    l_partkey; dims broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 15)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_dec("l_extendedprice")).alias("__cost")
+    )
+    wmin = F.min("__cost").over(W.partitionBy("l_partkey"))
+    best = cost.withColumn("__mn", wmin).filter(F.col("__cost") == F.col("__mn"))
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "s_suppkey",
+            F.col("__cost").cast("double").alias("min_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), F.col("p_partkey"), F.col("s_suppkey"))
+        .limit(100)
+    )
+
+
+def q11_important_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: (nation, part) volumes above a fraction of the
+    global total — scalar-subquery threshold via broadcast cross join.
+    Both sides compare doubles derived from the same exact decimal sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    j = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey).join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    )
+    grouped = j.groupBy("n_name", "l_partkey").agg(F.sum(disc).alias("__vd"))
+    # Exact decimal sums on both levels; the threshold compare happens
+    # on doubles derived from those identical decimals, so the boundary
+    # rows agree bit-for-bit with the oracle (a double-summed total
+    # would be accumulation-order-dependent).
+    total = grouped.agg(
+        F.sum(F.col("__vd")).cast("double").alias("__tot"),
+        F.count(F.lit(1)).alias("__ng"),
+    )
+    # Threshold relative to the MEAN group value (not a fixed fraction
+    # of the total) so the query returns a stable head at any scale
+    # factor — the group count grows with SF, a fixed fraction doesn't.
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .withColumn("value", F.col("__vd").cast("double"))
+        .filter(F.col("value") > F.lit(4.0) * F.col("__tot") / F.col("__ng"))
+        .select("n_name", "l_partkey", "value")
+    )
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute,
+    excluding suppliers with negative balance (anti join playing the
+    'complaints' NOT IN subquery)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5") & (F.col("p_size") <= 30)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped more than half of a red
+    part's 1996 volume — nested aggregation + semi-join reduction to
+    distinct suppliers."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1996)
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    red = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    per_ps = red.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_dec("l_quantity")).alias("__qd")
+    )
+    per_p = per_ps.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum(F.col("__qd")).cast("double").alias("__tot")
+    )
+    # ×2 is exact in double, and both operands come from exact decimal
+    # sums — the half-of-total boundary is bit-identical cross-engine.
+    excess = per_ps.join(F.broadcast(per_p), per_ps.l_partkey == F.col("__pk")).filter(
+        F.col("__qd").cast("double") * 2 > F.col("__tot")
+    )
+    winners = excess.select("l_suppkey").distinct()
+    return (
+        winners.join(F.broadcast(supp), winners.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: on finished multi-supplier orders, blame the
+    supplier who was *uniquely* last to ship (exists/not-exists pair →
+    per-order max + distinct-at-max counts)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    f = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_order = f.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("__mx"),
+        F.countDistinct("l_suppkey").alias("__nsupp"),
+    )
+    at_max = (
+        f.join(per_order, "l_orderkey")
+        .filter((F.col("l_shipdate") == F.col("__mx")) & (F.col("__nsupp") >= 2))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    wcnt = F.count(F.lit(1)).over(W.partitionBy("l_orderkey"))
+    blamed = at_max.withColumn("__nmax", wcnt).filter(F.col("__nmax") == 1)
+    return (
+        blamed.join(F.broadcast(supp), blamed.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 2: function-surface and statistics coverage
+# ---------------------------------------------------------------------------
+
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation/covariance)
+    computed from exact decimal power sums, NOT the built-in one-pass
+    accumulators — the merge order of distributed stddev/corr is
+    nondeterministic in float, while decimal power sums are
+    partial-aggregatable AND bit-reproducible at any cluster size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = _dec("l_quantity")
+    y = _dec("l_extendedprice")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("__sx"),
+        F.sum(y).cast("double").alias("__sy"),
+        F.sum((x * x).cast("decimal(38,4)")).cast("double").alias("__sxx"),
+        F.sum((y * y).cast("decimal(38,4)")).cast("double").alias("__syy"),
+        F.sum((x * y).cast("decimal(38,4)")).cast("double").alias("__sxy"),
+    )
+    n = F.col("n")
+    mx = F.col("__sx") / n
+    my = F.col("__sy") / n
+    cxx = F.col("__sxx") - F.col("__sx") * mx
+    cyy = F.col("__syy") - F.col("__sy") * my
+    cxy = F.col("__sxy") - F.col("__sx") * my
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.round(F.sqrt(cxx / (n - 1)), 6).alias("stddev_qty"),
+        F.round(cyy / (n - 1), 6).alias("var_price"),
+        F.round(cxy / (n - 1), 6).alias("covar_qty_price"),
+        F.round(cxy / F.sqrt(cxx * cyy), 6).alias("corr_qty_price"),
+    )
+
+
+def q_bool_bit_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean and bitwise aggregates per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("bool_and(value > 0)").alias("all_pos"),
+        F.expr("bool_or(value > 400)").alias("any_big"),
+        F.expr("bit_and(user_id)").alias("uid_and"),
+        F.expr("bit_or(user_id)").alias("uid_or"),
+        F.expr("bit_xor(user_id)").alias("uid_xor"),
+        F.expr("count_if(value > 250)").alias("n_over_250"),
+    )
+
+
+def q_levenshtein_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup candidates by edit distance on text prefixes,
+    bucketed by (lang, n_chars) so the self-join stays tiny — the
+    cheap-bucket-then-verify pattern every fuzzy dedup at scale uses."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", F.substring("text", 1, 60).alias("__p")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.n_chars") == F.col("b.n_chars"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein(F.col("a.__p"), F.col("b.__p")).cast("long").alias("dist"),
+    ).filter(F.col("dist") <= 45)
+
+
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (stack) of per-flag money measures."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(_dec("l_extendedprice")).cast("double").alias("__p"),
+        F.sum(_dec("l_discount")).cast("double").alias("__d"),
+        F.sum(_dec("l_tax")).cast("double").alias("__t"),
+    )
+    return agg.selectExpr(
+        "l_returnflag",
+        "stack(3, 'extendedprice', __p, 'discount', __d, 'tax', __t) AS (measure, total)",
+    )
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregation per order year."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.year("o_orderdate").cast("long").alias("y")).agg(
+        F.expr("count_if(o_orderstatus = 'F')").alias("n_finished"),
+        F.expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) "
+            "FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)"
+        ).alias("urgent_rev"),
+        F.expr("max(o_totalprice) FILTER (WHERE o_orderstatus = 'O')").alias("max_open"),
+    )
+
+
+def q_month_series_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row month series (sequence + explode ≡ DuckDB
+    generate_series + unnest): each order contributes its order month
+    and the two following months — the lateral-unnest surface."""
+    orders = load_table(spark, sf_dir, "orders")
+    # expr form: timestamp + INTERVAL stays a timestamp (add_months
+    # would narrow to date and break sequence's type unification)
+    months = F.explode(
+        F.expr(
+            "sequence(date_trunc('month', o_orderdate), "
+            "date_trunc('month', o_orderdate) + INTERVAL 2 MONTH, "
+            "INTERVAL 1 MONTH)"
+        )
+    ).alias("month")
+    return (
+        orders.select(months)
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction pipeline shape: count pattern hits, replace them with
+    a tag, fingerprint the redacted text (cross-engine md5→int)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pat = r"\b(customer|user|key)\b"
+    red = F.regexp_replace(F.col("text"), pat, "<PII>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(pat)).cast("long").alias("n_hits"),
+        F.conv(F.substring(F.md5(red), 1, 15), 16, 10).cast("long").alias("red_fp"),
+    )
+
+
+def q_histogram_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (bucket arithmetic is
+    identical double ops in both engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.lit(19), F.floor(F.col("o_totalprice") / F.lit(25000.0))).cast("long")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+def q_first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over explicit full frames."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first_value("o_totalprice").over(wfull).alias("first_spend"),
+        F.last_value("o_totalprice").over(wfull).alias("last_spend"),
+        F.nth_value("o_totalprice", 2).over(wfull).alias("second_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1205,6 +1508,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_meta": q_multimodal_meta,
         "q_multimodal_decode": q_multimodal_decode,
         "q_multimodal_frames": q_multimodal_frames,
+        "q02_min_cost_supplier": q02_min_cost_supplier,
+        "q11_important_volume": q11_important_volume,
+        "q16_supplier_count": q16_supplier_count,
+        "q20_excess_shippers": q20_excess_shippers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q_stats_moments": q_stats_moments,
+        "q_bool_bit_agg": q_bool_bit_agg,
+        "q_levenshtein_fuzzy": q_levenshtein_fuzzy,
+        "q_unpivot_measures": q_unpivot_measures,
+        "q_conditional_agg": q_conditional_agg,
+        "q_month_series_explode": q_month_series_explode,
+        "q_pii_redact": q_pii_redact,
+        "q_histogram_bucket": q_histogram_bucket,
+        "q_first_last_window": q_first_last_window,
     }
 
 
@@ -1901,6 +2218,168 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_frames, CAST(f AS BIGINT) AS frame_idx,
                    CAST(f * 40 AS BIGINT) AS frame_ts_ms
             FROM m, unnest(range(n_frames)) AS u(f)
+        """,
+        "q02_min_cost_supplier": """
+            WITH cost AS (
+                SELECT l_partkey, l_suppkey,
+                       MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS c
+                FROM lineitem GROUP BY l_partkey, l_suppkey),
+            best AS (
+                SELECT *, MIN(c) OVER (PARTITION BY l_partkey) AS mn FROM cost)
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey,
+                   CAST(c AS DOUBLE) AS min_cost
+            FROM best
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c = mn AND r_name = 'EUROPE'
+              AND p_type = 'ECONOMY' AND p_size <= 15
+            ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 100
+        """,
+        "q11_important_volume": f"""
+            WITH grouped AS (
+                SELECT n_name, l_partkey, SUM({_DISC}) AS vd
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                GROUP BY n_name, l_partkey)
+            SELECT n_name, l_partkey, CAST(vd AS DOUBLE) AS value FROM grouped
+            WHERE CAST(vd AS DOUBLE) >
+                  4.0 * CAST((SELECT SUM(vd) FROM grouped) AS DOUBLE)
+                      / (SELECT COUNT(*) FROM grouped)
+        """,
+        "q16_supplier_count": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#5' AND p_size <= 30
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "q20_excess_shippers": """
+            WITH per_ps AS (
+                SELECT l_partkey, l_suppkey,
+                       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qd
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE year(l_shipdate) = 1996 AND p_name LIKE 'red%'
+                GROUP BY l_partkey, l_suppkey),
+            per_p AS (
+                SELECT l_partkey, CAST(SUM(qd) AS DOUBLE) AS tot
+                FROM per_ps GROUP BY l_partkey)
+            SELECT DISTINCT s_suppkey, s_name, n_name
+            FROM per_ps
+            JOIN per_p USING (l_partkey)
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE CAST(qd AS DOUBLE) * 2 > tot
+        """,
+        "q21_waiting_suppliers": """
+            WITH f AS (
+                SELECT l_orderkey, l_suppkey, l_shipdate
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'),
+            s AS (
+                SELECT l_orderkey, MAX(l_shipdate) AS mx,
+                       COUNT(DISTINCT l_suppkey) AS nsupp
+                FROM f GROUP BY l_orderkey),
+            m AS (
+                SELECT f.l_orderkey, f.l_suppkey
+                FROM f JOIN s ON f.l_orderkey = s.l_orderkey
+                WHERE f.l_shipdate = s.mx AND s.nsupp >= 2
+                GROUP BY f.l_orderkey, f.l_suppkey),
+            solo AS (
+                SELECT l_orderkey FROM m GROUP BY l_orderkey HAVING COUNT(*) = 1)
+            SELECT s_name, COUNT(*) AS numwait
+            FROM m JOIN solo USING (l_orderkey)
+            JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+        """,
+        "q_stats_moments": """
+            WITH g AS (
+                SELECT l_returnflag, COUNT(*) AS n,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+                       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+                       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+                FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+                   ROUND(SQRT((sxx - sx * (sx / n)) / (n - 1)), 6) AS stddev_qty,
+                   ROUND((syy - sy * (sy / n)) / (n - 1), 6) AS var_price,
+                   ROUND((sxy - sx * (sy / n)) / (n - 1), 6) AS covar_qty_price,
+                   ROUND((sxy - sx * (sy / n)) / SQRT((sxx - sx * (sx / n)) * (syy - sy * (sy / n))), 6) AS corr_qty_price
+            FROM g
+        """,
+        "q_bool_bit_agg": """
+            SELECT event_type,
+                   BOOL_AND(value > 0) AS all_pos,
+                   BOOL_OR(value > 400) AS any_big,
+                   BIT_AND(user_id) AS uid_and,
+                   BIT_OR(user_id) AS uid_or,
+                   BIT_XOR(user_id) AS uid_xor,
+                   COUNT(*) FILTER (WHERE value > 250) AS n_over_250
+            FROM events GROUP BY event_type
+        """,
+        "q_levenshtein_fuzzy": """
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) AS BIGINT) AS dist
+            FROM documents a JOIN documents b
+              ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+            WHERE levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60)) <= 45
+        """,
+        "q_unpivot_measures": """
+            WITH agg AS (
+                SELECT l_returnflag,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS p,
+                       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS d,
+                       CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS t
+                FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, 'extendedprice' AS measure, p AS total FROM agg
+            UNION ALL
+            SELECT l_returnflag, 'discount', d FROM agg
+            UNION ALL
+            SELECT l_returnflag, 'tax', t FROM agg
+        """,
+        "q_conditional_agg": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_rev,
+                   MAX(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS max_open
+            FROM orders GROUP BY y
+        """,
+        "q_month_series_explode": """
+            SELECT month, COUNT(*) AS n_active FROM (
+                SELECT unnest(generate_series(
+                    date_trunc('month', o_orderdate),
+                    date_trunc('month', o_orderdate) + INTERVAL 2 MONTH,
+                    INTERVAL 1 MONTH)) AS month
+                FROM orders)
+            GROUP BY month
+        """,
+        "q_pii_redact": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\b(customer|user|key)\b')) AS BIGINT) AS n_hits,
+                   CAST(('0x' || substr(md5(regexp_replace(text, '\b(customer|user|key)\b', '<PII>', 'g')), 1, 15)) AS BIGINT) AS red_fp
+            FROM documents
+        """,
+        "q_histogram_bucket": """
+            SELECT CAST(LEAST(19, FLOOR(o_totalprice / 25000.0)) AS BIGINT) AS bucket,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders GROUP BY bucket
+        """,
+        "q_first_last_window": """
+            SELECT o_custkey, o_orderkey,
+                   FIRST_VALUE(o_totalprice) OVER w AS first_spend,
+                   LAST_VALUE(o_totalprice) OVER w AS last_spend,
+                   NTH_VALUE(o_totalprice, 2) OVER w AS second_spend
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         """,
     }
     return {k: v.strip() for k, v in qs.items()}
