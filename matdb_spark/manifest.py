@@ -27,6 +27,7 @@ distributes. Nothing here touches row-level data on the driver.
 
 from __future__ import annotations
 
+import functools as _functools
 import json
 import os
 import re
@@ -73,6 +74,15 @@ def committed_txn_ids(db_path: str) -> list[int]:
 def read_manifest(db_path: str, txn_id: int) -> dict:
     with open(manifest_path(db_path, txn_id)) as f:
         return json.load(f)
+
+
+@_functools.lru_cache(maxsize=8192)
+def read_manifest_cached(db_path: str, txn_id: int) -> dict:
+    """Cached manifest read — safe because a published manifest is
+    immutable (the protocol's atomic point is the rename; content
+    never changes afterward). Used on hot planner paths (per-scan
+    stats pruning); misses fall back to the filesystem."""
+    return read_manifest(db_path, txn_id)
 
 
 def visible_txn_ids(db_path: str, horizon: int) -> list[int]:

@@ -14,14 +14,34 @@
 
 All cosine math is built-in higher-order functions (functions/vectors)
 — no Python UDFs anywhere.
+
+Unit-vector design: every entry point normalizes vectors ONCE per row
+(`_unit`), so per-pair similarity is a single dot-product fold instead
+of dot + two norms. At 100 TB this is the difference between O(pairs·d)
+and O(pairs·3d) — and it matches how production vector stores persist
+embeddings (pre-normalized at write time). The DuckDB oracles use the
+identical normalize-then-dot float ops, keeping results bit-identical.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from matdb_spark.functions.vectors import as_double, cosine
+from matdb_spark.functions.vectors import as_double, dot, norm
 from matdb_spark.operators.topk import top_k_per_group
+
+
+def _unit(df: DataFrame, id_exprs: list, vec_col: str, out_col: str) -> DataFrame:
+    """Project to (ids..., unit vector). The norm is materialized in
+    its own projection before the elementwise divide so the divide
+    lambda references a plain column (an inlined norm expression would
+    re-evaluate per element — the HOF-recompute trap)."""
+    t = df.select(*id_exprs, as_double(F.col(vec_col)).alias("__v0"))
+    t = t.withColumn("__n", norm(F.col("__v0")))
+    keep = [c for c in t.columns if c not in ("__v0", "__n")]
+    return t.select(
+        *keep, F.transform(F.col("__v0"), lambda x: x / F.col("__n")).alias(out_col)
+    )
 
 
 def cosine_topk(
@@ -35,19 +55,15 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors: (query_id, neighbor_id, cos_sim, rank).
     Ties broken by neighbor id — fully deterministic output."""
-    q = queries.select(
-        F.col(id_col).alias(query_id_col), as_double(F.col(vec_col)).alias("__qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv")
-    )
+    q = _unit(queries, [F.col(id_col).alias(query_id_col)], vec_col, "__qv")
+    c = _unit(corpus, [F.col(id_col).alias("neighbor_id")], vec_col, "__cv")
     joined = c.crossJoin(F.broadcast(q))
     if not include_self:
         joined = joined.filter(F.col("neighbor_id") != F.col(query_id_col))
     scored = joined.select(
         query_id_col,
         "neighbor_id",
-        cosine(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+        dot(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
     )
     return top_k_per_group(
         scored,
@@ -65,21 +81,29 @@ def assign_cells(
     centroid_id_col: str = "cell_id",
 ) -> DataFrame:
     """Nearest-centroid assignment (the IVF build step). Centroids are
-    broadcast; ties break to the lowest cell id (deterministic)."""
-    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
-    cents = centroids.select(
-        F.col(centroid_id_col), as_double(F.col(vec_col)).alias("__cv")
-    )
+    broadcast; ties break to the lowest cell id (deterministic).
+
+    Top-1 is a ``max_by`` hash aggregation, not a ranking window: it
+    partially aggregates map-side (each task ships one candidate per
+    vector, not ncells rows), which is the shape that survives a
+    100 TB corpus. Output carries the UNIT vector under ``vec_col``.
+    """
+    c = _unit(corpus, [F.col(id_col)], vec_col, "__v")
+    cents = _unit(centroids, [F.col(centroid_id_col)], vec_col, "__cv")
     scored = c.crossJoin(F.broadcast(cents)).select(
         id_col,
         "__v",
         centroid_id_col,
-        cosine(F.col("__v"), F.col("__cv")).alias("__sim"),
+        dot(F.col("__v"), F.col("__cv")).alias("__sim"),
     )
-    best = top_k_per_group(
-        scored, [id_col], [F.col("__sim").desc(), F.col(centroid_id_col).asc()], 1
+    payload = F.struct(F.col(centroid_id_col), F.col("__v"))
+    order = F.struct(F.col("__sim"), (-F.col(centroid_id_col)).alias("__t"))
+    best = scored.groupBy(id_col).agg(F.max_by(payload, order).alias("__b"))
+    return best.select(
+        id_col,
+        F.col(f"__b.{centroid_id_col}").alias(centroid_id_col),
+        F.col("__b.__v").alias(vec_col),
     )
-    return best.select(id_col, centroid_id_col, F.col("__v").alias(vec_col))
 
 
 def kmeans_centroids(
@@ -91,7 +115,10 @@ def kmeans_centroids(
 ) -> DataFrame:
     """Deterministic Lloyd's iterations for IVF centroid building:
     init = the k lowest-id vectors (reproducible, no RNG), then
-    assign → per-cell elementwise mean, ``iters`` times.
+    assign → per-cell elementwise mean, ``iters`` times. Since
+    assign_cells emits unit vectors, the means are means of unit
+    vectors — spherical k-means, the standard variant for cosine
+    similarity.
 
     Everything stays JVM-side: the elementwise mean is
     posexplode → avg per (cell, position) → re-assemble with
@@ -136,12 +163,12 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k: probe only the ``nprobe`` nearest cells per
     query. (query_id, neighbor_id, cos_sim, rank), deterministic."""
-    cells = assign_cells(corpus, centroids, id_col, vec_col)
-    cents = centroids.select(F.col("cell_id"), as_double(F.col(vec_col)).alias("__cv"))
-    q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv"))
+    cells = assign_cells(corpus, centroids, id_col, vec_col)  # unit vectors
+    cents = _unit(centroids, [F.col("cell_id")], vec_col, "__cv")
+    q = _unit(queries, [F.col(id_col).alias("query_id")], vec_col, "__qv")
     probe = top_k_per_group(
         q.crossJoin(F.broadcast(cents)).select(
-            "query_id", "__qv", "cell_id", cosine(F.col("__qv"), F.col("__cv")).alias("__sim")
+            "query_id", "__qv", "cell_id", dot(F.col("__qv"), F.col("__cv")).alias("__sim")
         ),
         ["query_id"],
         [F.col("__sim").desc(), F.col("cell_id").asc()],
@@ -150,7 +177,7 @@ def ivf_topk(
     cand = probe.join(cells.withColumnRenamed(id_col, "neighbor_id"), "cell_id")
     cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col(vec_col)).alias("cos_sim")
+        "query_id", "neighbor_id", dot(F.col("__qv"), F.col(vec_col)).alias("cos_sim")
     )
     return top_k_per_group(
         scored, ["query_id"], [F.col("cos_sim").desc(), F.col("neighbor_id").asc()], k
@@ -167,11 +194,11 @@ def cosine_near_dup_pairs(
     """(id_a, id_b, cos_sim) with cos_sim >= threshold, id_a < id_b.
     Pairs are only compared within an IVF cell — linear-ish cost; an
     exact variant would cross-join cells' neighbors too."""
-    cells = assign_cells(corpus, centroids, id_col, vec_col)
+    cells = assign_cells(corpus, centroids, id_col, vec_col)  # unit vectors
     a = cells.select(F.col("cell_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = cells.select(F.col("cell_id"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     pairs = a.join(b, "cell_id").filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos_sim"))
+        pairs.select("id_a", "id_b", dot(F.col("__va"), F.col("__vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )

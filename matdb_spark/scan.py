@@ -132,6 +132,20 @@ def scan_dataframe(
     parts: list[DataFrame] = []
 
     read_txns = list(source.visible_txns)
+    if bounds:
+        # Tier-0 pruning: drop whole transactions whose manifest stats
+        # (txn-level zone maps, stats.py) cannot intersect the bounds —
+        # before any file listing or Spark job. Missing stats keep the
+        # txn (correctness never depends on stats).
+        from matdb_spark.stats import txn_intersects
+
+        read_txns = [
+            t
+            for t in read_txns
+            if txn_intersects(
+                manifest.read_manifest_cached(source.db_path, t).get("stats"), bounds
+            )
+        ]
     if source.own_txn is not None and source.own_staged_segments > 0:
         read_txns.append(source.own_txn)
     if read_txns:

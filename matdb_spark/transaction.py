@@ -54,6 +54,11 @@ class Transaction:
         self._buffer: list[tuple] = []
         self._seq = 0
         self._closed = False
+        # Per-txn min/max dim bounds, merged across segments at flush
+        # time and published in the manifest (stats.py). None once any
+        # segment lacks stats (absent stats = cannot prune).
+        self._txn_stats: dict | None = None
+        self._first_segment_pending = True
 
     # ---- writes -----------------------------------------------------
     def add_row(self, values: Sequence) -> None:
@@ -194,6 +199,17 @@ class Transaction:
         if chunk_cols:
             writer = writer.partitionBy(*chunk_cols)
         writer.parquet(seg_dir)
+        # Footer-only stats sweep (no data scan) feeding the manifest's
+        # txn-level zone map — the planner prunes whole transactions
+        # from range scans before any listing (stats.py).
+        from matdb_spark.stats import collect_segment_stats, merge_stats
+
+        seg_stats = collect_segment_stats(seg_dir, schema)
+        if self._first_segment_pending:
+            self._txn_stats = seg_stats
+            self._first_segment_pending = False
+        else:
+            self._txn_stats = merge_stats(self._txn_stats, seg_stats)
         self.segments_flushed += 1
 
     def flush(self) -> None:
@@ -274,12 +290,15 @@ class Transaction:
         self._check_open()
         self.flush()
         if self.txn_id is not None:
+            payload = dict(extra or {})
+            if self._txn_stats is not None and "stats" not in payload:
+                payload["stats"] = self._txn_stats
             manifest.publish(
                 self.db.path,
                 self.txn_id,
                 self.segments_flushed,
                 replaces=replaces,
-                extra=extra,
+                extra=payload or None,
             )
             self.db.note_committed(self.txn_id)
         self._closed = True
