@@ -726,6 +726,43 @@ def q_mvcc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return db.begin().query(ordered=True)
 
 
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed point-get on the upserted MVCC store (query_points): the
+    key set pushes down as an exact predicate + envelope bounds through
+    manifest stats, partition pruning, and parquet row-group stats.
+    Keys arrive from outside the store, as in any real point-get path
+    (here: the 20 lowest event ids)."""
+    from matdb_spark import Dimension, Schema, Value
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    db_path = os.path.join(SCRATCH, f"gate_mvcc_{tag}")
+    schema = Schema(
+        dimensions=[Dimension("user_id", 1000), Dimension("event_id", 100_000)],
+        values=[Value("value", type="double")],
+    )
+
+    def build(db):  # same recipe as q_mvcc_scan (shared cached store)
+        ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+        t1 = db.begin()
+        t1.add_dataframe(ev)
+        t1.commit()
+        t2 = db.begin()
+        t2.add_dataframe(
+            ev.filter(F.col("event_id") % 10 == 0).withColumn("value", F.col("value") + 1000)
+        )
+        t2.commit()
+
+    db = _cached_mvcc_db(spark, db_path, schema, build)
+    keys = [
+        (r.user_id, r.event_id)
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id")
+        .filter(F.col("event_id") < 20)
+        .collect()
+    ]
+    return db.begin().query_points(keys, ordered=True)
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per order status (the scale path
     would use approx_percentile; exact keeps the oracle bit-checkable)."""
@@ -1515,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": q_range_join,
         "q_mvcc_scan": q_mvcc_scan,
         "q_mvcc_range_scan": q_mvcc_range_scan,
+        "q_point_lookup": q_point_lookup,
         "q_percentiles": q_percentiles,
         "q_date_extract": q_date_extract,
         "q_collect_agg": q_collect_agg,
@@ -2058,6 +2096,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id,
                    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
             FROM events
+        """,
+        "q_point_lookup": """
+            SELECT user_id, event_id,
+                   CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
+            FROM events WHERE event_id < 20
         """,
         "q_percentiles": """
             SELECT o_orderstatus,

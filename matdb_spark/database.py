@@ -80,15 +80,21 @@ class Database:
 
     def allocate_txn_id(self) -> int:
         """Lazy txn-id allocation at first flush
-        (reference: transaction.rs:152-160)."""
-        txn_id = self.next_txn_id
-        self.next_txn_id += 1
+        (reference: transaction.rs:152-160), made collision-safe for
+        concurrent writer processes via an atomic reservation file
+        (manifest.reserve_txn_id) — two Database handles on the same
+        path can commit interleaved without clobbering each other's
+        manifests."""
+        txn_id = manifest.reserve_txn_id(self.path, self.next_txn_id)
+        self.next_txn_id = txn_id + 1
         return txn_id
 
     def note_committed(self, txn_id: int) -> None:
-        # next_txn_id already advanced at allocation; nothing to do,
-        # kept as an explicit hook for a future multi-writer allocator.
-        pass
+        """Post-publish hook: drop the id reservation (the manifest now
+        holds the id) and keep the horizon past externally-allocated
+        ids from concurrent writers."""
+        manifest.release_txn_reservation(self.path, txn_id)
+        self.next_txn_id = max(self.next_txn_id, txn_id + 1)
 
     # ---- maintenance ------------------------------------------------
     def compact(self) -> int | None:

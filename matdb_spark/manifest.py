@@ -170,6 +170,50 @@ def _fsync_dir(path: str) -> None:
         os.close(fd)
 
 
+def reserve_txn_id(db_path: str, start: int) -> int:
+    """Collision-safe txn-id allocation for concurrent writers.
+
+    The reference is an embedded single-process store, so its next-id
+    counter lives in memory (database.rs:116-124). Multiple processes
+    sharing one store need an atomic claim: an ``O_CREAT|O_EXCL``
+    reservation file per id in ``_commits/`` (the same primitive a
+    conditional PUT provides on object stores). First process to
+    create ``<id>.reserve`` owns the id; losers probe the next id.
+    Reservations are cleaned up at publish (manifest supersedes them)
+    and swept by ``recover``.
+    """
+    candidate = max(start, _max_seen_txn_id(db_path) + 1)
+    while True:
+        path = os.path.join(commits_dir(db_path), f"{candidate:08d}.reserve")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            return candidate
+        except FileExistsError:
+            candidate += 1
+
+
+def _max_seen_txn_id(db_path: str) -> int:
+    """Highest id visible in any form: manifest, reservation, or
+    staged data directory."""
+    best = 0
+    for name in os.listdir(commits_dir(db_path)):
+        m = _MANIFEST_RE.match(name) or re.match(r"^(\d{8,})\.reserve$", name)
+        if m:
+            best = max(best, int(m.group(1)))
+    for t in staged_txn_ids(db_path):
+        best = max(best, t)
+    return best
+
+
+def release_txn_reservation(db_path: str, txn_id: int) -> None:
+    p = os.path.join(commits_dir(db_path), f"{txn_id:08d}.reserve")
+    try:
+        os.unlink(p)
+    except FileNotFoundError:
+        pass
+
+
 def max_committed_batch_id(db_path: str, source: str) -> int | None:
     """Highest streaming ``batch_id`` committed for ``source`` (None if
     none). One manifest sweep — called once per stream (re)start, then
@@ -206,7 +250,11 @@ def recover(db_path: str) -> int:
     committed = set(committed_txn_ids(db_path))
     staged = set(staged_txn_ids(db_path))
     for name in os.listdir(commits_dir(db_path)):
-        if name.endswith(".tmp"):
+        # .tmp: unfinished manifest writes; .reserve: txn-id claims of
+        # writers that died before publish (publish releases them).
+        # Both are only safe to sweep under recovery's single-process
+        # assumption — a live concurrent writer must not be racing.
+        if name.endswith(".tmp") or name.endswith(".reserve"):
             os.unlink(os.path.join(commits_dir(db_path), name))
     for t in staged - committed:
         discard_txn_data(db_path, t)

@@ -118,13 +118,18 @@ def scan_dataframe(
     include_txn: bool = False,
     drop_null_value_rows: bool = True,
     bounds: dict[str, tuple] | None = None,
+    predicate=None,
 ) -> DataFrame:
     """Build the snapshot-scan DataFrame for a pinned source set.
 
     ``bounds`` maps dim name → (lo, hi) inclusive key bounds (either
     side None for open): applied at the scan relation itself so both
     partition pruning and parquet stats pruning engage before any
-    shuffle."""
+    shuffle. ``predicate`` is an optional extra Column over DIM
+    columns only, also applied at the scan relation (point lookups push
+    exact key sets down this way); dim-only predicates commute with the
+    version-dedup aggregation, so applying them pre-shuffle is
+    semantics-preserving."""
     schema = source.schema
     dims = schema.dim_names
     vals = schema.value_names
@@ -157,6 +162,8 @@ def scan_dataframe(
         # Prune BEFORE projecting away the __chunk_* partition columns.
         for cond in _range_filters(schema, bounds or {}, with_chunks=True):
             df = df.filter(cond)
+        if predicate is not None:
+            df = df.filter(predicate)
         # Partition dirs contribute txn=<t>, seg=<s>, __chunk_* columns.
         df = df.select(
             F.col("txn").cast("long").alias(TXN_COL),
@@ -174,6 +181,8 @@ def scan_dataframe(
         buf = spark.createDataFrame(source.buffered_rows, schema.staging_schema())
         for cond in _range_filters(schema, bounds or {}, with_chunks=False):
             buf = buf.filter(cond)
+        if predicate is not None:
+            buf = buf.filter(predicate)
         buf = buf.select(
             F.lit(own).cast("long").alias(TXN_COL),
             F.col(SEQ_COL),

@@ -62,11 +62,18 @@ class Dimension:
     """A key column. ``chunk_size`` is the physical partition width
     (reference: src/schema.rs:11-14); 0/None disables chunking for
     this axis (e.g. low-cardinality dims that are already selective).
+
+    ``bloom=True`` writes a parquet bloom filter for the column in
+    every segment file — point lookups (``query_points``) on dims that
+    are NOT leading in the sort order can then skip row groups that
+    min/max stats alone cannot (high-cardinality keys interleaved
+    across the file). Costs ~1 byte/distinct value of file space.
     """
 
     name: str
     chunk_size: int = 0
     type: str = "long"
+    bloom: bool = False
 
     @property
     def chunk_col(self) -> str:
@@ -154,7 +161,12 @@ class Schema:
         return json.dumps(
             {
                 "dimensions": [
-                    {"name": d.name, "chunk_size": d.chunk_size, "type": d.type}
+                    {
+                        "name": d.name,
+                        "chunk_size": d.chunk_size,
+                        "type": d.type,
+                        "bloom": d.bloom,
+                    }
                     for d in self.dimensions
                 ],
                 "values": [{"name": v.name, "type": v.type} for v in self.values],

@@ -196,6 +196,14 @@ class Transaction:
             out = out.repartition(*[F.col(c) for c in chunk_cols])
         out = out.sortWithinPartitions(*sort_cols)
         writer = out.write.mode("error")
+        for d in schema.dimensions:
+            if d.bloom:
+                # Parquet bloom filter per segment file: row-group
+                # skipping for point probes on non-leading dims, where
+                # the within-partition sort gives min/max stats no
+                # selectivity (SURVEY §2.1 O8's zone maps only help
+                # the leading key).
+                writer = writer.option(f"parquet.bloom.filter.enabled#{d.name}", "true")
         if chunk_cols:
             writer = writer.partitionBy(*chunk_cols)
         writer.parquet(seg_dir)
@@ -269,6 +277,51 @@ class Transaction:
             bounds=bounds,
         )
 
+    def query_points(
+        self,
+        keys: Iterable[Sequence],
+        ordered: bool = True,
+        include_txn: bool = False,
+    ) -> DataFrame:
+        """Point lookups: rows whose full dimension tuple is in
+        ``keys``. Pushes down through all three pruning tiers — the
+        envelope (per-dim min..max over the key set) drives manifest
+        txn pruning + partition pruning + row-group stats, and the
+        exact key-set predicate reaches the parquet scan (In /
+        OR-of-ANDs pushdown; parquet bloom filters on dims, where
+        enabled, catch the point probes the sort order can't). The
+        key-set predicate references dim columns only, so it commutes
+        with version dedup."""
+        self._check_open()
+        dims = self.schema.dim_names
+        pts = [tuple(k) for k in keys]
+        for p in pts:
+            if len(p) != len(dims):
+                raise ValueError(f"key {p!r} must have {len(dims)} dimension values")
+        if not pts:
+            return self.query(ordered=ordered, include_txn=include_txn).limit(0)
+        env = {
+            d: (min(p[i] for p in pts), max(p[i] for p in pts))
+            for i, d in enumerate(dims)
+        }
+        if len(dims) == 1:
+            pred = F.col(dims[0]).isin([p[0] for p in pts])
+        else:
+            pred = F.lit(False)
+            for p in pts:
+                clause = F.lit(True)
+                for i, d in enumerate(dims):
+                    clause = clause & (F.col(d) == F.lit(p[i]))
+                pred = pred | clause
+        return scan_dataframe(
+            self.db.spark,
+            self._source(),
+            ordered=ordered,
+            include_txn=include_txn,
+            bounds=env,
+            predicate=pred,
+        )
+
     def query_rows(self) -> Iterator[Row]:
         """Iterate results reference-style without driver collect."""
         return iterate_rows(self.query(ordered=True))
@@ -311,6 +364,7 @@ class Transaction:
         self._buffer = []
         if self.txn_id is not None:
             manifest.discard_txn_data(self.db.path, self.txn_id)
+            manifest.release_txn_reservation(self.db.path, self.txn_id)
         self._closed = True
 
     # Context-manager protocol: rollback is the default on exit, as in
