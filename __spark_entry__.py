@@ -922,6 +922,37 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).drop("window_end")
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL stream-stream interval join: two file-source streams over
+    events (clicks / purchases), matched per user when the purchase
+    lands within 6 hours after the click. Watermarks bound both sides'
+    state; append-mode memory sink. The oracle is the equivalent batch
+    interval self-join."""
+    from matdb_spark.streaming import events_stream, interval_join
+    from matdb_spark.streaming.windows import run_to_memory_sink
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    name = f"stream_ss_join_{tag}"
+    ckpt = os.path.join(SCRATCH, f"ckpt_{name}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    clicks = events_stream(spark, sf_dir).filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", F.col("event_id").alias("purchase_id"), "ts")
+    out = interval_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        lower="0 seconds",
+        upper="6 hours",
+        watermark="12 hours",
+    ).select("user_id", "click_id", F.col("purchase_id_r").alias("purchase_id"))
+    run_to_memory_sink(out, name, ckpt, "append")
+    return spark.table(name)
+
+
 def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState sessionizer over a finite stream: with
     one micro-batch (availableNow, single file) it emits every CLOSED
@@ -1489,6 +1520,25 @@ def q_histogram_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (filter/exists/forall/slice/sort/
+    aggregate) over embeddings — all codegen, no Python."""
+    from matdb_spark.functions.vectors import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.exists(v, lambda x: x > 0.3).alias("has_big"),
+        F.forall(v, lambda x: x > -1.0).alias("all_gt_neg1"),
+        F.round(
+            F.aggregate(F.slice(v, 1, 8), F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("head_sum"),
+        F.round(F.get(F.array_sort(v), 0), 6).alias("sorted_first"),
+    )
+
+
 def q_first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first_value / last_value / nth_value over explicit full frames."""
     orders = load_table(spark, sf_dir, "orders")
@@ -1560,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_tumbling": q_stream_tumbling,
         "q_stream_sliding": q_stream_sliding,
         "q_stream_ingest_scan": q_stream_ingest_scan,
+        "q_stream_stream_join": q_stream_stream_join,
         "q_stream_stateful_sessions": q_stream_stateful_sessions,
         "q_session_window": q_session_window,
         "q_text_stats": q_text_stats,
@@ -1593,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_redact": q_pii_redact,
         "q_histogram_bucket": q_histogram_bucket,
         "q_first_last_window": q_first_last_window,
+        "q_array_hof": q_array_hof,
     }
 
 
@@ -2102,6 +2154,13 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
             FROM events WHERE event_id < 20
         """,
+        "q_stream_stream_join": """
+            SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+            WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        """,
         "q_percentiles": """
             SELECT o_orderstatus,
                    ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
@@ -2461,6 +2520,16 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """,
+        "q_array_hof": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT vec_id,
+                   CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+                   len(list_filter(v, x -> x > 0.3)) > 0 AS has_big,
+                   len(list_filter(v, x -> NOT (x > -1.0))) = 0 AS all_gt_neg1,
+                   ROUND(list_sum(v[1:8]), 6) AS head_sum,
+                   ROUND(list_sort(v)[1], 6) AS sorted_first
+            FROM e
         """,
     }
     return {k: v.strip() for k, v in qs.items()}

@@ -15,12 +15,15 @@ Streaming primitives:
   snapshot readers always see batch-aligned consistent state.
 - ``stateful.sessionize_with_state``: applyInPandasWithState custom
   stateful operator (per-key session accumulation with timeout).
+- ``joins.interval_join``: stream-stream event-time interval join
+  (watermark-bounded state), batch-compatible.
 """
 
 from matdb_spark.streaming.sources import events_stream
 from matdb_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
 from matdb_spark.streaming.ingest import stream_into_database
 from matdb_spark.streaming.stateful import sessionize_with_state
+from matdb_spark.streaming.joins import interval_join
 
 __all__ = [
     "events_stream",
@@ -29,4 +32,5 @@ __all__ = [
     "session_agg",
     "stream_into_database",
     "sessionize_with_state",
+    "interval_join",
 ]
