@@ -935,21 +935,31 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_ss_join_{tag}"
     ckpt = os.path.join(SCRATCH, f"ckpt_{name}")
     shutil.rmtree(ckpt, ignore_errors=True)
-    clicks = events_stream(spark, sf_dir).filter(F.col("event_type") == "click").select(
-        "user_id", F.col("event_id").alias("click_id"), "ts"
-    )
-    purchases = events_stream(spark, sf_dir).filter(
-        F.col("event_type") == "purchase"
-    ).select("user_id", F.col("event_id").alias("purchase_id"), "ts")
-    out = interval_join(
-        clicks,
-        purchases,
-        keys=["user_id"],
-        lower="0 seconds",
-        upper="6 hours",
-        watermark="12 hours",
-    ).select("user_id", "click_id", F.col("purchase_id_r").alias("purchase_id"))
-    run_to_memory_sink(out, name, ckpt, "append")
+    # Shuffle partitions = state-store instance count for a streaming
+    # join; it is captured at stream START from the session conf (not
+    # settable per-query). 32 stores for one availableNow batch is
+    # pure checkpoint overhead — measured 17 s vs 2.6 s at sf0.1 with
+    # 8. On a cluster this knob is sized to sustained throughput.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        clicks = events_stream(spark, sf_dir).filter(
+            F.col("event_type") == "click"
+        ).select("user_id", F.col("event_id").alias("click_id"), "ts")
+        purchases = events_stream(spark, sf_dir).filter(
+            F.col("event_type") == "purchase"
+        ).select("user_id", F.col("event_id").alias("purchase_id"), "ts")
+        out = interval_join(
+            clicks,
+            purchases,
+            keys=["user_id"],
+            lower="0 seconds",
+            upper="6 hours",
+            watermark="12 hours",
+        ).select("user_id", "click_id", F.col("purchase_id_r").alias("purchase_id"))
+        run_to_memory_sink(out, name, ckpt, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
 
 
@@ -965,10 +975,18 @@ def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_sessions_{tag}"
     ckpt = os.path.join(SCRATCH, f"ckpt_{name}")
     shutil.rmtree(ckpt, ignore_errors=True)
-    out = sessionize_with_state(
-        events_stream(spark, sf_dir).select("user_id", "ts"), gap_ms=30 * 60 * 1000
-    )
-    run_to_memory_sink(out, name, ckpt, "append")
+    # 8 state partitions for one availableNow batch (see
+    # q_stream_stream_join): fewer state stores AND fewer Python
+    # workers for the applyInPandasWithState stage.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = sessionize_with_state(
+            events_stream(spark, sf_dir).select("user_id", "ts"), gap_ms=30 * 60 * 1000
+        )
+        run_to_memory_sink(out, name, ckpt, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
 
 

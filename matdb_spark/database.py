@@ -141,6 +141,36 @@ class Database:
                 os.unlink(p)
         return removed
 
+    def history(self) -> list[dict]:
+        """Commit log, newest first (the Delta DESCRIBE HISTORY shape):
+        one entry per committed txn with its manifest metadata —
+        segments, commit time, compaction ``replaces``, streaming
+        batch stamps, and the txn-level stats zone map. Metadata-only
+        (one manifest read per commit, no data access)."""
+        out = []
+        for t in manifest.committed_txn_ids(self.path):
+            m = manifest.read_manifest(self.path, t)
+            out.append(
+                {
+                    "txn": t,
+                    "segments": m.get("segments"),
+                    "committed_at": m.get("committed_at"),
+                    "replaces": m.get("replaces", []),
+                    "stream_source": m.get("stream_source"),
+                    "batch_id": m.get("batch_id"),
+                    "rows": (m.get("stats") or {}).get("rows"),
+                }
+            )
+        return sorted(out, key=lambda e: -e["txn"])
+
+    def export_snapshot(self, out_path: str, as_of: int | None = None) -> None:
+        """Materialize the version-resolved snapshot (optionally a
+        historical one) as a standalone plain-parquet dataset — the
+        interop escape hatch: any engine (DuckDB, Trino, pandas) reads
+        the export without knowing the manifest protocol. Distributed
+        write, no driver materialization."""
+        self.snapshot(as_of=as_of).write.mode("error").parquet(out_path)
+
     def stats(self) -> dict:
         """Driver-side store statistics from metadata only (no data
         scan): committed/visible txns, segment dirs, data file counts

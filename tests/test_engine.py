@@ -390,3 +390,35 @@ def test_recovery_removes_stale_manifest_tmp(spark, tmp_db_path):
     db2 = Database.open(spark, db.path)
     assert not os.path.exists(stray)
     assert db2.snapshot().count() == 1
+
+
+def test_history_and_export(spark, tmp_db_path):
+    import duckdb
+
+    db = Database.create(spark, os.path.join(tmp_db_path, "hist"), grid_schema())
+    with db.begin() as t1:
+        t1.add_row([1, 1, 10])
+        t1.commit()
+    with db.begin() as t2:
+        t2.add_row([1, 1, 20])
+        t2.add_row([2, 2, 30])
+        t2.commit()
+    h = db.history()
+    assert [e["txn"] for e in h] == [2, 1]
+    assert h[0]["rows"] == 2 and h[1]["rows"] == 1
+    assert all(e["segments"] == 1 for e in h)
+
+    out = os.path.join(tmp_db_path, "export")
+    db.export_snapshot(out)
+    # a foreign engine reads the export without matdb knowledge
+    got = duckdb.sql(
+        f"SELECT time, sensor_id, value FROM read_parquet('{out}/*.parquet') ORDER BY 1,2"
+    ).fetchall()
+    assert got == [(1, 1, 20), (2, 2, 30)]
+    # historical export sees the pre-upsert state
+    out1 = os.path.join(tmp_db_path, "export_v1")
+    db.export_snapshot(out1, as_of=1)
+    got1 = duckdb.sql(
+        f"SELECT time, sensor_id, value FROM read_parquet('{out1}/*.parquet')"
+    ).fetchall()
+    assert got1 == [(1, 1, 10)]
