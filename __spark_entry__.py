@@ -1371,8 +1371,12 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
-    f = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
+    # materialized once: f feeds both the per-order aggregate and the
+    # join-back (without it the lineitem⋈orders join runs twice)
+    f = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .localCheckpoint()
     )
     per_order = f.groupBy("l_orderkey").agg(
         F.max("l_shipdate").alias("__mx"),

@@ -59,7 +59,18 @@ def main() -> None:
     print("now:", sorted(tuple(r) for r in now.collect()))
     print("as_of=2:", sorted(tuple(r) for r in then.collect()))
 
-    # 6. maintenance: fold small txns, GC superseded segments
+    # 6. point lookups: exact key set pushed through manifest stats,
+    #    partition pruning, and parquet row-group stats
+    pts = db.begin().query_points([(0, 0), (2500, 1), (9999, 12)])
+    print("points:", sorted(tuple(r) for r in pts.collect()))
+
+    # 7. commit log + interop export (any engine reads plain parquet)
+    for entry in db.history():
+        print("history:", entry)
+    db.export_snapshot(path + "_export")
+    print("export rows:", spark.read.parquet(path + "_export").count())
+
+    # 8. maintenance: fold small txns, GC superseded segments
     print("stats before compact:", db.stats())
     db.compact()
     db.vacuum()
