@@ -126,14 +126,26 @@ class Database:
         txn.commit(replaces=visible)
         return txn.txn_id
 
-    def vacuum(self) -> list[int]:
+    def vacuum(self, min_age_seconds: float = 0.0) -> list[int]:
         """Delete data and manifests of txns superseded by a committed
-        compaction. Safe when no reader holds a pre-compaction snapshot
-        (single-writer embedded model; a shared deployment would add a
-        retention window, as Delta/Iceberg do). Returns removed ids."""
+        compaction. ``min_age_seconds`` is the retention window (the
+        Delta/Iceberg VACUUM safety valve for shared deployments): a
+        superseded txn is only removed once the compaction that
+        replaced it has been committed at least that long — any reader
+        whose snapshot predates the compaction has had that much time
+        to finish. 0 (default) = immediate, the single-writer embedded
+        model. Returns removed ids."""
+        import time as _time
+
         from matdb_spark import manifest as m
 
-        removed = sorted(m.replaced_txn_ids(self.path))
+        cutoff = _time.time() - min_age_seconds
+        eligible: set[int] = set()
+        for t in m.committed_txn_ids(self.path):
+            mf = m.read_manifest(self.path, t)
+            if mf.get("replaces") and mf.get("committed_at", 0) <= cutoff:
+                eligible.update(mf["replaces"])
+        removed = sorted(eligible)
         for t in removed:
             m.discard_txn_data(self.path, t)
             p = m.manifest_path(self.path, t)

@@ -184,6 +184,67 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the corpus as an IVF index: unit vectors partitioned by
+    nearest-centroid cell (`cell_id=<n>/` directories). At 100 TB the
+    inverted list IS the partition — a probe reads only its cells'
+    directories (Hive partition pruning), exactly like `query_range`
+    prunes chunks. Centroids are stored alongside under `_centroids/`
+    for self-contained reads."""
+    cells = assign_cells(corpus, centroids, id_col, vec_col)
+    (
+        cells.repartition(F.col("cell_id"))
+        .write.mode("error")
+        .partitionBy("cell_id")
+        .parquet(path)
+    )
+    cents = _unit(centroids, [F.col("cell_id")], vec_col, vec_col)
+    cents.coalesce(1).write.mode("error").parquet(path + "/_centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Top-k against a persisted IVF index: probe cells per query, read
+    ONLY those `cell_id=` partitions (the filter on the partition
+    column prunes directories before any IO), score by dot product on
+    the stored unit vectors."""
+    cents = spark.read.parquet(path + "/_centroids").select(
+        "cell_id", F.col(vec_col).alias("__cv")
+    )
+    q = _unit(queries, [F.col(id_col).alias("query_id")], vec_col, "__qv")
+    probe = top_k_per_group(
+        q.crossJoin(F.broadcast(cents)).select(
+            "query_id", "__qv", "cell_id", dot(F.col("__qv"), F.col("__cv")).alias("__sim")
+        ),
+        ["query_id"],
+        [F.col("__sim").desc(), F.col("cell_id").asc()],
+        nprobe,
+    ).select("query_id", "__qv", "cell_id")
+    probed_cells = [r.cell_id for r in probe.select("cell_id").distinct().collect()]
+    index = spark.read.parquet(path).filter(F.col("cell_id").isin(probed_cells))
+    cand = probe.join(index.withColumnRenamed(id_col, "neighbor_id"), "cell_id")
+    cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", dot(F.col("__qv"), F.col(vec_col)).alias("cos_sim")
+    )
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("cos_sim").desc(), F.col("neighbor_id").asc()], k
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     centroids: DataFrame,

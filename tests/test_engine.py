@@ -422,3 +422,18 @@ def test_history_and_export(spark, tmp_db_path):
         f"SELECT time, sensor_id, value FROM read_parquet('{out1}/*.parquet')"
     ).fetchall()
     assert got1 == [(1, 1, 10)]
+
+
+def test_vacuum_retention_window(spark, tmp_db_path):
+    db = Database.create(spark, os.path.join(tmp_db_path, "ret"), grid_schema())
+    for i in range(2):
+        with db.begin() as t:
+            t.add_row([i, 0, i])
+            t.commit()
+    assert db.compact() is not None
+    # a huge retention window keeps the superseded txns alive
+    assert db.vacuum(min_age_seconds=3600) == []
+    assert db.stats()["replaced_txns"] == 2
+    # immediate vacuum removes them
+    assert db.vacuum() == [1, 2]
+    assert db.snapshot().count() == 2

