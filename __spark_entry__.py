@@ -1542,6 +1542,57 @@ def q_histogram_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-immune grouped top-k (two-stage salted ranking): must
+    produce EXACTLY the plain top-k — the oracle is the unsalted SQL.
+    A hot key's rows spread over 32 salt buckets in stage 1; stage 2
+    ranks the ≤ k·buckets survivors."""
+    from matdb_spark.operators.skew import salted_top_k_per_group
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = salted_top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", "o_totalprice", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / rank-with-gaps over order totals per
+    priority class."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic surface: datediff, months_between,
+    date_add, last_day, truncation — per order against a fixed anchor."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    anchor = F.lit("1995-06-15").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.datediff(d, anchor).cast("long").alias("days_since"),
+        F.round(F.months_between(d, anchor), 6).alias("months_since"),
+        F.date_add(d, 30).cast("timestamp").alias("due_date"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.trunc(d, "quarter").cast("timestamp").alias("quarter_start"),
+    )
+
+
 def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions (filter/exists/forall/slice/sort/
     aggregate) over embeddings — all codegen, no Python."""
@@ -1667,6 +1718,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_histogram_bucket": q_histogram_bucket,
         "q_first_last_window": q_first_last_window,
         "q_array_hof": q_array_hof,
+        "q_salted_topk": q_salted_topk,
+        "q_percent_rank_cume": q_percent_rank_cume,
+        "q_date_arithmetic": q_date_arithmetic,
     }
 
 
@@ -2552,6 +2606,35 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_sum(v[1:8]), 6) AS head_sum,
                    ROUND(list_sort(v)[1], 6) AS sorted_first
             FROM e
+        """,
+        "q_salted_topk": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+                FROM orders) WHERE rank <= 3
+        """,
+        "q_percent_rank_cume": """
+            SELECT o_orderpriority, o_orderkey,
+                   CAST(RANK() OVER w AS BIGINT) AS rnk,
+                   ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+                   ROUND(CUME_DIST() OVER w, 6) AS cume
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        """,
+        "q_date_arithmetic": """
+            -- months_since mirrors Spark months_between exactly: whole
+            -- month delta + (day - anchor_day)/31.0 (anchor isn't a
+            -- month-end, so Spark's both-last-day special case never
+            -- fires; timestamps carry no time-of-day here)
+            SELECT o_orderkey,
+                   CAST(datediff('day', DATE '1995-06-15', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+                   ROUND((year(o_orderdate) - 1995) * 12
+                         + (month(o_orderdate) - 6)
+                         + (day(o_orderdate) - 15) / 31.0, 6) AS months_since,
+                   CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_date,
+                   CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+                   CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start
+            FROM orders
         """,
     }
     return {k: v.strip() for k, v in qs.items()}
