@@ -96,6 +96,31 @@ class Database:
         manifest.release_txn_reservation(self.path, txn_id)
         self.next_txn_id = max(self.next_txn_id, txn_id + 1)
 
+    # ---- schema evolution ------------------------------------------
+    def add_value_column(self, name: str, type: str = "long") -> None:
+        """Grow the VALUE set (additive schema evolution — the one
+        evolution the storage layout supports without rewrite).
+        Existing segments simply lack the column; scans of an evolved
+        store merge parquet footers and read it as null, so history
+        stays fully queryable. Dimensions cannot change: they are the
+        physical key (chunk routing, sort, dedup identity).
+
+        New transactions must supply the column (``add_dataframe``
+        selects the full schema); a compaction after evolution rewrites
+        everything to the current schema, clearing the merge cost.
+        """
+        from matdb_spark.schema import Schema as _S, Value as _V
+
+        if name in self.schema.column_names:
+            raise ValueError(f"column {name!r} already exists")
+        new = _S(
+            dimensions=list(self.schema.dimensions),
+            values=list(self.schema.values) + [_V(name, type)],
+            epoch=self.schema.epoch + 1,
+        )
+        new.save(os.path.join(self.path, SCHEMA_FILENAME))
+        self.schema = new
+
     # ---- maintenance ------------------------------------------------
     def compact(self) -> int | None:
         """Rewrite the current snapshot as ONE new transaction that

@@ -155,21 +155,32 @@ def scan_dataframe(
         read_txns.append(source.own_txn)
     if read_txns:
         dirs = [manifest.txn_data_dir(source.db_path, t) for t in read_txns]
-        df = (
-            spark.read.option("basePath", manifest.data_dir(source.db_path))
-            .parquet(*dirs)
-        )
+        reader = spark.read.option("basePath", manifest.data_dir(source.db_path))
+        if schema.epoch:
+            # Evolved store: segments predating a value column lack it;
+            # footer merge unifies the file schemas (additive only).
+            # Epoch-gated because merging footers costs a listing pass
+            # a never-evolved store shouldn't pay.
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*dirs)
         # Prune BEFORE projecting away the __chunk_* partition columns.
         for cond in _range_filters(schema, bounds or {}, with_chunks=True):
             df = df.filter(cond)
         if predicate is not None:
             df = df.filter(predicate)
         # Partition dirs contribute txn=<t>, seg=<s>, __chunk_* columns.
+        # A value column absent from EVERY read file (evolved, not yet
+        # written anywhere in this snapshot) backfills as typed null.
+        present = set(df.columns)
+        vtypes = {f.name: f.dataType for f in schema.spark_schema().fields}
         df = df.select(
             F.col("txn").cast("long").alias(TXN_COL),
             F.col(SEQ_COL),
             *[F.col(c) for c in dims],
-            *[F.col(c) for c in vals],
+            *[
+                F.col(c) if c in present else F.lit(None).cast(vtypes[c]).alias(c)
+                for c in vals
+            ],
         )
         parts.append(df)
 

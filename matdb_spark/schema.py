@@ -90,14 +90,22 @@ class Value:
 
 @dataclass
 class Schema:
-    """Immutable-after-create table schema (reference README.md:131).
+    """Table schema, persisted as ``schema.json`` in the database
+    directory, mirroring the reference (src/schema.rs:40-55,
+    src/storage.rs:21).
 
-    Persisted as ``schema.json`` in the database directory, mirroring
-    the reference (src/schema.rs:40-55, src/storage.rs:21).
+    The reference's schema is immutable after create (README.md:131);
+    here the VALUE set may grow (``Database.add_value_column``) —
+    ``epoch`` counts evolutions, and any epoch > 0 makes scans merge
+    parquet footers so segments written before the new column existed
+    read it as null. Dimensions stay immutable: they are the physical
+    key (chunk routing, sort order, dedup identity) — changing them
+    means rewriting the store.
     """
 
     dimensions: list[Dimension] = field(default_factory=list)
     values: list[Value] = field(default_factory=list)
+    epoch: int = 0
 
     def __post_init__(self) -> None:
         names = [d.name for d in self.dimensions] + [v.name for v in self.values]
@@ -170,6 +178,7 @@ class Schema:
                     for d in self.dimensions
                 ],
                 "values": [{"name": v.name, "type": v.type} for v in self.values],
+                "epoch": self.epoch,
             },
             indent=2,
         )
@@ -180,6 +189,7 @@ class Schema:
         return cls(
             dimensions=[Dimension(**d) for d in obj["dimensions"]],
             values=[Value(**v) for v in obj["values"]],
+            epoch=obj.get("epoch", 0),
         )
 
     def save(self, path: str) -> None:

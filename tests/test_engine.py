@@ -437,3 +437,43 @@ def test_vacuum_retention_window(spark, tmp_db_path):
     # immediate vacuum removes them
     assert db.vacuum() == [1, 2]
     assert db.snapshot().count() == 2
+
+
+def test_add_value_column_evolution(spark, tmp_db_path):
+    db = Database.create(
+        spark,
+        os.path.join(tmp_db_path, "evo"),
+        Schema(dimensions=[Dimension("k", 100)], values=[Value("v")]),
+    )
+    with db.begin() as t1:
+        t1.add_dataframe(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+        t1.commit()
+
+    db.add_value_column("w", "double")
+    with pytest.raises(ValueError):
+        db.add_value_column("v")
+
+    # history (pre-evolution segments) reads the new column as null
+    rows = {r.k: (r.v, r.w) for r in db.snapshot().collect()}
+    assert rows == {1: (10, None), 2: (20, None)}
+
+    # new writes carry it; upsert replaces the whole row (newest wins)
+    with db.begin() as t2:
+        t2.add_dataframe(
+            spark.createDataFrame([(2, 22, 2.5), (3, 30, 3.5)], "k long, v long, w double")
+        )
+        t2.commit()
+    rows = {r.k: (r.v, r.w) for r in db.snapshot().collect()}
+    assert rows == {1: (10, None), 2: (22, 2.5), 3: (30, 3.5)}
+
+    # reopen sees the evolved schema; compaction rewrites history to it
+    db2 = Database.open(spark, db.path)
+    assert [v.name for v in db2.schema.values] == ["v", "w"]
+    assert db2.schema.epoch == 1
+    db2.compact()
+    db2.vacuum()
+    rows = {r.k: (r.v, r.w) for r in db2.snapshot().collect()}
+    assert rows == {1: (10, None), 2: (22, 2.5), 3: (30, 3.5)}
+    # point + range paths work on the evolved store
+    assert db2.begin().query_range({"k": (2, 3)}).count() == 2
+    assert db2.begin().query_points([(3,)]).collect()[0].w == 3.5
