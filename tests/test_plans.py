@@ -145,3 +145,53 @@ def test_gate_queries_stay_jvm_side(spark):
             assert "EvalPython" not in plan and "InPandas" not in plan, (
                 f"{name} unexpectedly leaves the JVM"
             )
+
+
+def test_stats_pruning_skips_txn_dirs(spark, tmp_path_factory):
+    """Tier-0 pruning: a bounded scan's file set must come only from
+    transactions whose manifest stats intersect the bounds."""
+    base = str(tmp_path_factory.mktemp("statsprune"))
+    db = Database.create(
+        spark, os.path.join(base, "db"),
+        Schema(dimensions=[Dimension("k", 100)], values=[Value("v")]),
+    )
+    for lo in (0, 10_000):
+        with db.begin() as t:
+            t.add_dataframe(
+                spark.createDataFrame([(lo + i, i) for i in range(500)], "k long, v long")
+            )
+            t.commit()
+    df = db.begin().query_range({"k": (10_100, 10_200)}, ordered=False)
+    files = df.inputFiles()
+    assert files and all("txn=2" in f for f in files), files
+
+
+def test_adapted_tpch_plans(spark):
+    """The round-2 TPC-H shapes keep the plan discipline: dims arrive
+    by broadcast; the salted top-k has no extra full-data shuffle
+    beyond its two ranking stages."""
+    import __spark_entry__ as e
+
+    q02 = e.q02_min_cost_supplier(spark, SF)
+    assert broadcast_join_count(q02) >= 4  # part, supplier, nation, region
+    q21 = e.q21_waiting_suppliers(spark, SF)
+    assert broadcast_join_count(q21) >= 1  # supplier
+    q16 = e.q16_supplier_count(spark, SF)
+    assert broadcast_join_count(q16) >= 2  # part + bad-supplier anti join
+    q20 = e.q20_excess_shippers(spark, SF)
+    assert broadcast_join_count(q20) >= 3  # part, supplier, nation, per-part totals
+
+
+def test_point_lookup_pushdown(spark, tmp_path_factory):
+    """query_points' key-set predicate must reach the parquet scan."""
+    base = str(tmp_path_factory.mktemp("ptplan"))
+    db = Database.create(
+        spark, os.path.join(base, "db"),
+        Schema(dimensions=[Dimension("k", 100)], values=[Value("v")]),
+    )
+    with db.begin() as t:
+        t.add_dataframe(spark.createDataFrame([(i, i) for i in range(1000)], "k long, v long"))
+        t.commit()
+    df = db.begin().query_points([(5,), (505,)], ordered=False)
+    pf = " ".join(pushed_filters(df))
+    assert "In(k" in pf.replace(" ", "") or "EqualTo(k" in pf.replace(" ", ""), pf
