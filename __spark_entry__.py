@@ -1542,6 +1542,33 @@ def q_histogram_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (lateral table function) — the one UDF shape the
+    suite didn't exercise yet (scalar pandas_udf, mapInPandas,
+    applyInPandas, applyInPandasWithState are all gated elsewhere).
+    Tokenizes a bounded doc subset; equivalent to explode(split(...)),
+    which is exactly what the oracle states. UDTFs are the Python
+    escape hatch for 1→N row logic no built-in generator expresses —
+    a real pipeline would reach for it for sentence segmentation or
+    format-specific record splitting."""
+    from pyspark.sql.functions import udtf
+
+    class _SplitWords:
+        def eval(self, doc_id, text):
+            for i, w in enumerate(text.split(" ")):
+                yield doc_id, i, w
+
+    split_words = udtf(_SplitWords, returnType="doc_id: bigint, idx: int, sentence: string")
+    spark.udtf.register("gate_split_words", split_words)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs.createOrReplaceTempView("gate_udtf_docs")
+    out = spark.sql(
+        "SELECT s.doc_id, s.idx, s.sentence "
+        "FROM gate_udtf_docs d, LATERAL gate_split_words(d.doc_id, d.text) s"
+    )
+    return out.select("doc_id", F.col("idx").cast("long").alias("idx"), "sentence")
+
+
 def q_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-immune grouped top-k (two-stage salted ranking): must
     produce EXACTLY the plain top-k — the oracle is the unsalted SQL.
@@ -1718,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_histogram_bucket": q_histogram_bucket,
         "q_first_last_window": q_first_last_window,
         "q_array_hof": q_array_hof,
+        "q_udtf_split": q_udtf_split,
         "q_salted_topk": q_salted_topk,
         "q_percent_rank_cume": q_percent_rank_cume,
         "q_date_arithmetic": q_date_arithmetic,
@@ -2606,6 +2634,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_sum(v[1:8]), 6) AS head_sum,
                    ROUND(list_sort(v)[1], 6) AS sorted_first
             FROM e
+        """,
+        "q_udtf_split": """
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, w[i] AS sentence
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents WHERE doc_id < 100),
+                 unnest(range(1, len(w) + 1)) AS u(i)
         """,
         "q_salted_topk": """
             SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
