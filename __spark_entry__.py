@@ -1558,7 +1558,11 @@ def q_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, w in enumerate(text.split(" ")):
                 yield doc_id, i, w
 
-    split_words = udtf(_SplitWords, returnType="doc_id: bigint, idx: int, sentence: string")
+    split_words = udtf(
+        _SplitWords,
+        returnType="doc_id: bigint, idx: int, sentence: string",
+        useArrow=True,
+    )
     spark.udtf.register("gate_split_words", split_words)
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     docs.createOrReplaceTempView("gate_udtf_docs")

@@ -131,6 +131,7 @@ def test_gate_queries_stay_jvm_side(spark):
         "q_multimodal_frames",
         "q_stream_stateful_sessions",
         "q_groupmap_rank",
+        "q_udtf_split",
     }
     # these execute work at build time (engine/stream pipelines) —
     # their plan checks are covered by their own tests
