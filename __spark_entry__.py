@@ -1657,6 +1657,163 @@ def q_first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward —
+    THE missing-reading repair for the reference's sensor-log use case
+    (key-dense grids with holes): hourly per-user averages, densified
+    to a full hour grid (sequence+explode) and LOCF-filled with an
+    ignore-nulls running window. Decimal sums make the hourly average
+    bit-reproducible at any parallelism."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    base = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("v")
+    )
+    bounds = base.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        "user_id", F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
+    )
+    joined = grid.join(base, ["user_id", "h"], "left")
+    w = W.partitionBy("user_id").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    return joined.select(
+        "user_id",
+        "h",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v").isNull().alias("was_gap"),
+    )
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (bounded subset) — the
+    classical text-relevance scoring pipeline as one Catalyst plan:
+    tokenize (split/explode), term frequencies, document frequencies,
+    idf join (broadcast — the term dictionary is small), ranked on the
+    ROUNDED score with a term tiebreak for exact cross-engine parity."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.lower(F.col("text")).alias("t"))
+    )
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.col("t"), "[^a-z0-9]+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(n_docs))
+    scored = scored.withColumn(
+        "tfidf", F.round(F.col("tf") * F.log(F.col("__n") / F.col("df")), 6)
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
+
+
+def q_regr_linfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ship-year least-squares fit of extendedprice against
+    quantity (slope / intercept / R²) from exact decimal power sums —
+    same reproducibility argument as q_stats_moments: the built-in
+    one-pass regr_* accumulators merge in nondeterministic float order,
+    decimal partials are exact at any cluster size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = _dec("l_quantity")
+    y = _dec("l_extendedprice")
+    g = li.groupBy(F.year("l_shipdate").cast("long").alias("y_ship")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("__sx"),
+        F.sum(y).cast("double").alias("__sy"),
+        F.sum((x * x).cast("decimal(38,4)")).cast("double").alias("__sxx"),
+        F.sum((y * y).cast("decimal(38,4)")).cast("double").alias("__syy"),
+        F.sum((x * y).cast("decimal(38,4)")).cast("double").alias("__sxy"),
+    )
+    n = F.col("n")
+    cxx = F.col("__sxx") - F.col("__sx") * (F.col("__sx") / n)
+    cyy = F.col("__syy") - F.col("__sy") * (F.col("__sy") / n)
+    cxy = F.col("__sxy") - F.col("__sx") * (F.col("__sy") / n)
+    slope = cxy / cxx
+    return g.select(
+        "y_ship",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(F.col("__sy") / n - slope * (F.col("__sx") / n), 6).alias("intercept"),
+        F.round(cxy * cxy / (cxx * cyy), 6).alias("r2"),
+    )
+
+
+def q_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles of order value within each priority class, then
+    per-bucket envelope stats — the standard equi-depth binning shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    t = orders.select("o_orderpriority", "o_totalprice", "o_orderkey").withColumn(
+        "quartile", F.ntile(4).over(w).cast("long")
+    )
+    return t.groupBy("o_orderpriority", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+def q_minmax_by_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax aggregation) + ordered LISTAGG per market
+    segment. The ordering value is made unique (cents · 10^7 + custkey)
+    so argmax ties and the listagg order are deterministic in BOTH
+    engines."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 1000)
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    cust = cust.withColumn("__ord", cents * F.lit(10_000_000) + F.col("c_custkey"))
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max_by("c_name", F.col("__ord")).alias("richest"),
+        F.min_by("c_name", F.col("__ord")).alias("poorest"),
+        F.expr("listagg(c_name, '|') within group (order by __ord desc)").alias(
+            "names_by_wealth"
+        ),
+    )
+
+
+def q_mvcc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed (CDC) through the gate: Database.changes() over the
+    shared two-txn store returns exactly txn 2's net writes (the
+    upserted tenth of events), each tagged with the writing txn and
+    change type. Reads ONLY the window's segments — cost tracks change
+    volume, not table size (the Delta-CDF-shaped incremental read)."""
+    from matdb_spark import Dimension, Schema, Value
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    db_path = os.path.join(SCRATCH, f"gate_mvcc_{tag}")
+    schema = Schema(
+        dimensions=[Dimension("user_id", 1000), Dimension("event_id", 100_000)],
+        values=[Value("value", type="double")],
+    )
+
+    def build(db):  # same recipe as q_mvcc_scan (shared cached store)
+        ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+        t1 = db.begin()
+        t1.add_dataframe(ev)
+        t1.commit()
+        t2 = db.begin()
+        t2.add_dataframe(
+            ev.filter(F.col("event_id") % 10 == 0).withColumn("value", F.col("value") + 1000)
+        )
+        t2.commit()
+
+    db = _cached_mvcc_db(spark, db_path, schema, build)
+    out = db.changes(since=1)
+    return out.select("user_id", "event_id", "value", F.col("__txn"), "change_type")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1753,6 +1910,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salted_topk": q_salted_topk,
         "q_percent_rank_cume": q_percent_rank_cume,
         "q_date_arithmetic": q_date_arithmetic,
+        "q_gap_fill_locf": q_gap_fill_locf,
+        "q_tfidf_topterms": q_tfidf_topterms,
+        "q_regr_linfit": q_regr_linfit,
+        "q_ntile_buckets": q_ntile_buckets,
+        "q_minmax_by_listagg": q_minmax_by_listagg,
+        "q_mvcc_changes": q_mvcc_changes,
     }
 
 
@@ -2673,6 +2836,101 @@ def oracle_sql() -> dict[str, str]:
                    CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
                    CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start
             FROM orders
+        """,
+        "q_gap_fill_locf": """
+            WITH base AS (
+                SELECT user_id, date_trunc('hour', ts) AS h,
+                       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS v
+                FROM events WHERE user_id < 20
+                GROUP BY 1, 2
+            ),
+            bounds AS (
+                SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM base GROUP BY 1
+            ),
+            grid AS (
+                SELECT b.user_id, g.h
+                FROM bounds b,
+                     LATERAL (SELECT unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h) g
+            ),
+            joined AS (
+                SELECT g.user_id, g.h, base.v
+                FROM grid g LEFT JOIN base ON base.user_id = g.user_id AND base.h = g.h
+            )
+            SELECT user_id, h,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+                   (v IS NULL) AS was_gap
+            FROM joined
+        """,
+        "q_tfidf_topterms": """
+            WITH docs AS (
+                SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 200
+            ),
+            tokens AS (
+                SELECT doc_id, unnest(string_split_regex(t, '[^a-z0-9]+')) AS term FROM docs
+            ),
+            tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM tokens WHERE term <> '' GROUP BY 1, 2
+            ),
+            dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+            scored AS (
+                SELECT tf.doc_id, tf.term,
+                       ROUND(tf.tf * ln((SELECT COUNT(*) FROM docs) / dfreq.df), 6) AS tfidf
+                FROM tf JOIN dfreq USING (term)
+            )
+            SELECT doc_id, term, tfidf, rk FROM (
+                SELECT doc_id, term, tfidf,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY tfidf DESC, term) AS rk
+                FROM scored)
+            WHERE rk <= 3
+        """,
+        "q_regr_linfit": """
+            WITH g AS (
+                SELECT CAST(year(l_shipdate) AS BIGINT) AS y_ship,
+                       COUNT(*) AS n,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+                       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+                       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+                FROM lineitem GROUP BY 1
+            )
+            SELECT y_ship, n,
+                   ROUND((sxy - sx * (sy / n)) / (sxx - sx * (sx / n)), 6) AS slope,
+                   ROUND(sy / n - ((sxy - sx * (sy / n)) / (sxx - sx * (sx / n))) * (sx / n), 6) AS intercept,
+                   ROUND((sxy - sx * (sy / n)) * (sxy - sx * (sy / n))
+                         / ((sxx - sx * (sx / n)) * (syy - sy * (sy / n))), 6) AS r2
+            FROM g
+        """,
+        "q_ntile_buckets": """
+            SELECT o_orderpriority, quartile, COUNT(*) AS n,
+                   MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+            FROM (
+                SELECT o_orderpriority, o_totalprice,
+                       CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+                                           ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+                FROM orders)
+            GROUP BY 1, 2
+        """,
+        "q_minmax_by_listagg": """
+            WITH c AS (
+                SELECT c_mktsegment, c_name,
+                       CAST(ROUND(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey AS ord
+                FROM customer WHERE c_custkey < 1000
+            )
+            SELECT c_mktsegment, COUNT(*) AS n,
+                   arg_max(c_name, ord) AS richest,
+                   arg_min(c_name, ord) AS poorest,
+                   string_agg(c_name, '|' ORDER BY ord DESC) AS names_by_wealth
+            FROM c GROUP BY 1
+        """,
+        "q_mvcc_changes": """
+            SELECT user_id, event_id, value + 1000 AS value,
+                   CAST(2 AS BIGINT) AS __txn,
+                   'upsert' AS change_type
+            FROM events WHERE event_id % 10 = 0
         """,
     }
     return {k: v.strip() for k, v in qs.items()}

@@ -1,0 +1,94 @@
+"""Change feed (CDC) tests: Database.changes(since, until).
+
+The feed is the net-write log of a txn window — for every key written
+in (since, until], its newest version in the window, tagged 'upsert'
+or 'delete'. Reads only the window's segments (manifest-pruned), so
+the cost tracks the change volume, not the table size.
+"""
+
+import os
+
+from matdb_spark import Database, Dimension, Schema, Value
+
+
+def _schema():
+    return Schema(
+        dimensions=[Dimension("k", 10)],
+        values=[Value("v")],
+    )
+
+
+def _mk(spark, tmp_db_path, name):
+    return Database.create(spark, os.path.join(tmp_db_path, name), _schema())
+
+
+def _commit(db, rows):
+    t = db.begin()
+    for r in rows:
+        t.add_row(r)
+    t.commit()
+    return t.txn_id
+
+
+def test_changes_window_and_net_effect(spark, tmp_db_path):
+    db = _mk(spark, tmp_db_path, "cdc")
+    t1 = _commit(db, [[1, 10], [2, 20], [3, 30]])
+    t2 = _commit(db, [[2, 21], [4, 40]])
+    t3 = _commit(db, [[2, 22], [5, 50]])
+
+    # full window: net effect — key 2 appears ONCE with its t3 value
+    rows = {r["k"]: r for r in db.changes(since=0).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    assert rows[2]["v"] == 22 and rows[2]["__txn"] == t3
+    assert all(r["change_type"] == "upsert" for r in rows.values())
+
+    # partial window (t1, t3]: keys written by t2/t3 only
+    rows = {r["k"]: r for r in db.changes(since=t1).collect()}
+    assert set(rows) == {2, 4, 5}
+    assert rows[2]["v"] == 22
+
+    # bounded window (t1, t2]: t3's writes invisible
+    rows = {r["k"]: r for r in db.changes(since=t1, until=t2).collect()}
+    assert set(rows) == {2, 4}
+    assert rows[2]["v"] == 21 and rows[2]["__txn"] == t2
+
+    # empty window
+    assert db.changes(since=t3).count() == 0
+
+
+def test_changes_reports_deletes(spark, tmp_db_path):
+    db = _mk(spark, tmp_db_path, "cdc_del")
+    t1 = _commit(db, [[1, 10], [2, 20]])
+    t2 = db.begin()
+    t2.delete_row([1])
+    t2.add_row([3, 30])
+    t2.commit()
+
+    rows = {r["k"]: r for r in db.changes(since=t1).collect()}
+    assert rows[1]["change_type"] == "delete" and rows[1]["v"] is None
+    assert rows[3]["change_type"] == "upsert" and rows[3]["v"] == 30
+    # the snapshot itself no longer has key 1
+    assert {r["k"] for r in db.snapshot().collect()} == {2, 3}
+
+
+def test_changes_excludes_compactions_by_default(spark, tmp_db_path):
+    db = _mk(spark, tmp_db_path, "cdc_compact")
+    _commit(db, [[1, 10]])
+    t2 = _commit(db, [[2, 20]])
+    c = db.compact()
+    assert c is not None
+
+    # the compaction rewrote keys 1..2 but changed nothing logically
+    assert db.changes(since=t2).count() == 0
+    # opting in sees the physical rewrite
+    phys = {r["k"] for r in db.changes(since=t2, include_compactions=True).collect()}
+    assert phys == {1, 2}
+
+
+def test_changes_validates_window(spark, tmp_db_path):
+    db = _mk(spark, tmp_db_path, "cdc_bad")
+    _commit(db, [[1, 10]])
+    import pytest
+
+    with pytest.raises(ValueError):
+        db.changes(since=5, until=2)
