@@ -122,7 +122,7 @@ class Database:
         self.schema = new
 
     # ---- maintenance ------------------------------------------------
-    def compact(self) -> int | None:
+    def compact(self, cluster: str = "sort") -> int | None:
         """Rewrite the current snapshot as ONE new transaction that
         supersedes every visible txn (manifest ``replaces`` list).
 
@@ -139,15 +139,29 @@ class Database:
         is greater than everything it replaces and smaller than any
         future txn. Returns the compaction txn id (None if <2 visible
         txns — nothing to fold).
+
+        ``cluster`` picks the rewrite layout: ``"sort"`` (default) is
+        the lexicographic key order the reference's merge scan implies;
+        ``"zorder"`` interleaves all dimensions' bits (matdb_spark.
+        zorder) so parquet row-group stats become selective for EVERY
+        dim, not just the leading one — the right layout when range
+        queries hit non-leading dims. Layout only: results identical.
         """
         from matdb_spark import manifest as m
 
+        if cluster not in ("sort", "zorder"):
+            raise ValueError(f"cluster={cluster!r}; expected 'sort' or 'zorder'")
         visible = m.visible_txn_ids(self.path, self.next_txn_id)
         if len(visible) < 2:
             return None
         snap = self.begin().query(ordered=False)
+        cluster_by = None
+        if cluster == "zorder":
+            from matdb_spark.zorder import zorder_key
+
+            cluster_by = [zorder_key(snap, self.schema)]
         txn = self.begin()
-        txn.add_dataframe(snap)
+        txn.add_dataframe(snap, cluster_by=cluster_by)
         txn.commit(replaces=visible)
         return txn.txn_id
 

@@ -87,20 +87,25 @@ class Transaction:
         for k in keys:
             self.delete_row(k)
 
-    def add_dataframe(self, df: DataFrame) -> None:
+    def add_dataframe(self, df: DataFrame, cluster_by: list | None = None) -> None:
         """Bulk upsert of a distributed DataFrame (the 100 TB path).
 
         The frame must contain the schema's dimension and value columns.
         All rows in one call share a write sequence: duplicate keys
         *within* the call resolve arbitrarily (a distributed batch has
         no insertion order); across calls, later calls win.
+
+        ``cluster_by`` overrides the within-partition sort order of the
+        written segment (layout only — scan semantics are unaffected):
+        a list of Columns/names, e.g. a z-order key from
+        ``matdb_spark.zorder`` for multi-dim stats locality.
         """
         self._check_writable()
         self._seq += 1
         stamped = df.select(
             *self.schema.column_names, F.lit(self._seq).alias(SEQ_COL)
         )
-        self._write_segment(stamped)
+        self._write_segment(stamped, cluster_by=cluster_by)
 
     def merge_dataframe(
         self,
@@ -162,7 +167,7 @@ class Transaction:
             self.txn_id = self.db.allocate_txn_id()
         return self.txn_id
 
-    def _write_segment(self, stamped: DataFrame) -> None:
+    def _write_segment(self, stamped: DataFrame, cluster_by: list | None = None) -> None:
         """Write one segment (reference: one file per flush,
         segment.rs:30-46). Layout discipline = the engine's physical
         strategy at scale:
@@ -191,8 +196,21 @@ class Transaction:
         ] + [F.col(SEQ_COL).cast("long").alias(SEQ_COL)]
         out = _chunked(stamped.select(*canon), schema)
         chunk_cols = schema.chunk_cols
-        sort_cols = chunk_cols + schema.dim_names
-        if chunk_cols:
+        # cluster_by replaces the key sort (e.g. z-order interleave) —
+        # a layout choice; chunk routing always stays outermost so
+        # partition pruning is unaffected.
+        sort_cols = chunk_cols + list(cluster_by or schema.dim_names)
+        if cluster_by is not None:
+            # Clustered rewrite: RANGE-partition on (chunks, cluster
+            # key) so the clustering is GLOBAL — every task (hence
+            # every file) owns a contiguous cluster-key range. A hash
+            # repartition would scatter the key space across tasks and
+            # cap locality at the file-interior level. (This is the
+            # public OPTIMIZE ZORDER shape: range partition + sort.)
+            ncols = [F.col(c) if isinstance(c, str) else c for c in sort_cols]
+            nparts = int(out.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+            out = out.repartitionByRange(nparts, *ncols)
+        elif chunk_cols:
             out = out.repartition(*[F.col(c) for c in chunk_cols])
         out = out.sortWithinPartitions(*sort_cols)
         writer = out.write.mode("error")

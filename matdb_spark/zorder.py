@@ -1,0 +1,91 @@
+"""Z-order (Morton) clustering for multi-dimensional key locality.
+
+The reference clusters rows by chunk routing only (src/schema.rs:28-38):
+within a chunk, rows are laid out in lexicographic key order, so zone
+maps (src/block.rs:210-232) are selective for the LEADING dimension and
+nearly useless for the others — a range query on dim 2 must touch every
+block. Z-ordering interleaves the bits of all dimensions into one sort
+key, so consecutive rows form small hyper-rectangles in key space and
+parquet row-group min/max stats become selective for EVERY dimension
+(the Delta Lake / Databricks OPTIMIZE ZORDER design, public behavior).
+
+Everything is JVM-side integer arithmetic (shift/and/or inside
+whole-stage codegen): bucketize each dimension to ``bits`` bits using
+its global min/max, then interleave bucket bits round-robin. Used by
+``Database.compact(cluster="zorder")`` — a layout-only change: scan
+semantics and results are identical, only row order inside segments
+(and therefore stats tightness) differs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from matdb_spark.schema import Schema
+
+#: bits per dimension in the interleaved key (16 → 65536 buckets/dim;
+#: finer adds no selectivity once buckets are smaller than a row group)
+DEFAULT_BITS = 16
+
+_INTEGRAL = {"long", "int"}
+
+
+def zorder_bucket(name: str, lo: int, hi: int, bits: int = DEFAULT_BITS) -> Column:
+    """Map values in [lo, hi] to integer buckets in [0, 2^bits).
+
+    Exact integer ``div`` (not double division — inexact above 2^53),
+    and ``step`` is computed div-first so nothing can overflow a long
+    for any key domain. ``col - lo >= 0`` makes div == floor-div."""
+    span = hi - lo
+    step = (span // (1 << bits)) + 1
+    return F.expr(f"(CAST(`{name}` AS BIGINT) - ({lo})) div {step}")
+
+
+def interleave_bits(buckets: list[Column], bits: int = DEFAULT_BITS) -> Column:
+    """Morton-interleave: bit b of bucket i lands at position
+    b * n_dims + i. Pure shift/and/or — stays in codegen."""
+    n = len(buckets)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(buckets):
+            bit = F.shiftright(c, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
+def morton_py(vals: list[int], bits: int = DEFAULT_BITS) -> int:
+    """Python reference of interleave_bits (for tests)."""
+    z = 0
+    for b in range(bits):
+        for i, v in enumerate(vals):
+            z |= ((v >> b) & 1) << (b * len(vals) + i)
+    return z
+
+
+def zorder_key(
+    df: DataFrame, schema: Schema, bits: int = DEFAULT_BITS
+) -> Column:
+    """Build the z-order sort key for ``df``'s dimension columns.
+
+    Bounds come from one min/max aggregation over the input (during
+    compaction that input is the snapshot being rewritten — one cheap
+    metadata-light job next to the rewrite itself). Requires >= 2
+    integral dims — with one dimension the lexicographic sort is
+    already optimal and z-ordering is a no-op by definition."""
+    dims = [d for d in schema.dimensions]
+    bad = [d.name for d in dims if d.type not in _INTEGRAL]
+    if bad:
+        raise ValueError(f"zorder requires integral dims; non-integral: {bad}")
+    if len(dims) < 2:
+        raise ValueError("zorder needs >= 2 dimensions (1-D order is already optimal)")
+    aggs = []
+    for d in dims:
+        aggs += [F.min(d.name).alias(f"__lo_{d.name}"), F.max(d.name).alias(f"__hi_{d.name}")]
+    row = df.agg(*aggs).first()
+    buckets = []
+    for d in dims:
+        lo, hi = row[f"__lo_{d.name}"], row[f"__hi_{d.name}"]
+        if lo is None:  # empty input: constant key
+            return F.lit(0).cast("long")
+        buckets.append(zorder_bucket(d.name, int(lo), int(hi), bits))
+    return interleave_bits(buckets, bits)
