@@ -849,6 +849,38 @@ def q_mvcc_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return db.begin().query_range({"user_id": (25, 74)}, ordered=True)
 
 
+def q_zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range scan over a Z-ORDER compacted store, bounded on the
+    NON-leading dimension — the case lexicographic layout cannot prune
+    (every file spans the full event_id range) and Morton-interleaved
+    layout can (files own small key-space tiles, so parquet min/max
+    stats skip most of them). Results are layout-independent; the
+    oracle is the same CASE expression as any compacted upsert."""
+    from matdb_spark import Dimension, Schema, Value
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    db_path = os.path.join(SCRATCH, f"gate_zorder_{tag}")
+    schema = Schema(
+        dimensions=[Dimension("user_id", 0), Dimension("event_id", 0)],
+        values=[Value("value", type="double")],
+    )
+
+    def build(db):
+        ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+        t1 = db.begin()
+        t1.add_dataframe(ev)
+        t1.commit()
+        t2 = db.begin()
+        t2.add_dataframe(
+            ev.filter(F.col("event_id") % 10 == 0).withColumn("value", F.col("value") + 1000)
+        )
+        t2.commit()
+        db.compact(cluster="zorder")
+
+    db = _cached_mvcc_db(spark, db_path, schema, build)
+    return db.begin().query_range({"event_id": (100, 499)}, ordered=True)
+
+
 # ---------------------------------------------------------------------------
 # streaming (Structured Streaming over the events table)
 # ---------------------------------------------------------------------------
@@ -1916,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ntile_buckets": q_ntile_buckets,
         "q_minmax_by_listagg": q_minmax_by_listagg,
         "q_mvcc_changes": q_mvcc_changes,
+        "q_zorder_range_scan": q_zorder_range_scan,
     }
 
 
@@ -2931,6 +2964,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2 AS BIGINT) AS __txn,
                    'upsert' AS change_type
             FROM events WHERE event_id % 10 = 0
+        """,
+        "q_zorder_range_scan": """
+            SELECT user_id, event_id,
+                   CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
+            FROM events
+            WHERE event_id BETWEEN 100 AND 499
         """,
     }
     return {k: v.strip() for k, v in qs.items()}
