@@ -315,6 +315,55 @@ class Database:
             "change_type", F.when(all_null, F.lit("delete")).otherwise(F.lit("upsert"))
         )
 
+    def follow_changes(
+        self,
+        since: int | None = None,
+        poll_interval: float = 1.0,
+        max_empty_polls: int | None = None,
+        include_compactions: bool = False,
+    ):
+        """Tail the change feed: a generator of ``(cursor, DataFrame)``
+        batches, one per poll that found new commits. Each batch is
+        ``changes(cursor_prev, cursor)``; consuming resumes from the
+        returned cursor, so a downstream sync that persists its cursor
+        gets at-least-once delivery with idempotent (net-effect)
+        batches — the polling form of a CDC subscription, built
+        entirely on the manifest listing (no extra state in the store).
+
+        ``since=None`` starts at the current head — captured NOW, at
+        call time (not lazily at first pull), so commits made after
+        subscribing are never missed. ``max_empty_polls`` bounds idle
+        waiting (None = forever); polling is driver-side and costs one
+        directory listing per interval.
+        """
+        import time as _time
+
+        from matdb_spark import manifest as m
+
+        # eager head capture from the manifest listing itself (robust
+        # to concurrent writers this handle has never seen)
+        cursor = (
+            max(m.committed_txn_ids(self.path), default=0) if since is None else since
+        )
+
+        def _tail(cursor: int):
+            empty = 0
+            while max_empty_polls is None or empty < max_empty_polls:
+                newest = max(m.committed_txn_ids(self.path), default=0)
+                if newest > cursor:
+                    df = self.changes(
+                        since=cursor, until=newest, include_compactions=include_compactions
+                    )
+                    yield newest, df
+                    cursor = newest
+                    empty = 0
+                else:
+                    empty += 1
+                    if max_empty_polls is None or empty < max_empty_polls:
+                        _time.sleep(poll_interval)
+
+        return _tail(cursor)
+
     # ---- convenience ------------------------------------------------
     def snapshot(self, as_of: int | None = None):
         """Read-only snapshot DataFrame at the current horizon (or at

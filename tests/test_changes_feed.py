@@ -85,6 +85,34 @@ def test_changes_excludes_compactions_by_default(spark, tmp_db_path):
     assert phys == {1, 2}
 
 
+def test_follow_changes_tails_new_commits(spark, tmp_db_path):
+    db = _mk(spark, tmp_db_path, "cdc_follow")
+    t1 = _commit(db, [[1, 10]])
+
+    # since=0: the first pull delivers the existing commit
+    gen = db.follow_changes(since=0, poll_interval=0.01, max_empty_polls=2)
+    cur, batch = next(gen)
+    assert cur == t1 and {r["k"] for r in batch.collect()} == {1}
+
+    # a commit made between pulls arrives in the next batch
+    t2 = _commit(db, [[2, 20], [1, 11]])
+    cur, batch = next(gen)
+    rows = {r["k"]: r["v"] for r in batch.collect()}
+    assert cur == t2 and rows == {1: 11, 2: 20}
+
+    # no more commits: the generator drains after max_empty_polls
+    import pytest
+
+    with pytest.raises(StopIteration):
+        next(gen)
+
+    # since=None starts at the head — only future commits delivered
+    gen2 = db.follow_changes(poll_interval=0.01, max_empty_polls=1)
+    t3 = _commit(db, [[3, 30]])
+    cur, batch = next(gen2)
+    assert cur == t3 and {r["k"] for r in batch.collect()} == {3}
+
+
 def test_changes_validates_window(spark, tmp_db_path):
     db = _mk(spark, tmp_db_path, "cdc_bad")
     _commit(db, [[1, 10]])
