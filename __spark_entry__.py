@@ -1815,6 +1815,55 @@ def q_minmax_by_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF — the custom-UDAF shape in Python
+    Spark (the 4th and final Pandas-UDF form after scalar, mapInPandas
+    and applyInPandas, all gated elsewhere). Median of integer ids is
+    order-independent and binary-exact (integer or half-integer), so
+    the Arrow-batched aggregation hash-matches the SQL oracle."""
+    from matdb_spark.functions.udaf import count_agg, median_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        median_agg(F.col("user_id")).alias("median_uid"),
+        count_agg(F.col("user_id")).alias("n"),
+    )
+
+
+def q_mvcc_cell_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-level version resolution through the gate: txn 1 writes two
+    value columns, txn 2 partial-upserts ONLY ``value`` for a tenth of
+    the keys — query(cell_merge=True) must take each cell's newest
+    non-null write independently (the reference's in-place cell
+    overwrite, block.rs:45-49), so ``v2`` keeps txn 1's data
+    everywhere. The oracle is a CASE on one column and identity on the
+    other."""
+    from matdb_spark import Dimension, Schema, Value
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    db_path = os.path.join(SCRATCH, f"gate_cellmerge_{tag}")
+    schema = Schema(
+        dimensions=[Dimension("user_id", 1000), Dimension("event_id", 100_000)],
+        values=[Value("value", type="double"), Value("v2", type="double")],
+    )
+
+    def build(db):
+        ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+        t1 = db.begin()
+        t1.add_dataframe(ev.withColumn("v2", F.col("value") + 5.0))
+        t1.commit()
+        t2 = db.begin()
+        t2.add_dataframe(
+            ev.filter(F.col("event_id") % 10 == 0)
+            .select("user_id", "event_id", (F.col("value") + 1000).alias("value")),
+            partial=True,
+        )
+        t2.commit()
+
+    db = _cached_mvcc_db(spark, db_path, schema, build)
+    return db.begin().query(cell_merge=True, ordered=True)
+
+
 def q_mvcc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change feed (CDC) through the gate: Database.changes() over the
     shared two-txn store returns exactly txn 2's net writes (the
@@ -1949,6 +1998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minmax_by_listagg": q_minmax_by_listagg,
         "q_mvcc_changes": q_mvcc_changes,
         "q_zorder_range_scan": q_zorder_range_scan,
+        "q_pandas_udaf": q_pandas_udaf,
+        "q_mvcc_cell_merge": q_mvcc_cell_merge,
     }
 
 
@@ -2970,6 +3021,18 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
             FROM events
             WHERE event_id BETWEEN 100 AND 499
+        """,
+        "q_pandas_udaf": """
+            SELECT event_type,
+                   median(user_id) AS median_uid,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "q_mvcc_cell_merge": """
+            SELECT user_id, event_id,
+                   CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value,
+                   value + 5.0 AS v2
+            FROM events
         """,
     }
     return {k: v.strip() for k, v in qs.items()}

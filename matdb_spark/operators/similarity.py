@@ -256,6 +256,11 @@ def cosine_near_dup_pairs(
     Pairs are only compared within an IVF cell — linear-ish cost; an
     exact variant would cross-join cells' neighbors too."""
     cells = assign_cells(corpus, centroids, id_col, vec_col)  # unit vectors
+    # The self-join consumes the assignment twice (two scan+assign
+    # pipelines). Measured at sf0.1 this is NOT the bottleneck
+    # (materializing via localCheckpoint changed nothing); at a real
+    # corpus scale the persisted-index path (write_ivf_index +
+    # ivf_topk_indexed) is the one that reads the assignment for free.
     a = cells.select(F.col("cell_id"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = cells.select(F.col("cell_id"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     pairs = a.join(b, "cell_id").filter(F.col("id_a") < F.col("id_b"))

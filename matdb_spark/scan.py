@@ -119,6 +119,7 @@ def scan_dataframe(
     drop_null_value_rows: bool = True,
     bounds: dict[str, tuple] | None = None,
     predicate=None,
+    cell_merge: bool = False,
 ) -> DataFrame:
     """Build the snapshot-scan DataFrame for a pinned source set.
 
@@ -217,13 +218,34 @@ def scan_dataframe(
     # aggregation (one shuffle) — cheaper at scale than a row_number
     # window, which cannot partially aggregate.
     version = F.struct(F.col(TXN_COL), F.col(SEQ_COL))
-    payload = F.struct(*[F.col(v) for v in vals], F.col(TXN_COL))
-    winner = F.max_by(payload, version).alias("__w")
-    df = df.groupBy(*[F.col(d) for d in dims]).agg(winner)
-    cols = [F.col(d) for d in dims] + [F.col(f"__w.{v}").alias(v) for v in vals]
-    if include_txn:
-        cols.append(F.col(f"__w.{TXN_COL}").alias(TXN_COL))
-    df = df.select(*cols)
+    if cell_merge:
+        # CELL-level resolution — the reference's actual write model:
+        # add_row overwrites individual value cells in place
+        # (block.rs:45-49), so each value column's newest NON-NULL
+        # write wins independently; a null cell is "no write", not a
+        # value. This is what a partial-column upsert needs. Same
+        # single shuffle (max_by per column, ordering null for null
+        # cells → ignored by the aggregate). Consequence: all-null
+        # tombstones cannot delete under cell merge — deletes need the
+        # default row-level mode.
+        aggs = [
+            F.max_by(F.col(v), F.when(F.col(v).isNotNull(), version)).alias(v)
+            for v in vals
+        ]
+        if include_txn:
+            aggs.append(F.max_by(F.col(TXN_COL), version).alias(TXN_COL))
+        if not aggs:  # key-only schema: plain distinct on dims
+            df = df.select(*[F.col(d) for d in dims]).distinct()
+        else:
+            df = df.groupBy(*[F.col(d) for d in dims]).agg(*aggs)
+    else:
+        payload = F.struct(*[F.col(v) for v in vals], F.col(TXN_COL))
+        winner = F.max_by(payload, version).alias("__w")
+        df = df.groupBy(*[F.col(d) for d in dims]).agg(winner)
+        cols = [F.col(d) for d in dims] + [F.col(f"__w.{v}").alias(v) for v in vals]
+        if include_txn:
+            cols.append(F.col(f"__w.{TXN_COL}").alias(TXN_COL))
+        df = df.select(*cols)
 
     if drop_null_value_rows and vals:
         # Reference scans never emit unset cells (block.rs:277-279):

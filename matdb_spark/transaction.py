@@ -87,7 +87,12 @@ class Transaction:
         for k in keys:
             self.delete_row(k)
 
-    def add_dataframe(self, df: DataFrame, cluster_by: list | None = None) -> None:
+    def add_dataframe(
+        self,
+        df: DataFrame,
+        cluster_by: list | None = None,
+        partial: bool = False,
+    ) -> None:
         """Bulk upsert of a distributed DataFrame (the 100 TB path).
 
         The frame must contain the schema's dimension and value columns.
@@ -99,12 +104,34 @@ class Transaction:
         written segment (layout only — scan semantics are unaffected):
         a list of Columns/names, e.g. a z-order key from
         ``matdb_spark.zorder`` for multi-dim stats locality.
+
+        ``partial=True`` allows the frame to omit value columns (dims
+        are always required); omitted cells are written as null =
+        "no write" under the reference's cell model (add_row touches
+        only the cells it names, block.rs:45-49). Read the store with
+        ``query(cell_merge=True)`` for those semantics — the default
+        row-level scan treats the partial row as the whole new version.
         """
         self._check_writable()
         self._seq += 1
-        stamped = df.select(
-            *self.schema.column_names, F.lit(self._seq).alias(SEQ_COL)
-        )
+        cols = []
+        present = set(df.columns)
+        for name in self.schema.dim_names:
+            if name not in present:
+                raise ValueError(f"missing dimension column {name!r}")
+            cols.append(F.col(name))
+        vtypes = {f.name: f.dataType for f in self.schema.spark_schema().fields}
+        for name in self.schema.value_names:
+            if name in present:
+                cols.append(F.col(name))
+            elif partial:
+                cols.append(F.lit(None).cast(vtypes[name]).alias(name))
+            else:
+                raise ValueError(
+                    f"missing value column {name!r} (pass partial=True to "
+                    "write a partial-column upsert)"
+                )
+        stamped = df.select(*cols, F.lit(self._seq).alias(SEQ_COL))
         self._write_segment(stamped, cluster_by=cluster_by)
 
     def merge_dataframe(
@@ -263,14 +290,26 @@ class Transaction:
         self,
         ordered: bool = True,
         include_txn: bool = False,
+        cell_merge: bool = False,
     ) -> DataFrame:
         """The one query operator (reference: transaction.rs:67-85 →
         scan.rs): every visible row, one version per key, newest wins,
         in ascending key order. Returns a DataFrame — the full Spark
-        analytics surface (joins/aggs/windows/SQL) applies on top."""
+        analytics surface (joins/aggs/windows/SQL) applies on top.
+
+        ``cell_merge=True`` resolves versions per VALUE CELL instead of
+        per row — each column's newest non-null write wins
+        independently, faithfully reproducing the reference's in-place
+        cell overwrite (block.rs:45-49) for partial-column upserts
+        (``add_dataframe(..., partial=True)``). Row-level (default)
+        remains the mode that supports all-null tombstone deletes."""
         self._check_open()
         return scan_dataframe(
-            self.db.spark, self._source(), ordered=ordered, include_txn=include_txn
+            self.db.spark,
+            self._source(),
+            ordered=ordered,
+            include_txn=include_txn,
+            cell_merge=cell_merge,
         )
 
     def query_range(
