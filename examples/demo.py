@@ -70,11 +70,32 @@ def main() -> None:
     db.export_snapshot(path + "_export")
     print("export rows:", spark.read.parquet(path + "_export").count())
 
-    # 8. maintenance: fold small txns, GC superseded segments
+    # 8. change feed (CDC): net writes of a commit window, priced by
+    #    change volume — and a polling subscription over it
+    print("changes since txn 2:")
+    db.changes(since=2).show(5)
+    for cursor, batch in db.follow_changes(since=0, max_empty_polls=1):
+        print(f"follow batch -> cursor {cursor}, rows {batch.count()}")
+
+    # 9. cell-level resolution: partial-column upsert leaves other
+    #    columns' cells intact (the reference's in-place cell writes)
+    db2 = Database.create(spark, path + "_cells", Schema(
+        dimensions=[Dimension("k", 10)], values=[Value("a"), Value("b")],
+    ))
+    tc = db2.begin(); tc.add_row([1, 10, 100]); tc.commit()
+    tc = db2.begin()
+    tc.add_dataframe(spark.createDataFrame([(1, 11)], "k long, a long"), partial=True)
+    tc.commit()
+    print("cell merge:", db2.begin().query(cell_merge=True).collect())
+
+    # 10. maintenance: fold small txns (z-order layout for multi-dim
+    #     pruning), GC superseded segments
     print("stats before compact:", db.stats())
-    db.compact()
+    db.compact(cluster="zorder")
     db.vacuum()
     print("stats after vacuum:  ", db.stats())
+    shutil.rmtree(path + "_cells", ignore_errors=True)
+    shutil.rmtree(path + "_export", ignore_errors=True)
 
 
 if __name__ == "__main__":
