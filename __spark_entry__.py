@@ -1815,6 +1815,37 @@ def q_minmax_by_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-delimited JSON source: documents round-tripped through a
+    JSONL fixture (exact columns only) and aggregated — proving the
+    schema-pinned json read path against the parquet oracle."""
+    from matdb_spark.sources.formats import documents_jsonl_fixture, read_documents_jsonl
+
+    path = documents_jsonl_fixture(spark, sf_dir, SCRATCH)
+    docs = read_documents_jsonl(spark, path)
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("total_chars"),
+        F.max(F.length("text")).cast("long").alias("max_len"),
+    )
+
+
+def q_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source: lineitem subset round-tripped through an ORC fixture
+    (binary doubles — lossless) and aggregated with the suite's
+    decimal-exact discipline."""
+    from matdb_spark.sources.formats import lineitem_orc_fixture, read_lineitem_orc
+
+    path = lineitem_orc_fixture(spark, sf_dir, SCRATCH)
+    li = read_lineitem_orc(spark, path)
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(revenue).cast("double").alias("revenue"),
+    )
+
+
 def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas UDF — the custom-UDAF shape in Python
     Spark (the 4th and final Pandas-UDF form after scalar, mapInPandas
@@ -2000,6 +2031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zorder_range_scan": q_zorder_range_scan,
         "q_pandas_udaf": q_pandas_udaf,
         "q_mvcc_cell_merge": q_mvcc_cell_merge,
+        "q_jsonl_source": q_jsonl_source,
+        "q_orc_source": q_orc_source,
     }
 
 
@@ -3033,6 +3066,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value,
                    value + 5.0 AS v2
             FROM events
+        """,
+        "q_jsonl_source": """
+            SELECT lang, source, COUNT(*) AS n,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   CAST(MAX(len(text)) AS BIGINT) AS max_len
+            FROM documents GROUP BY 1, 2
+        """,
+        "q_orc_source": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+            FROM lineitem GROUP BY 1
         """,
     }
     return {k: v.strip() for k, v in qs.items()}
