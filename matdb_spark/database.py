@@ -122,7 +122,7 @@ class Database:
         self.schema = new
 
     # ---- maintenance ------------------------------------------------
-    def compact(self, cluster: str = "sort") -> int | None:
+    def compact(self, cluster: str = "sort", resolution: str = "row") -> int | None:
         """Rewrite the current snapshot as ONE new transaction that
         supersedes every visible txn (manifest ``replaces`` list).
 
@@ -145,25 +145,62 @@ class Database:
         ``"zorder"`` interleaves all dimensions' bits (matdb_spark.
         zorder) so parquet row-group stats become selective for EVERY
         dim, not just the leading one — the right layout when range
-        queries hit non-leading dims. Layout only: results identical.
+        queries hit non-leading dims. Layout only for the chosen
+        resolution: results identical under it.
+
+        ``resolution`` must match how the store is QUERIED, because a
+        compaction durably materializes one resolution's view:
+        ``"row"`` (default) folds history newest-row-wins and drops
+        all-null tombstones; ``"cell"`` folds newest-non-null-per-cell
+        — required for stores written with partial-column upserts
+        (``add_dataframe(partial=True)``), where a row-level rewrite
+        would freeze the partial rows' nulls as real nulls and lose the
+        older cells.
         """
         from matdb_spark import manifest as m
 
         if cluster not in ("sort", "zorder"):
             raise ValueError(f"cluster={cluster!r}; expected 'sort' or 'zorder'")
+        if resolution not in ("row", "cell"):
+            raise ValueError(f"resolution={resolution!r}; expected 'row' or 'cell'")
         visible = m.visible_txn_ids(self.path, self.next_txn_id)
         if len(visible) < 2:
             return None
-        snap = self.begin().query(ordered=False)
+        snap = self.begin().query(ordered=False, cell_merge=(resolution == "cell"))
         cluster_by = None
         if cluster == "zorder":
-            from matdb_spark.zorder import zorder_key
+            from matdb_spark.zorder import zorder_key, zorder_key_from_bounds
 
-            cluster_by = [zorder_key(snap, self.schema)]
+            # Bounds from the commit manifests' txn-level stats when
+            # every visible txn carries them (zero Spark jobs); the
+            # snapshot aggregation — a full extra scan+dedup pass — is
+            # only the fallback for stats-less stores.
+            bounds = self._stats_bounds(visible)
+            if bounds is not None:
+                cluster_by = [zorder_key_from_bounds(self.schema, bounds)]
+            else:
+                cluster_by = [zorder_key(snap, self.schema)]
         txn = self.begin()
         txn.add_dataframe(snap, cluster_by=cluster_by)
         txn.commit(replaces=visible)
         return txn.txn_id
+
+    def _stats_bounds(self, txns: list[int]) -> dict[str, tuple] | None:
+        """Merge per-txn manifest stats into {dim: (lo, hi)} covering
+        every dimension, or None if any txn/dim lacks stats."""
+        from matdb_spark import manifest as m
+
+        bounds: dict[str, tuple] = {}
+        for t in txns:
+            stats = m.read_manifest(self.path, t).get("stats") or {}
+            dims = stats.get("dims") or {}
+            for d in self.schema.dimensions:
+                rng = dims.get(d.name)
+                if rng is None:
+                    return None
+                lo, hi = bounds.get(d.name, (rng[0], rng[1]))
+                bounds[d.name] = (min(lo, rng[0]), max(hi, rng[1]))
+        return bounds or None
 
     def vacuum(self, min_age_seconds: float = 0.0) -> list[int]:
         """Delete data and manifests of txns superseded by a committed
@@ -285,19 +322,17 @@ class Database:
         """
         from matdb_spark import manifest as m
         from matdb_spark.scan import ScanSource, scan_dataframe
-        from matdb_spark.schema import TXN_COL
         from pyspark.sql import functions as F
 
-        hi = self.next_txn_id - 1 if until is None else until
+        # Default head comes from the manifest LISTING (safe_feed_head),
+        # not this handle's cached next_txn_id — another writer process
+        # may have committed since this handle was opened, and ids can
+        # publish out of order (the watermark excludes still-pending
+        # lower ids).
+        hi = m.safe_feed_head(self.path) if until is None else until
         if hi < since:
             raise ValueError(f"until={hi} precedes since={since}")
-        window = []
-        for t in m.committed_txn_ids(self.path):
-            if not (since < t <= hi):
-                continue
-            if not include_compactions and m.read_manifest(self.path, t).get("replaces"):
-                continue
-            window.append(t)
+        window = self._change_window_txns(since, hi, include_compactions)
         src = ScanSource(db_path=self.path, schema=self.schema, visible_txns=window)
         df = scan_dataframe(
             self.spark,
@@ -314,6 +349,22 @@ class Database:
         return df.withColumn(
             "change_type", F.when(all_null, F.lit("delete")).otherwise(F.lit("upsert"))
         )
+
+    def _change_window_txns(
+        self, since: int, until: int, include_compactions: bool
+    ) -> list[int]:
+        """Committed txns in (since, until] that carry feed content
+        (compaction rewrites excluded unless opted in)."""
+        from matdb_spark import manifest as m
+
+        window = []
+        for t in m.committed_txn_ids(self.path):
+            if not (since < t <= until):
+                continue
+            if not include_compactions and m.read_manifest(self.path, t).get("replaces"):
+                continue
+            window.append(t)
+        return window
 
     def follow_changes(
         self,
@@ -335,6 +386,14 @@ class Database:
         subscribing are never missed. ``max_empty_polls`` bounds idle
         waiting (None = forever); polling is driver-side and costs one
         directory listing per interval.
+
+        Correct under concurrent writers: the cursor only advances to
+        the manifest low-watermark (``safe_feed_head``) — a lower-id
+        txn still being written holds the feed back until it publishes
+        or rolls back, so out-of-order manifest arrival can never skip
+        a commit. Windows that contain no feed content (compaction-only
+        activity) advance the cursor silently instead of yielding empty
+        batches, so ``max_empty_polls`` drains as expected.
         """
         import time as _time
 
@@ -342,25 +401,29 @@ class Database:
 
         # eager head capture from the manifest listing itself (robust
         # to concurrent writers this handle has never seen)
-        cursor = (
-            max(m.committed_txn_ids(self.path), default=0) if since is None else since
-        )
+        cursor = m.safe_feed_head(self.path) if since is None else since
 
         def _tail(cursor: int):
             empty = 0
             while max_empty_polls is None or empty < max_empty_polls:
-                newest = max(m.committed_txn_ids(self.path), default=0)
-                if newest > cursor:
+                newest = m.safe_feed_head(self.path)
+                if newest > cursor and self._change_window_txns(
+                    cursor, newest, include_compactions
+                ):
                     df = self.changes(
                         since=cursor, until=newest, include_compactions=include_compactions
                     )
                     yield newest, df
                     cursor = newest
                     empty = 0
-                else:
-                    empty += 1
-                    if max_empty_polls is None or empty < max_empty_polls:
-                        _time.sleep(poll_interval)
+                    continue
+                if newest > cursor:
+                    # only compaction rewrites in the window: nothing to
+                    # deliver, but the cursor must still move forward
+                    cursor = newest
+                empty += 1
+                if max_empty_polls is None or empty < max_empty_polls:
+                    _time.sleep(poll_interval)
 
         return _tail(cursor)
 

@@ -206,6 +206,40 @@ def _max_seen_txn_id(db_path: str) -> int:
     return best
 
 
+def outstanding_txn_ids(db_path: str) -> set[int]:
+    """Txn ids that are claimed but not yet published: reservation
+    files plus staged data directories without a manifest. A lingering
+    ``.reserve`` of an already-published txn (crash between publish and
+    release) does not count — the manifest supersedes it."""
+    committed = set(committed_txn_ids(db_path))
+    out: set[int] = set()
+    for name in os.listdir(commits_dir(db_path)):
+        m = re.match(r"^(\d{8,})\.reserve$", name)
+        if m:
+            out.add(int(m.group(1)))
+    for t in staged_txn_ids(db_path):
+        out.add(t)
+    return out - committed
+
+
+def safe_feed_head(db_path: str) -> int:
+    """Highest committed txn id that a change-feed consumer may safely
+    advance past: no in-flight txn with a LOWER id may still publish.
+
+    Ids are reserved before publish, so commits can land out of id
+    order under concurrent writers; a feed that advanced its cursor to
+    the raw listing max would permanently skip a lower-id txn whose
+    manifest arrives late. The watermark is min(outstanding ids) - 1 —
+    the same low-watermark rule every out-of-order commit log uses. A
+    reservation leaked by a crashed writer holds the watermark back
+    until ``recover()`` sweeps it (safety over liveness)."""
+    head = max(committed_txn_ids(db_path), default=0)
+    pending = outstanding_txn_ids(db_path)
+    if pending:
+        head = min(head, min(pending) - 1)
+    return head
+
+
 def release_txn_reservation(db_path: str, txn_id: int) -> None:
     p = os.path.join(commits_dir(db_path), f"{txn_id:08d}.reserve")
     try:
@@ -236,28 +270,69 @@ def discard_txn_data(db_path: str, txn_id: int) -> None:
         shutil.rmtree(d)
 
 
-def recover(db_path: str) -> int:
+#: Debris younger than this survives the recovery sweep. Correctness
+#: never depends on sweeping (orphans are invisible to scans — only
+#: manifests grant visibility); the grace is what lets a SECOND handle
+#: open the store while a writer is mid-flight without destroying its
+#: reservation or staged segments. 0 = sweep everything (the
+#: reference's single-process recovery, database.rs:100-127).
+DEFAULT_RECOVERY_GRACE = 600.0
+
+
+def _newest_mtime(path: str) -> float:
+    """Most recent mtime in a file tree (a txn dir stays 'fresh' as
+    long as its writer keeps flushing segments into it). -1.0 if the
+    path cannot be stat'ed (unknown age → never treated as stale)."""
+    try:
+        best = os.path.getmtime(path)
+    except OSError:
+        return -1.0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                best = max(best, os.path.getmtime(os.path.join(root, f)))
+            except OSError:
+                pass
+    return best
+
+
+def recover(db_path: str, grace_seconds: float = DEFAULT_RECOVERY_GRACE) -> int:
     """Crash recovery on open (reference: database.rs:100-127 — delete
     uncommitted ``.tmp`` segments, compute next txn id). Here: delete
-    ``data/txn=*`` directories with no manifest, drop orphaned manifest
-    tmp files, and return the next transaction id.
+    STALE ``data/txn=*`` directories with no manifest, stale manifest
+    tmp files and stale txn-id reservations, and return the next
+    transaction id.
 
-    Single-writer assumption, as in the reference (it is an embedded
-    single-process store); a multi-writer deployment would allocate txn
-    ids from a coordination service and skip the orphan sweep.
+    Staleness (``grace_seconds`` since last write) is what separates
+    crash debris from a live concurrent writer's in-flight state: both
+    look identical on disk, but debris stops changing. Sweeping is
+    garbage collection only — uncommitted data is already invisible to
+    every scan — so deferring it is always safe, while sweeping a live
+    writer's reservation would let its txn id be reused and its feed
+    watermark advance past it.
     """
+    import time as _time
+
     init_layout(db_path)
+    now = _time.time()
+
+    def _stale(p: str) -> bool:
+        m = _newest_mtime(p)
+        return m >= 0 and (now - m) > grace_seconds
+
     committed = set(committed_txn_ids(db_path))
     staged = set(staged_txn_ids(db_path))
     for name in os.listdir(commits_dir(db_path)):
         # .tmp: unfinished manifest writes; .reserve: txn-id claims of
         # writers that died before publish (publish releases them).
-        # Both are only safe to sweep under recovery's single-process
-        # assumption — a live concurrent writer must not be racing.
         if name.endswith(".tmp") or name.endswith(".reserve"):
-            os.unlink(os.path.join(commits_dir(db_path), name))
+            p = os.path.join(commits_dir(db_path), name)
+            if _stale(p):
+                os.unlink(p)
     for t in staged - committed:
-        discard_txn_data(db_path, t)
+        d = txn_data_dir(db_path, t)
+        if _stale(d):
+            discard_txn_data(db_path, t)
     # Next id counts past *every* id ever seen, including just-deleted
     # orphans (reference: database.rs:116-124 max_seen includes .tmp).
     all_ids = committed | staged

@@ -43,14 +43,30 @@ def zorder_bucket(name: str, lo: int, hi: int, bits: int = DEFAULT_BITS) -> Colu
 
 def interleave_bits(buckets: list[Column], bits: int = DEFAULT_BITS) -> Column:
     """Morton-interleave: bit b of bucket i lands at position
-    b * n_dims + i. Pure shift/and/or — stays in codegen."""
+    b * n_dims + i. Pure shift/and/or — stays in codegen.
+
+    ``bits * n_dims`` must stay <= 63: position 63 is the long's sign
+    bit (would invert the sort order) and JVM shiftleft masks shift
+    counts mod 64 (positions past 63 would silently wrap into the low
+    bits). Callers cap bits via ``bits_for`` — this guard catches
+    direct misuse."""
     n = len(buckets)
+    if bits * n > 63:
+        raise ValueError(
+            f"{bits} bits x {n} dims = {bits * n} interleaved bits; max 63 "
+            f"(use bits_for(n_dims))"
+        )
     z = F.lit(0).cast("long")
     for b in range(bits):
         for i, c in enumerate(buckets):
             bit = F.shiftright(c, b).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
     return z
+
+
+def bits_for(n_dims: int, bits: int = DEFAULT_BITS) -> int:
+    """Widest per-dim bucket width whose interleave fits a signed long."""
+    return min(bits, 63 // n_dims)
 
 
 def morton_py(vals: list[int], bits: int = DEFAULT_BITS) -> int:
@@ -62,22 +78,46 @@ def morton_py(vals: list[int], bits: int = DEFAULT_BITS) -> int:
     return z
 
 
-def zorder_key(
-    df: DataFrame, schema: Schema, bits: int = DEFAULT_BITS
-) -> Column:
-    """Build the z-order sort key for ``df``'s dimension columns.
-
-    Bounds come from one min/max aggregation over the input (during
-    compaction that input is the snapshot being rewritten — one cheap
-    metadata-light job next to the rewrite itself). Requires >= 2
-    integral dims — with one dimension the lexicographic sort is
-    already optimal and z-ordering is a no-op by definition."""
-    dims = [d for d in schema.dimensions]
+def _validate_dims(schema: Schema) -> list:
+    dims = list(schema.dimensions)
     bad = [d.name for d in dims if d.type not in _INTEGRAL]
     if bad:
         raise ValueError(f"zorder requires integral dims; non-integral: {bad}")
     if len(dims) < 2:
         raise ValueError("zorder needs >= 2 dimensions (1-D order is already optimal)")
+    return dims
+
+
+def zorder_key_from_bounds(
+    schema: Schema, bounds: dict[str, tuple], bits: int = DEFAULT_BITS
+) -> Column:
+    """Z-order key from KNOWN per-dim (lo, hi) bounds — e.g. merged
+    from the commit manifests' txn-level stats — so building the key
+    costs zero Spark jobs. Conservative (wider) bounds are valid: they
+    only coarsen bucket granularity, never break ordering."""
+    dims = _validate_dims(schema)
+    bits = bits_for(len(dims), bits)
+    buckets = []
+    for d in dims:
+        lo, hi = bounds[d.name]
+        buckets.append(zorder_bucket(d.name, int(lo), int(hi), bits))
+    return interleave_bits(buckets, bits)
+
+
+def zorder_key(
+    df: DataFrame, schema: Schema, bits: int = DEFAULT_BITS
+) -> Column:
+    """Build the z-order sort key for ``df``'s dimension columns.
+
+    Fallback path: bounds come from one min/max aggregation over the
+    input — for a compaction that means a full extra pass over the
+    snapshot plan, so prefer ``zorder_key_from_bounds`` with manifest
+    stats when the store carries them (Database.compact does this
+    automatically). Requires >= 2 integral dims — with one dimension
+    the lexicographic sort is already optimal and z-ordering is a
+    no-op by definition."""
+    dims = _validate_dims(schema)
+    bits = bits_for(len(dims), bits)
     aggs = []
     for d in dims:
         aggs += [F.min(d.name).alias(f"__lo_{d.name}"), F.max(d.name).alias(f"__hi_{d.name}")]

@@ -387,6 +387,9 @@ def test_recovery_removes_stale_manifest_tmp(spark, tmp_db_path):
     stray = os.path.join(db.path, "_commits", "00000099.json.tmp")
     with open(stray, "w") as f:
         f.write("{}")
+    # age the debris past the recovery grace window (fresh files are
+    # presumed to belong to a live concurrent writer and survive)
+    os.utime(stray, (0, 0))
     db2 = Database.open(spark, db.path)
     assert not os.path.exists(stray)
     assert db2.snapshot().count() == 1
