@@ -1926,6 +1926,41 @@ def q_mvcc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "value", F.col("__txn"), "change_type")
 
 
+def q_mvcc_changes_preimage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff-form change feed (changes(with_preimage=True)): every
+    window write classified insert/update/delete and paired with its
+    pre-image — txn 2's upserts over txn 1's rows are all 'update'
+    with old_value = the original. The pre-image scan is pruned to the
+    changed keys' stats envelope, so the diff costs change volume +
+    one join, not a base-table read. Shares the q_mvcc_scan cached
+    store."""
+    from matdb_spark import Dimension, Schema, Value
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    db_path = os.path.join(SCRATCH, f"gate_mvcc_{tag}")
+    schema = Schema(
+        dimensions=[Dimension("user_id", 1000), Dimension("event_id", 100_000)],
+        values=[Value("value", type="double")],
+    )
+
+    def build(db):  # same recipe as q_mvcc_scan (shared cached store)
+        ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+        t1 = db.begin()
+        t1.add_dataframe(ev)
+        t1.commit()
+        t2 = db.begin()
+        t2.add_dataframe(
+            ev.filter(F.col("event_id") % 10 == 0).withColumn("value", F.col("value") + 1000)
+        )
+        t2.commit()
+
+    db = _cached_mvcc_db(spark, db_path, schema, build)
+    out = db.changes(since=1, with_preimage=True)
+    return out.select(
+        "user_id", "event_id", "value", F.col("__txn"), "change_type", "old_value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2033,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mvcc_cell_merge": q_mvcc_cell_merge,
         "q_jsonl_source": q_jsonl_source,
         "q_orc_source": q_orc_source,
+        "q_mvcc_changes_preimage": q_mvcc_changes_preimage,
     }
 
 
@@ -3047,6 +3083,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, value + 1000 AS value,
                    CAST(2 AS BIGINT) AS __txn,
                    'upsert' AS change_type
+            FROM events WHERE event_id % 10 = 0
+        """,
+        "q_mvcc_changes_preimage": """
+            SELECT user_id, event_id, value + 1000 AS value,
+                   CAST(2 AS BIGINT) AS __txn,
+                   'update' AS change_type,
+                   value AS old_value
             FROM events WHERE event_id % 10 = 0
         """,
         "q_zorder_range_scan": """

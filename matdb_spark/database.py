@@ -294,6 +294,7 @@ class Database:
         since: int,
         until: int | None = None,
         include_compactions: bool = False,
+        with_preimage: bool = False,
     ) -> "DataFrame":
         """Change feed (CDC): the NET effect of the commits in
         ``(since, until]`` — for every key written in that window, its
@@ -319,6 +320,20 @@ class Database:
         net-write log, not a diff against the pre-window snapshot —
         downstream apply is idempotent either way). Window txns must
         not have been vacuumed away.
+
+        ``with_preimage=True`` upgrades the feed to full diff form:
+        each value column gains an ``old_<name>`` pre-image column and
+        ``change_type`` refines to 'insert' / 'update' / 'delete'
+        (tombstone of a key absent at ``since`` stays 'delete' with
+        null pre-image — a no-op for diff consumers). The pre-image is
+        the time-travel snapshot at ``since`` joined ON THE CHANGED
+        KEYS ONLY — the snapshot side prunes through the same three
+        tiers as any key scan, so cost still tracks change volume
+        (plus one join) rather than table size. This is what
+        incremental aggregate maintenance needs: old and new value per
+        key lets any distributive aggregate be patched without
+        re-reading the base table. Requires the ``since`` snapshot to
+        still be readable (same retention rule as time travel).
         """
         from matdb_spark import manifest as m
         from matdb_spark.scan import ScanSource, scan_dataframe
@@ -346,9 +361,50 @@ class Database:
         all_null = F.lit(bool(self.schema.value_names))
         for v in self.schema.value_names:
             all_null = all_null & F.col(v).isNull()
-        return df.withColumn(
+        df = df.withColumn(
             "change_type", F.when(all_null, F.lit("delete")).otherwise(F.lit("upsert"))
         )
+        if not with_preimage:
+            return df
+
+        dims = self.schema.dim_names
+        vals = self.schema.value_names
+        if since >= 1 and m.committed_txn_ids(self.path):
+            from matdb_spark.transaction import Transaction
+
+            pre_txn = Transaction(self, horizon=since + 1, read_only=True)
+            # Prune the pre-image scan to the CHANGED KEYS' envelope,
+            # taken from the window txns' manifest stats: the snapshot
+            # side then skips whole txns / partitions / row groups
+            # outside the touched key range instead of scanning the
+            # full base table. Missing stats degrade to the full scan.
+            env = self._stats_bounds(window)
+            pre_df = (
+                pre_txn.query_range(env, ordered=False)
+                if env
+                else pre_txn.query(ordered=False)
+            )
+            pre = pre_df.select(
+                *dims,
+                F.lit(True).alias("__pre"),
+                *[F.col(v).alias(f"old_{v}") for v in vals],
+            )
+        else:  # empty pre-window snapshot
+            pre = None
+        if pre is not None:
+            df = df.join(pre, dims, "left")
+        else:
+            vtypes = {f.name: f.dataType for f in self.schema.spark_schema().fields}
+            df = df.withColumn("__pre", F.lit(None).cast("boolean"))
+            for v in vals:
+                df = df.withColumn(f"old_{v}", F.lit(None).cast(vtypes[v]))
+        existed = F.col("__pre").isNotNull()
+        refined = (
+            F.when(F.col("change_type") == "delete", F.lit("delete"))
+            .when(existed, F.lit("update"))
+            .otherwise(F.lit("insert"))
+        )
+        return df.withColumn("change_type", refined).drop("__pre")
 
     def _change_window_txns(
         self, since: int, until: int, include_compactions: bool

@@ -113,6 +113,53 @@ def test_follow_changes_tails_new_commits(spark, tmp_db_path):
     assert cur == t3 and {r["k"] for r in batch.collect()} == {3}
 
 
+def test_changes_with_preimage_classifies_and_carries_old_values(spark, tmp_db_path):
+    db = _mk(spark, tmp_db_path, "cdc_pre")
+    t1 = _commit(db, [[1, 10], [2, 20]])
+    t2 = db.begin()
+    t2.add_row([2, 21])     # update
+    t2.add_row([3, 30])     # insert
+    t2.delete_row([1])      # delete of an existing key
+    t2.delete_row([9])      # delete of a key never present
+    t2.commit()
+
+    rows = {r["k"]: r for r in db.changes(since=t1, with_preimage=True).collect()}
+    assert rows[2]["change_type"] == "update" and (rows[2]["v"], rows[2]["old_v"]) == (21, 20)
+    assert rows[3]["change_type"] == "insert" and rows[3]["old_v"] is None
+    assert rows[1]["change_type"] == "delete" and rows[1]["old_v"] == 10
+    assert rows[9]["change_type"] == "delete" and rows[9]["old_v"] is None
+
+    # since=0: no pre-window snapshot → everything is insert/delete
+    rows = {r["k"]: r["change_type"] for r in db.changes(since=0, with_preimage=True).collect()}
+    assert rows == {1: "delete", 2: "insert", 3: "insert", 9: "delete"}
+
+
+def test_preimage_feed_patches_a_running_aggregate(spark, tmp_db_path):
+    """The consumer pre-image exists for: patch SUM(v) incrementally
+    from (old, new) pairs, never re-reading the base table."""
+    from pyspark.sql import functions as F
+
+    db = _mk(spark, tmp_db_path, "cdc_agg")
+    t1 = _commit(db, [[k, k * 10] for k in range(1, 6)])
+    base_sum = db.snapshot().agg(F.sum("v")).collect()[0][0]
+    t2 = db.begin()
+    t2.add_row([1, 1000])  # update: +990
+    t2.add_row([6, 60])    # insert: +60
+    t2.delete_row([5])     # delete: -50
+    t2.commit()
+
+    delta = (
+        db.changes(since=t1, with_preimage=True)
+        .agg(
+            F.sum(
+                F.coalesce(F.col("v"), F.lit(0)) - F.coalesce(F.col("old_v"), F.lit(0))
+            )
+        )
+        .collect()[0][0]
+    )
+    assert base_sum + delta == db.snapshot().agg(F.sum("v")).collect()[0][0]
+
+
 def test_changes_validates_window(spark, tmp_db_path):
     db = _mk(spark, tmp_db_path, "cdc_bad")
     _commit(db, [[1, 10]])
