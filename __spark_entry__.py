@@ -1846,6 +1846,28 @@ def q_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to OHLC bars (open/high/low/close per
+    user per 6-hour bucket) — the canonical rollup for the reference's
+    sensor-series use case. open/close are argmin/argmax selections by
+    a unique (time, event) ordering (one hash aggregation, map-side
+    partial); high/low are plain min/max. Selections copy values, no
+    float arithmetic → bit-exact cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    ms = _ms(F.col("ts"))
+    bucket = F.floor(ms / F.lit(21_600_000)).cast("long")
+    # unique, overflow-safe ordering: ms offsets (21st-century span)
+    # scaled to make room for the event-id tiebreak
+    ord_ = (ms - F.lit(1_700_000_000_000)) * F.lit(100_000) + F.col("event_id")
+    return ev.groupBy(F.col("user_id"), bucket.alias("bucket")).agg(
+        F.min_by("value", ord_).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", ord_).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas UDF — the custom-UDAF shape in Python
     Spark (the 4th and final Pandas-UDF form after scalar, mapInPandas
@@ -2069,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jsonl_source": q_jsonl_source,
         "q_orc_source": q_orc_source,
         "q_mvcc_changes_preimage": q_mvcc_changes_preimage,
+        "q_ohlc_downsample": q_ohlc_downsample,
     }
 
 
@@ -3091,6 +3114,21 @@ def oracle_sql() -> dict[str, str]:
                    'update' AS change_type,
                    value AS old_value
             FROM events WHERE event_id % 10 = 0
+        """,
+        "q_ohlc_downsample": """
+            WITH e AS (
+                SELECT user_id, value,
+                       epoch_ms(ts) // 21600000 AS bucket,
+                       (epoch_ms(ts) - 1700000000000) * 100000 + event_id AS ord
+                FROM events
+            )
+            SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+                   arg_min(value, ord) AS open,
+                   MAX(value) AS high,
+                   MIN(value) AS low,
+                   arg_max(value, ord) AS close,
+                   COUNT(*) AS n
+            FROM e GROUP BY 1, 2
         """,
         "q_zorder_range_scan": """
             SELECT user_id, event_id,
