@@ -1868,6 +1868,142 @@ def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample with forward fill — regularizing an
+    irregular sensor series onto a fixed grid (operators/resample.py).
+    The grid is generated per key AFTER downsampling, so the explode is
+    bounded by the time span, not data volume; the fill is a running
+    last(ignorenulls) window. Values are copied, never combined —
+    bit-exact across engines."""
+    from matdb_spark.operators import resample
+
+    ev = load_table(spark, sf_dir, "events")
+    ms = _ms(F.col("ts"))
+    ord_ = (ms - F.lit(1_700_000_000_000)) * F.lit(100_000) + F.col("event_id")
+    out = resample.resample_ffill(
+        ev, ["user_id"], ms, F.col("value"), ord_, 3_600_000
+    )
+    return out.select("user_id", "bucket", "value", "observed")
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user — each sample weighted by how
+    long it stayed current (lead-interval weighting). The weighted sum
+    is decimal-exact (value DECIMAL(14,2) × interval-ms DECIMAL(18,0));
+    only the final ratio is floating point, computed with the identical
+    IEEE expression in the oracle."""
+    from matdb_spark.operators import resample
+
+    ev = load_table(spark, sf_dir, "events")
+    ms = _ms(F.col("ts"))
+    ord_ = (ms - F.lit(1_700_000_000_000)) * F.lit(100_000) + F.col("event_id")
+    out = resample.time_weighted_avg(
+        ev, ["user_id"], ms, F.col("value").cast("decimal(14,2)"), ord_
+    )
+    return out.select(
+        "user_id", F.round("twa", 6).alias("twa"), "n_intervals", "span_ms"
+    )
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style term scoring: tokenize → per-doc term frequency →
+    corpus document frequency → score = tf·(N+1)/(df+1) → top-5 terms
+    per document. The score is an exact-integer ratio (no log), so the
+    double is bit-identical cross-engine; ranking is on the ROUNDED
+    score with a term tiebreak in both engines. df is a broadcast-sized
+    side (|vocabulary|), N a 1-row broadcast — one shuffle for tf, one
+    for df, top-k via WindowGroupLimit."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                (F.col("tf") * (F.col("n") + 1)).cast("double")
+                / (F.col("df") + 1).cast("double"),
+                6,
+            ).alias("score"),
+        )
+    )
+    out = top_k_per_group(
+        scored, ["doc_id"], [F.col("score").desc(), F.col("term").asc()], 5
+    )
+    return out.select("doc_id", "term", "tf", "df", "score", F.col("rank").cast("long").alias("rank"))
+
+
+def q_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation and least-squares regression of value on user_id per
+    event_type, computed from decimal-exact moment sums (n, Σx, Σy,
+    Σx², Σy², Σxy) — one map-side-combinable hash aggregation, the
+    100 TB shape for statistical aggregates. The moments are exact; the
+    closed-form slope/intercept/corr are evaluated with the identical
+    IEEE double expression in both engines (sqrt is correctly rounded),
+    then rounded. Spark's built-in corr/regr_* aggregate doubles in
+    partition order (nondeterministic merge) — this formulation is
+    deterministic at any parallelism."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("user_id")
+    y = F.col("value").cast("decimal(14,2)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("sxy") - d("sx") * d("sy")
+    den_x = d("n") * d("sxx") - d("sx") * d("sx")
+    den_y = d("n") * d("syy") - d("sy") * d("sy")
+    slope = num / den_x
+    return m.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((d("sy") - slope * d("sx")) / d("n"), 6).alias("intercept"),
+        F.round(num / F.sqrt(den_x * den_y), 6).alias("corr"),
+    )
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: file stream → dropDuplicates on
+    (user_id, event_type) → append-mode memory sink. State is one entry
+    per distinct key — bounded by key-domain cardinality, the right
+    variant for bounded domains (dropDuplicatesWithinWatermark is the
+    unbounded-domain alternative, at the cost of horizon-limited
+    dedup). Only key columns are emitted, so which physical row arrived
+    first is irrelevant — output is deterministic and equals batch
+    DISTINCT."""
+    from matdb_spark.streaming import events_stream
+    from matdb_spark.streaming.windows import run_to_memory_sink
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    name = f"stream_dedup_{tag}"
+    ckpt = os.path.join(SCRATCH, f"ckpt_{name}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    out = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    run_to_memory_sink(out, name, ckpt, "append")
+    return spark.table(name)
+
+
 def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas UDF — the custom-UDAF shape in Python
     Spark (the 4th and final Pandas-UDF form after scalar, mapInPandas
@@ -2092,6 +2228,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_orc_source": q_orc_source,
         "q_mvcc_changes_preimage": q_mvcc_changes_preimage,
         "q_ohlc_downsample": q_ohlc_downsample,
+        "q_resample_ffill": q_resample_ffill,
+        "q_time_weighted_avg": q_time_weighted_avg,
+        "q_tfidf_topk": q_tfidf_topk,
+        "q_corr_regression": q_corr_regression,
+        "q_stream_dedup": q_stream_dedup,
     }
 
 
@@ -3129,6 +3270,117 @@ def oracle_sql() -> dict[str, str]:
                    arg_max(value, ord) AS close,
                    COUNT(*) AS n
             FROM e GROUP BY 1, 2
+        """,
+        "q_resample_ffill": """
+            WITH e AS (
+                SELECT user_id, value,
+                       epoch_ms(ts) // 3600000 AS bucket,
+                       (epoch_ms(ts) - 1700000000000) * 100000 + event_id AS ord
+                FROM events
+            ), b AS (
+                SELECT user_id, bucket, arg_max(value, ord) AS v
+                FROM e GROUP BY 1, 2
+            ), span AS (
+                SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+                FROM b GROUP BY 1
+            ), grid AS (
+                SELECT user_id, UNNEST(generate_series(lo, hi)) AS bucket
+                FROM span
+            ), j AS (
+                SELECT g.user_id, g.bucket, b.v
+                FROM grid g LEFT JOIN b
+                  ON g.user_id = b.user_id AND g.bucket = b.bucket
+            )
+            SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS value,
+                   v IS NOT NULL AS observed
+            FROM j
+        """,
+        "q_time_weighted_avg": """
+            WITH e AS (
+                SELECT user_id, CAST(value AS DECIMAL(14,2)) AS v,
+                       epoch_ms(ts) AS ms,
+                       (epoch_ms(ts) - 1700000000000) * 100000 + event_id AS ord
+                FROM events
+            ), i AS (
+                SELECT user_id, v,
+                       lead(ms) OVER (PARTITION BY user_id ORDER BY ord) - ms AS dt
+                FROM e
+            )
+            SELECT user_id,
+                   ROUND(CAST(SUM(v * CAST(dt AS DECIMAL(18,0))) AS DOUBLE)
+                         / CAST(SUM(dt) AS DOUBLE), 6) AS twa,
+                   COUNT(*) AS n_intervals,
+                   CAST(SUM(dt) AS BIGINT) AS span_ms
+            FROM i WHERE dt IS NOT NULL
+            GROUP BY 1
+        """,
+        "q_tfidf_topk": """
+            WITH t AS (
+                SELECT doc_id,
+                       UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2
+            ), df AS (
+                SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+            ), n AS (
+                SELECT COUNT(*) AS n FROM documents
+            ), scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       ROUND(CAST(tf.tf * (n.n + 1) AS DOUBLE)
+                             / CAST(df.df + 1 AS DOUBLE), 6) AS score
+                FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+            ), ranked AS (
+                SELECT doc_id, term, tf, df, score,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id ORDER BY score DESC, term ASC
+                       ) AS rank
+                FROM scored
+            )
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df, score, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "q_corr_regression": """
+            WITH m AS (
+                SELECT event_type,
+                       COUNT(*) AS n,
+                       CAST(SUM(user_id) AS BIGINT) AS sx,
+                       SUM(CAST(value AS DECIMAL(14,2))) AS sy,
+                       CAST(SUM(user_id * user_id) AS BIGINT) AS sxx,
+                       SUM(CAST(value AS DECIMAL(14,2))
+                           * CAST(value AS DECIMAL(14,2))) AS syy,
+                       SUM(CAST(user_id AS DECIMAL(18,0))
+                           * CAST(value AS DECIMAL(14,2))) AS sxy
+                FROM events GROUP BY 1
+            )
+            SELECT event_type, n,
+                   ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+                   ROUND((CAST(sy AS DOUBLE)
+                          - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * CAST(sx AS DOUBLE))
+                         / CAST(n AS DOUBLE), 6) AS intercept,
+                   ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                       AS corr
+            FROM m
+        """,
+        "q_stream_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events
         """,
         "q_zorder_range_scan": """
             SELECT user_id, event_id,
