@@ -2119,6 +2119,103 @@ def q_mvcc_changes_preimage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate near-duplicate pairs via random-hyperplane LSH
+    (operators/similarity.hyperplane_near_dup_pairs): 12 deterministic
+    hyperplanes bucket the unit vectors by sign bits; exact cosine only
+    within a bucket. Stateless one-shot variant of q_embed_near_dup's
+    IVF cells — no centroid build pass, one shuffle on the bucket id.
+    The oracle embeds the SAME hyperplane literals."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.hyperplane_near_dup_pairs(emb, n_planes=12, threshold=0.30)
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-level heavy hitters: top-50 tokens by frequency.
+    Two-level aggregation — explode is map-side, the token groupBy
+    partially aggregates before its single shuffle, and the final
+    top-k is one 50-row reduction; the exact-count counterpart of a
+    count-min sketch at corpora where token vocab still fits a
+    shuffle (it does: vocab grows ~log with corpus size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(normalize(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # global top-k = orderBy+limit (TakeOrderedAndProject: each task
+    # ships its local top-50, the driver merges — no global sort);
+    # rank assigned after the 50-row reduction.
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(50)
+    w = W.orderBy(F.col("n").desc(), F.col("token").asc())
+    return top.select(
+        "token", "n", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+def q_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches — the 100 TB cardinality workflow: build
+    one sketch per (source, lang) partition (hll_sketch_agg), then
+    roll up per source by merging SKETCHES (hll_union_agg), never
+    rescanning rows. This is how distinct counts compose across
+    partitions/days at scale; estimates are engine-specific, so this
+    records the weaker rows-only check (exact counterpart:
+    q_distinct_agg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    part = docs.groupBy("source", "lang").agg(
+        F.hll_sketch_agg("doc_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return (
+        part.groupBy("source")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_docs"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .select("source", "approx_docs", "n_rows")
+    )
+
+
+def q_sql_over_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL over the MVCC snapshot (Database.sql — SURVEY §7.2 phase 2):
+    the snapshot relation registers as a temp view and the full Spark
+    SQL surface applies on top of version-resolved data. Shares the
+    q_mvcc_scan cached store; aggregates are float-order-safe
+    (count/min/max)."""
+    from matdb_spark import Dimension, Schema, Value
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    db_path = os.path.join(SCRATCH, f"gate_mvcc_{tag}")
+    schema = Schema(
+        dimensions=[Dimension("user_id", 1000), Dimension("event_id", 100_000)],
+        values=[Value("value", type="double")],
+    )
+
+    def build(db):  # same recipe as q_mvcc_scan (shared cached store)
+        ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+        t1 = db.begin()
+        t1.add_dataframe(ev)
+        t1.commit()
+        t2 = db.begin()
+        t2.add_dataframe(
+            ev.filter(F.col("event_id") % 10 == 0).withColumn("value", F.col("value") + 1000)
+        )
+        t2.commit()
+
+    db = _cached_mvcc_db(spark, db_path, schema, build)
+    return db.sql(
+        """
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM matdb
+        GROUP BY user_id
+        HAVING COUNT(*) >= 2
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2233,6 +2330,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_topk": q_tfidf_topk,
         "q_corr_regression": q_corr_regression,
         "q_stream_dedup": q_stream_dedup,
+        "q_ann_lsh": q_ann_lsh,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_hll_sketch_merge": q_hll_sketch_merge,
+        "q_sql_over_snapshot": q_sql_over_snapshot,
     }
 
 
@@ -2391,6 +2492,30 @@ def _near_dup_sql() -> str:
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_dot('a.v', 'b.v')}, 6) AS cos_sim
         FROM assign a JOIN assign b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
         WHERE {_dot('a.v', 'b.v')} >= 0.35
+    """
+
+
+def _ann_lsh_sql() -> str:
+    """DuckDB twin of q_ann_lsh: the SAME 12 hyperplane literals (from
+    similarity.hyperplanes — 6-decimal values parse to identical
+    doubles in both engines), same sign-bit bucket packing, same
+    within-bucket unit-vector dot."""
+    planes = similarity.hyperplanes(12, 64)
+    plane_cols = ", ".join(
+        "CAST([" + ", ".join(repr(x) for x in plane) + "] AS DOUBLE[])" + f" AS p{i}"
+        for i, plane in enumerate(planes)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN {_dot('v', f'p{i}')} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(len(planes))
+    )
+    return f"""
+        WITH {_UNIT_E},
+        pl AS (SELECT {plane_cols}),
+        b AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e, pl)
+        SELECT a.vec_id AS id_a, b2.vec_id AS id_b, ROUND({_dot('a.v', 'b2.v')}, 6) AS cos_sim
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        WHERE {_dot('a.v', 'b2.v')} >= 0.30
     """
 
 
@@ -3405,6 +3530,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                    CAST(MAX(len(text)) AS BIGINT) AS max_len
             FROM documents GROUP BY 1, 2
+        """,
+        "q_ann_lsh": _ann_lsh_sql(),
+        "q_heavy_hitters": f"""
+            WITH toks AS (SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents),
+            c AS (SELECT token, COUNT(*) AS n FROM toks WHERE token <> '' GROUP BY token),
+            r AS (SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank FROM c)
+            SELECT token, n, rank FROM r WHERE rank <= 50
+        """,
+        "q_sql_over_snapshot": """
+            SELECT user_id, COUNT(*) AS n_events, MIN(v) AS min_value, MAX(v) AS max_value
+            FROM (SELECT user_id,
+                         CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS v
+                  FROM events)
+            GROUP BY user_id
+            HAVING COUNT(*) >= 2
         """,
         "q_orc_source": """
             SELECT l_returnflag, COUNT(*) AS n,

@@ -53,20 +53,20 @@ def asof_join(
     cond = F.lit(True)
     for lb, rb in zip(by, right_by):
         cond = cond & (left[lb] == r[rb + suffix])
+    # timestampadd works for TIMESTAMP, TIMESTAMP_NTZ, and DATE alike
+    # (unix_micros would reject NTZ inputs).
     if direction == "backward":
         cond = cond & (r[r_on] <= left[on])
         if tolerance_ms is not None:
             cond = cond & (
-                r[r_on] >= F.timestamp_micros(F.unix_micros(left[on]) - tolerance_ms * 1000)
+                r[r_on] >= F.timestamp_add("MILLISECOND", F.lit(-tolerance_ms), left[on])
             )
-        order = r[r_on]
     else:
         cond = cond & (r[r_on] >= left[on])
         if tolerance_ms is not None:
             cond = cond & (
-                r[r_on] <= F.timestamp_micros(F.unix_micros(left[on]) + tolerance_ms * 1000)
+                r[r_on] <= F.timestamp_add("MILLISECOND", F.lit(tolerance_ms), left[on])
             )
-        order = -F.unix_micros(r[r_on])
 
     # Surrogate key so duplicate left rows each survive the group-by
     # (pandas merge_asof / DuckDB ASOF JOIN preserve every left row;
@@ -77,9 +77,12 @@ def asof_join(
     joined = left_keyed.join(r, cond, "left")
     payload_cols = [c for c in r.columns]
     payload = F.struct(*[joined[c] for c in payload_cols])
+    # backward: newest right_on <= left_on; forward: oldest >= left_on.
+    # min_by avoids negating the order key (type-agnostic).
+    pick = F.max_by if direction == "backward" else F.min_by
     agg = joined.groupBy(joined[lid]).agg(
         *[F.first(joined[c]).alias(c) for c in left.columns],
-        F.max_by(payload, order).alias("__m"),
+        pick(payload, joined[r_on]).alias("__m"),
     )
     out_cols = [F.col(c) for c in left.columns] + [
         F.col(f"__m.{c}").alias(c) for c in payload_cols

@@ -25,7 +25,7 @@ identical normalize-then-dot float ops, keeping results bit-identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from matdb_spark.functions.vectors import as_double, dot, norm
 from matdb_spark.operators.topk import top_k_per_group
@@ -242,6 +242,70 @@ def ivf_topk_indexed(
     )
     return top_k_per_group(
         scored, ["query_id"], [F.col("cos_sim").desc(), F.col("neighbor_id").asc()], k
+    )
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = 0x5EED) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane normals in [-1, 1],
+    rounded to 6 decimals so the SAME literals embed exactly in both
+    the Spark plan and a SQL oracle (decimal → nearest-double parsing
+    is identical in any IEEE-754 engine). Plain LCG — no RNG state,
+    reproducible everywhere."""
+    a, c, m = 6364136223846793005, 1442695040888963407, 1 << 64
+    x = seed & (m - 1)
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            x = (a * x + c) % m
+            row.append(round(2.0 * (x / m) - 1.0, 6))
+        planes.append(row)
+    return planes
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane (SimHash-for-vectors) LSH bucket id: bit p is
+    the sign of ``vec · plane_p``; bucket = the packed bit vector.
+    Pure JVM expressions — one O(n_planes · d) fold per row, no
+    shuffle. Vectors whose cosine is high agree on most signs, so they
+    collide with probability (1 - θ/π)^n_planes."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(vec, lit_plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket.cast("long")
+
+
+def hyperplane_near_dup_pairs(
+    corpus: DataFrame,
+    n_planes: int = 10,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """(id_a, id_b, cos_sim) candidate near-duplicates via hyperplane
+    LSH: exact cosine is computed only WITHIN a bucket. Complements
+    ``cosine_near_dup_pairs`` (IVF cells): LSH needs no centroid build
+    pass — the bucketing is a stateless per-row expression, so this is
+    the one-shot variant (single shuffle, on the bucket id) while IVF
+    amortizes better when an index is reused.
+
+    Scale: the bucket join shuffles each side once on ``__bucket``;
+    bucket sizes concentrate around |corpus| / 2^n_planes, so raise
+    ``n_planes`` with corpus size to hold per-bucket pair cost flat
+    (AQE skew-join splits any hot bucket)."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(n_planes, dim, seed)
+    cells = _unit(corpus, [F.col(id_col)], vec_col, "__v")
+    cells = cells.withColumn("__bucket", hyperplane_bucket(F.col("__v"), planes))
+    a = cells.select("__bucket", F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
+    b = cells.select("__bucket", F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
+    pairs = a.join(b, "__bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", dot(F.col("__va"), F.col("__vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 

@@ -60,10 +60,19 @@ def load_table(
     except OSError:
         fsize = 0
     for c in _TS_COLS.get(name, []):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+        if c not in df.columns:
+            continue
+        dt = dict(df.dtypes)[c]
+        if dt == "bigint":
             # integer division: ns values (~1.7e18) exceed double's
             # 53-bit mantissa, so float division drifts by ±1 µs
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dt == "timestamp_ntz":
+            # TIMESTAMP_NTZ parquet encoding: reinterpret the naive
+            # wall-clock as UTC (session tz is pinned to UTC above) so
+            # instant functions (unix_micros, window) apply and values
+            # match DuckDB's naive read of the same file.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     target = min_parallelism or spark.sparkContext.defaultParallelism
     if fsize > 100 * 1024 and df.rdd.getNumPartitions() < target:
         # ts conversion above is applied BEFORE this exchange so later

@@ -59,8 +59,15 @@ def parquet_stream(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.parquet(_as_stream_dir(path))
     for c in ts_cols or []:
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+        if c not in df.columns:
+            continue
+        dt = dict(df.dtypes)[c]
+        if dt == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dt == "timestamp_ntz":
+            # TIMESTAMP_NTZ encoding: naive wall-clock → UTC instant
+            # (session tz pinned above), same as the batch loader.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

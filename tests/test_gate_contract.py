@@ -19,7 +19,7 @@ def test_gate_registry_consistent():
     # every oracle belongs to a registered query; rows-only entries are
     # a deliberate, short list
     assert set(o) <= set(q)
-    assert set(q) - set(o) == {"q_approx_distinct"}
+    assert set(q) - set(o) == {"q_approx_distinct", "q_hll_sketch_merge"}
     assert all(callable(f) for f in q.values())
     assert all(isinstance(s, str) and s.strip() for s in o.values())
 

@@ -66,3 +66,39 @@ def test_persisted_ivf_index(spark, tmp_path_factory):
 
     pf = " ".join(partition_filters(idx))
     assert "cell_id" in pf and ("IN" in pf or "isin" in pf.lower()), pf
+
+
+def test_hyperplanes_deterministic():
+    from matdb_spark.operators.similarity import hyperplanes
+
+    a = hyperplanes(4, 8)
+    b = hyperplanes(4, 8)
+    assert a == b
+    assert len(a) == 4 and all(len(p) == 8 for p in a)
+    assert all(-1.0 <= x <= 1.0 for p in a for x in p)
+    assert hyperplanes(4, 8, seed=99) != a
+
+
+def test_hyperplane_lsh_pairs(spark):
+    from pyspark.sql import functions as F
+    from matdb_spark.operators.similarity import hyperplane_near_dup_pairs
+    from matdb_spark.functions.vectors import cosine as cos_expr
+    from matdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    pairs = hyperplane_near_dup_pairs(emb, n_planes=6, threshold=0.25)
+    rows = pairs.collect()
+    assert rows, "expected some candidate pairs at 6 planes"
+    assert all(r.id_a < r.id_b for r in rows)
+    assert all(r.cos_sim >= 0.25 for r in rows)
+    # LSH candidates are a SUBSET of the exact pairs at the threshold:
+    # every reported pair must verify against the exact cosine.
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos_expr(F.col("ea"), F.col("eb")).alias("cos"))
+        .filter(F.col("cos") >= 0.25)
+    )
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert all((r.id_a, r.id_b) in exact_pairs for r in rows)
