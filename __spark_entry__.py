@@ -2217,6 +2217,340 @@ def q_sql_over_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round 2: SQL-surface widening (subqueries, lateral, maps, intervals,
+# regex, try_cast, cross join), MVCC lifecycle (time travel, delete,
+# merge, schema evolution), cogroup, TSV+gzip source, URL/BPE text ops
+# ---------------------------------------------------------------------------
+
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with an inequality (not a plain semi-join key
+    match): customers having an order worth more than 20x their account
+    balance. Catalyst decorrelates this into a join — the point is the
+    SQL surface, not a new physical operator."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM v_customer c
+        WHERE EXISTS (SELECT 1 FROM v_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > c.c_acctbal * 20)
+        """
+    )
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate: parts priced above the global
+    mean. The comparison is price*count > sum (decimal-exact) so both
+    engines agree at the boundary — avg-of-doubles would be
+    order-dependent."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    return spark.sql(
+        """
+        SELECT p_brand, COUNT(*) AS n_above,
+               CAST(MAX(p_retailprice) AS DOUBLE) AS max_price
+        FROM v_part
+        WHERE CAST(p_retailprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM v_part)
+              > (SELECT SUM(CAST(p_retailprice AS DECIMAL(18,2))) FROM v_part)
+        GROUP BY p_brand
+        """
+    )
+
+
+def q_lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral array unnest with ordinality (posexplode): explode part
+    names into (position, word), count occurrences per slot."""
+    part = load_table(spark, sf_dir, "part")
+    words = part.select(
+        "p_partkey", F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "word")
+    )
+    return words.groupBy(F.col("pos").cast("long").alias("pos"), "word").agg(
+        F.count(F.lit(1)).alias("n"), F.min("p_partkey").alias("first_part")
+    )
+
+
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: map_from_arrays, element_at, map_filter (HOF),
+    map_concat, size. Values are projected back to scalars so the
+    cross-engine compare needs no map type on the oracle side."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("bucket")),
+        F.array(F.col("event_type"), (F.col("user_id") % 10).cast("string")),
+    )
+    m2 = F.map_concat(m, F.create_map(F.lit("flag"), F.lit("x")))
+    kept = F.map_filter(m2, lambda k, v: v != F.lit("click"))
+    return ev.select(
+        "event_id",
+        F.element_at(m, F.lit("type")).alias("etype"),
+        F.element_at(m, F.lit("bucket")).alias("bucket"),
+        F.size(kept).cast("long").alias("n_kept"),
+    )
+
+
+def q_interval_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal arithmetic: day deltas between order and ship dates
+    (integer-exact average), date_add window anchors per priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    dd = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dd.cast("long")).alias("total_ship_days"),
+        F.round(F.sum(dd.cast("long")) / F.count(F.lit(1)), 6).alias("avg_ship_days"),
+        F.min(F.date_add(F.col("o_orderdate").cast("date"), 30)).cast("string").alias("min_due"),
+        F.max(F.date_add(F.col("l_shipdate").cast("date"), -7)).cast("string").alias("max_grace"),
+    )
+
+
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset window functions per user stream: previous/next event
+    value and the delta to the previous (same-operand fp subtraction is
+    engine-identical)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev = F.lag("value", 1).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(prev, 6).alias("prev_value"),
+        F.round(F.lead("value", 1).over(w), 6).alias("next_value"),
+        F.round(F.col("value") - prev, 6).alias("delta_prev"),
+    )
+
+
+def q_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction surface over documents: all-matches counts and
+    first-match capture (patterns restricted to the RE2/Java common
+    subset so both engines tokenize identically)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit("[A-Za-z]{6,}"), 0)).cast("long").alias("n_long_words"),
+        F.size(F.regexp_extract_all(t, F.lit("[0-9]+"), 0)).cast("long").alias("n_numbers"),
+        F.regexp_extract(t, "([A-Za-z]+)", 1).alias("first_word"),
+    )
+
+
+def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe-casting surface: try_cast parses the numeric priority
+    prefix ('1-URGENT' → 1); an unparseable column comes back null
+    instead of failing the job — the 100 TB posture for dirty data."""
+    orders = load_table(spark, sf_dir, "orders")
+    pri = F.expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)")
+    bad = F.expr("try_cast(o_orderstatus AS BIGINT)")
+    return orders.groupBy(pri.alias("pri_num")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(bad).alias("n_bad_parsed"),
+    )
+
+
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product of two small dims (the one join shape
+    Catalyst will never pick on its own; legitimate for tiny
+    enumeration tables)."""
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    nation = load_table(spark, sf_dir, "nation").select("n_name")
+    return region.crossJoin(nation)
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization census per source: alpha runs, digit
+    runs, and single non-alnum marks (the GPT-2 pre-tokenizer's
+    character classes, simplified to the engine-portable regex subset).
+    Integer sums — exact everywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n = lambda pat: F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("long")
+    return docs.groupBy("source").agg(
+        F.sum(n("[A-Za-z]+")).alias("alpha_tokens"),
+        F.sum(n("[0-9]+")).alias("digit_tokens"),
+        F.sum(n("[^A-Za-z0-9\\s]")).alias("mark_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_tsv_gzip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's one foreign format — gzip TSV
+    (examples/sensor-log.rs:144-233) — through Spark's csv reader with
+    an explicit schema, aggregated back against the parquet oracle."""
+    from matdb_spark.sources.formats import lineitem_tsv_gz_fixture, read_lineitem_tsv
+
+    path = lineitem_tsv_gz_fixture(spark, sf_dir, SCRATCH)
+    li = read_lineitem_tsv(spark, path)
+    return li.groupBy((F.col("l_partkey") % 100).alias("part_bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+    )
+
+
+def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition (parse_url): host / path / query-parameter
+    extraction over synthesized document URLs."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL — duplicates preserved, unlike
+    q_set_except's distinct semantics)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_discount") > 0.05).select("l_orderkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return a.exceptAll(b).groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup().applyInPandas — both sides of a key in one Python
+    task; verified against its relational equivalent (full outer join
+    of per-key aggregates)."""
+    from matdb_spark.operators.groupmap import cogroup_stats
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 100).alias("k"), F.col("event_id")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 100).alias("k"), F.col("o_orderkey")
+    )
+    return cogroup_stats(ev, orders, ["k"], "event_id", "o_orderkey")
+
+
+def q_mvcc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: the SAME store q_mvcc_scan upserts into, read at
+    as_of=txn1 — the pre-upsert snapshot. Horizon pinning makes this a
+    pure metadata operation (reference semantics: database.rs:85-89,
+    segments with id < horizon)."""
+    from matdb_spark import Dimension, Schema, Value
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    db_path = os.path.join(SCRATCH, f"gate_mvcc_{tag}")
+    schema = Schema(
+        dimensions=[Dimension("user_id", 1000), Dimension("event_id", 100_000)],
+        values=[Value("value", type="double")],
+    )
+
+    def build(db):  # identical recipe to q_mvcc_scan (shared cached store)
+        ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+        t1 = db.begin()
+        t1.add_dataframe(ev)
+        t1.commit()
+        t2 = db.begin()
+        t2.add_dataframe(
+            ev.filter(F.col("event_id") % 10 == 0).withColumn("value", F.col("value") + 1000)
+        )
+        t2.commit()
+
+    db = _cached_mvcc_db(spark, db_path, schema, build)
+    return db.begin(as_of=1).query(ordered=True)
+
+
+def q_mvcc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed delete: txn2 writes all-null tombstones for every
+    100th event; the scan's newest-wins dedup then drops those keys
+    entirely (the reference's own model implies this: unset cells never
+    appear as rows, block.rs:277-279)."""
+    from matdb_spark import Dimension, Schema, Value
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    db_path = os.path.join(SCRATCH, f"gate_del_{tag}")
+    schema = Schema(
+        dimensions=[Dimension("user_id", 1000), Dimension("event_id", 100_000)],
+        values=[Value("value", type="double")],
+    )
+
+    def build(db):
+        ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+        t1 = db.begin()
+        t1.add_dataframe(ev)
+        t1.commit()
+        t2 = db.begin()
+        t2.add_dataframe(
+            ev.filter(F.col("event_id") % 100 == 0).withColumn(
+                "value", F.lit(None).cast("double")
+            )
+        )
+        t2.commit()
+
+    db = _cached_mvcc_db(spark, db_path, schema, build)
+    return db.begin().query(ordered=True)
+
+
+def q_mvcc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (update-matched / ignore-unmatched): the
+    source holds every third event doubled, but only keys already in
+    the store (event_id < 8000) may change — unmatched source rows are
+    dropped by the anti-join arm of merge_dataframe."""
+    from matdb_spark import Dimension, Schema, Value
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    db_path = os.path.join(SCRATCH, f"gate_merge_{tag}")
+    schema = Schema(
+        dimensions=[Dimension("user_id", 1000), Dimension("event_id", 100_000)],
+        values=[Value("value", type="double")],
+    )
+
+    def build(db):
+        ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+        t1 = db.begin()
+        t1.add_dataframe(ev.filter(F.col("event_id") < 8000))
+        t1.commit()
+        t2 = db.begin()
+        t2.merge_dataframe(
+            ev.filter(F.col("event_id") % 3 == 0).withColumn("value", F.col("value") * 2),
+            when_matched="update",
+            when_not_matched="ignore",
+        )
+        t2.commit()
+
+    db = _cached_mvcc_db(spark, db_path, schema, build)
+    return db.begin().query(ordered=True)
+
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution: a value column added AFTER the first
+    commit. Old segments lack the column (mergeSchema backfills typed
+    nulls); new rows carry it. The reference forbids this outright
+    (README.md:131 'schema cannot be changed') — the Spark rebuild
+    lifts the restriction additively."""
+    from matdb_spark import Dimension, Schema, Value
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    db_path = os.path.join(SCRATCH, f"gate_evo_{tag}")
+    schema = Schema(
+        dimensions=[Dimension("user_id", 1000), Dimension("event_id", 100_000)],
+        values=[Value("value", type="double")],
+    )
+
+    def build(db):
+        ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+        t1 = db.begin()
+        t1.add_dataframe(ev)
+        t1.commit()
+        db.add_value_column("flag", "long")
+        t2 = db.begin()
+        t2.add_dataframe(
+            ev.filter(F.col("event_id") % 5 == 0).withColumn("flag", F.lit(1).cast("long"))
+        )
+        t2.commit()
+
+    db = _cached_mvcc_db(spark, db_path, schema, build)
+    return db.begin().query(ordered=True)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2334,6 +2668,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_heavy_hitters": q_heavy_hitters,
         "q_hll_sketch_merge": q_hll_sketch_merge,
         "q_sql_over_snapshot": q_sql_over_snapshot,
+        "q_exists_subquery": q_exists_subquery,
+        "q_scalar_subquery": q_scalar_subquery,
+        "q_lateral_posexplode": q_lateral_posexplode,
+        "q_map_funcs": q_map_funcs,
+        "q_interval_diff": q_interval_diff,
+        "q_lag_lead": q_lag_lead,
+        "q_regexp_extract_all": q_regexp_extract_all,
+        "q_try_cast": q_try_cast,
+        "q_cross_join": q_cross_join,
+        "q_bpe_token_count": q_bpe_token_count,
+        "q_tsv_gzip_source": q_tsv_gzip_source,
+        "q_url_parse": q_url_parse,
+        "q_except_all": q_except_all,
+        "q_cogroup_stats": q_cogroup_stats,
+        "q_mvcc_time_travel": q_mvcc_time_travel,
+        "q_mvcc_delete": q_mvcc_delete,
+        "q_mvcc_merge": q_mvcc_merge,
+        "q_schema_evolution": q_schema_evolution,
     }
 
 
@@ -3552,6 +3904,125 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
             FROM lineitem GROUP BY 1
+        """,
+        "q_exists_subquery": """
+            SELECT c_custkey, c_name
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > c.c_acctbal * 20)
+        """,
+        "q_scalar_subquery": """
+            SELECT p_brand, COUNT(*) AS n_above,
+                   CAST(MAX(p_retailprice) AS DOUBLE) AS max_price
+            FROM part
+            WHERE CAST(p_retailprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM part)
+                  > (SELECT SUM(CAST(p_retailprice AS DECIMAL(18,2))) FROM part)
+            GROUP BY p_brand
+        """,
+        "q_lateral_posexplode": """
+            WITH words AS (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
+            SELECT CAST(i - 1 AS BIGINT) AS pos, w[i] AS word,
+                   COUNT(*) AS n, MIN(p_partkey) AS first_part
+            FROM words, unnest(range(1, len(w) + 1)) AS u(i)
+            GROUP BY pos, word
+        """,
+        "q_map_funcs": """
+            SELECT event_id, event_type AS etype,
+                   CAST(user_id % 10 AS VARCHAR) AS bucket,
+                   CAST(CASE WHEN event_type = 'click' THEN 2 ELSE 3 END AS BIGINT) AS n_kept
+            FROM events
+        """,
+        "q_interval_diff": """
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   CAST(SUM(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS total_ship_days,
+                   ROUND(CAST(SUM(date_diff('day', o_orderdate, l_shipdate)) AS DOUBLE) / COUNT(*), 6) AS avg_ship_days,
+                   CAST(MIN(CAST(o_orderdate AS DATE) + 30) AS VARCHAR) AS min_due,
+                   CAST(MAX(CAST(l_shipdate AS DATE) - 7) AS VARCHAR) AS max_grace
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "q_lag_lead": """
+            SELECT user_id, event_id,
+                   ROUND(lag(value, 1) OVER w, 6) AS prev_value,
+                   ROUND(lead(value, 1) OVER w, 6) AS next_value,
+                   ROUND(value - lag(value, 1) OVER w, 6) AS delta_prev
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "q_regexp_extract_all": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]{6,}')) AS BIGINT) AS n_long_words,
+                   CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+                   COALESCE(regexp_extract(text, '([A-Za-z]+)', 1), '') AS first_word
+            FROM documents
+        """,
+        "q_try_cast": """
+            SELECT TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS pri_num,
+                   COUNT(*) AS n,
+                   COUNT(TRY_CAST(o_orderstatus AS BIGINT)) AS n_bad_parsed
+            FROM orders GROUP BY pri_num
+        """,
+        "q_cross_join": """
+            SELECT r_name, n_name FROM region CROSS JOIN nation
+        """,
+        "q_bpe_token_count": """
+            SELECT source,
+                   CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+'))) AS BIGINT) AS alpha_tokens,
+                   CAST(SUM(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT) AS digit_tokens,
+                   CAST(SUM(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))) AS BIGINT) AS mark_tokens,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY source
+        """,
+        "q_tsv_gzip_source": """
+            SELECT l_partkey % 100 AS part_bucket, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM lineitem GROUP BY part_bucket
+        """,
+        "q_url_parse": """
+            SELECT doc_id,
+                   source || '.example.com' AS host,
+                   '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+                   lang AS lang_param
+            FROM documents
+        """,
+        "q_except_all": """
+            WITH d AS (
+                SELECT l_orderkey FROM lineitem WHERE l_discount > 0.05
+                EXCEPT ALL
+                SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+            )
+            SELECT l_orderkey, COUNT(*) AS n FROM d GROUP BY l_orderkey
+        """,
+        "q_cogroup_stats": """
+            WITH l AS (SELECT user_id % 100 AS k, COUNT(*) AS n_left,
+                              MIN(event_id) AS min_left_id
+                       FROM events GROUP BY k),
+                 r AS (SELECT o_custkey % 100 AS k, COUNT(*) AS n_right,
+                              MIN(o_orderkey) AS min_right_id
+                       FROM orders GROUP BY k)
+            SELECT COALESCE(l.k, r.k) AS k,
+                   COALESCE(n_left, 0) AS n_left, min_left_id,
+                   COALESCE(n_right, 0) AS n_right, min_right_id
+            FROM l FULL OUTER JOIN r ON l.k = r.k
+        """,
+        "q_mvcc_time_travel": """
+            SELECT user_id, event_id, value FROM events
+        """,
+        "q_mvcc_delete": """
+            SELECT user_id, event_id, value FROM events WHERE event_id % 100 <> 0
+        """,
+        "q_mvcc_merge": """
+            SELECT user_id, event_id,
+                   CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END AS value
+            FROM events WHERE event_id < 8000
+        """,
+        "q_schema_evolution": """
+            SELECT user_id, event_id, value,
+                   CASE WHEN event_id % 5 = 0 THEN CAST(1 AS BIGINT)
+                        ELSE CAST(NULL AS BIGINT) END AS flag
+            FROM events
         """,
     }
     return {k: v.strip() for k, v in qs.items()}

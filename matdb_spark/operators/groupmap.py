@@ -51,3 +51,47 @@ def rank_normalize(
         return out
 
     return df.groupBy(*keys).applyInPandas(per_group, out_schema)
+
+
+def cogroup_stats(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_id: str,
+    right_id: str,
+) -> DataFrame:
+    """Cogrouped Pandas map (``cogroup().applyInPandas``): both sides'
+    rows for one key arrive as two pandas frames in one task — the
+    escape hatch for per-key merge logic no join expresses (custom
+    reconciliation, per-key model scoring against reference data).
+
+    Emits integer-exact per-key stats (counts + min ids) so the
+    co-shuffle plumbing is oracle-checkable: equivalent to a full outer
+    join of the two sides' aggregates. Scale: one shuffle per side on
+    the key; each side's largest single-key group must fit in memory.
+    """
+    key_fields = [left.schema[k] for k in keys]
+    out_schema = StructType(
+        list(key_fields)
+        + [
+            StructField("n_left", LongType(), False),
+            StructField("min_left_id", LongType()),
+            StructField("n_right", LongType(), False),
+            StructField("min_right_id", LongType()),
+        ]
+    )
+
+    def per_key(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        src = lpdf if len(lpdf) else rpdf
+        row = {k: [src.iloc[0][k]] for k in keys}
+        row["n_left"] = [len(lpdf)]
+        row["min_left_id"] = [lpdf[left_id].min() if len(lpdf) else None]
+        row["n_right"] = [len(rpdf)]
+        row["min_right_id"] = [rpdf[right_id].min() if len(rpdf) else None]
+        return pd.DataFrame(row)
+
+    return (
+        left.groupBy(*keys)
+        .cogroup(right.groupBy(*keys))
+        .applyInPandas(per_key, out_schema)
+    )

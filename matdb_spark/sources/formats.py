@@ -87,3 +87,40 @@ def read_lineitem_orc(spark: SparkSession, path: str) -> DataFrame:
         "l_orderkey bigint, l_returnflag string, l_quantity double, "
         "l_extendedprice double, l_discount double"
     ).orc(path)
+
+
+def lineitem_tsv_gz_fixture(spark: SparkSession, sf_dir: str, scratch: str) -> str:
+    """Materialize a lineitem subset as gzip TSV — the reference's one
+    foreign format (examples/sensor-log.rs:144-233: tab-separated
+    lines, transparent gzip). Numeric columns only, so no quoting
+    ambiguity; Java prints doubles in shortest-roundtrip form, so the
+    text → double read is value-exact."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(scratch, f"fixture_lineitem_tsv_{tag}")
+
+    def build(p: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+        )
+        li.write.mode("overwrite").option("sep", "\t").option(
+            "compression", "gzip"
+        ).csv(p)
+
+    _build_once(out, build)
+    return out
+
+
+def read_lineitem_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """Gzip-TSV reader with explicit schema (gzip files are not
+    splittable — at 100 TB the parallelism unit is the file, so ingest
+    jobs should receive many moderate files rather than few huge ones,
+    exactly like the reference's one-parser-thread-per-file design,
+    sensor-log.rs:241-253)."""
+    return (
+        spark.read.option("sep", "\t")
+        .schema(
+            "l_orderkey bigint, l_partkey bigint, l_quantity double, "
+            "l_extendedprice double"
+        )
+        .csv(path)
+    )
