@@ -2550,6 +2550,61 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return db.begin().query(ordered=True)
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join: both sides written bucket+sorted by
+    the join key, so the equi-join plans with ZERO exchanges and zero
+    sorts (tests/test_plans.py asserts the plan; this gates the
+    values). The one-time bucketed write is the amortized-shuffle
+    trade every 100 TB star schema makes."""
+    from matdb_spark.sources.bucketed import colocated, write_bucketed
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    to, tl = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    if not (spark.catalog.tableExists(to) and spark.catalog.tableExists(tl)):
+        write_bucketed(
+            load_table(spark, sf_dir, "orders"), to, ["o_orderkey"], 16,
+            sort_cols=["o_orderkey"],
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem"), tl, ["l_orderkey"], 16,
+            sort_cols=["l_orderkey"],
+        )
+    orders, li = colocated(spark, to), colocated(spark, tl)
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k against the PERSISTED IVF index (cell_id=<n>/ partition
+    dirs + _centroids sidecar): probed cells prune partitions before
+    any IO. Bit-matches the live ivf_topk path, so it shares its
+    oracle."""
+    from matdb_spark.operators.similarity import ivf_topk_indexed, write_ivf_index
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SCRATCH, f"fixture_ivf_index_{tag}")
+    marker = os.path.join(path, "._built_v1")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        emb = load_table(spark, sf_dir, "embeddings")
+        write_ivf_index(emb, _centroids(emb), path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    out = ivf_topk_indexed(spark, path, queries_df, k=5, nprobe=2)
+    scored = out.select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2686,6 +2741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mvcc_delete": q_mvcc_delete,
         "q_mvcc_merge": q_mvcc_merge,
         "q_schema_evolution": q_schema_evolution,
+        "q_bucketed_join": q_bucketed_join,
+        "q_similarity_ivf_indexed": q_similarity_ivf_indexed,
     }
 
 
@@ -3143,6 +3200,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         """,
         "q_similarity_ivf": _ivf_sql(),
+        "q_similarity_ivf_indexed": _ivf_sql(),
         "q_embed_near_dup": _near_dup_sql(),
         "q_set_intersect": """
             SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
@@ -4023,6 +4081,13 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 5 = 0 THEN CAST(1 AS BIGINT)
                         ELSE CAST(NULL AS BIGINT) END AS flag
             FROM events
+        """,
+        "q_bucketed_join": """
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus
         """,
     }
     return {k: v.strip() for k, v in qs.items()}
