@@ -2605,6 +2605,73 @@ def q_similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase matched to the EARLIEST click at or
+    after it (min_by on the mirrored predicate — locks the direction
+    semantics fixed in round 1)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    out = asof_join(purchases, clicks, on="ts", by=["user_id"], direction="forward")
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("event_id_right").alias("click_event_id"),
+        F.col("ts_right").alias("click_ts"),
+    )
+
+
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a 1 h tolerance: stale matches beyond the
+    window come back null instead of arbitrarily old — the bound that
+    keeps the range-join intermediate small at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    out = asof_join(
+        purchases, clicks, on="ts", by=["user_id"], tolerance_ms=3_600_000
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("event_id_right").alias("click_event_id"),
+        F.col("ts_right").alias("click_ts"),
+    )
+
+
+def q_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct count per user stream (collect_set over a
+    running frame — the windowed form Spark supports where
+    COUNT(DISTINCT) OVER is unsupported in most engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias("n_types_seen"),
+    )
+
+
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping_id(): the bitmask that distinguishes real
+    nulls from subtotal rows — required by any downstream consumer of
+    multi-level aggregates."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2743,6 +2810,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_schema_evolution": q_schema_evolution,
         "q_bucketed_join": q_bucketed_join,
         "q_similarity_ivf_indexed": q_similarity_ivf_indexed,
+        "q_asof_forward": q_asof_forward,
+        "q_asof_tolerance": q_asof_tolerance,
+        "q_window_distinct": q_window_distinct,
+        "q_grouping_id": q_grouping_id,
     }
 
 
@@ -4088,6 +4159,44 @@ def oracle_sql() -> dict[str, str]:
                             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderstatus
+        """,
+        "q_asof_forward": """
+            SELECT p.user_id, p.event_id, p.ts,
+                   c.event_id AS click_event_id, c.ts AS click_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+            ON p.user_id = c.user_id AND c.ts >= p.ts
+        """,
+        "q_asof_tolerance": """
+            WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT * FROM events WHERE event_type = 'click'),
+                 j AS (SELECT p.user_id, p.event_id, p.ts,
+                              c.event_id AS click_event_id, c.ts AS click_ts,
+                              ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                                 ORDER BY c.ts DESC NULLS LAST) AS rn
+                       FROM p LEFT JOIN c
+                         ON p.user_id = c.user_id
+                        AND c.ts <= p.ts
+                        AND c.ts >= p.ts - INTERVAL 1 HOUR)
+            SELECT user_id, event_id, ts, click_event_id, click_ts
+            FROM j WHERE rn = 1
+        """,
+        "q_window_distinct": """
+            WITH f AS (SELECT user_id, event_id, ts,
+                              CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                                           ORDER BY ts, event_id) = 1
+                                   THEN 1 ELSE 0 END AS is_first
+                       FROM events)
+            SELECT user_id, event_id,
+                   CAST(SUM(is_first) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen
+            FROM f
+        """,
+        "q_grouping_id": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
     }
     return {k: v.strip() for k, v in qs.items()}
