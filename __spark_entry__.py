@@ -266,7 +266,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
-    out = asof_join(purchases, clicks, on="ts", by=["user_id"])
+    out = asof_join(purchases, clicks, on="ts", by=["user_id"], tie_break="event_id")
     return out.select(
         "user_id",
         "event_id",
@@ -690,22 +690,15 @@ def _cached_mvcc_db(spark, db_path: str, schema, build):
         f.write("ok")
     return db
 
-
-def q_mvcc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build a matdb_spark database from the events table in two
-    transactions — txn1 inserts everything, txn2 upserts value+1000
-    for event_id % 10 == 0 — and return the snapshot scan. Exercises
-    chunk routing, manifest commit, and newest-txn-wins dedup; the
-    oracle states the equivalent CASE expression over events."""
+def _gate_mvcc_store(spark, sf_dir: str):
+    """THE shared two-txn upsert store (txn1: all events; txn2: +1000
+    on every tenth event_id). Single source of truth for every query
+    that reads the ``gate_mvcc_*`` cached store — the oracles of all
+    of them assume exactly this recipe, so it must exist once."""
     from matdb_spark import Dimension, Schema, Value
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     db_path = os.path.join(SCRATCH, f"gate_mvcc_{tag}")
-
-    # Chunk sizes sized to the key domain: a chunk ≈ one healthy parquet
-    # partition. Too-fine chunks (e.g. user_id/10) explode into tens of
-    # thousands of tiny partition dirs at sf0.1 — measured 300 s+ vs
-    # ~15 s with domain-proportional chunks.
     schema = Schema(
         dimensions=[Dimension("user_id", 1000), Dimension("event_id", 100_000)],
         values=[Value("value", type="double")],
@@ -722,7 +715,22 @@ def q_mvcc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         t2.commit()
 
-    db = _cached_mvcc_db(spark, db_path, schema, build)
+    return _cached_mvcc_db(spark, db_path, schema, build)
+
+
+
+def q_mvcc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a matdb_spark database from the events table in two
+    transactions — txn1 inserts everything, txn2 upserts value+1000
+    for event_id % 10 == 0 — and return the snapshot scan. Exercises
+    chunk routing, manifest commit, and newest-txn-wins dedup; the
+    oracle states the equivalent CASE expression over events.
+
+    Chunk sizes are sized to the key domain: a chunk ≈ one healthy
+    parquet partition. Too-fine chunks (e.g. user_id/10) explode into
+    tens of thousands of tiny partition dirs at sf0.1 — measured
+    300 s+ vs ~15 s with domain-proportional chunks."""
+    db = _gate_mvcc_store(spark, sf_dir)
     return db.begin().query(ordered=True)
 
 
@@ -732,27 +740,7 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest stats, partition pruning, and parquet row-group stats.
     Keys arrive from outside the store, as in any real point-get path
     (here: the 20 lowest event ids)."""
-    from matdb_spark import Dimension, Schema, Value
-
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    db_path = os.path.join(SCRATCH, f"gate_mvcc_{tag}")
-    schema = Schema(
-        dimensions=[Dimension("user_id", 1000), Dimension("event_id", 100_000)],
-        values=[Value("value", type="double")],
-    )
-
-    def build(db):  # same recipe as q_mvcc_scan (shared cached store)
-        ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
-        t1 = db.begin()
-        t1.add_dataframe(ev)
-        t1.commit()
-        t2 = db.begin()
-        t2.add_dataframe(
-            ev.filter(F.col("event_id") % 10 == 0).withColumn("value", F.col("value") + 1000)
-        )
-        t2.commit()
-
-    db = _cached_mvcc_db(spark, db_path, schema, build)
+    db = _gate_mvcc_store(spark, sf_dir)
     keys = [
         (r.user_id, r.event_id)
         for r in load_table(spark, sf_dir, "events")
@@ -2059,27 +2047,7 @@ def q_mvcc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     upserted tenth of events), each tagged with the writing txn and
     change type. Reads ONLY the window's segments — cost tracks change
     volume, not table size (the Delta-CDF-shaped incremental read)."""
-    from matdb_spark import Dimension, Schema, Value
-
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    db_path = os.path.join(SCRATCH, f"gate_mvcc_{tag}")
-    schema = Schema(
-        dimensions=[Dimension("user_id", 1000), Dimension("event_id", 100_000)],
-        values=[Value("value", type="double")],
-    )
-
-    def build(db):  # same recipe as q_mvcc_scan (shared cached store)
-        ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
-        t1 = db.begin()
-        t1.add_dataframe(ev)
-        t1.commit()
-        t2 = db.begin()
-        t2.add_dataframe(
-            ev.filter(F.col("event_id") % 10 == 0).withColumn("value", F.col("value") + 1000)
-        )
-        t2.commit()
-
-    db = _cached_mvcc_db(spark, db_path, schema, build)
+    db = _gate_mvcc_store(spark, sf_dir)
     out = db.changes(since=1)
     return out.select("user_id", "event_id", "value", F.col("__txn"), "change_type")
 
@@ -2092,27 +2060,7 @@ def q_mvcc_changes_preimage(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed keys' stats envelope, so the diff costs change volume +
     one join, not a base-table read. Shares the q_mvcc_scan cached
     store."""
-    from matdb_spark import Dimension, Schema, Value
-
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    db_path = os.path.join(SCRATCH, f"gate_mvcc_{tag}")
-    schema = Schema(
-        dimensions=[Dimension("user_id", 1000), Dimension("event_id", 100_000)],
-        values=[Value("value", type="double")],
-    )
-
-    def build(db):  # same recipe as q_mvcc_scan (shared cached store)
-        ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
-        t1 = db.begin()
-        t1.add_dataframe(ev)
-        t1.commit()
-        t2 = db.begin()
-        t2.add_dataframe(
-            ev.filter(F.col("event_id") % 10 == 0).withColumn("value", F.col("value") + 1000)
-        )
-        t2.commit()
-
-    db = _cached_mvcc_db(spark, db_path, schema, build)
+    db = _gate_mvcc_store(spark, sf_dir)
     out = db.changes(since=1, with_preimage=True)
     return out.select(
         "user_id", "event_id", "value", F.col("__txn"), "change_type", "old_value"
@@ -2182,27 +2130,7 @@ def q_sql_over_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL surface applies on top of version-resolved data. Shares the
     q_mvcc_scan cached store; aggregates are float-order-safe
     (count/min/max)."""
-    from matdb_spark import Dimension, Schema, Value
-
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    db_path = os.path.join(SCRATCH, f"gate_mvcc_{tag}")
-    schema = Schema(
-        dimensions=[Dimension("user_id", 1000), Dimension("event_id", 100_000)],
-        values=[Value("value", type="double")],
-    )
-
-    def build(db):  # same recipe as q_mvcc_scan (shared cached store)
-        ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
-        t1 = db.begin()
-        t1.add_dataframe(ev)
-        t1.commit()
-        t2 = db.begin()
-        t2.add_dataframe(
-            ev.filter(F.col("event_id") % 10 == 0).withColumn("value", F.col("value") + 1000)
-        )
-        t2.commit()
-
-    db = _cached_mvcc_db(spark, db_path, schema, build)
+    db = _gate_mvcc_store(spark, sf_dir)
     return db.sql(
         """
         SELECT user_id,
@@ -2433,27 +2361,7 @@ def q_mvcc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     as_of=txn1 — the pre-upsert snapshot. Horizon pinning makes this a
     pure metadata operation (reference semantics: database.rs:85-89,
     segments with id < horizon)."""
-    from matdb_spark import Dimension, Schema, Value
-
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    db_path = os.path.join(SCRATCH, f"gate_mvcc_{tag}")
-    schema = Schema(
-        dimensions=[Dimension("user_id", 1000), Dimension("event_id", 100_000)],
-        values=[Value("value", type="double")],
-    )
-
-    def build(db):  # identical recipe to q_mvcc_scan (shared cached store)
-        ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
-        t1 = db.begin()
-        t1.add_dataframe(ev)
-        t1.commit()
-        t2 = db.begin()
-        t2.add_dataframe(
-            ev.filter(F.col("event_id") % 10 == 0).withColumn("value", F.col("value") + 1000)
-        )
-        t2.commit()
-
-    db = _cached_mvcc_db(spark, db_path, schema, build)
+    db = _gate_mvcc_store(spark, sf_dir)
     return db.begin(as_of=1).query(ordered=True)
 
 
@@ -2587,16 +2495,16 @@ def q_similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     any IO. Bit-matches the live ivf_topk path, so it shares its
     oracle."""
     from matdb_spark.operators.similarity import ivf_topk_indexed, write_ivf_index
+    from matdb_spark.sources.formats import _build_once
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(SCRATCH, f"fixture_ivf_index_{tag}")
-    marker = os.path.join(path, "._built_v1")
-    if not os.path.exists(marker):
-        shutil.rmtree(path, ignore_errors=True)
+
+    def build(p: str) -> None:
         emb = load_table(spark, sf_dir, "embeddings")
-        write_ivf_index(emb, _centroids(emb), path)
-        with open(marker, "w") as f:
-            f.write("ok")
+        write_ivf_index(emb, _centroids(emb), p)
+
+    _build_once(path, build)
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     out = ivf_topk_indexed(spark, path, queries_df, k=5, nprobe=2)
@@ -2612,7 +2520,9 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
-    out = asof_join(purchases, clicks, on="ts", by=["user_id"], direction="forward")
+    out = asof_join(
+        purchases, clicks, on="ts", by=["user_id"], direction="forward", tie_break="event_id"
+    )
     return out.select(
         "user_id",
         "event_id",
@@ -2630,7 +2540,8 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
     out = asof_join(
-        purchases, clicks, on="ts", by=["user_id"], tolerance_ms=3_600_000
+        purchases, clicks, on="ts", by=["user_id"], tolerance_ms=3_600_000,
+        tie_break="event_id",
     )
     return out.select(
         "user_id",
@@ -3324,11 +3235,17 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY user_id
         """,
         "q_asof_join": """
-            SELECT p.user_id, p.event_id, p.ts,
-                   c.event_id AS click_event_id, c.ts AS click_ts
-            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-            ON p.user_id = c.user_id AND c.ts <= p.ts
+            WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT * FROM events WHERE event_type = 'click'),
+                 j AS (SELECT p.user_id, p.event_id, p.ts,
+                              c.event_id AS click_event_id, c.ts AS click_ts,
+                              ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                                 ORDER BY c.ts DESC NULLS LAST,
+                                                          c.event_id DESC NULLS LAST) AS rn
+                       FROM p LEFT JOIN c
+                         ON p.user_id = c.user_id AND c.ts <= p.ts)
+            SELECT user_id, event_id, ts, click_event_id, click_ts
+            FROM j WHERE rn = 1
         """,
         "q_range_join": """
             SELECT s.user_id, s.event_id, COUNT(*) AS n_following
@@ -4161,11 +4078,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderstatus
         """,
         "q_asof_forward": """
-            SELECT p.user_id, p.event_id, p.ts,
-                   c.event_id AS click_event_id, c.ts AS click_ts
-            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-            ON p.user_id = c.user_id AND c.ts >= p.ts
+            WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT * FROM events WHERE event_type = 'click'),
+                 j AS (SELECT p.user_id, p.event_id, p.ts,
+                              c.event_id AS click_event_id, c.ts AS click_ts,
+                              ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                                 ORDER BY c.ts ASC NULLS LAST,
+                                                          c.event_id ASC NULLS LAST) AS rn
+                       FROM p LEFT JOIN c
+                         ON p.user_id = c.user_id AND c.ts >= p.ts)
+            SELECT user_id, event_id, ts, click_event_id, click_ts
+            FROM j WHERE rn = 1
         """,
         "q_asof_tolerance": """
             WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
@@ -4173,7 +4096,8 @@ def oracle_sql() -> dict[str, str]:
                  j AS (SELECT p.user_id, p.event_id, p.ts,
                               c.event_id AS click_event_id, c.ts AS click_ts,
                               ROW_NUMBER() OVER (PARTITION BY p.event_id
-                                                 ORDER BY c.ts DESC NULLS LAST) AS rn
+                                                 ORDER BY c.ts DESC NULLS LAST,
+                                                          c.event_id DESC NULLS LAST) AS rn
                        FROM p LEFT JOIN c
                          ON p.user_id = c.user_id
                         AND c.ts <= p.ts

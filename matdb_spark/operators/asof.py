@@ -36,9 +36,16 @@ def asof_join(
     tolerance_ms: int | None = None,
     direction: str = "backward",
     suffix: str = "_right",
+    tie_break: str | None = None,
 ) -> DataFrame:
     """Strategy A: range join + max_by. Left columns are preserved;
-    right columns arrive suffixed (including the time column)."""
+    right columns arrive suffixed (including the time column).
+
+    ``tie_break``: optional right-side column (pre-suffix name) used as
+    a secondary order key when two right rows share the same ``on``
+    instant — without it the winner among equal timestamps is
+    arbitrary (matching pandas/DuckDB, which are also arbitrary, but
+    unverifiable cross-engine)."""
     right_on = right_on or on
     by = by or []
     right_by = right_by or by
@@ -78,11 +85,18 @@ def asof_join(
     payload_cols = [c for c in r.columns]
     payload = F.struct(*[joined[c] for c in payload_cols])
     # backward: newest right_on <= left_on; forward: oldest >= left_on.
-    # min_by avoids negating the order key (type-agnostic).
+    # min_by avoids negating the order key (type-agnostic). The
+    # optional tie_break column rides in a struct (lexicographic
+    # struct comparison = ORDER BY ts, tie_break).
     pick = F.max_by if direction == "backward" else F.min_by
+    order_key = (
+        F.struct(joined[r_on], joined[tie_break + suffix])
+        if tie_break
+        else joined[r_on]
+    )
     agg = joined.groupBy(joined[lid]).agg(
         *[F.first(joined[c]).alias(c) for c in left.columns],
-        pick(payload, joined[r_on]).alias("__m"),
+        pick(payload, order_key).alias("__m"),
     )
     out_cols = [F.col(c) for c in left.columns] + [
         F.col(f"__m.{c}").alias(c) for c in payload_cols
