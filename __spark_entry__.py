@@ -2583,6 +2583,21 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the per-user (count, sum)
+    state built at txn 1 is PATCHED with txn 2's pre-image diffs —
+    never re-reading the base table — and must equal a full recompute
+    over the final snapshot (the oracle). Decimal-exact sums make the
+    equality bit-for-bit."""
+    from matdb_spark.operators.incremental import maintain_sum_count
+
+    db = _gate_mvcc_store(spark, sf_dir)
+    out = maintain_sum_count(db, keys=["user_id"], value_cols=["value"], since=1)
+    return out.select(
+        "user_id", "n", F.col("sum_value").cast("double").alias("sum_value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2725,6 +2740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_tolerance": q_asof_tolerance,
         "q_window_distinct": q_window_distinct,
         "q_grouping_id": q_grouping_id,
+        "q_incremental_agg": q_incremental_agg,
     }
 
 
@@ -4121,6 +4137,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "q_incremental_agg": """
+            SELECT user_id, COUNT(*) AS n,
+                   CAST(SUM(CAST(CASE WHEN event_id % 10 = 0 THEN value + 1000
+                                      ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY user_id
         """,
     }
     return {k: v.strip() for k, v in qs.items()}

@@ -9,6 +9,7 @@ hits.
 import pandas as pd
 
 from matdb_spark.operators.groupmap import cogroup_stats
+from matdb_spark.operators.incremental import apply_diff, sum_count_state
 from matdb_spark.sources.formats import lineitem_tsv_gz_fixture, read_lineitem_tsv
 
 
@@ -44,3 +45,42 @@ def test_tsv_gz_roundtrip(spark, tmp_path):
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s")
     ).collect()[0]["s"]
     assert dec(li) == dec(src)
+
+
+def test_incremental_agg_matches_recompute(spark, tmp_path):
+    """Patched state (base + diffs) must equal a full recompute on the
+    final snapshot — across inserts, updates, AND deletes, including a
+    group that empties out and a tombstone of a never-existing key."""
+    from matdb_spark import Database, Dimension, Schema, Value
+    from pyspark.sql import functions as F
+
+    db = Database.create(
+        spark,
+        str(tmp_path / "db"),
+        Schema(
+            dimensions=[Dimension("g", 10), Dimension("id", 100)],
+            values=[Value("v", type="double")],
+        ),
+    )
+    t1 = db.begin()
+    # groups: g=1 (ids 1,2), g=2 (id 3), g=3 (id 4 — will empty out)
+    t1.add_rows([(1, 1, 10.25), (1, 2, 20.5), (2, 3, 30.0), (3, 4, 5.75)])
+    t1.commit()
+    t2 = db.begin()
+    t2.add_row((1, 5, 1.0))        # insert into existing group
+    t2.add_row((2, 3, 300.0))      # update
+    t2.add_row((4, 9, 7.0))        # insert creating a new group
+    t2.delete_row((3, 4))          # delete → group 3 empties
+    t2.delete_row((9, 99))         # tombstone of a key that never existed
+    t2.commit()
+
+    base = sum_count_state(db.snapshot(as_of=1), ["g"], ["v"])
+    diff = db.changes(since=1, with_preimage=True)
+    patched = apply_diff(base, diff, ["g"], ["v"])
+    recomputed = sum_count_state(db.snapshot(), ["g"], ["v"])
+
+    as_dict = lambda df: {
+        r["g"]: (r["n"], r["sum_v"]) for r in df.collect()
+    }
+    assert as_dict(patched) == as_dict(recomputed)
+    assert 3 not in as_dict(patched)  # emptied group disappeared
