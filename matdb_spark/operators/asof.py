@@ -45,7 +45,11 @@ def asof_join(
     a secondary order key when two right rows share the same ``on``
     instant — without it the winner among equal timestamps is
     arbitrary (matching pandas/DuckDB, which are also arbitrary, but
-    unverifiable cross-engine)."""
+    unverifiable cross-engine). The preference follows the direction's
+    order: ``backward`` (max_by) keeps the LARGEST tie_break among the
+    equal instants, ``forward`` (min_by) the SMALLEST — write
+    direction-matched oracles (``ORDER BY ts DESC, tb DESC`` vs
+    ``ts ASC, tb ASC``)."""
     right_on = right_on or on
     by = by or []
     right_by = right_by or by

@@ -75,9 +75,9 @@ def cogroup_stats(
         list(key_fields)
         + [
             StructField("n_left", LongType(), False),
-            StructField("min_left_id", LongType()),
+            StructField("min_left_id", left.schema[left_id].dataType),
             StructField("n_right", LongType(), False),
-            StructField("min_right_id", LongType()),
+            StructField("min_right_id", right.schema[right_id].dataType),
         ]
     )
 

@@ -84,3 +84,41 @@ def test_incremental_agg_matches_recompute(spark, tmp_path):
     }
     assert as_dict(patched) == as_dict(recomputed)
     assert 3 not in as_dict(patched)  # emptied group disappeared
+
+
+def test_incremental_agg_partial_columns_and_null_sums(spark, tmp_path):
+    """The two review-confirmed edge cases: (a) deleting a key whose
+    MAINTAINED column is null must still decrement the count (existence
+    is proven by the other pre-image columns); (b) a group whose
+    maintained column is entirely null must keep sum NULL, not 0."""
+    from matdb_spark import Database, Dimension, Schema, Value
+
+    db = Database.create(
+        spark,
+        str(tmp_path / "db"),
+        Schema(
+            dimensions=[Dimension("g", 10), Dimension("id", 100)],
+            values=[Value("a", type="double"), Value("b", type="double")],
+        ),
+    )
+    t1 = db.begin()
+    t1.add_rows([
+        (1, 1, None, 5.0),   # a null, exists through b — delete target
+        (2, 2, None, 1.0),   # group 2: a entirely null
+    ])
+    t1.commit()
+    t2 = db.begin()
+    t2.delete_row((1, 1))            # (a): pre-image has old_a null
+    t2.add_row((2, 3, None, 2.0))    # (b): another all-null-a insert
+    t2.commit()
+
+    base = sum_count_state(db.snapshot(as_of=1), ["g"], ["a"])
+    diff = db.changes(since=1, with_preimage=True)
+    patched = apply_diff(base, diff, ["g"], ["a"])
+    recomputed = sum_count_state(db.snapshot(), ["g"], ["a"])
+
+    as_dict = lambda df: {r["g"]: (r["n"], r["nn_a"], r["sum_a"]) for r in df.collect()}
+    p, r = as_dict(patched), as_dict(recomputed)
+    assert p == r
+    assert 1 not in p                 # (a) group emptied by the delete
+    assert p[2] == (2, 0, None)       # (b) sum stays NULL, not 0
