@@ -137,8 +137,15 @@ class Database:
 
         Version semantics are preserved because the compaction txn id
         is greater than everything it replaces and smaller than any
-        future txn. Returns the compaction txn id (None if <2 visible
-        txns — nothing to fold).
+        future txn. Under concurrent writers that invariant is checked,
+        not assumed: a commit (or a pending lower-id reservation) that
+        landed between snapshot pinning and the compaction's own id
+        allocation would be shadowed by the rewrite — the compaction
+        detects it before publishing and ABORTS (returns None; rerun
+        later). Reservations made after our staged data appears always
+        probe above our id, so the check has no race window. Returns
+        the compaction txn id (None if <2 visible txns, or on a
+        detected concurrent-writer conflict).
 
         ``cluster`` picks the rewrite layout: ``"sort"`` (default) is
         the lexicographic key order the reference's merge scan implies;
@@ -182,6 +189,22 @@ class Database:
                 cluster_by = [zorder_key(snap, self.schema)]
         txn = self.begin()
         txn.add_dataframe(snap, cluster_by=cluster_by)
+        # Pre-publish conflict check: any txn id below ours that is
+        # committed (or still pending) and NOT part of the snapshot we
+        # rewrote would be silently shadowed by this compaction — its
+        # newer data lost to our older rewrite. Abort instead.
+        my_id = txn.txn_id
+        committed_now = set(m.committed_txn_ids(self.path))
+        superseded = m.replaced_txn_ids(self.path)
+        pending = {t for t in m.outstanding_txn_ids(self.path) if t != my_id}
+        conflicts = {
+            t
+            for t in committed_now
+            if t < my_id and t not in visible and t not in superseded
+        } | {t for t in pending if t < my_id}
+        if conflicts:
+            txn.rollback()
+            return None
         txn.commit(replaces=visible)
         return txn.txn_id
 
@@ -369,6 +392,12 @@ class Database:
 
         dims = self.schema.dim_names
         vals = self.schema.value_names
+        clash = [c for c in self.schema.column_names if c in {f"old_{v}" for v in vals}]
+        if clash:
+            raise ValueError(
+                f"with_preimage=True aliases pre-images as old_<col>, which "
+                f"collides with existing column(s) {clash!r}; rename them"
+            )
         if since >= 1 and m.committed_txn_ids(self.path):
             from matdb_spark.transaction import Transaction
 
@@ -410,14 +439,31 @@ class Database:
         self, since: int, until: int, include_compactions: bool
     ) -> list[int]:
         """Committed txns in (since, until] that carry feed content
-        (compaction rewrites excluded unless opted in)."""
+        (compaction rewrites excluded unless opted in). Raises when the
+        window's content was vacuumed away — a compaction manifest
+        replaces ids inside the window whose own manifests no longer
+        exist — instead of silently returning an incomplete feed.
+        Manifests are immutable, so reads go through the cache (a tail
+        loop would otherwise re-open every manifest each poll)."""
         from matdb_spark import manifest as m
 
+        committed = set(m.committed_txn_ids(self.path))
         window = []
-        for t in m.committed_txn_ids(self.path):
+        for t in sorted(committed):
+            mf = m.read_manifest_cached(self.path, t)
+            reps = mf.get("replaces") or []
+            if not include_compactions:
+                vacuumed = [r for r in reps if since < r <= until and r not in committed]
+                if vacuumed:
+                    raise ValueError(
+                        f"change window ({since}, {until}] is unreadable: txns "
+                        f"{vacuumed} were superseded by compaction {t} and "
+                        f"vacuumed away; re-sync from a snapshot or pass "
+                        f"include_compactions=True"
+                    )
             if not (since < t <= until):
                 continue
-            if not include_compactions and m.read_manifest(self.path, t).get("replaces"):
+            if not include_compactions and reps:
                 continue
             window.append(t)
         return window

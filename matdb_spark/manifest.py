@@ -59,6 +59,10 @@ def manifest_path(db_path: str, txn_id: int) -> str:
 def init_layout(db_path: str) -> None:
     os.makedirs(commits_dir(db_path), exist_ok=True)
     os.makedirs(data_dir(db_path), exist_ok=True)
+    # A store may be deleted and re-created at the same path within one
+    # driver process; cached manifests keyed (path, txn_id) would then
+    # describe the OLD store and mis-prune scans of the new one.
+    read_manifest_cached.cache_clear()
 
 
 def committed_txn_ids(db_path: str) -> list[int]:

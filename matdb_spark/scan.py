@@ -74,12 +74,36 @@ def _chunked(df: DataFrame, schema: Schema) -> DataFrame:
         n, s = f"`{d.name}`", int(d.chunk_size)
         if d.type.startswith("decimal"):
             # div would narrow to BIGINT and overflow near 2^64; stay
-            # in decimal (exact: numerator is a multiple of s).
+            # in decimal (exact: numerator is a multiple of s, and
+            # x - pmod stays inside decimal(20,0)'s ±1e20 headroom).
             expr = f"CAST(({n} - pmod({n}, {s})) / {s} AS {d.type})"
         else:
-            expr = f"({n} - pmod({n}, {s})) div {s}"
+            # floor division via truncate-and-correct: `div` truncates
+            # toward zero, so subtract 1 for inexact negative
+            # quotients. No intermediate can overflow — the earlier
+            # (x - pmod(x, s)) form underflowed at the type minimum
+            # (INT_MIN/LONG_MIN), mis-routing those rows to a chunk the
+            # read-side floor predicates then pruned away.
+            expr = (
+                f"({n} div {s}) - "
+                f"(CASE WHEN ({n} % {s}) != 0 AND {n} < 0 THEN 1 ELSE 0 END)"
+            )
         df = df.withColumn(d.chunk_col, F.expr(expr))
     return df
+
+
+def _floor_div(x, size: int):
+    """Exact floor(x / size) for int OR decimal.Decimal bounds. A bare
+    ``x // size`` is wrong for Decimal — decimal floor-division
+    truncates toward zero (Decimal(-5) // 10 == -0), which would build
+    an over-tight chunk predicate that prunes away the partition the
+    write side routed a negative key to."""
+    import decimal
+    import math
+
+    if isinstance(x, decimal.Decimal):
+        return math.floor(x / decimal.Decimal(size))
+    return x // size
 
 
 def _range_filters(
@@ -105,9 +129,9 @@ def _range_filters(
         if with_chunks and d.chunk_size:
             ccol = F.col(d.chunk_col)
             if lo is not None:
-                conds.append(ccol >= F.lit(lo // d.chunk_size))
+                conds.append(ccol >= F.lit(_floor_div(lo, d.chunk_size)))
             if hi is not None:
-                conds.append(ccol <= F.lit(hi // d.chunk_size))
+                conds.append(ccol <= F.lit(_floor_div(hi, d.chunk_size)))
     return conds
 
 
