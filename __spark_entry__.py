@@ -3338,7 +3338,7 @@ def oracle_sql() -> dict[str, str]:
             WITH o AS (
                 SELECT user_id, epoch_ms(ts) AS ms,
                        CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
-                                 OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+                                 OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
                             THEN 1 ELSE 0 END AS ns
                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
             s AS (SELECT user_id, ms,
@@ -3355,7 +3355,7 @@ def oracle_sql() -> dict[str, str]:
             WITH o AS (
                 SELECT user_id, ts,
                        CASE WHEN lag(ts) OVER w IS NULL
-                                 OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+                                 OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
                             THEN 1 ELSE 0 END AS ns
                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
             s AS (SELECT user_id, ts,

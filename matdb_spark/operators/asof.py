@@ -118,6 +118,11 @@ def asof_join_sorted(
     """Strategy B: single-shuffle union + carry-forward window
     (backward direction). Preferred at scale for keyed time series."""
     r_payload = [c for c in right.columns if c not in by]
+    # NULL-timestamp right rows can never satisfy ``right_on <=
+    # left_on``; dropping them up front keeps parity with Strategy A
+    # (asc() sorts nulls FIRST, so an unfiltered null-ts right row
+    # would be carried onto every left row preceding any real match).
+    right = right.filter(F.col(on).isNotNull())
     tagged_r = right.select(
         *by,
         F.col(on).alias("__t"),

@@ -279,6 +279,7 @@ def connected_components(
     labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    converged = False
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges.d == labels.node)
@@ -301,7 +302,15 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # returning intermediate labels would silently split one real
+        # component into several "canonical" documents
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"(component diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

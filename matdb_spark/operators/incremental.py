@@ -121,7 +121,13 @@ def apply_diff(
     ]
     for v in value_cols:
         nn = F.coalesce(F.col(f"nn_{v}"), zl) + F.coalesce(F.col(f"__dnn_{v}"), zl)
-        total = F.coalesce(F.col(f"sum_{v}"), zero) + F.coalesce(F.col(f"__d_{v}"), zero)
+        # re-cast to the state's declared sum type: decimal addition
+        # widens precision (28,s → 30,s → … → 38 cap), so without the
+        # cast the patched schema drifts from the recompute's on every
+        # chained application and eventually overflows the cap
+        total = (
+            F.coalesce(F.col(f"sum_{v}"), zero) + F.coalesce(F.col(f"__d_{v}"), zero)
+        ).cast(state.schema[f"sum_{v}"].dataType)
         out_cols.append(nn.alias(f"nn_{v}"))
         # a group with zero non-null contributions sums to NULL, as a
         # recompute would — 0 would conflate "nothing" with "zero"

@@ -101,7 +101,7 @@ def decode_assets(df: DataFrame, id_col: str = "doc_id", payload_col: str = "pay
     """(id, byte_len, checksum, width, height, n_frames, brightness)
     via mapInPandas — one Arrow batch in, one batch out, no shuffle."""
     out_schema = StructType(
-        [StructField(id_col, LongType()), StructField("byte_len", LongType()),
+        [StructField(id_col, df.schema[id_col].dataType), StructField("byte_len", LongType()),
          StructField("checksum", StringType())] + DECODED_META_FIELDS
     )
 

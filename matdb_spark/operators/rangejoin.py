@@ -33,6 +33,11 @@ def range_join(
     millis). ``bucket_width`` defaults to a heuristic; pick ~ the
     typical interval width so each left row explodes into ~2 buckets.
     """
+    if how not in ("inner", "left"):
+        # outer variants can't be a post-filter on the bucketized join
+        # (the filter would drop the null-extended rows again) — only
+        # the two supported shapes are implemented correctly.
+        raise ValueError(f"range_join supports how='inner' or 'left', got {how!r}")
     lo_c = F.col(lo) if isinstance(lo, str) else lo
     hi_c = F.col(hi) if isinstance(hi, str) else hi
     rv_c = F.col(right_value) if isinstance(right_value, str) else right_value
@@ -41,7 +46,10 @@ def range_join(
     if bucket_width is None:
         bucket_width = 3_600_000  # 1h in ms — caller should size this
 
-    l = left.withColumn("__lo", lo_c.cast("long")).withColumn("__hi", hi_c.cast("long"))
+    left_base = left
+    if how == "left":
+        left_base = left_base.withColumn("__lid", F.monotonically_increasing_id())
+    l = left_base.withColumn("__lo", lo_c.cast("long")).withColumn("__hi", hi_c.cast("long"))
     l = l.withColumn(
         "__bucket",
         F.explode(F.sequence(F.floor(F.col("__lo") / bucket_width), F.floor(F.col("__hi") / bucket_width))),
@@ -51,5 +59,16 @@ def range_join(
     )
     keys = on + ["__bucket"]
     cond = (F.col("__rv") >= F.col("__lo")) & (F.col("__rv") <= F.col("__hi"))
-    out = l.join(r, keys, how).filter(cond)
-    return out.drop("__lo", "__hi", "__rv", "__bucket")
+    # inner core: each matching (left, right) pair meets in exactly one
+    # bucket (the right row's), so the explode introduces no duplicates
+    out = l.join(r, keys, "inner").filter(cond).drop("__lo", "__hi", "__rv", "__bucket")
+    if how == "inner":
+        return out
+    # left outer: append unmatched left rows with null right columns
+    # (anti-join on the surrogate id — NOT a filter on the outer join,
+    # which would silently degrade to inner semantics)
+    right_only = [f for f in right.schema.fields if f.name not in set(on)]
+    unmatched = left_base.join(out.select("__lid"), "__lid", "left_anti")
+    for f in right_only:
+        unmatched = unmatched.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return out.unionByName(unmatched).drop("__lid")

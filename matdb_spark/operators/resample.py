@@ -48,7 +48,10 @@ def resample_ffill(
     per_bucket = (
         df.select(*keys, bucket, value.alias("__v"), order.alias("__ord"))
         .groupBy(*keys, "bucket")
-        .agg(F.max_by("__v", F.col("__ord")).alias("__v"))
+        .agg(
+            F.max_by("__v", F.col("__ord")).alias("__v"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
     )
     # per-key span → dense grid (generated after aggregation: rows are
     # |keys|·|buckets|, independent of raw data volume)
@@ -64,11 +67,18 @@ def resample_ffill(
         .orderBy("bucket")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # ``observed`` means "the bucket had at least one row", NOT "the
+    # value is non-null" — a genuine NULL observation must surface as
+    # (value=NULL, observed=true), not be overwritten by stale carry.
+    # Wrapping the value in a struct lets last(ignorenulls) skip only
+    # truly-empty buckets while carrying null-valued observations.
+    observed = F.col("__cnt").isNotNull()
+    wrapped = F.when(observed, F.struct(F.col("__v").alias("v")))
     return joined.select(
         *keys,
         "bucket",
-        F.last("__v", ignorenulls=True).over(w).alias("value"),
-        F.col("__v").isNotNull().alias("observed"),
+        F.last(wrapped, ignorenulls=True).over(w)["v"].alias("value"),
+        observed.alias("observed"),
     )
 
 

@@ -19,7 +19,14 @@ def sessionize(
 ) -> DataFrame:
     """Adds a 0-based per-key ``session_col``. Deterministic given a
     total (key, ts, tiebreak…) order; ties on ts are fine because the
-    gap flag only depends on ts deltas."""
+    gap flag only depends on ts deltas.
+
+    Boundary: a delta of exactly ``gap_ms`` does NOT split — sessions
+    split only on delta STRICTLY greater than the gap, matching
+    ``F.session_window`` (verified empirically: two events exactly gap
+    apart merge into one session; gap+1ms splits) and
+    ``sessionize_with_state`` — batch and streaming paths agree on
+    session counts."""
     w = Window.partitionBy(key).orderBy(F.col(ts).asc())
     t_ms = F.unix_micros(F.col(ts)) / 1000
     prev = F.lag(t_ms).over(w)

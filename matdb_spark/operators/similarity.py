@@ -233,6 +233,10 @@ def ivf_topk_indexed(
         [F.col("__sim").desc(), F.col("cell_id").asc()],
         nprobe,
     ).select("query_id", "__qv", "cell_id")
+    # persist: the probe plan (crossJoin + ranking window) is consumed
+    # twice — once collected for the partition filter, once as the join
+    # input — and would otherwise be fully re-executed
+    probe = probe.persist()
     probed_cells = [r.cell_id for r in probe.select("cell_id").distinct().collect()]
     index = spark.read.parquet(path).filter(F.col("cell_id").isin(probed_cells))
     cand = probe.join(index.withColumnRenamed(id_col, "neighbor_id"), "cell_id")

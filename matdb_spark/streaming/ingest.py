@@ -58,7 +58,23 @@ def stream_into_database(
             seen[0] = manifest.max_committed_batch_id(db.path, source)
             seen[1] = True
         if seen[0] is not None and batch_id <= seen[0]:
-            return  # replay of a batch whose manifest already landed
+            # Replay of a batch whose manifest already landed — skip.
+            # CAVEAT (same contract as Delta's txnAppId/txnVersion): if
+            # the CHECKPOINT was deleted/recreated while keeping the
+            # same source id, Spark renumbers batches from 0 and this
+            # skip would silently drop genuinely-new data. Resetting a
+            # checkpoint therefore requires a fresh ``source_name`` (or
+            # checkpoint path). Warn loudly so a reset is visible.
+            import warnings
+
+            warnings.warn(
+                f"stream_into_database: skipping batch {batch_id} for source "
+                f"{source!r} (max committed batch id is {seen[0]}). If the "
+                "checkpoint was reset, pass a new source_name/checkpoint — "
+                "otherwise this is a benign post-crash replay.",
+                stacklevel=2,
+            )
+            return
         txn = db.begin()
         txn.add_dataframe(batch_df)
         txn.commit(extra={"stream_source": source, "batch_id": int(batch_id)})

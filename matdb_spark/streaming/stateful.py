@@ -25,6 +25,33 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StructField, StructType
 
 
+def _fold_session_events(
+    start: int | None,
+    last: int | None,
+    n: int,
+    user,
+    ts_ms: list[int],
+    gap_ms: int,
+) -> tuple[int | None, int | None, int, list[tuple]]:
+    """Pure per-key fold: apply sorted ``ts_ms`` to carried session
+    state, returning the new open state and the CLOSED sessions.
+    Extracted so the cross-batch merge rules are unit-testable."""
+    closed: list[tuple] = []
+    for t in ts_ms:
+        if start is None:
+            start, last, n = t, t, 1
+        elif t - last > gap_ms:
+            closed.append((user, start, last + gap_ms, n))
+            start, last, n = t, t, 1
+        else:
+            # late events in a later micro-batch may precede the
+            # session's recorded bounds — extend, never move the
+            # cursor backwards (a plain ``last = t`` would close
+            # the session prematurely with a wrong end time)
+            start, last, n = min(start, t), max(last, t), n + 1
+    return start, last, n, closed
+
+
 def sessionize_with_state(
     events: DataFrame,
     user_col: str = "user_id",
@@ -32,8 +59,10 @@ def sessionize_with_state(
     gap_ms: int = 30 * 60 * 1000,
 ) -> DataFrame:
     """Per-user gap sessions over a stream; emits a row per CLOSED
-    session (a session closes when a later event arrives >= gap after
-    its last event). The open tail session stays in state.
+    session (a session closes when a later event arrives MORE than
+    ``gap_ms`` after its last event — an event at exactly last+gap
+    merges, matching ``F.session_window``). The open tail session
+    stays in state.
 
     Output: (user_id, session_start_ms, session_end_ms, n_events),
     end = last event + gap — matching F.session_window semantics.
@@ -67,15 +96,9 @@ def sessionize_with_state(
             # timestamps arrive as datetime64[ns] through Arrow
             ts_ms.extend((col.astype("int64") // 1_000_000).tolist())
         ts_ms.sort()
-        closed: list[tuple[int, int, int, int]] = []
-        for t in ts_ms:
-            if start is None:
-                start, last, n = t, t, 1
-            elif t - last >= gap_ms:
-                closed.append((user, start, last + gap_ms, n))
-                start, last, n = t, t, 1
-            else:
-                last, n = t, n + 1
+        start, last, n, closed = _fold_session_events(
+            start, last, n, user, ts_ms, gap_ms
+        )
         if start is not None:
             state.update((int(start), int(last), int(n)))
         if closed:
