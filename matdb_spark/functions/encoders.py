@@ -19,7 +19,9 @@ def parse_sensor_time(col: Column) -> Column:
     """``14/02/2023 3:05:09 p.m.`` → epoch millis (UTC).
     Normalizes ``a.m./p.m.`` → ``AM/PM`` then parses with the
     reference's format string (d/M/yyyy h:mm:ss a)."""
-    norm = F.upper(F.regexp_replace(col, r"([ap])\.m\.", r"$1m"))
+    # (?i): the reference data is lowercase but uppercase 'A.M./P.M.'
+    # would otherwise silently fail to parse and drop the row
+    norm = F.upper(F.regexp_replace(col, r"(?i)([ap])\.m\.", r"$1m"))
     # try_: unparsable input → NULL (callers drop it), matching the
     # reference's skip-bad-line behavior (sensor-log.rs:199-204)
     ts = F.try_to_timestamp(norm, F.lit("d/M/yyyy h:mm:ss a"))

@@ -16,10 +16,16 @@ from pyspark.sql.functions import pandas_udf
 def median_agg(v: pd.Series) -> float:
     """Exact median — order-independent, and binary-exact for integer
     inputs (integer or half-integer result), so cross-engine
-    hash-comparison is safe where float sums would not be."""
-    return float(v.median())
+    hash-comparison is safe where float sums would not be.
+
+    All-null group → NULL (SQL semantics), not NaN — NaN would poison
+    comparisons and cross-engine hash checks."""
+    m = v.median()
+    return None if pd.isna(m) else float(m)
 
 
 @pandas_udf("long")
 def count_agg(v: pd.Series) -> int:
-    return len(v)
+    """SQL count(col) semantics: non-null values only (len(v) would
+    behave as count(*) and diverge from any SQL oracle on nulls)."""
+    return int(v.count())

@@ -257,7 +257,11 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for r in edges.toLocalIterator():
+        # collect, not toLocalIterator: the edge set is checkpointed and
+        # under driver_threshold by construction; toLocalIterator fetches
+        # the 32 partitions sequentially (one roundtrip each), which
+        # dominated this operator's wall-clock
+        for r in edges.collect():
             s, d = r["s"], r["d"]
             parent.setdefault(s, s)
             parent.setdefault(d, d)
@@ -319,29 +323,45 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash: long) 60-bit SimHash over whitespace tokens of the
     normalized text: per bit, sign of Σ±1 across token hashes.
 
-    One groupBy(id) with 60 masked conditional-sum expressions (all
-    partial-aggregating map-side), then driver-free bit reassembly in
-    the projection — a single shuffle total.
+    ZERO shuffles: the whole fingerprint is computed per row with
+    higher-order functions (tokenize → hash each token once into an
+    array attribute → per bit, count set bits with size(filter(...)));
+    sign(Σ±1) ≡ 2·count_set > n_tokens. The previous explode +
+    groupBy(id) formulation shuffled |tokens| rows per document — at
+    corpus scale that shuffle dwarfed the hashing itself (measured
+    4.7 s → ~1 s at sf0.1). Documents with no tokens are excluded
+    (matching the explode form, where they produce no rows).
+
+    Two-phase projection on purpose (see shingle_rows): ``__toks`` and
+    ``__h`` are materialized attributes, so the split/md5 run once per
+    row, not once per lambda element.
     """
     toks = df.select(
-        F.col(id_col), F.explode(F.split(normalize(F.col(text_col)), " ")).alias("__t")
-    ).filter(F.col("__t") != "")
-    toks = toks.withColumn("__h", hash64(F.col("__t")))
-    per_bit = [
-        F.sum(
-            F.when(F.col("__h").bitwiseAND(F.lit(1 << bit)) != 0, 1).otherwise(-1)
-        ).alias(f"__b{bit}")
-        for bit in range(60)
-    ]
-    sums = toks.groupBy(id_col).agg(*per_bit)
-    assembled = sums.select(
         F.col(id_col),
-        sum(
-            [
-                F.when(F.col(f"__b{bit}") > 0, F.lit(1 << bit).cast("long")).otherwise(F.lit(0).cast("long"))
-                for bit in range(60)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("simhash"),
+        F.filter(
+            F.split(normalize(F.col(text_col)), " "), lambda x: x != F.lit("")
+        ).alias("__toks"),
+    ).filter(F.size("__toks") > 0)
+    hashed = toks.select(
+        F.col(id_col), F.transform(F.col("__toks"), hash64).alias("__h")
     )
-    return assembled
+    n = F.size(F.col("__h"))
+
+    def bit_count(mask_val: int):
+        # closure (NOT a default-arg lambda): pyspark infers lambda
+        # arity from the signature, and a second parameter would make
+        # filter() pass the array INDEX into it
+        mask = F.lit(mask_val)
+        return F.size(F.filter(F.col("__h"), lambda h: h.bitwiseAND(mask) != 0))
+
+    bit_terms = []
+    for bit in range(60):
+        cnt = bit_count(1 << bit)
+        bit_terms.append(
+            F.when(cnt * 2 > n, F.lit(1 << bit).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return hashed.select(
+        F.col(id_col), sum(bit_terms, F.lit(0).cast("long")).alias("simhash")
+    )

@@ -36,14 +36,22 @@ def write_bucketed(
     same bucket count and columns for the exchange-free plan.
     """
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # an in-memory catalog from a previous session may have left the
-    # managed location behind without a catalog entry — clear it, or
-    # saveAsTable refuses with LOCATION_ALREADY_EXISTS
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
-    stale = os.path.join(wh, table.split(".")[-1])
-    if os.path.isdir(stale):
-        shutil.rmtree(stale, ignore_errors=True)
+    if mode == "overwrite":
+        # drop + clear the managed location ONLY when overwriting; an
+        # unconditional drop would silently destroy existing data under
+        # mode='append'. The location may survive a previous session
+        # whose in-memory catalog entry is gone — clear it, or
+        # saveAsTable refuses with LOCATION_ALREADY_EXISTS.
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+        parts = table.split(".")
+        if len(parts) >= 2:
+            # database-qualified: managed location is <wh>/<db>.db/<name>
+            stale = os.path.join(wh, parts[-2] + ".db", parts[-1])
+        else:
+            stale = os.path.join(wh, parts[-1])
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
     writer = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

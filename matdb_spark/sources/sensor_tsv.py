@@ -126,7 +126,12 @@ def load(spark: SparkSession, db_path: str, paths: list[str]) -> int:
     dim.coalesce(1).write.mode("overwrite").parquet(dim_out)
     txn = db.begin()
     txn.add_dataframe(facts)
-    n = facts.count()
+    # row count from the written segment's parquet footers — counting
+    # the *input* DataFrame would re-run the whole decompress + parse +
+    # dictionary-join pipeline a second time (gzip TSV is
+    # non-splittable; the re-read doubled ingest wall-clock)
+    stats = txn._txn_stats
+    n = stats["rows"] if stats else facts.count()
     txn.commit()
     return n
 

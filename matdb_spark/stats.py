@@ -47,13 +47,8 @@ def collect_segment_stats(seg_dir: str, schema) -> dict | None:
     except Exception:
         return None
     dims = [d.name for d in schema.dimensions if d.type in _STAT_TYPES]
-    chunked = {d.chunk_col: d for d in schema.chunked_dims if d.type in _STAT_TYPES}
     out: dict[str, list] = {}
-    cvals: dict[str, list] = {}
     rows = 0
-    # Single walk: footer stats and chunk-directory values gathered in
-    # one pass (a second os.walk would repeat the full listing — a real
-    # cost on object-store-backed filesystems).
     try:
         for path in _iter_parquet_files(seg_dir):
             md = pq.ParquetFile(path).metadata
@@ -63,7 +58,12 @@ def collect_segment_stats(seg_dir: str, schema) -> dict | None:
                 g = md.row_group(rg)
                 for d in dims:
                     if d not in names:
-                        continue  # chunked dims live in dir names, not columns
+                        # dimension columns are always written into the
+                        # data files (segments partitionBy only the
+                        # derived __chunk_* columns) — a missing dim
+                        # means an unexpected layout: disable pruning
+                        # rather than emit wrong bounds
+                        return None
                     st = g.column(names[d]).statistics
                     if st is None or not st.has_min_max:
                         return None
@@ -74,29 +74,8 @@ def collect_segment_stats(seg_dir: str, schema) -> dict | None:
                     else:
                         cur[0] = min(cur[0], mn)
                         cur[1] = max(cur[1], mx)
-            for part in path.split(os.sep):
-                if "=" in part:
-                    k, _, v = part.partition("=")
-                    if k in chunked:
-                        try:
-                            iv = int(v)
-                        except ValueError:
-                            continue
-                        cur = cvals.get(k)
-                        if cur is None:
-                            cvals[k] = [iv, iv]
-                        else:
-                            cur[0] = min(cur[0], iv)
-                            cur[1] = max(cur[1], iv)
     except Exception:
         return None
-    # Chunk-partitioned dims are encoded in directory names; recover
-    # their bounds from the chunk values (conservative: chunk floor /
-    # chunk end), better than dropping the dim entirely.
-    for ccol, d in chunked.items():
-        if ccol in cvals and d.name not in out:
-            lo, hi = cvals[ccol]
-            out[d.name] = [lo * d.chunk_size, (hi + 1) * d.chunk_size - 1]
     return {"rows": rows, "dims": out}
 
 

@@ -34,11 +34,18 @@ def zorder_bucket(name: str, lo: int, hi: int, bits: int = DEFAULT_BITS) -> Colu
     """Map values in [lo, hi] to integer buckets in [0, 2^bits).
 
     Exact integer ``div`` (not double division — inexact above 2^53),
-    and ``step`` is computed div-first so nothing can overflow a long
-    for any key domain. ``col - lo >= 0`` makes div == floor-div."""
-    span = hi - lo
+    and overflow-safe for ANY long domain: dividing BEFORE subtracting
+    keeps every intermediate within ±2^63 even when hi - lo itself
+    overflows (e.g. full-range signed 64-bit hashed keys, where
+    ``col - lo`` would wrap / raise under ANSI mode). Buckets from the
+    div-first form can shift by one at ``step`` boundaries versus
+    (col-lo) div step — irrelevant for clustering, which only needs a
+    monotone map — and the ``least`` clamp pins the one boundary value
+    that could reach 2^bits."""
+    span = hi - lo  # python int: never overflows
     step = (span // (1 << bits)) + 1
-    return F.expr(f"(CAST(`{name}` AS BIGINT) - ({lo})) div {step}")
+    b = F.expr(f"(CAST(`{name}` AS BIGINT) div {step}) - ({lo // step})")
+    return F.least(b, F.lit((1 << bits) - 1))
 
 
 def interleave_bits(buckets: list[Column], bits: int = DEFAULT_BITS) -> Column:
