@@ -676,19 +676,16 @@ def _cached_mvcc_db(spark, db_path: str, schema, build):
     """Build-once store fixture. The mvcc gate queries measure the
     SCAN operator; the two-transaction ingest that creates the store is
     a deterministic fixture (same sf_dir → same bytes), so it is built
-    once and reused — the marker lands only after a successful build,
-    and a version bump or missing marker forces a clean rebuild."""
+    once and reused via the shared versioned-marker mechanism
+    (sources/formats._build_once)."""
     from matdb_spark import Database
+    from matdb_spark.sources.formats import _build_once
 
-    marker = os.path.join(db_path, f".built_{_MVCC_BUILD_VERSION}")
-    if os.path.exists(marker):
-        return Database.open(spark, db_path)
-    shutil.rmtree(db_path, ignore_errors=True)
-    db = Database.create(spark, db_path, schema)
-    build(db)
-    with open(marker, "w") as f:
-        f.write("ok")
-    return db
+    def _create(p: str) -> None:
+        build(Database.create(spark, p, schema))
+
+    _build_once(db_path, _create, version=_MVCC_BUILD_VERSION)
+    return Database.open(spark, db_path)
 
 def _gate_mvcc_store(spark, sf_dir: str):
     """THE shared two-txn upsert store (txn1: all events; txn2: +1000
@@ -1844,9 +1841,12 @@ def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ms = _ms(F.col("ts"))
     bucket = F.floor(ms / F.lit(21_600_000)).cast("long")
-    # unique, overflow-safe ordering: ms offsets (21st-century span)
-    # scaled to make room for the event-id tiebreak
-    ord_ = (ms - F.lit(1_700_000_000_000)) * F.lit(100_000) + F.col("event_id")
+    # unique ordering: ms offset scaled to make room for the event-id
+    # tiebreak. x1e7 keeps (ms, event_id) injective while event_id
+    # < 1e7 (testdata: SF x 1e6 ids, i.e. through sf10 — x1e5 broke at
+    # sf1) and cannot overflow: |ms - epoch| stays < 9.2e11 (~29 years
+    # around late 2023) so the product stays inside a signed long
+    ord_ = (ms - F.lit(1_700_000_000_000)) * F.lit(10_000_000) + F.col("event_id")
     return ev.groupBy(F.col("user_id"), bucket.alias("bucket")).agg(
         F.min_by("value", ord_).alias("open"),
         F.max("value").alias("high"),
@@ -1867,7 +1867,7 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     ms = _ms(F.col("ts"))
-    ord_ = (ms - F.lit(1_700_000_000_000)) * F.lit(100_000) + F.col("event_id")
+    ord_ = (ms - F.lit(1_700_000_000_000)) * F.lit(10_000_000) + F.col("event_id")
     out = resample.resample_ffill(
         ev, ["user_id"], ms, F.col("value"), ord_, 3_600_000
     )
@@ -1884,7 +1884,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     ms = _ms(F.col("ts"))
-    ord_ = (ms - F.lit(1_700_000_000_000)) * F.lit(100_000) + F.col("event_id")
+    ord_ = (ms - F.lit(1_700_000_000_000)) * F.lit(10_000_000) + F.col("event_id")
     out = resample.time_weighted_avg(
         ev, ["user_id"], ms, F.col("value").cast("decimal(14,2)"), ord_
     )
@@ -3799,7 +3799,7 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (
                 SELECT user_id, value,
                        epoch_ms(ts) // 21600000 AS bucket,
-                       (epoch_ms(ts) - 1700000000000) * 100000 + event_id AS ord
+                       (epoch_ms(ts) - 1700000000000) * 10000000 + event_id AS ord
                 FROM events
             )
             SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
@@ -3814,7 +3814,7 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (
                 SELECT user_id, value,
                        epoch_ms(ts) // 3600000 AS bucket,
-                       (epoch_ms(ts) - 1700000000000) * 100000 + event_id AS ord
+                       (epoch_ms(ts) - 1700000000000) * 10000000 + event_id AS ord
                 FROM events
             ), b AS (
                 SELECT user_id, bucket, arg_max(value, ord) AS v
@@ -3842,7 +3842,7 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (
                 SELECT user_id, CAST(value AS DECIMAL(14,2)) AS v,
                        epoch_ms(ts) AS ms,
-                       (epoch_ms(ts) - 1700000000000) * 100000 + event_id AS ord
+                       (epoch_ms(ts) - 1700000000000) * 10000000 + event_id AS ord
                 FROM events
             ), i AS (
                 SELECT user_id, v,

@@ -46,23 +46,31 @@ def main() -> None:
                 el = round(time.time() - t0, 3)
                 best = el if best is None else min(best, el)
             except Exception as e:  # record failures without killing the run
-                best = -1.0
+                # keep a successful first-run time if we have one — a
+                # transient second-run error shouldn't erase a real
+                # end-to-end measurement
+                if best is None:
+                    best = -1.0
                 print(f"# bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
                 break
         times[name] = best
 
+    failed = sorted(n for n, t in times.items() if t < 0)
     total = round(sum(t for t in times.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if failed:
+        # failures must be LOUD in the headline line: a crashing query
+        # is excluded from the sum, which would otherwise make a broken
+        # run look faster than a healthy one
+        out["failed"] = failed
+        out["n_failed"] = len(failed)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -32,8 +32,14 @@ from matdb_spark.sources.tables import load_table
 _FIXTURE_VERSION = "v1"
 
 
-def _build_once(path: str, build) -> None:
-    marker = os.path.join(path, f"._built_{_FIXTURE_VERSION}")
+def _build_once(path: str, build, version: str = _FIXTURE_VERSION) -> None:
+    """Versioned build-once fixture: rebuild from scratch unless the
+    version's marker file exists; the marker lands only after a
+    successful ``build``, so a crashed build is retried cleanly. The
+    single build-once mechanism for every cached fixture (format
+    fixtures here, the MVCC gate stores in __spark_entry__) — bump the
+    caller's version string whenever its recipe changes."""
+    marker = os.path.join(path, f"._built_{version}")
     if os.path.exists(marker):
         return
     import shutil
