@@ -980,6 +980,42 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment — the canonical ingest-time
+    dimension lookup: the events stream joins the static customer
+    dimension (broadcast, stateless, no watermark) inside the stream,
+    then aggregates per market segment in complete mode. At scale the
+    stream side stays shuffle-free through the join; only the
+    aggregation shuffles. Integer-exact aggregates for the oracle."""
+    from matdb_spark.streaming import events_stream
+    from matdb_spark.streaming.joins import static_enrich
+    from matdb_spark.streaming.windows import run_to_memory_sink
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    name = f"stream_static_{tag}"
+    ckpt = os.path.join(SCRATCH, f"ckpt_{name}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        enriched = static_enrich(
+            events_stream(spark, sf_dir).select("user_id", "event_id"),
+            cust,
+            ["user_id"],
+        )
+        out = enriched.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").alias("sum_event_id"),
+        )
+        run_to_memory_sink(out, name, ckpt, "complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return spark.table(name)
+
+
 def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState sessionizer over a finite stream: with
     one micro-batch (availableNow, single file) it emits every CLOSED
@@ -1188,6 +1224,39 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would use ~0.95.
     out = similarity.cosine_near_dup_pairs(emb, _centroids(emb), threshold=0.35)
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization of the embedding column — the 4x
+    storage/shuffle/scan reduction step applied before ANN passes at
+    corpus scale. Per-vector scale (127/max|x|), components mapped by
+    floor(x*scale + 0.5) (floor of an identical IEEE double is
+    bit-reproducible cross-engine; round()'s half-tie rule is not).
+    Output summarizes each quantized vector with integer-exact
+    sum/min/max plus the rounded scale."""
+    from matdb_spark.functions.vectors import int8_scale, quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # two-phase projection: scale must be an attribute before it is
+    # referenced inside the quantize lambda (HOF lambdas re-evaluate
+    # inlined expressions per element)
+    s = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        int8_scale(F.col("embedding")).alias("scale"),
+    )
+    q = s.select(
+        "vec_id", "scale", quantize_int8(F.col("v"), F.col("scale")).alias("q")
+    )
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+    )
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2635,6 +2704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_funcs": q_array_funcs,
         "q_similarity_ivf": q_similarity_ivf,
         "q_embed_near_dup": q_embed_near_dup,
+        "q_embed_quantize": q_embed_quantize,
         "q_set_intersect": q_set_intersect,
         "q_set_except": q_set_except,
         "q_set_union": q_set_union,
@@ -2656,6 +2726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_sliding": q_stream_sliding,
         "q_stream_ingest_scan": q_stream_ingest_scan,
         "q_stream_stream_join": q_stream_stream_join,
+        "q_stream_static_join": q_stream_static_join,
         "q_stream_stateful_sessions": q_stream_stateful_sessions,
         "q_session_window": q_session_window,
         "q_text_stats": q_text_stats,
@@ -3200,6 +3271,25 @@ def oracle_sql() -> dict[str, str]:
         "q_similarity_ivf": _ivf_sql(),
         "q_similarity_ivf_indexed": _ivf_sql(),
         "q_embed_near_dup": _near_dup_sql(),
+        "q_embed_quantize": """
+            WITH s AS (
+                SELECT vec_id, embedding,
+                       CASE WHEN list_max(list_transform(embedding,
+                                x -> abs(CAST(x AS DOUBLE)))) > 0
+                            THEN 127.0 / list_max(list_transform(embedding,
+                                x -> abs(CAST(x AS DOUBLE))))
+                            ELSE 0.0 END AS scale
+                FROM embeddings),
+            q AS (
+                SELECT vec_id, scale,
+                       list_transform(embedding,
+                           x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INTEGER)) AS qv
+                FROM s)
+            SELECT vec_id, round(scale, 6) AS scale_r,
+                   CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                   list_min(qv) AS q_min, list_max(qv) AS q_max
+            FROM q
+        """,
         "q_set_intersect": """
             SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
             INTERSECT
@@ -3287,6 +3377,12 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
             WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        """,
+        "q_stream_static_join": """
+            SELECT c.c_mktsegment, COUNT(*) AS n_events,
+                   CAST(SUM(e.event_id) AS BIGINT) AS sum_event_id
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY c.c_mktsegment
         """,
         "q_percentiles": """
             SELECT o_orderstatus,

@@ -38,6 +38,33 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def int8_scale(vec: Column) -> Column:
+    """Symmetric-quantization scale for one vector: 127 / max|x|
+    (0.0 for an all-zero vector so quantize maps it to zeros instead
+    of dividing by zero)."""
+    amax = F.array_max(F.transform(as_double(vec), F.abs))
+    return F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
+
+
+def quantize_int8(vec: Column, scale: Column) -> Column:
+    """Per-vector symmetric int8 quantization: q_i = floor(x_i * scale
+    + 0.5) — floor of an identical IEEE double is bit-reproducible in
+    any engine, while round()'s half-tie rule is not. By construction
+    |x_i * scale| <= 127, so results lie in [-127, 127] with no clamp.
+
+    ``scale`` should be a PROJECTED attribute (from :func:`int8_scale`
+    in a prior select), not an inline expression: expressions
+    referenced inside a higher-order-function lambda are re-evaluated
+    per element, which would recompute the array_max per component.
+
+    Why it matters at 100 TB: int8 storage cuts embedding bytes (and
+    therefore shuffle and scan IO for ANN / near-dup passes) 4x versus
+    float32 for a bounded, measurable recall cost."""
+    return F.transform(
+        as_double(vec), lambda x: F.floor(x * scale + F.lit(0.5)).cast("int")
+    )
+
+
 def squared_l2(a: Column, b: Column) -> Column:
     a, b = as_double(a), as_double(b)
     return F.aggregate(

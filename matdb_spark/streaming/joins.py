@@ -58,3 +58,19 @@ def interval_join(
         *[l[c] for c in left.columns],
         *[r[c] for c in r.columns if c.endswith(suffix) or c not in keys],
     )
+
+
+def static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a (small) static
+    dimension — the canonical ingest-time dimension lookup. Stateless
+    (nothing buffered, no watermark needed): each micro-batch joins
+    against the CURRENT static relation, so dimension updates between
+    batches are picked up automatically. The explicit broadcast keeps
+    the stream side shuffle-free at any scale; only the dim must fit
+    in executor memory."""
+    return stream.join(F.broadcast(dim), keys, how)
