@@ -1237,9 +1237,8 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from matdb_spark.functions.vectors import int8_scale, quantize_int8
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # two-phase projection: scale must be an attribute before it is
-    # referenced inside the quantize lambda (HOF lambdas re-evaluate
-    # inlined expressions per element)
+    # quantize_int8 binds the scale as a lambda variable internally,
+    # so it is safe (and O(d)) however the scale is passed
     s = emb.select(
         "vec_id",
         F.col("embedding").alias("v"),
