@@ -75,3 +75,70 @@ def test_random_workloads_match_model(spark, workload, compact_at_end):
     # ordering contract of the ordered scan
     ordered = [(r["a"], r["b"]) for r in db.begin().query(ordered=True).collect()]
     assert ordered == sorted(ordered)
+
+
+# richer op alphabet: upserts AND deletes, with per-commit history
+# snapshots checked back through time travel, plus a bounded
+# query_range compared against the model filter
+_op = st.one_of(
+    st.tuples(st.just("put"), st.integers(0, 7), st.integers(0, 3), st.integers(-50, 50)),
+    st.tuples(st.just("del"), st.integers(0, 7), st.integers(0, 3)),
+)
+_txn2 = st.tuples(st.booleans(), st.lists(_op, min_size=0, max_size=10))
+_workload2 = st.lists(_txn2, min_size=1, max_size=4)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(workload=_workload2, lo=st.integers(0, 7), hi=st.integers(0, 7))
+def test_random_workloads_with_deletes_history_and_range(spark, workload, lo, hi):
+    path = os.path.join(SCRATCH, "prop_db2")
+    shutil.rmtree(path, ignore_errors=True)
+    schema = Schema(
+        dimensions=[Dimension("a", 3), Dimension("b", 2)], values=[Value("v")]
+    )
+    db = Database.create(spark, path, schema)
+
+    model: dict[tuple[int, int], int] = {}
+    history: list[tuple[int, dict]] = []  # (txn_id, model state after it)
+    for commit, ops in workload:
+        txn = db.begin()
+        staged = dict(model)
+        for op in ops:
+            if op[0] == "put":
+                _, a, b, v = op
+                txn.add_row([a, b, v])
+                staged[(a, b)] = v
+            else:
+                _, a, b = op
+                txn.delete_row([a, b])
+                staged.pop((a, b), None)
+        if commit:
+            txn.commit()
+            model = staged
+            if txn.txn_id is not None:  # empty txns may not allocate an id
+                history.append((txn.txn_id, dict(model)))
+        else:
+            txn.rollback()
+
+    got = {(r["a"], r["b"]): r["v"] for r in db.snapshot().collect()}
+    assert got == model
+
+    # time travel: every committed txn's snapshot is reproducible
+    for txn_id, state in history:
+        at = {
+            (r["a"], r["b"]): r["v"]
+            for r in db.begin(as_of=txn_id).query(ordered=False).collect()
+        }
+        assert at == state, f"as_of={txn_id}"
+
+    # bounded range scan == model filter (inclusive bounds)
+    lo, hi = min(lo, hi), max(lo, hi)
+    rng = {
+        (r["a"], r["b"]): r["v"]
+        for r in db.begin().query_range({"a": (lo, hi)}, ordered=False).collect()
+    }
+    assert rng == {k: v for k, v in model.items() if lo <= k[0] <= hi}

@@ -1,0 +1,155 @@
+"""Property-based operator semantics: random inputs cross-checked
+against independent reference implementations (pandas merge_asof, pure
+Python nested loops) — catches semantic drift the fixed fixtures and
+SQL oracles share blind spots on.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from matdb_spark.operators.asof import asof_join, asof_join_sorted
+from matdb_spark.operators.rangejoin import range_join
+from matdb_spark.operators.sessionize import sessionize
+
+_EPOCH = datetime.datetime(2024, 1, 1)
+
+
+def _ts(s: int) -> datetime.datetime:
+    return _EPOCH + datetime.timedelta(seconds=s)
+
+
+_left_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 500)), min_size=1, max_size=12
+)
+_right_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 500), st.integers(-99, 99)),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(lrows=_left_rows, rrows=_right_rows)
+def test_asof_both_strategies_match_pandas(spark, lrows, rrows):
+    # dedupe right on (key, ts): at equal instants the winner is
+    # implementation-defined in every engine; keep the property crisp
+    rmap = {}
+    for k, t, p in rrows:
+        rmap[(k, t)] = p
+    rrows = [(k, t, p) for (k, t), p in rmap.items()]
+    # left duplicates are deliberately KEPT (every left row must
+    # survive both strategies)
+    left = spark.createDataFrame(
+        [(i, k, _ts(t)) for i, (k, t) in enumerate(lrows)], "lid long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(k, _ts(t), p) for k, t, p in rrows] or [],
+        "k long, ts timestamp, px long",
+    )
+    a = asof_join(left, right, on="ts", by=["k"])
+    b = asof_join_sorted(left, right, on="ts", by=["k"])
+    got_a = {r["lid"]: r["px_right"] for r in a.collect()}
+    got_b = {r["lid"]: r["px_right"] for r in b.collect()}
+
+    lpdf = pd.DataFrame(
+        {"lid": range(len(lrows)), "k": [k for k, _ in lrows], "ts": [_ts(t) for _, t in lrows]}
+    ).sort_values("ts", kind="stable")
+    rpdf = pd.DataFrame(
+        {"k": [k for k, _, _ in rrows], "ts": [_ts(t) for _, t, _ in rrows],
+         "px": [p for _, _, p in rrows]}
+    ).sort_values("ts", kind="stable")
+    if len(rpdf):
+        m = pd.merge_asof(lpdf, rpdf, on="ts", by="k", direction="backward")
+        expected = {
+            int(r.lid): (None if pd.isna(r.px) else int(r.px)) for r in m.itertuples()
+        }
+    else:
+        expected = {int(r.lid): None for r in lpdf.itertuples()}
+    assert got_a == expected
+    assert got_b == expected
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 120)), min_size=1, max_size=15
+    ),
+    gap_s=st.integers(1, 40),
+)
+def test_sessionize_matches_model(spark, events, gap_s):
+    # distinct (key, ts): equal timestamps have no defined visit order
+    events = sorted(set(events))
+    df = spark.createDataFrame(
+        [(k, _ts(t)) for k, t in events], "k long, ts timestamp"
+    )
+    out = sessionize(df, "k", "ts", gap_ms=gap_s * 1000)
+    got = {
+        (r["k"], r["ts"]): r["session_id"] for r in out.collect()
+    }
+    # model: strict > split (exactly gap merges)
+    expected = {}
+    for k in {k for k, _ in events}:
+        ts_sorted = sorted(t for kk, t in events if kk == k)
+        sid, prev = 0, None
+        for t in ts_sorted:
+            if prev is not None and (t - prev) * 1000 > gap_s * 1000:
+                sid += 1
+            expected[(k, _ts(t))] = sid
+            prev = t
+    assert got == expected
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    lrows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 200), st.integers(0, 100)),
+        min_size=1,
+        max_size=10,
+    ),
+    rrows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 300)), min_size=0, max_size=12
+    ),
+    bucket=st.sampled_from([7, 50, 1000]),
+)
+def test_range_join_matches_nested_loop(spark, lrows, rrows, bucket):
+    left = spark.createDataFrame(
+        [(i, k, lo, lo + w) for i, (k, lo, w) in enumerate(lrows)],
+        "lid long, k long, lo long, hi long",
+    )
+    right = spark.createDataFrame(
+        [(j, k, rv) for j, (k, rv) in enumerate(rrows)] or [],
+        "rid long, k long, rv long",
+    )
+    for how in ("inner", "left"):
+        out = range_join(left, right, "lo", "hi", "rv", on=["k"], bucket_width=bucket, how=how)
+        got = {(r["lid"], r["rid"]) for r in out.collect()}
+        expected = set()
+        matched = set()
+        for i, (k, lo, w) in enumerate(lrows):
+            for j, (rk, rv) in enumerate(rrows):
+                if rk == k and lo <= rv <= lo + w:
+                    expected.add((i, j))
+                    matched.add(i)
+        if how == "left":
+            expected |= {(i, None) for i in range(len(lrows)) if i not in matched}
+        assert got == expected, f"how={how}"
