@@ -106,6 +106,57 @@ def _floor_div(x, size: int):
     return x // size
 
 
+def _chunk_ranges(schema: Schema, bounds: dict[str, tuple]) -> dict[str, tuple]:
+    """chunk_col -> (chunk_lo|None, chunk_hi|None) for every bounded,
+    chunked dim — the Python twin of the chunk predicates in
+    ``_range_filters`` (same ``_floor_div`` arithmetic on both sides)."""
+    out: dict[str, tuple] = {}
+    by_name = {d.name: d for d in schema.dimensions}
+    for name, (lo, hi) in (bounds or {}).items():
+        d = by_name[name]
+        if not d.chunk_size:
+            continue
+        out[d.chunk_col] = (
+            _floor_div(lo, d.chunk_size) if lo is not None else None,
+            _floor_div(hi, d.chunk_size) if hi is not None else None,
+        )
+    return out
+
+
+def _select_manifest_files(
+    files: list[str], chunk_ranges: dict[str, tuple]
+) -> list[str]:
+    """Chunk-prune a manifest file list driver-side: keep only paths
+    whose ``__chunk_<dim>=<v>`` directory components intersect the
+    bounds. Paths without a referenced chunk component are kept
+    (cannot prune ⇒ read)."""
+    if not chunk_ranges:
+        return files
+    keep = []
+    for f in files:
+        parts = dict(p.split("=", 1) for p in f.split("/") if "=" in p)
+        ok = True
+        for ccol, (clo, chi) in chunk_ranges.items():
+            v = parts.get(ccol)
+            if v is None:
+                continue
+            try:
+                iv = int(v)
+            except ValueError:
+                continue
+            if (clo is not None and iv < clo) or (chi is not None and iv > chi):
+                ok = False
+                break
+        if ok:
+            keep.append(f)
+    return keep
+
+
+#: above this many explicit paths, pass directories instead (py4j
+#: argument-marshalling and driver plan size outweigh listing savings)
+_MAX_EXPLICIT_PATHS = 50_000
+
+
 def _range_filters(
     schema: Schema, bounds: dict[str, tuple], with_chunks: bool
 ) -> list:
@@ -179,7 +230,29 @@ def scan_dataframe(
     if source.own_txn is not None and source.own_staged_segments > 0:
         read_txns.append(source.own_txn)
     if read_txns:
-        dirs = [manifest.txn_data_dir(source.db_path, t) for t in read_txns]
+        # Resolve the file set from manifests when every committed txn
+        # recorded one: no filesystem LISTING job at read time (at
+        # scale, listing thousands of chunk dirs costs more than the
+        # pruned read itself), and bounded scans chunk-prune the list
+        # driver-side before the reader sees a single path. Own staged
+        # segments have no manifest yet — their txn dir is passed as a
+        # directory (small listing). Any committed txn without a file
+        # list (legacy store, capped txn) falls back to directories.
+        paths: list[str] = []
+        explicit_ok = True
+        cranges = _chunk_ranges(schema, bounds or {})
+        for t in read_txns:
+            tdir = manifest.txn_data_dir(source.db_path, t)
+            if t == source.own_txn:
+                paths.append(tdir)
+                continue
+            fl = manifest.read_manifest_cached(source.db_path, t).get("files")
+            if fl is None:
+                explicit_ok = False
+                break
+            paths.extend(f"{tdir}/{rel}" for rel in _select_manifest_files(fl, cranges))
+        if not explicit_ok or len(paths) > _MAX_EXPLICIT_PATHS:
+            paths = [manifest.txn_data_dir(source.db_path, t) for t in read_txns]
         reader = spark.read.option("basePath", manifest.data_dir(source.db_path))
         if schema.epoch:
             # Evolved store: segments predating a value column lack it;
@@ -187,27 +260,28 @@ def scan_dataframe(
             # Epoch-gated because merging footers costs a listing pass
             # a never-evolved store shouldn't pay.
             reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*dirs)
-        # Prune BEFORE projecting away the __chunk_* partition columns.
-        for cond in _range_filters(schema, bounds or {}, with_chunks=True):
-            df = df.filter(cond)
-        if predicate is not None:
-            df = df.filter(predicate)
-        # Partition dirs contribute txn=<t>, seg=<s>, __chunk_* columns.
-        # A value column absent from EVERY read file (evolved, not yet
-        # written anywhere in this snapshot) backfills as typed null.
-        present = set(df.columns)
-        vtypes = {f.name: f.dataType for f in schema.spark_schema().fields}
-        df = df.select(
-            F.col("txn").cast("long").alias(TXN_COL),
-            F.col(SEQ_COL),
-            *[F.col(c) for c in dims],
-            *[
-                F.col(c) if c in present else F.lit(None).cast(vtypes[c]).alias(c)
-                for c in vals
-            ],
-        )
-        parts.append(df)
+        if paths:  # empty = every committed file chunk-pruned away
+            df = reader.parquet(*paths)
+            # Prune BEFORE projecting away the __chunk_* partition columns.
+            for cond in _range_filters(schema, bounds or {}, with_chunks=True):
+                df = df.filter(cond)
+            if predicate is not None:
+                df = df.filter(predicate)
+            # Partition dirs contribute txn=<t>, seg=<s>, __chunk_* columns.
+            # A value column absent from EVERY read file (evolved, not yet
+            # written anywhere in this snapshot) backfills as typed null.
+            present = set(df.columns)
+            vtypes = {f.name: f.dataType for f in schema.spark_schema().fields}
+            df = df.select(
+                F.col("txn").cast("long").alias(TXN_COL),
+                F.col(SEQ_COL),
+                *[F.col(c) for c in dims],
+                *[
+                    F.col(c) if c in present else F.lit(None).cast(vtypes[c]).alias(c)
+                    for c in vals
+                ],
+            )
+            parts.append(df)
 
     if source.buffered_rows:
         # Read-your-own-writes overlay for unflushed rows

@@ -38,6 +38,16 @@ def _iter_parquet_files(seg_dir: str):
                 yield os.path.join(root, f)
 
 
+def list_segment_files(seg_dir: str) -> list[str]:
+    """Relative (to ``seg_dir``) paths of the segment's parquet files.
+    Recorded in the commit manifest so scans can resolve their file
+    sets WITHOUT filesystem listing jobs (the Delta/Iceberg design):
+    at scale, listing thousands of chunk directories costs more than
+    reading the pruned data."""
+    n = len(seg_dir.rstrip(os.sep)) + 1
+    return sorted(p[n:] for p in _iter_parquet_files(seg_dir))
+
+
 def collect_segment_stats(seg_dir: str, schema) -> dict | None:
     """Per-dimension [min, max] + row count for one written segment,
     from parquet footers only. Returns None if pyarrow is unavailable

@@ -31,6 +31,10 @@ from matdb_spark import manifest
 from matdb_spark.scan import ScanSource, iterate_rows, scan_dataframe
 from matdb_spark.schema import SEQ_COL
 
+#: manifests stay small: a txn with more data files than this records
+#: no file list and its scans fall back to filesystem listing
+_MANIFEST_FILES_CAP = 20_000
+
 if TYPE_CHECKING:
     from matdb_spark.database import Database
 
@@ -59,6 +63,10 @@ class Transaction:
         # segment lacks stats (absent stats = cannot prune).
         self._txn_stats: dict | None = None
         self._first_segment_pending = True
+        # Relative data-file paths accumulated per segment, published
+        # in the manifest so scans skip filesystem listing. Becomes
+        # None if the list grows past the manifest-bloat cap.
+        self._txn_files: list[str] | None = []
 
     # ---- writes -----------------------------------------------------
     def add_row(self, values: Sequence) -> None:
@@ -255,7 +263,7 @@ class Transaction:
         # Footer-only stats sweep (no data scan) feeding the manifest's
         # txn-level zone map — the planner prunes whole transactions
         # from range scans before any listing (stats.py).
-        from matdb_spark.stats import collect_segment_stats, merge_stats
+        from matdb_spark.stats import collect_segment_stats, list_segment_files, merge_stats
 
         seg_stats = collect_segment_stats(seg_dir, schema)
         if self._first_segment_pending:
@@ -263,6 +271,17 @@ class Transaction:
             self._first_segment_pending = False
         else:
             self._txn_stats = merge_stats(self._txn_stats, seg_stats)
+        # Record the segment's file paths for the manifest: scans then
+        # resolve (and chunk-prune) their file sets from the manifest
+        # alone — no filesystem listing job at read time.
+        if self._txn_files is not None:
+            self._txn_files.extend(
+                f"seg={seg}/{rel}" for rel in list_segment_files(seg_dir)
+            )
+            if len(self._txn_files) > _MANIFEST_FILES_CAP:
+                # a pathological txn (millions of files) must not bloat
+                # the manifest; scans fall back to listing for it
+                self._txn_files = None
         self.segments_flushed += 1
 
     def flush(self) -> None:
@@ -403,6 +422,8 @@ class Transaction:
             payload = dict(extra or {})
             if self._txn_stats is not None and "stats" not in payload:
                 payload["stats"] = self._txn_stats
+            if self._txn_files is not None and "files" not in payload:
+                payload["files"] = self._txn_files
             manifest.publish(
                 self.db.path,
                 self.txn_id,
