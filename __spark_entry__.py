@@ -669,7 +669,7 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Bump when any _cached_mvcc_db build recipe changes: a stale cached
 # store from an older recipe must not satisfy a newer query.
-_MVCC_BUILD_VERSION = "v2"
+_MVCC_BUILD_VERSION = "v3"  # v3: manifests record data-file lists
 
 
 def _cached_mvcc_db(spark, db_path: str, schema, build):
