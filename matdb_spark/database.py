@@ -215,7 +215,7 @@ class Database:
 
         bounds: dict[str, tuple] = {}
         for t in txns:
-            stats = m.read_manifest(self.path, t).get("stats") or {}
+            stats = m.read_manifest_cached(self.path, t).get("stats") or {}
             dims = stats.get("dims") or {}
             for d in self.schema.dimensions:
                 rng = dims.get(d.name)
@@ -241,7 +241,7 @@ class Database:
         cutoff = _time.time() - min_age_seconds
         eligible: set[int] = set()
         for t in m.committed_txn_ids(self.path):
-            mf = m.read_manifest(self.path, t)
+            mf = m.read_manifest_cached(self.path, t)
             if mf.get("replaces") and mf.get("committed_at", 0) <= cutoff:
                 eligible.update(mf["replaces"])
         removed = sorted(eligible)
@@ -260,7 +260,7 @@ class Database:
         (one manifest read per commit, no data access)."""
         out = []
         for t in manifest.committed_txn_ids(self.path):
-            m = manifest.read_manifest(self.path, t)
+            m = manifest.read_manifest_cached(self.path, t)
             out.append(
                 {
                     "txn": t,

@@ -80,12 +80,16 @@ def read_manifest(db_path: str, txn_id: int) -> dict:
         return json.load(f)
 
 
-@_functools.lru_cache(maxsize=8192)
+@_functools.lru_cache(maxsize=256)
 def read_manifest_cached(db_path: str, txn_id: int) -> dict:
     """Cached manifest read — safe because a published manifest is
     immutable (the protocol's atomic point is the rename; content
-    never changes afterward). Used on hot planner paths (per-scan
-    stats pruning); misses fall back to the filesystem."""
+    never changes afterward). Used on EVERY manifest-sweep path
+    (snapshot resolution, stats pruning, file-set resolution, history,
+    vacuum eligibility). maxsize is deliberately small: a manifest can
+    carry up to ~20k file paths (~2 MB JSON), so a large cache could
+    pin gigabytes on the driver; 256 entries covers the visible-txn
+    sweep of a healthy store while bounding worst-case retention."""
     return read_manifest(db_path, txn_id)
 
 
@@ -102,7 +106,7 @@ def visible_txn_ids(db_path: str, horizon: int) -> list[int]:
         if t >= horizon:
             continue
         visible.add(t)
-        m = read_manifest(db_path, t)
+        m = read_manifest_cached(db_path, t)
         replaced.update(m.get("replaces", []))
     return sorted(visible - replaced)
 
@@ -111,7 +115,7 @@ def replaced_txn_ids(db_path: str) -> set[int]:
     """Every txn superseded by any committed compaction (vacuum set)."""
     out: set[int] = set()
     for t in committed_txn_ids(db_path):
-        out.update(read_manifest(db_path, t).get("replaces", []))
+        out.update(read_manifest_cached(db_path, t).get("replaces", []))
     return out
 
 
@@ -258,7 +262,7 @@ def max_committed_batch_id(db_path: str, source: str) -> int | None:
     cached by the caller; batch ids within one source are monotonic."""
     best: int | None = None
     for t in committed_txn_ids(db_path):
-        m = read_manifest(db_path, t)
+        m = read_manifest_cached(db_path, t)
         if m.get("stream_source") == source and "batch_id" in m:
             b = int(m["batch_id"])
             if best is None or b > best:

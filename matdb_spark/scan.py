@@ -169,20 +169,21 @@ def _range_filters(
     lazy block activation, scan.rs:119-180, at directory granularity).
     """
     conds = []
-    by_name = {d.name: d for d in schema.dimensions}
     for name, (lo, hi) in bounds.items():
-        d = by_name[name]
         col = F.col(name)
         if lo is not None:
             conds.append(col >= F.lit(lo))
         if hi is not None:
             conds.append(col <= F.lit(hi))
-        if with_chunks and d.chunk_size:
-            ccol = F.col(d.chunk_col)
-            if lo is not None:
-                conds.append(ccol >= F.lit(_floor_div(lo, d.chunk_size)))
-            if hi is not None:
-                conds.append(ccol <= F.lit(_floor_div(hi, d.chunk_size)))
+    if with_chunks:
+        # chunk predicates from the SAME arithmetic as the driver-side
+        # manifest file pruning (_chunk_ranges/_floor_div) — one source
+        # of truth, so the two pruning layers cannot desynchronize
+        for ccol, (clo, chi) in _chunk_ranges(schema, bounds).items():
+            if clo is not None:
+                conds.append(F.col(ccol) >= F.lit(clo))
+            if chi is not None:
+                conds.append(F.col(ccol) <= F.lit(chi))
     return conds
 
 
@@ -251,7 +252,12 @@ def scan_dataframe(
                 explicit_ok = False
                 break
             paths.extend(f"{tdir}/{rel}" for rel in _select_manifest_files(fl, cranges))
-        if not explicit_ok or len(paths) > _MAX_EXPLICIT_PATHS:
+            if len(paths) > _MAX_EXPLICIT_PATHS:
+                # bail BEFORE materializing millions of path strings —
+                # past this size the directory reader wins anyway
+                explicit_ok = False
+                break
+        if not explicit_ok:
             paths = [manifest.txn_data_dir(source.db_path, t) for t in read_txns]
         reader = spark.read.option("basePath", manifest.data_dir(source.db_path))
         if schema.epoch:

@@ -38,29 +38,42 @@ def _iter_parquet_files(seg_dir: str):
                 yield os.path.join(root, f)
 
 
-def list_segment_files(seg_dir: str) -> list[str]:
-    """Relative (to ``seg_dir``) paths of the segment's parquet files.
-    Recorded in the commit manifest so scans can resolve their file
-    sets WITHOUT filesystem listing jobs (the Delta/Iceberg design):
-    at scale, listing thousands of chunk directories costs more than
-    reading the pruned data."""
-    n = len(seg_dir.rstrip(os.sep)) + 1
-    return sorted(p[n:] for p in _iter_parquet_files(seg_dir))
+def collect_segment_info(seg_dir: str, schema) -> tuple[dict | None, list[str]]:
+    """ONE filesystem walk producing both per-segment artifacts:
 
+    - stats: per-dimension [min, max] + row count from parquet footers
+      (None if pyarrow is unavailable or any footer lacks stats for a
+      tracked dim — absent stats only loosen pruning, never correctness);
+    - files: '/'-normalized paths relative to ``seg_dir``, recorded in
+      the commit manifest so scans resolve their file sets WITHOUT
+      listing jobs (the Delta/Iceberg design: at scale, listing
+      thousands of chunk directories costs more than the pruned read).
 
-def collect_segment_stats(seg_dir: str, schema) -> dict | None:
-    """Per-dimension [min, max] + row count for one written segment,
-    from parquet footers only. Returns None if pyarrow is unavailable
-    or any footer lacks stats for a tracked dim (→ no pruning)."""
-    try:
-        import pyarrow.parquet as pq
-    except Exception:
-        return None
+    A stats failure does NOT abort the walk — the file list keeps
+    accumulating (files affect correctness-relevant file resolution;
+    stats are advisory). CAVEAT for eventually-consistent stores: this
+    list is a post-write listing of the local filesystem; a gateway
+    that can omit a just-written file from a listing would silently
+    drop rows from every scan of this txn. On such deployments record
+    file sets from the writer's commit protocol instead (or disable
+    the list and fall back to listing-based scans)."""
     dims = [d.name for d in schema.dimensions if d.type in _STAT_TYPES]
     out: dict[str, list] = {}
     rows = 0
+    files: list[str] = []
+    n = len(seg_dir.rstrip(os.sep)) + 1
     try:
-        for path in _iter_parquet_files(seg_dir):
+        import pyarrow.parquet as pq
+
+        stats_ok = True
+    except Exception:
+        pq = None
+        stats_ok = False
+    for path in _iter_parquet_files(seg_dir):
+        files.append(path[n:].replace(os.sep, "/"))
+        if not stats_ok:
+            continue
+        try:
             md = pq.ParquetFile(path).metadata
             rows += md.num_rows
             names = {md.schema.column(i).name: i for i in range(md.num_columns)}
@@ -73,10 +86,12 @@ def collect_segment_stats(seg_dir: str, schema) -> dict | None:
                         # derived __chunk_* columns) — a missing dim
                         # means an unexpected layout: disable pruning
                         # rather than emit wrong bounds
-                        return None
+                        stats_ok = False
+                        break
                     st = g.column(names[d]).statistics
                     if st is None or not st.has_min_max:
-                        return None
+                        stats_ok = False
+                        break
                     mn, mx = st.min, st.max
                     cur = out.get(d)
                     if cur is None:
@@ -84,9 +99,27 @@ def collect_segment_stats(seg_dir: str, schema) -> dict | None:
                     else:
                         cur[0] = min(cur[0], mn)
                         cur[1] = max(cur[1], mx)
-    except Exception:
-        return None
-    return {"rows": rows, "dims": out}
+                if not stats_ok:
+                    break
+        except Exception:
+            stats_ok = False
+    stats = {"rows": rows, "dims": out} if stats_ok else None
+    return stats, sorted(files)
+
+
+def list_segment_files(seg_dir: str) -> list[str]:
+    """Relative '/'-normalized parquet paths of one segment (walk
+    only; prefer :func:`collect_segment_info` to share the walk with
+    the stats sweep)."""
+    n = len(seg_dir.rstrip(os.sep)) + 1
+    return sorted(
+        p[n:].replace(os.sep, "/") for p in _iter_parquet_files(seg_dir)
+    )
+
+
+def collect_segment_stats(seg_dir: str, schema) -> dict | None:
+    """Stats half of :func:`collect_segment_info` (compat wrapper)."""
+    return collect_segment_info(seg_dir, schema)[0]
 
 
 def merge_stats(a: dict | None, b: dict | None) -> dict | None:

@@ -260,24 +260,21 @@ class Transaction:
         if chunk_cols:
             writer = writer.partitionBy(*chunk_cols)
         writer.parquet(seg_dir)
-        # Footer-only stats sweep (no data scan) feeding the manifest's
-        # txn-level zone map — the planner prunes whole transactions
-        # from range scans before any listing (stats.py).
-        from matdb_spark.stats import collect_segment_stats, list_segment_files, merge_stats
+        # ONE footer walk (no data scan) produces both manifest
+        # artifacts: the txn-level stats zone map (planner prunes whole
+        # transactions before any listing) and the segment's file paths
+        # (scans resolve + chunk-prune their file sets from the
+        # manifest alone — no filesystem listing job at read time).
+        from matdb_spark.stats import collect_segment_info, merge_stats
 
-        seg_stats = collect_segment_stats(seg_dir, schema)
+        seg_stats, seg_files = collect_segment_info(seg_dir, schema)
         if self._first_segment_pending:
             self._txn_stats = seg_stats
             self._first_segment_pending = False
         else:
             self._txn_stats = merge_stats(self._txn_stats, seg_stats)
-        # Record the segment's file paths for the manifest: scans then
-        # resolve (and chunk-prune) their file sets from the manifest
-        # alone — no filesystem listing job at read time.
         if self._txn_files is not None:
-            self._txn_files.extend(
-                f"seg={seg}/{rel}" for rel in list_segment_files(seg_dir)
-            )
+            self._txn_files.extend(f"seg={seg}/{rel}" for rel in seg_files)
             if len(self._txn_files) > _MANIFEST_FILES_CAP:
                 # a pathological txn (millions of files) must not bloat
                 # the manifest; scans fall back to listing for it
