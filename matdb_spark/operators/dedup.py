@@ -177,6 +177,7 @@ def minhash_lsh_pairs(
     k: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: split the k-wide
     signature into ``bands`` rows of k/bands hashes, bucket on the
@@ -185,6 +186,16 @@ def minhash_lsh_pairs(
     This is the linear-cost 100 TB near-dup path: cost ~ docs × k for
     signatures + one shuffle per banding join (done as one explode +
     groupless equi-join on (band_idx, band_key)).
+
+    ``max_bucket`` is the skew guard for the self-join: a bucket of n
+    members emits n(n-1)/2 pairs, so one degenerate signature shared
+    by a million boilerplate/empty documents would emit ~5·10^11 pairs
+    from a single bucket. Buckets larger than ``max_bucket`` are
+    dropped (one extra map-side-partial count + semi-join). Recall
+    cost is small by construction — a true near-dup pair agrees on
+    several bands, and degenerate giant buckets are precisely the
+    boilerplate signatures you don't want driving clusters — but the
+    default (None) keeps exact parity with cap-free oracles.
     """
     if k % bands:
         raise ValueError("k must be divisible by bands")
@@ -202,6 +213,13 @@ def minhash_lsh_pairs(
     banded = sig.select(F.col(id_col).alias("__id"), F.explode(band_struct).alias("b")).select(
         "__id", F.col("b.band").alias("__band"), F.col("b.key").alias("__key")
     )
+    if max_bucket is not None:
+        small = (
+            banded.groupBy("__band", "__key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+        )
+        banded = banded.join(small, ["__band", "__key"], "left_semi")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

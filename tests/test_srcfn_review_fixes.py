@@ -84,3 +84,20 @@ def test_simhash_known_value(spark):
     # empty-token documents are excluded (explode-form parity)
     empty = spark.createDataFrame([Row(doc_id=2, text="   ")])
     assert simhash64(empty, "doc_id", "text").count() == 0
+
+
+def test_minhash_lsh_max_bucket_guard(spark):
+    """The skew guard drops giant band buckets; identical documents
+    all land in the same buckets, so with a cap below the group size
+    they produce no candidate pairs, while the cap-free default keeps
+    them."""
+    from pyspark.sql import Row
+
+    from matdb_spark.operators.dedup import minhash_lsh_pairs
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame([Row(doc_id=i, text=text) for i in range(5)])
+    free = minhash_lsh_pairs(docs, "doc_id", "text")
+    assert free.count() == 10  # C(5,2): all identical docs pair up
+    capped = minhash_lsh_pairs(docs, "doc_id", "text", max_bucket=4)
+    assert capped.count() == 0  # every bucket has 5 members > cap
