@@ -197,3 +197,16 @@ def test_point_lookup_pushdown(spark, tmp_path_factory):
     df = db.begin().query_points([(5,), (505,)], ordered=False)
     pf = " ".join(pushed_filters(df))
     assert "In(k" in pf.replace(" ", "") or "EqualTo(k" in pf.replace(" ", ""), pf
+
+
+def test_simhash_is_exchange_free(spark):
+    """simhash64 computes the whole fingerprint per row (tokenize →
+    hash array → per-bit counts) — no explode, no groupBy, so the plan
+    must contain NO Exchange: at corpus scale the old token shuffle
+    was the entire cost of the operator."""
+    from matdb_spark.operators.dedup import simhash64
+    from matdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = simhash64(docs, "doc_id", "text")
+    assert exchange_count(out) == 0
