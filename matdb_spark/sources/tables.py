@@ -33,6 +33,20 @@ _TS_COLS = {
 }
 
 
+def _force_utc(spark: SparkSession) -> None:
+    """Pin the session timezone to UTC. NOTE: ``conf.get(key, "")``
+    is NOT safe here — Spark 4 validates the supplied default against
+    the conf's checker when the key is unset, and '' is an invalid
+    timezone, so that call CRASHES on any session that never set the
+    key explicitly (exactly the foreign-session case this guards)."""
+    try:
+        tz = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        tz = None
+    if tz != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, min_parallelism: int | None = None
 ) -> DataFrame:
@@ -42,8 +56,7 @@ def load_table(
     # not use matdb_spark.get_spark): timestamp extraction (year(),
     # casts) evaluates in the session timezone — anything but UTC
     # shifts results off the DuckDB oracle, which reads naive UTC.
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _force_utc(spark)
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     # A parquet file is splittable only at row-group boundaries; a

@@ -51,8 +51,10 @@ def parquet_stream(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # same foreign-session guard as sources.tables.load_table: window
     # starts/collected timestamps render in the session timezone
-    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # (_force_utc — conf.get with a '' default crashes on bare sessions)
+    from matdb_spark.sources.tables import _force_utc
+
+    _force_utc(spark)
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
