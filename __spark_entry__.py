@@ -1146,6 +1146,35 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(docs, "doc_id", "text")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: flag corpus documents sharing >= 3
+    distinct 3-word shingles with a benchmark slice (here the
+    doc_id % 97 == 0 documents stand in for an eval set). The
+    benchmark shingle-hash set is broadcast — the corpus side joins
+    map-side; the only full-data shuffle is the per-doc count agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.benchmark_overlap(corpus, bench, "doc_id", "text", n=3, min_overlap=3)
+
+
+def q_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-order row numbering WITHOUT a single-task global window:
+    per-bucket counts -> cumulative offsets over buckets only ->
+    per-bucket row_number + broadcast offset add. The bucket
+    (floor(n_chars/100)) is monotone in the leading sort key, so the
+    result equals ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)."""
+    from matdb_spark.operators.ranking import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return global_row_number(
+        docs,
+        [F.col("n_chars"), F.col("doc_id")],
+        F.floor(F.col("n_chars") / 100),
+        out_col="rn",
+    ).select("doc_id", "n_chars", "rn")
+
+
 # ---------------------------------------------------------------------------
 # sampling & curation (documents)
 # ---------------------------------------------------------------------------
@@ -2741,6 +2770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
         "q_dedup_clusters": q_dedup_clusters,
         "q_dedup_simhash": q_dedup_simhash,
+        "q_decontaminate": q_decontaminate,
+        "q_global_rownum": q_global_rownum,
         "q_similarity_topk": q_similarity_topk,
         "q_multimodal_meta": q_multimodal_meta,
         "q_multimodal_decode": q_multimodal_decode,
@@ -3542,6 +3573,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
             FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.6
+        """,
+        "q_decontaminate": f"""
+            WITH cw AS (SELECT doc_id, string_split({_NORM}, ' ') AS w
+                        FROM documents WHERE doc_id % 97 <> 0),
+            csh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                    FROM cw, unnest(range(1, greatest(len(w) - 1, 1))) AS u(i)),
+            ch AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+                   FROM csh),
+            bw AS (SELECT doc_id, string_split({_NORM}, ' ') AS w
+                   FROM documents WHERE doc_id % 97 = 0),
+            bsh AS (SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                    FROM bw, unnest(range(1, greatest(len(w) - 1, 1))) AS u(i)),
+            bh AS (SELECT DISTINCT CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+                   FROM bsh),
+            agg AS (SELECT c.doc_id, COUNT(*) AS total_ngrams,
+                           CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                               AS overlap_ngrams
+                    FROM ch c LEFT JOIN bh b ON c.h = b.h GROUP BY c.doc_id)
+            SELECT doc_id, total_ngrams, overlap_ngrams,
+                   ROUND(CAST(overlap_ngrams AS DOUBLE) / total_ngrams, 6) AS overlap_frac
+            FROM agg WHERE overlap_ngrams >= 3
+        """,
+        "q_global_rownum": """
+            SELECT doc_id, n_chars,
+                   ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rn
+            FROM documents
         """,
         "q_dedup_minhash_lsh": _minhash_sql(),
         "q_dedup_clusters": _dedup_clusters_sql(),

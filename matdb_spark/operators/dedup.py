@@ -383,3 +383,48 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return hashed.select(
         F.col(id_col), sum(bit_terms, F.lit(0).cast("long")).alias("simhash")
     )
+
+
+def benchmark_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Decontamination: per-corpus-document count of distinct n-word
+    shingles shared with a benchmark (eval) set — the standard
+    train/test contamination check run before training.
+
+    Returns (``id_col``, total_ngrams, overlap_ngrams, overlap_frac)
+    for documents with at least ``min_overlap`` shared shingles.
+
+    Scale: eval sets are MBs while the corpus is TBs, so the benchmark
+    shingle-hash set is built once, deduplicated, and BROADCAST — the
+    corpus side joins map-side with zero shuffle, and the only
+    full-data shuffle is the per-document count aggregation (map-side
+    partial). Shingles compare by the 60-bit md5 hash (hash64), not
+    the string: ~10x less broadcast/compare volume on prose, and
+    reproducible in any SQL engine.
+    """
+    doc_sh = shingle_rows(corpus, id_col, text_col, n).select(
+        "__id", hash64(F.col("__s")).alias("__h")
+    )
+    bench_sh = (
+        shingle_rows(benchmark, id_col, text_col, n)
+        .select(hash64(F.col("__s")).alias("__h"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    flagged = doc_sh.join(F.broadcast(bench_sh), "__h", "left")
+    agg = flagged.groupBy(F.col("__id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("total_ngrams"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("overlap_ngrams"),
+    )
+    return agg.filter(F.col("overlap_ngrams") >= min_overlap).select(
+        id_col,
+        "total_ngrams",
+        "overlap_ngrams",
+        F.round(F.col("overlap_ngrams") / F.col("total_ngrams"), 6).alias("overlap_frac"),
+    )

@@ -1,0 +1,63 @@
+"""Global (total-order) row numbering at scale.
+
+A bare ``Window.orderBy(...)`` with no ``partitionBy`` funnels EVERY
+row through one task — the classic Spark scale trap: at 100 TB that
+single task sorts the whole table. The reference's only ordered
+output is its merge scan (/root/reference/src/scan.rs:183-238), which
+never needs a global rank; pipelines do (stable sample ids, sharded
+export manifests, curriculum ordering).
+
+Two-phase plan, all sizes bounded:
+
+1. per-bucket counts — one tiny aggregation (#buckets rows);
+   cumulative offsets via a window over BUCKETS only, so the single
+   task that window implies handles #buckets rows, not #rows;
+2. per-bucket ``row_number`` (parallel across buckets, the only
+   full-data shuffle) + broadcast-joined offset add.
+
+The caller supplies ``bucket``: a deterministic, order-aligned
+bucketing of the leading sort key — ``b1 < b2`` must imply every row
+in ``b1`` sorts before every row in ``b2`` (e.g. ``key div N``, a
+date column, ingestion partition). This is the same contract
+``repartitionByRange`` establishes by sampling; an explicit expression
+keeps the result engine-reproducible (range sampling is not).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    bucket: Column,
+    out_col: str = "rn",
+) -> DataFrame:
+    """Append ``out_col`` = 1-based rank of each row under the total
+    order (``bucket``, ``*order_cols``), computed without a
+    single-task global sort.
+
+    ``bucket`` must be monotone in the leading sort key (see module
+    docstring); ``order_cols`` must be a total order WITHIN a bucket
+    (include a unique tiebreaker) for deterministic output.
+    """
+    b = df.withColumn("__grn_b", bucket.cast("long"))
+    counts = b.groupBy("__grn_b").agg(F.count(F.lit(1)).alias("__grn_c"))
+    # Window over buckets only: single task, #buckets rows — driver-scale.
+    w_off = (
+        Window.orderBy("__grn_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__grn_b",
+        F.coalesce(F.sum("__grn_c").over(w_off), F.lit(0)).alias("__grn_off"),
+    )
+    w_in = Window.partitionBy("__grn_b").orderBy(*order_cols)
+    return (
+        b.join(F.broadcast(offsets), "__grn_b")
+        .withColumn(out_col, (F.row_number().over(w_in) + F.col("__grn_off")).cast("long"))
+        .drop("__grn_b", "__grn_off")
+    )
