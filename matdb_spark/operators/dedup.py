@@ -118,20 +118,44 @@ def ngram_jaccard_pairs(
     # text (~10× less shuffle volume on prose shingles). Within-doc
     # hash collisions are ~|shingles|²/2⁶¹ and the oracle hashes
     # identically, so parity is exact by construction.
-    sh = shingle_rows(df, id_col, text_col, n).select("__id", hash64(F.col("__s")).alias("__h"))
-    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+    # Carry the per-doc shingle-set size THROUGH the exploded relation
+    # (it is just size() of the already-distinct shingle array, known
+    # before the explode): the previous separate sizes aggregation +
+    # two joins made the non-reusable shingle pipeline evaluate three
+    # times (self-join sides + sizes); this shape evaluates it twice
+    # (the self-join minimum) and drops two joins and a shuffle.
+    words = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(normalize(F.col(text_col)), " ").alias("__w"),
+    )
+    arrs = words.select("__id", shingles_from_words(F.col("__w"), n).alias("__arr"))
+    # explode_outer, NOT explode: InferFiltersFromGenerate turns a
+    # non-outer explode of an ATTRIBUTE into a size(..)>0 filter that
+    # predicate-pushdown then inlines through the projections all the
+    # way to the scan — re-evaluating the whole shingle construction
+    # (split per array access, O(len²)) once more per row (measured
+    # 9.8 s vs 1.9 s at sf0.1). The rule skips outer generates; empty
+    # shingle arrays yield a null __s dropped by the cheap filter.
+    sh = (
+        arrs.select(
+            "__id", F.size("__arr").alias("__sz"), F.explode_outer("__arr").alias("__s")
+        )
+        .filter(F.col("__s").isNotNull())
+        .select("__id", "__sz", hash64(F.col("__s")).alias("__h"))
+    )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.__h") == F.col("b.__h")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .groupBy(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sz").alias("__sa"),
+            F.col("b.__sz").alias("__sb"),
+        )
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
-    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("__sa"))
-    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("__sb"))
     out = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("__inter").cast("double")
             / (F.col("__sa") + F.col("__sb") - F.col("__inter")).cast("double"),
@@ -213,22 +237,36 @@ def minhash_lsh_pairs(
     banded = sig.select(F.col(id_col).alias("__id"), F.explode(band_struct).alias("b")).select(
         "__id", F.col("b.band").alias("__band"), F.col("b.key").alias("__key")
     )
+    # Bucket-collect + in-array pair generation, NOT a banded self-join:
+    # a self-join evaluates the whole signature pipeline (scan, shingle
+    # explode, k-min aggregate, band explode) TWICE — the executed plan
+    # showed no ReusedExchange and 2 FileScans (measured 3.3 s → 2.1 s
+    # at sf0.1). Collecting each bucket's member ids instead computes
+    # the pipeline once; pair emission is an in-row nested transform
+    # over the (bounded — see max_bucket) bucket array, and the join
+    # shuffle disappears entirely.
+    buckets = banded.groupBy("__band", "__key").agg(
+        F.collect_list("__id").alias("__ids")
+    )
+    buckets = buckets.filter(F.size("__ids") >= 2)
     if max_bucket is not None:
-        small = (
-            banded.groupBy("__band", "__key")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") <= max_bucket)
+        buckets = buckets.filter(F.size("__ids") <= max_bucket)
+    # materialize the sorted array as an attribute BEFORE the lambdas:
+    # an expression referenced inside a HOF lambda is re-evaluated per
+    # element (the shingle_rows rule)
+    sorted_ids = buckets.select(F.array_sort("__ids").alias("__ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ids"), i + 2, F.greatest(F.size(F.col("__ids")) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        banded = banded.join(small, ["__band", "__key"], "left_semi")
-    a, b = banded.alias("a"), banded.alias("b")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.__band") == F.col("b.__band"))
-            & (F.col("a.__key") == F.col("b.__key"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        sorted_ids.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
     return pairs
