@@ -245,6 +245,31 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse the JSON props
+    column once into a variant, extract typed fields with
+    try_variant_get. Variant's binary encoding makes repeated path
+    extraction ~an order cheaper than per-path JSON string re-parsing
+    at corpus scale; the oracle mirrors with plain json_extract."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.try_parse_json("props").alias("__v"))
+    k = F.try_variant_get("__v", "$.k", "long")
+    big = v.select("event_type", k.alias("__k")).filter(F.col("__k") > 50)
+    return big.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_big"), F.sum("__k").alias("sum_k")
+    )
+
+
+def q_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode aggregate (Spark 3.4+): most frequent
+    user-id bucket per event type, ties resolved to the LOWEST value
+    (mode(col, deterministic=True)); the oracle breaks ties the same
+    way via count desc, value asc."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select("event_type", (F.col("user_id") % 10).alias("__g"))
+    return g.groupBy("event_type").agg(F.mode("__g", True).alias("mode_bucket"))
+
+
 def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     types = ["click", "error", "purchase", "signup", "view"]
@@ -2739,6 +2764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semi_join": q_semi_join,
         "q_anti_join": q_anti_join,
         "q_json_extract": q_json_extract,
+        "q_variant_json": q_variant_json,
+        "q_mode_agg": q_mode_agg,
         "q_pivot_events": q_pivot_events,
         "q_sessionize": q_sessionize,
         "q_asof_join": q_asof_join,
@@ -3349,6 +3376,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    COUNT(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "q_variant_json": """
+            WITH k AS (
+                SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS kk
+                FROM events)
+            SELECT event_type, COUNT(*) AS n_big, CAST(SUM(kk) AS BIGINT) AS sum_k
+            FROM k WHERE kk > 50 GROUP BY event_type
+        """,
+        "q_mode_agg": """
+            WITH c AS (SELECT event_type, user_id % 10 AS g, COUNT(*) AS n
+                       FROM events GROUP BY event_type, user_id % 10),
+            r AS (SELECT event_type, g,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY n DESC, g ASC) AS rk
+                  FROM c)
+            SELECT event_type, g AS mode_bucket FROM r WHERE rk = 1
         """,
         "q_pivot_events": """
             SELECT user_id,
