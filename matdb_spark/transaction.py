@@ -367,10 +367,21 @@ class Transaction:
         with version dedup."""
         self._check_open()
         dims = self.schema.dim_names
-        pts = [tuple(k) for k in keys]
+        # accept mappings keyed by dim name as well as positional
+        # sequences — tuple(dict) silently yields the KEY NAMES, which
+        # previously produced a nonsense string envelope
+        pts = [
+            tuple(k[d] for d in dims) if isinstance(k, dict) else tuple(k)
+            for k in keys
+        ]
         for p in pts:
             if len(p) != len(dims):
                 raise ValueError(f"key {p!r} must have {len(dims)} dimension values")
+            if any(isinstance(v, str) for v in p):
+                raise TypeError(
+                    f"key {p!r} contains a string — dimension values are "
+                    "numeric; pass value sequences or {dim: value} mappings"
+                )
         if not pts:
             return self.query(ordered=ordered, include_txn=include_txn).limit(0)
         env = {

@@ -70,3 +70,21 @@ def test_benchmark_overlap_empty_benchmark(spark):
     corpus = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
     bench = spark.createDataFrame([], "doc_id long, text string")
     assert benchmark_overlap(corpus, bench, "doc_id", "text").count() == 0
+
+
+def test_query_points_accepts_dict_keys(spark, tmp_db_path):
+    from pyspark.sql import functions as F
+    from matdb_spark import Database, Dimension, Schema, Value
+    import pytest
+
+    db = Database.create(spark, tmp_db_path, Schema(
+        dimensions=[Dimension("a", 10), Dimension("b", 0)],
+        values=[Value("v")]))
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("a"), F.col("id").alias("b"),
+        (F.col("id") * 2).alias("v"))
+    t = db.begin(); t.add_dataframe(df); t.commit()
+    got = db.begin().query_points([{"a": 5, "b": 5}, {"b": 17, "a": 7}]).collect()
+    assert sorted((r["a"], r["b"], r["v"]) for r in got) == [(5, 5, 10), (7, 17, 34)]
+    with pytest.raises(TypeError):
+        db.begin().query_points([("a", "b")]).count()

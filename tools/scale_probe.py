@@ -1,0 +1,136 @@
+"""Scale probes for the MVCC engine — run manually, results recorded
+in SCALE.md §11. Two axes the small-SF gate never stresses:
+
+  volume   : 256× sf0.1 events (~38 M rows) in a handful of txns —
+             does the data path (ingest, scan, range prune, lookup)
+             stay sublinear as rows × chunks grow?
+  manytxn  : 128 small commits — does snapshot resolution, scan
+             planning, the change feed, and compaction stay flat as
+             the TRANSACTION count grows (manifest tier, not data)?
+
+Usage: PYTHONPATH=/root/repo python tools/scale_probe.py [volume|manytxn]
+Scratch stores live under /root/repo/.scratch/ (gitignored).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from matdb_spark import Database, Dimension, Schema, Value, get_spark
+from matdb_spark.sources.tables import load_table
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+
+
+def timed(label, fn):
+    t0 = time.time()
+    out = fn()
+    print(f"  {label:44s} {time.time() - t0:7.2f} s   {out if out is not None else ''}")
+    return out
+
+
+def probe_volume(spark):
+    path = os.path.join(SCRATCH, "probe_volume")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, "/root/testdata/sf0.1", "events").select(
+        "user_id", "event_id", (F.col("value") * 1000).cast("long").alias("v")
+    )
+    n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    base = ev.count()
+    reps = 256
+    print(f"volume probe: {base} rows x {reps} = {base * reps} rows, "
+          f"{n_users * reps} distinct users")
+    rep = spark.range(reps).select(F.col("id").alias("__r"))
+    big = ev.crossJoin(rep).select(
+        (F.col("user_id") + F.col("__r") * n_users).alias("user_id"),
+        (F.col("event_id") + F.col("__r") * base).alias("event_id"),
+        "v",
+    )
+    db = Database.create(spark, path, Schema(
+        dimensions=[Dimension("user_id", n_users * reps // 128),
+                    Dimension("event_id", 0)],
+        values=[Value("v")],
+    ))
+    half = reps // 2
+
+    def ingest(pred):
+        txn = db.begin()
+        txn.add_dataframe(big.filter(pred))  # segment write happens here
+        txn.commit()
+
+    timed("ingest+commit txn1 (half)",
+          lambda: ingest(F.col("user_id") < half * n_users))
+    timed("ingest+commit txn2 (half)",
+          lambda: ingest(F.col("user_id") >= half * n_users))
+
+    timed("full merged scan count", lambda: db.begin().query(ordered=False).count())
+    timed("ordered scan (noop sink)", lambda: db.begin().query()
+          .write.format("noop").mode("overwrite").save())
+    lo, hi = 3 * n_users, 4 * n_users - 1
+    timed(f"query_range 1/{reps} of key space",
+          lambda: db.begin().query_range({"user_id": (lo, hi)}).count())
+    probe_keys = [
+        {"user_id": r["user_id"], "event_id": r["event_id"]}
+        for r in ev.limit(3).collect()
+    ]
+    got = timed("point lookup (3 existing keys)",
+                lambda: db.begin().query_points(probe_keys).count())
+    assert got == 3, f"point lookup found {got} of 3 keys"
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def probe_manytxn(spark):
+    path = os.path.join(SCRATCH, "probe_manytxn")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "user_id", "event_id", (F.col("value") * 1000).cast("long").alias("v")
+    )
+    base = ev.count()
+    n_txns = 128
+    print(f"manytxn probe: {n_txns} commits x {base} rows")
+    db = Database.create(spark, path, Schema(
+        dimensions=[Dimension("user_id", 25), Dimension("event_id", 0)],
+        values=[Value("v")],
+    ))
+    slice_df = ev.coalesce(4)
+    t0 = time.time()
+    for i in range(n_txns):
+        txn = db.begin()
+        txn.add_dataframe(slice_df.select(
+            "user_id", (F.col("event_id") + i * base).alias("event_id"), "v"))
+        txn.commit()
+    el = time.time() - t0
+    print(f"  {n_txns} sequential commits                       {el:7.2f} s   "
+          f"({el / n_txns:.2f} s/commit)")
+
+    timed("begin+resolve snapshot (no data)", lambda: db.begin().horizon)
+    timed(f"full scan over {n_txns} txns", lambda: db.begin().query(ordered=False).count())
+    timed("range scan 1/4 key space",
+          lambda: db.begin().query_range({"user_id": (0, 24)}).count())
+    timed("changes feed (last 8 txns)",
+          lambda: db.changes(since=n_txns - 8).count())
+    timed("history()", lambda: len(db.history()))
+    timed("compact()", db.compact)
+    timed("post-compact full scan", lambda: db.begin().query(ordered=False).count())
+    timed("vacuum()", lambda: len(db.vacuum()))
+    timed("post-vacuum range scan",
+          lambda: db.begin().query_range({"user_id": (0, 24)}).count())
+    shutil.rmtree(path, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "volume"
+    spark = get_spark(app_name=f"scale_probe_{which}")
+    if which == "volume":
+        probe_volume(spark)
+    elif which == "manytxn":
+        probe_manytxn(spark)
+    else:
+        raise SystemExit(f"unknown probe {which!r}")
