@@ -1068,6 +1068,49 @@ def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas (Spark 4 arbitrary-state API,
+    RocksDB state store): per-user cumulative (n_events, sum_cents)
+    ValueState. One availableNow batch -> one row per user; the
+    matching oracle is a plain GROUP BY with the same
+    floor(v*100+0.5) cents mapping.
+
+    NOT registered in queries(): the TWS Python worker protocol
+    requires google.protobuf, absent from this container (no
+    pip install allowed) — tests/test_streaming covers it with an
+    importorskip, so it activates wherever protobuf exists."""
+    from matdb_spark.streaming import events_stream, running_totals_with_state
+    from matdb_spark.streaming.windows import run_to_memory_sink
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    name = f"stream_running_totals_{tag}"
+    ckpt = os.path.join(SCRATCH, f"ckpt_{name}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    old_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = running_totals_with_state(
+            events_stream(spark, sf_dir).select("user_id", "value")
+        )
+        run_to_memory_sink(out, name, ckpt, "update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        if old_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old_provider
+            )
+    return spark.table(name)
+
+
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows (30 min) per user over events — the
     same session_agg code path runs unchanged on a stream with a

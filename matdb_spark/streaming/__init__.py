@@ -22,7 +22,7 @@ Streaming primitives:
 from matdb_spark.streaming.sources import events_stream
 from matdb_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
 from matdb_spark.streaming.ingest import stream_into_database
-from matdb_spark.streaming.stateful import sessionize_with_state
+from matdb_spark.streaming.stateful import running_totals_with_state, sessionize_with_state
 from matdb_spark.streaming.joins import interval_join
 
 __all__ = [
@@ -31,6 +31,7 @@ __all__ = [
     "sliding_agg",
     "session_agg",
     "stream_into_database",
+    "running_totals_with_state",
     "sessionize_with_state",
     "interval_join",
 ]

@@ -110,3 +110,64 @@ def sessionize_with_state(
     return events.groupBy(user_col).applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def running_totals_with_state(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running totals via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-state API (StatefulProcessor + typed state
+    variables backed by the RocksDB state store), the successor to
+    applyInPandasWithState above. Each micro-batch updates a
+    ValueState (n_events, sum_cents) per user and emits the user's
+    new cumulative row; with one availableNow batch the output is
+    exactly one row per user, which a plain GROUP BY reproduces.
+
+    Values are accumulated in integer cents via floor(v*100 + 0.5)
+    (IEEE-reproducible cross-engine — floats would make the sum
+    depend on accumulation order).
+
+    Caller must run with
+    ``spark.sql.streaming.stateStore.providerClass =
+    RocksDBStateStoreProvider`` (transformWithState requires it).
+    """
+    import numpy as np
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("cents", LongType())]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                v = pdf[value_col].to_numpy(dtype="float64")
+                cents += int(np.floor(v * 100.0 + 0.5).astype("int64").sum())
+                n += len(pdf)
+            self._state.update((int(n), int(cents)))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(user_col).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -130,3 +130,38 @@ def test_stream_static_broadcast_join(spark):
     run_to_memory_sink(stream, "t_enrich", _fresh("ckpt_enrich"), "append")
     got = {tuple(r) for r in spark.table("t_enrich").collect()}
     assert got == expected and len(got) > 0
+
+
+def test_running_totals_with_state(spark, tmp_path_factory):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API).
+    Requires google.protobuf for the TWS worker protocol — absent in
+    the build container, active wherever it exists."""
+    pytest.importorskip("google.protobuf")
+    from matdb_spark.streaming import running_totals_with_state
+    from matdb_spark.streaming.sources import events_stream
+    from matdb_spark.streaming.windows import run_to_memory_sink
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt_tws"))
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = running_totals_with_state(
+            events_stream(spark, "/root/testdata/sf0.001").select("user_id", "value")
+        )
+        run_to_memory_sink(out, "tws_totals_test", ckpt, "update")
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+    got = {r["user_id"]: (r["n_events"], r["sum_cents"])
+           for r in spark.table("tws_totals_test").collect()}
+    import duckdb
+    exp = {u: (n, c) for u, n, c in duckdb.connect().execute(
+        "SELECT user_id, COUNT(*), CAST(SUM(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) "
+        "FROM '/root/testdata/sf0.001/events.parquet' GROUP BY user_id"
+    ).fetchall()}
+    assert got == exp
