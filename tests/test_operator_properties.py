@@ -153,3 +153,33 @@ def test_range_join_matches_nested_loop(spark, lrows, rrows, bucket):
         if how == "left":
             expected |= {(i, None) for i in range(len(lrows)) if i not in matched}
         assert got == expected, f"how={how}"
+
+
+_rownum_rows = st.lists(
+    st.tuples(st.integers(0, 10_000), st.integers(-500, 500)),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=_rownum_rows)
+def test_global_row_number_matches_window_model(spark, rows):
+    """global_row_number == ROW_NUMBER() OVER (ORDER BY key, id) for
+    any data, including negative keys (negative buckets must order
+    correctly through the offsets window) and single/sparse buckets."""
+    from matdb_spark.operators.ranking import global_row_number
+
+    df = spark.createDataFrame(rows, "id long, key long").repartition(4)
+    out = global_row_number(df, [F.col("key"), F.col("id")], F.floor(F.col("key") / 7))
+    got = {r["id"]: r["rn"] for r in out.collect()}
+    expected = {
+        rid: i + 1
+        for i, (rid, _) in enumerate(sorted(rows, key=lambda r: (r[1], r[0])))
+    }
+    assert got == expected
