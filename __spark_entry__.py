@@ -2289,6 +2289,29 @@ def q_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4.1): transitive closure over the
+    implicit digit-tree hierarchy parent(c) = c div 10 rooted at 0 —
+    per customer, the depth to root and the decimal-prefix path sum.
+    Iterative fixpoints are where Spark's DataFrame API needs a loop;
+    the SQL surface now expresses them declaratively (each recursion
+    level is one distributed step, ~log10(N) levels deep)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("gate_rcte_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+            SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+            FROM gate_rcte_customer
+            UNION ALL
+            SELECT node, cur DIV 10, depth + 1 FROM chain WHERE cur > 0
+        )
+        SELECT node, CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+               CAST(SUM(cur) AS BIGINT) AS path_sum
+        FROM chain GROUP BY node
+        """
+    )
+
+
 def q_sql_over_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL over the MVCC snapshot (Database.sql — SURVEY §7.2 phase 2):
     the snapshot relation registers as a temp view and the full Spark
@@ -2886,6 +2909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh": q_ann_lsh,
         "q_heavy_hitters": q_heavy_hitters,
         "q_hll_sketch_merge": q_hll_sketch_merge,
+        "q_recursive_cte": q_recursive_cte,
         "q_sql_over_snapshot": q_sql_over_snapshot,
         "q_exists_subquery": q_exists_subquery,
         "q_scalar_subquery": q_scalar_subquery,
@@ -4189,6 +4213,17 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT token, COUNT(*) AS n FROM toks WHERE token <> '' GROUP BY token),
             r AS (SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank FROM c)
             SELECT token, n, rank FROM r WHERE rank <= 50
+        """,
+        "q_recursive_cte": """
+            WITH RECURSIVE chain AS (
+                SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+                FROM customer
+                UNION ALL
+                SELECT node, cur // 10, depth + 1 FROM chain WHERE cur > 0
+            )
+            SELECT node, CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+                   CAST(SUM(cur) AS BIGINT) AS path_sum
+            FROM chain GROUP BY node
         """,
         "q_sql_over_snapshot": """
             SELECT user_id, COUNT(*) AS n_events, MIN(v) AS min_value, MAX(v) AS max_value
