@@ -7,8 +7,11 @@ in SCALE.md §11. Two axes the small-SF gate never stresses:
   manytxn  : 128 small commits — does snapshot resolution, scan
              planning, the change feed, and compaction stay flat as
              the TRANSACTION count grows (manifest tier, not data)?
+  stream   : sustained rate-source ingest — rows/s end-to-end with
+             one MVCC txn per micro-batch, plus a live torn-batch
+             invisibility check on stop().
 
-Usage: PYTHONPATH=/root/repo python tools/scale_probe.py [volume|manytxn]
+Usage: PYTHONPATH=/root/repo python tools/scale_probe.py [volume|manytxn|stream]
 Scratch stores live under /root/repo/.scratch/ (gitignored).
 """
 
@@ -125,6 +128,56 @@ def probe_manytxn(spark):
     shutil.rmtree(path, ignore_errors=True)
 
 
+def probe_stream(spark):
+    """Sustained streaming-ingest throughput: rate source → MVCC store
+    (one txn per micro-batch, exactly-once batch stamping). Measures
+    end-to-end rows/s including segment writes + manifest publishes,
+    then verifies the committed store row count EXACTLY equals
+    committed-batches x rowsPerBatch: q.stop() kills the in-flight
+    micro-batch mid-write (the FileFormatWriter abort in the log is
+    that batch), and its torn segment must never become visible —
+    the crash-consistency designed into the manifest protocol,
+    demonstrated live."""
+    from pyspark.sql import functions as F
+    from matdb_spark.streaming.ingest import stream_into_database
+
+    path = os.path.join(SCRATCH, "probe_stream")
+    ckpt = os.path.join(SCRATCH, "probe_stream_ckpt")
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    rows_per_sec = 200_000
+    run_secs = 20
+    db = Database.create(spark, path, Schema(
+        dimensions=[Dimension("k", 100_000), Dimension("sub", 0)],
+        values=[Value("v")],
+    ))
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_sec)
+        .load()
+        .select(
+            F.col("value").alias("k"),
+            (F.col("value") % 1000).alias("sub"),
+            (F.col("value") * 7).alias("v"),
+        )
+    )
+    q = stream_into_database(src, db, ckpt, available_now=False, source_name="probe")
+    t0 = time.time()
+    time.sleep(run_secs)
+    q.stop()
+    q.awaitTermination()
+    el = time.time() - t0
+    n = db.begin().query(ordered=False).count()
+    txns = len(db.history())
+    print(f"  streamed {n} rows in {el:.1f} s over {txns} txn-batches "
+          f"-> {n / el:,.0f} rows/s end-to-end")
+    expect = txns * rows_per_sec
+    assert n == expect, f"exactly-once violated: {n} rows vs {expect} expected"
+    print(f"  row count == txns x rowsPerBatch ({expect}) — exactly-once holds")
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "volume"
     spark = get_spark(app_name=f"scale_probe_{which}")
@@ -132,5 +185,7 @@ if __name__ == "__main__":
         probe_volume(spark)
     elif which == "manytxn":
         probe_manytxn(spark)
+    elif which == "stream":
+        probe_stream(spark)
     else:
         raise SystemExit(f"unknown probe {which!r}")
