@@ -205,7 +205,11 @@ class Database:
         if conflicts:
             txn.rollback()
             return None
-        txn.commit(replaces=visible)
+        # The rewrite is the version-resolved snapshot: one version per
+        # key, tombstones dropped. Stamp that guarantee so scans of a
+        # snapshot that is exactly this txn skip the dedup shuffle
+        # entirely (scan.py dedup-free fast path).
+        txn.commit(replaces=visible, extra={"unique_keys": True})
         return txn.txn_id
 
     def _stats_bounds(self, txns: list[int]) -> dict[str, tuple] | None:

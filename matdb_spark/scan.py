@@ -228,6 +228,27 @@ def scan_dataframe(
                 manifest.read_manifest_cached(source.db_path, t).get("stats"), bounds
             )
         ]
+    # Dedup-free fast path: a snapshot that provably holds ONE version
+    # per key needs no version-resolution aggregation — the scan's only
+    # shuffle disappears. Provable case: exactly one visible txn whose
+    # manifest carries ``unique_keys`` (stamped by compaction, whose
+    # output is by construction the version-resolved snapshot), and no
+    # read-your-own-writes overlay. At 100 TB this is the difference
+    # between a full-table shuffle and a pure scan for every read of a
+    # compacted store. Bounded scans compose: tier-0 pruning can only
+    # REMOVE txns, and a key inside the bounds cannot live in a pruned
+    # txn (its stats don't intersect), so a surviving single
+    # unique-keys txn is still duplicate-free within the bounds.
+    dedup_free = (
+        not source.buffered_rows
+        and not (source.own_txn is not None and source.own_staged_segments > 0)
+        and len(read_txns) == 1
+        and bool(
+            manifest.read_manifest_cached(source.db_path, read_txns[0]).get(
+                "unique_keys"
+            )
+        )
+    )
     if source.own_txn is not None and source.own_staged_segments > 0:
         read_txns.append(source.own_txn)
     if read_txns:
@@ -322,7 +343,16 @@ def scan_dataframe(
     # aggregation (one shuffle) — cheaper at scale than a row_number
     # window, which cannot partially aggregate.
     version = F.struct(F.col(TXN_COL), F.col(SEQ_COL))
-    if cell_merge:
+    if dedup_free:
+        # One version per key already (single compacted txn): project
+        # away the bookkeeping columns and skip the aggregation. Under
+        # one version per key, row-level and cell-level resolution
+        # coincide, so ``cell_merge`` needs no separate handling.
+        cols = [F.col(d) for d in dims] + [F.col(v) for v in vals]
+        if include_txn:
+            cols.append(F.col(TXN_COL))
+        df = df.select(*cols)
+    elif cell_merge:
         # CELL-level resolution — the reference's actual write model:
         # add_row overwrites individual value cells in place
         # (block.rs:45-49), so each value column's newest NON-NULL

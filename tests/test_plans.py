@@ -83,6 +83,54 @@ def test_snapshot_scan_shuffle_budget(spark):
     assert exchange_count(ordered) == 2
 
 
+def test_compacted_scan_is_dedup_free(spark):
+    """A snapshot that is exactly one compacted txn carries a
+    ``unique_keys`` manifest stamp, and its scans skip the version
+    dedup entirely — zero shuffles unordered, one (the sort) ordered.
+    Every guard that must restore the dedup is exercised too."""
+    db = _grid_db(spark, "plans_compact_dedupfree_db")
+    t2 = db.begin()
+    t2.add_rows([[i, 0, i + 7] for i in range(50)])  # overlapping upserts
+    t2.commit()
+    before = {tuple(r) for r in db.snapshot().collect()}
+
+    assert db.compact() is not None
+    snap = db.begin().query(ordered=False)
+    plan = physical_plan(snap)
+    assert exchange_count(snap) == 0
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    # same rows as the pre-compaction dedup produced
+    assert {tuple(r) for r in snap.collect()} == before
+    # ordered pays only the range-sort exchange
+    assert exchange_count(db.begin().query(ordered=True)) == 1
+    # include_txn surfaces the compaction txn id without the agg
+    with_txn = db.begin().query(ordered=False, include_txn=True)
+    assert exchange_count(with_txn) == 0
+    assert with_txn.select("__txn").distinct().collect() == [(3,)]
+    # bounded scans ride the fast path with pruning intact
+    rng = db.begin().query_range({"t": (100, 199)}, ordered=False)
+    assert exchange_count(rng) == 0
+    assert "__chunk_t" in " ".join(partition_filters(rng))
+    assert rng.count() == 100 * 5
+
+    # guard 1: a commit after the compaction restores the dedup agg
+    t4 = db.begin()
+    t4.add_row([1, 1, 999])
+    t4.commit()
+    post = db.begin().query(ordered=False)
+    assert exchange_count(post) == 1
+    assert post.filter("t = 1 and sensor = 1").first()["v"] == 999
+
+    # guard 2: read-your-own-writes keeps dedup on a compacted store
+    db.compact()
+    t5 = db.begin()
+    t5.add_row([2, 2, 123])
+    own = t5.query(ordered=False)
+    assert exchange_count(own) >= 1
+    assert own.filter("t = 2 and sensor = 2").first()["v"] == 123
+    t5.rollback()
+
+
 def test_mvcc_scan_reads_visible_segments_only(spark):
     db = _grid_db(spark, "plans_visible_db")
     t2 = db.begin()
