@@ -756,6 +756,41 @@ def q_mvcc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return db.begin().query(ordered=True)
 
 
+def q_mvcc_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan of a COMPACTED store: the same two-txn upsert content as
+    q_mvcc_scan, folded by ``compact()`` + ``vacuum()`` into one
+    superseding transaction whose manifest carries the ``unique_keys``
+    stamp. The scan takes the dedup-free fast path (scan.py): no
+    version-resolution aggregate in the plan, zero shuffles unordered
+    — at 100 TB, reads of a compacted store skip a full-table shuffle.
+    Same oracle as q_mvcc_scan: compaction is layout-only, results
+    bit-identical."""
+    from matdb_spark import Dimension, Schema, Value
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    db_path = os.path.join(SCRATCH, f"gate_mvcc_compacted_{tag}")
+    schema = Schema(
+        dimensions=[Dimension("user_id", 1000), Dimension("event_id", 100_000)],
+        values=[Value("value", type="double")],
+    )
+
+    def build(db):
+        ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+        t1 = db.begin()
+        t1.add_dataframe(ev)
+        t1.commit()
+        t2 = db.begin()
+        t2.add_dataframe(
+            ev.filter(F.col("event_id") % 10 == 0).withColumn("value", F.col("value") + 1000)
+        )
+        t2.commit()
+        assert db.compact() is not None
+        db.vacuum()
+
+    db = _cached_mvcc_db(spark, db_path, schema, build)
+    return db.begin().query(ordered=True)
+
+
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed point-get on the upserted MVCC store (query_points): the
     key set pushes down as an exact predicate + envelope bounds through
@@ -2837,6 +2872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_mvcc_scan": q_mvcc_scan,
+        "q_mvcc_compacted_scan": q_mvcc_compacted_scan,
         "q_mvcc_range_scan": q_mvcc_range_scan,
         "q_point_lookup": q_point_lookup,
         "q_percentiles": q_percentiles,
@@ -3502,6 +3538,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s.user_id, s.event_id
         """,
         "q_mvcc_scan": """
+            SELECT user_id, event_id,
+                   CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
+            FROM events
+        """,
+        "q_mvcc_compacted_scan": """
             SELECT user_id, event_id,
                    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
             FROM events
