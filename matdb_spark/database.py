@@ -122,9 +122,15 @@ class Database:
         self.schema = new
 
     # ---- maintenance ------------------------------------------------
-    def compact(self, cluster: str = "sort", resolution: str = "row") -> int | None:
-        """Rewrite the current snapshot as ONE new transaction that
-        supersedes every visible txn (manifest ``replaces`` list).
+    def compact(
+        self,
+        cluster: str = "sort",
+        resolution: str = "row",
+        max_txns: int | None = None,
+    ) -> int | None:
+        """Rewrite the current snapshot (or, with ``max_txns``, its
+        oldest transactions) as ONE new transaction that supersedes
+        what it folded (manifest ``replaces`` list).
 
         The many-small-transactions problem at scale: every commit adds
         segment directories; scans stay correct but accumulate file
@@ -135,17 +141,19 @@ class Database:
         exactly the compacted one — never both. Superseded data becomes
         garbage collected by ``vacuum()``.
 
-        Version semantics are preserved because the compaction txn id
-        is greater than everything it replaces and smaller than any
-        future txn. Under concurrent writers that invariant is checked,
-        not assumed: a commit (or a pending lower-id reservation) that
-        landed between snapshot pinning and the compaction's own id
-        allocation would be shadowed by the rewrite — the compaction
-        detects it before publishing and ABORTS (returns None; rerun
-        later). Reservations made after our staged data appears always
-        probe above our id, so the check has no race window. Returns
-        the compaction txn id (None if <2 visible txns, or on a
-        detected concurrent-writer conflict).
+        Version semantics are preserved by the manifest's
+        ``version_rank``: the rewrite is anchored at the highest
+        effective version it absorbed, so scans rank it exactly where
+        the folded history stood — commits that land concurrently
+        (after snapshot pinning) carry higher versions and keep
+        winning over the rewrite; they do NOT force an abort. The only
+        genuine conflict is a concurrent writer still holding a
+        reservation at-or-below the rank (its eventual commit would be
+        shadowed) — that aborts (returns None; rerun later).
+        Reservations made after our staged data appears always probe
+        above our id, so the check has no race window. Returns the
+        compaction txn id (None if <2 txns to fold, or on a detected
+        conflict).
 
         ``cluster`` picks the rewrite layout: ``"sort"`` (default) is
         the lexicographic key order the reference's merge scan implies;
@@ -163,36 +171,70 @@ class Database:
         (``add_dataframe(partial=True)``), where a row-level rewrite
         would freeze the partial rows' nulls as real nulls and lose the
         older cells.
+
+        ``max_txns`` enables MINOR compaction: fold only the OLDEST
+        ``max_txns`` transactions (by effective version) instead of the
+        whole snapshot — the incremental maintenance mode a 100 TB
+        store needs, where rewriting everything per compaction is
+        prohibitive but the oldest small txns (e.g. one per streaming
+        micro-batch) should keep folding. Correctness hinges on two
+        invariants: the folded set is DOWNWARD-CLOSED in version order
+        (we always take the oldest k, so a tombstone or overwrite in
+        the fold can only ever shadow versions that are also in the
+        fold), and the rewrite keeps its logical position via the
+        manifest's ``version_rank`` = the highest effective version it
+        absorbed — scans compare effective versions, so transactions
+        OUTSIDE the fold still win over the rewrite exactly as they
+        won before it.
         """
         from matdb_spark import manifest as m
+        from matdb_spark.scan import ScanSource, scan_dataframe
 
         if cluster not in ("sort", "zorder"):
             raise ValueError(f"cluster={cluster!r}; expected 'sort' or 'zorder'")
         if resolution not in ("row", "cell"):
             raise ValueError(f"resolution={resolution!r}; expected 'row' or 'cell'")
+        if max_txns is not None and max_txns < 2:
+            raise ValueError(f"max_txns={max_txns}; folding needs at least 2 txns")
         visible = m.visible_txn_ids(self.path, self.next_txn_id)
-        if len(visible) < 2:
+
+        def _eff(t: int) -> int:
+            return int(m.read_manifest_cached(self.path, t).get("version_rank", t))
+
+        by_version = sorted(visible, key=_eff)
+        fold = by_version if max_txns is None else by_version[:max_txns]
+        if len(fold) < 2:
             return None
-        snap = self.begin().query(ordered=False, cell_merge=(resolution == "cell"))
+        rank = max(_eff(t) for t in fold)
+        src = ScanSource(
+            db_path=self.path, schema=self.schema, visible_txns=sorted(fold)
+        )
+        snap = scan_dataframe(
+            self.spark, src, ordered=False, cell_merge=(resolution == "cell")
+        )
         cluster_by = None
         if cluster == "zorder":
             from matdb_spark.zorder import zorder_key, zorder_key_from_bounds
 
             # Bounds from the commit manifests' txn-level stats when
-            # every visible txn carries them (zero Spark jobs); the
+            # every folded txn carries them (zero Spark jobs); the
             # snapshot aggregation — a full extra scan+dedup pass — is
             # only the fallback for stats-less stores.
-            bounds = self._stats_bounds(visible)
+            bounds = self._stats_bounds(fold)
             if bounds is not None:
                 cluster_by = [zorder_key_from_bounds(self.schema, bounds)]
             else:
                 cluster_by = [zorder_key(snap, self.schema)]
         txn = self.begin()
         txn.add_dataframe(snap, cluster_by=cluster_by)
-        # Pre-publish conflict check: any txn id below ours that is
-        # committed (or still pending) and NOT part of the snapshot we
-        # rewrote would be silently shadowed by this compaction — its
-        # newer data lost to our older rewrite. Abort instead.
+        # Pre-publish conflict check: the rewrite shadows every
+        # effective version <= rank, so any txn at-or-below that rank
+        # which is committed-but-not-folded, or still pending (a
+        # concurrent writer holding an old reservation), would lose its
+        # data to the rewrite. Abort for those — and only those:
+        # commits that landed AFTER the snapshot was pinned carry ids
+        # above the rank and legitimately outrank the rewrite, so they
+        # are safe and no longer force an abort.
         my_id = txn.txn_id
         committed_now = set(m.committed_txn_ids(self.path))
         superseded = m.replaced_txn_ids(self.path)
@@ -200,16 +242,20 @@ class Database:
         conflicts = {
             t
             for t in committed_now
-            if t < my_id and t not in visible and t not in superseded
-        } | {t for t in pending if t < my_id}
+            if t not in fold and t not in superseded and _eff(t) <= rank
+        } | {t for t in pending if t <= rank}
         if conflicts:
             txn.rollback()
             return None
-        # The rewrite is the version-resolved snapshot: one version per
-        # key, tombstones dropped. Stamp that guarantee so scans of a
-        # snapshot that is exactly this txn skip the dedup shuffle
-        # entirely (scan.py dedup-free fast path).
-        txn.commit(replaces=visible, extra={"unique_keys": True})
+        # The rewrite is the version-resolved content of the fold: one
+        # version per key, tombstones dropped. unique_keys lets scans
+        # of a snapshot that is exactly this txn skip the dedup shuffle
+        # (scan.py fast path); version_rank anchors it in the version
+        # order for everyone else.
+        txn.commit(
+            replaces=sorted(fold),
+            extra={"unique_keys": True, "version_rank": rank},
+        )
         return txn.txn_id
 
     def _stats_bounds(self, txns: list[int]) -> dict[str, tuple] | None:
@@ -271,6 +317,7 @@ class Database:
                     "segments": m.get("segments"),
                     "committed_at": m.get("committed_at"),
                     "replaces": m.get("replaces", []),
+                    "version_rank": m.get("version_rank"),
                     "stream_source": m.get("stream_source"),
                     "batch_id": m.get("batch_id"),
                     "rows": (m.get("stats") or {}).get("rows"),

@@ -249,6 +249,19 @@ def scan_dataframe(
             )
         )
     )
+    # Version-rank overrides: a compaction that folded only a PREFIX of
+    # the version order (minor compaction) writes under a new physical
+    # txn id but must keep its *logical* position — its manifest's
+    # ``version_rank`` (= the highest effective version it absorbed).
+    # Version resolution compares effective versions, so transactions
+    # newer than the folded prefix still win over the rewrite.
+    rank_overrides: dict[int, int] = {}
+    for t in read_txns:
+        if t == source.own_txn:
+            continue
+        vr = manifest.read_manifest_cached(source.db_path, t).get("version_rank")
+        if vr is not None and int(vr) != int(t):
+            rank_overrides[int(t)] = int(vr)
     if source.own_txn is not None and source.own_staged_segments > 0:
         read_txns.append(source.own_txn)
     if read_txns:
@@ -299,8 +312,19 @@ def scan_dataframe(
             # written anywhere in this snapshot) backfills as typed null.
             present = set(df.columns)
             vtypes = {f.name: f.dataType for f in schema.spark_schema().fields}
+            txn_expr = F.col("txn").cast("long")
+            if rank_overrides:
+                case = None
+                for t, r in sorted(rank_overrides.items()):
+                    cond = F.col("txn") == F.lit(t)
+                    case = (
+                        F.when(cond, F.lit(r))
+                        if case is None
+                        else case.when(cond, F.lit(r))
+                    )
+                txn_expr = case.otherwise(txn_expr).cast("long")
             df = df.select(
-                F.col("txn").cast("long").alias(TXN_COL),
+                txn_expr.alias(TXN_COL),
                 F.col(SEQ_COL),
                 *[F.col(c) for c in dims],
                 *[

@@ -103,10 +103,12 @@ def test_compacted_scan_is_dedup_free(spark):
     assert {tuple(r) for r in snap.collect()} == before
     # ordered pays only the range-sort exchange
     assert exchange_count(db.begin().query(ordered=True)) == 1
-    # include_txn surfaces the compaction txn id without the agg
+    # include_txn surfaces the EFFECTIVE version without the agg: the
+    # compaction anchors at the highest version it absorbed
+    # (version_rank = 2 here), not its physical txn id
     with_txn = db.begin().query(ordered=False, include_txn=True)
     assert exchange_count(with_txn) == 0
-    assert with_txn.select("__txn").distinct().collect() == [(3,)]
+    assert with_txn.select("__txn").distinct().collect() == [(2,)]
     # bounded scans ride the fast path with pruning intact
     rng = db.begin().query_range({"t": (100, 199)}, ordered=False)
     assert exchange_count(rng) == 0

@@ -49,9 +49,11 @@ def test_negative_key_range_scan_roundtrip(spark, tmp_path):
     assert got == [(-25, 1), (-5, 2)]
 
 
-def test_compact_aborts_on_concurrent_commit(spark, tmp_path):
+def test_compact_safe_under_concurrent_commit(spark, tmp_path):
     """A commit that lands after the compaction's snapshot was pinned
-    (via a second handle) must abort the compaction, not be shadowed."""
+    (via a second handle) must never be shadowed. The version_rank
+    anchor makes this safe WITHOUT aborting: the rewrite ranks at the
+    folded history's version, so the interloper outranks it."""
     path = str(tmp_path / "db")
     schema = Schema(dimensions=[Dimension("k", 10)], values=[Value("v")])
     a = Database.create(spark, path, schema)
@@ -64,15 +66,101 @@ def test_compact_aborts_on_concurrent_commit(spark, tmp_path):
     tb = b.begin()
     tb.add_row((0, 999))  # newer value for k=0
     tb.commit()
-    assert a.compact() is None  # conflict detected → abort
-    # b's write survives
+    assert a.compact() is not None  # proceeds — interloper outranks it
+    # b's write survives the compaction and a vacuum
     got = {r["k"]: r["v"] for r in Database.open(spark, path).begin().query().collect()}
-    assert got[0] == 999
-    # once the handle refreshes (reopen), compaction proceeds
+    assert got == {0: 999, 1: 1}
+    Database.open(spark, path).vacuum()
+    got = {r["k"]: r["v"] for r in Database.open(spark, path).begin().query().collect()}
+    assert got == {0: 999, 1: 1}
+
+
+def test_compact_aborts_on_pending_low_reservation(spark, tmp_path):
+    """A concurrent writer still holding a reservation at-or-below the
+    fold's rank is the one genuine conflict: its eventual commit would
+    be shadowed by the rewrite. The compaction must abort."""
+    from matdb_spark import manifest as m
+
+    path = str(tmp_path / "db")
+    schema = Schema(dimensions=[Dimension("k", 10)], values=[Value("v")])
+    a = Database.create(spark, path, schema)
+    t1 = a.begin()
+    t1.add_row((0, 0))
+    t1.commit()
+    # a concurrent writer reserves the next id and flushes, but has not
+    # published yet — then two more txns commit above it
+    b = Database.open(spark, path)
+    tb = b.begin()
+    tb.add_row((0, 555))
+    tb.flush()
+    for i in (1, 2):
+        t = a.begin()
+        t.add_row((i, i))
+        t.commit()
+    assert a.compact() is None  # pending id <= rank → abort
+    tb.commit()  # writer publishes; its value must win (newest txn... no:
+    # tb reserved id 2 BEFORE txns 3 and 4 committed, so 3/4 outrank it
+    got = {r["k"]: r["v"] for r in Database.open(spark, path).begin().query().collect()}
+    assert got[0] == 555  # k=0 only written by txn1 (v=0) and tb (v=555)
+    # with nothing pending any more, compaction proceeds
     a2 = Database.open(spark, path)
     assert a2.compact() is not None
-    got = {r["k"]: r["v"] for r in Database.open(spark, path).begin().query().collect()}
-    assert got[0] == 999
+    got2 = {r["k"]: r["v"] for r in Database.open(spark, path).begin().query().collect()}
+    assert got2 == got
+
+
+def test_minor_compaction_folds_oldest_and_preserves_versions(spark, tmp_path):
+    """compact(max_txns=k) folds only the oldest k txns; newer txns
+    keep winning version resolution over the rewrite (version_rank),
+    tombstones inside the fold stay deleted, and a chained minor
+    compaction absorbs the previous one by effective version order."""
+    path = str(tmp_path / "db")
+    schema = Schema(dimensions=[Dimension("k", 10)], values=[Value("v")])
+    db = Database.create(spark, path, schema)
+    # txn1: keys 0..9 = 1; txn2: keys 0..4 = 2 and delete key 9
+    t1 = db.begin()
+    t1.add_rows([(i, 1) for i in range(10)])
+    t1.commit()
+    t2 = db.begin()
+    t2.add_rows([(i, 2) for i in range(5)])
+    t2.delete_row((9,))
+    t2.commit()
+    # txn3: key 0 = 3; txn4: key 1 = 4
+    t3 = db.begin()
+    t3.add_row((0, 3))
+    t3.commit()
+    t4 = db.begin()
+    t4.add_row((1, 4))
+    t4.commit()
+    before = {r["k"]: r["v"] for r in db.snapshot().collect()}
+    assert before == {0: 3, 1: 4, 2: 2, 3: 2, 4: 2, 5: 1, 6: 1, 7: 1, 8: 1}
+
+    cid = db.compact(max_txns=2)  # folds txn1+txn2 only
+    assert cid is not None
+    from matdb_spark import manifest as m
+
+    mf = m.read_manifest(path, cid)
+    assert mf["replaces"] == [1, 2] and mf["version_rank"] == 2
+    after = {r["k"]: r["v"] for r in db.snapshot().collect()}
+    assert after == before  # txn3/txn4 still outrank the rewrite
+    db.vacuum()
+    assert {r["k"]: r["v"] for r in db.snapshot().collect()} == before
+
+    # chained: fold the minor-compacted txn (effective version 2) with
+    # txn3 (version 3) — the next-oldest pair by effective order
+    cid2 = db.compact(max_txns=2)
+    assert cid2 is not None
+    mf2 = m.read_manifest(path, cid2)
+    assert mf2["replaces"] == sorted([cid, 3]) and mf2["version_rank"] == 3
+    assert {r["k"]: r["v"] for r in db.snapshot().collect()} == before
+
+    # full compaction on top: single txn left → dedup-free scans
+    assert db.compact() is not None
+    db.vacuum()
+    assert {r["k"]: r["v"] for r in db.snapshot().collect()} == before
+    from matdb_spark.plans import exchange_count
+
+    assert exchange_count(db.snapshot()) == 0
 
 
 def test_changes_raises_on_vacuumed_window(spark, tmp_path):
