@@ -67,6 +67,11 @@ class Transaction:
         # in the manifest so scans skip filesystem listing. Becomes
         # None if the list grows past the manifest-bloat cap.
         self._txn_files: list[str] | None = []
+        # Key-uniqueness tracking for the manifest's ``unique_keys``
+        # stamp (scan.py dedup-free fast path): None = no writes yet;
+        # True = exactly one deduplicated add_dataframe; False = any
+        # other write history (could hold duplicate keys).
+        self._unique_keys: bool | None = None
 
     # ---- writes -----------------------------------------------------
     def add_row(self, values: Sequence) -> None:
@@ -77,6 +82,7 @@ class Transaction:
         if len(values) != expect:
             raise ValueError(f"expected {expect} column values, got {len(values)}")
         self._seq += 1
+        self._unique_keys = False
         self._buffer.append(tuple(values) + (self._seq,))
 
     def add_rows(self, rows: Iterable[Sequence]) -> None:
@@ -100,6 +106,7 @@ class Transaction:
         df: DataFrame,
         cluster_by: list | None = None,
         partial: bool = False,
+        dedup: bool | str = False,
     ) -> None:
         """Bulk upsert of a distributed DataFrame (the 100 TB path).
 
@@ -119,8 +126,24 @@ class Transaction:
         only the cells it names, block.rs:45-49). Read the store with
         ``query(cell_merge=True)`` for those semantics — the default
         row-level scan treats the partial row as the whole new version.
+
+        ``dedup`` earns the manifest's ``unique_keys`` stamp at WRITE
+        time: when this is the transaction's only write, scans of a
+        snapshot that is exactly this txn skip the version-dedup
+        shuffle (scan.py fast path) — the load-once / read-many
+        pattern gets dedup-free reads without a compaction.
+        ``dedup=True`` deduplicates the frame on the key here (one
+        extra shuffle at load; within-call duplicate keys already
+        resolve arbitrarily, so dropping all but one is
+        semantics-preserving). ``dedup="assume"`` skips that work on
+        the CALLER'S GUARANTEE that keys are unique — a wrong promise
+        silently produces duplicate rows in every scan, so only pass
+        it for sources with an enforced key (e.g. an export of another
+        store's resolved snapshot).
         """
         self._check_writable()
+        if dedup not in (False, True, "assume"):
+            raise ValueError(f"dedup={dedup!r}; expected False, True, or 'assume'")
         self._seq += 1
         cols = []
         present = set(df.columns)
@@ -140,7 +163,11 @@ class Transaction:
                     "write a partial-column upsert)"
                 )
         stamped = df.select(*cols, F.lit(self._seq).alias(SEQ_COL))
+        if dedup is True:
+            stamped = stamped.dropDuplicates(self.schema.dim_names)
+        first_write = self._unique_keys is None and not self._buffer
         self._write_segment(stamped, cluster_by=cluster_by)
+        self._unique_keys = bool(dedup) and first_write
 
     def merge_dataframe(
         self,
@@ -289,6 +316,7 @@ class Transaction:
             return
         df = self.db.spark.createDataFrame(self._buffer, self.schema.staging_schema())
         self._buffer = []
+        self._unique_keys = False
         self._write_segment(df)
 
     # ---- read -------------------------------------------------------
@@ -428,6 +456,8 @@ class Transaction:
         self.flush()
         if self.txn_id is not None:
             payload = dict(extra or {})
+            if self._unique_keys is True and "unique_keys" not in payload:
+                payload["unique_keys"] = True
             if self._txn_stats is not None and "stats" not in payload:
                 payload["stats"] = self._txn_stats
             if self._txn_files is not None and "files" not in payload:

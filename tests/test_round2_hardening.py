@@ -109,6 +109,55 @@ def test_compact_aborts_on_pending_low_reservation(spark, tmp_path):
     assert got2 == got
 
 
+def test_bulk_load_dedup_stamp_gives_dedup_free_scans(spark, tmp_path):
+    """add_dataframe(dedup=...) earns the unique_keys manifest stamp at
+    write time, so a single-txn bulk-loaded store reads dedup-free
+    without a compaction; any other write history must NOT stamp."""
+    from matdb_spark import manifest as m
+    from matdb_spark.plans import exchange_count
+
+    schema = Schema(dimensions=[Dimension("k", 10)], values=[Value("v")])
+    src = spark.createDataFrame([(i % 5, i) for i in range(20)], "k long, v long")
+
+    db = Database.create(spark, str(tmp_path / "db"), schema)
+    t = db.begin()
+    t.add_dataframe(src, dedup=True)
+    t.commit()
+    assert m.read_manifest(db.path, 1).get("unique_keys") is True
+    snap = db.snapshot()
+    assert exchange_count(snap) == 0
+    assert {r["k"] for r in snap.collect()} == set(range(5))
+    assert snap.count() == 5
+
+    # two writes in one txn can hold cross-segment duplicates: no stamp
+    db2 = Database.create(spark, str(tmp_path / "db2"), schema)
+    t2 = db2.begin()
+    t2.add_dataframe(src, dedup=True)
+    t2.add_dataframe(src, dedup=True)
+    t2.commit()
+    assert m.read_manifest(db2.path, 1).get("unique_keys") is None
+    assert exchange_count(db2.snapshot()) == 1
+    assert db2.snapshot().count() == 5
+
+    # "assume" trusts the caller: stamp without the write-side shuffle
+    uniq = spark.createDataFrame([(i, i) for i in range(5)], "k long, v long")
+    db3 = Database.create(spark, str(tmp_path / "db3"), schema)
+    t3 = db3.begin()
+    t3.add_dataframe(uniq, dedup="assume")
+    t3.commit()
+    assert m.read_manifest(db3.path, 1).get("unique_keys") is True
+    assert exchange_count(db3.snapshot()) == 0
+
+    # buffered add_row writes in the same txn disable the stamp
+    db4 = Database.create(spark, str(tmp_path / "db4"), schema)
+    t4 = db4.begin()
+    t4.add_row((99, 1))
+    t4.add_dataframe(uniq, dedup=True)
+    t4.commit()
+    assert m.read_manifest(db4.path, 1).get("unique_keys") is None
+    assert db4.snapshot().count() == 6
+
+
 def test_minor_compaction_folds_oldest_and_preserves_versions(spark, tmp_path):
     """compact(max_txns=k) folds only the oldest k txns; newer txns
     keep winning version resolution over the rewrite (version_rank),
