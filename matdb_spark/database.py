@@ -252,10 +252,23 @@ class Database:
         # of a snapshot that is exactly this txn skip the dedup shuffle
         # (scan.py fast path); version_rank anchors it in the version
         # order for everyone else.
-        txn.commit(
-            replaces=sorted(fold),
-            extra={"unique_keys": True, "version_rank": rank},
-        )
+        extra: dict = {"unique_keys": True, "version_rank": rank}
+        # Carry streaming replay-suppression records forward: the
+        # folded manifests hold the (stream_source, batch_id) stamps
+        # that make post-crash batch replays no-ops, and vacuum will
+        # delete those manifests. Without the carry, a replayed old
+        # batch would re-commit as a duplicate transaction.
+        carried: dict[str, int] = {}
+        for t in fold:
+            mf = m.read_manifest_cached(self.path, t)
+            if mf.get("stream_source") is not None and "batch_id" in mf:
+                s = mf["stream_source"]
+                carried[s] = max(carried.get(s, -1), int(mf["batch_id"]))
+            for s, b in (mf.get("stream_batch_ids") or {}).items():
+                carried[s] = max(carried.get(s, -1), int(b))
+        if carried:
+            extra["stream_batch_ids"] = carried
+        txn.commit(replaces=sorted(fold), extra=extra)
         return txn.txn_id
 
     def _stats_bounds(self, txns: list[int]) -> dict[str, tuple] | None:

@@ -259,12 +259,24 @@ def release_txn_reservation(db_path: str, txn_id: int) -> None:
 def max_committed_batch_id(db_path: str, source: str) -> int | None:
     """Highest streaming ``batch_id`` committed for ``source`` (None if
     none). One manifest sweep — called once per stream (re)start, then
-    cached by the caller; batch ids within one source are monotonic."""
+    cached by the caller; batch ids within one source are monotonic.
+
+    Two manifest forms carry the record: a stream commit's own
+    ``(stream_source, batch_id)`` stamp, and a compaction's
+    carried-forward ``stream_batch_ids`` map — compaction + vacuum
+    deletes the folded stream manifests, so without the carry a
+    post-crash replay of an old batch would no longer be recognized
+    (and would re-commit as a duplicate transaction)."""
     best: int | None = None
     for t in committed_txn_ids(db_path):
         m = read_manifest_cached(db_path, t)
+        cands = []
         if m.get("stream_source") == source and "batch_id" in m:
-            b = int(m["batch_id"])
+            cands.append(int(m["batch_id"]))
+        carried = m.get("stream_batch_ids") or {}
+        if source in carried:
+            cands.append(int(carried[source]))
+        for b in cands:
             if best is None or b > best:
                 best = b
     return best

@@ -35,6 +35,8 @@ def stream_into_database(
     checkpoint: str,
     available_now: bool = True,
     source_name: str | None = None,
+    compact_every: int | None = None,
+    vacuum_superseded: bool = False,
 ):
     """Start a streaming query writing ``stream_df`` into ``db``.
 
@@ -47,7 +49,20 @@ def stream_into_database(
     ``source_name`` identifies this logical stream in manifests;
     defaults to the checkpoint path, which Spark already scopes batch
     ids to. Returns the StreamingQuery; caller awaits/stops it.
+
+    ``compact_every=N`` bounds transaction accumulation — the standing
+    problem of one-txn-per-micro-batch ingest at scale: after every N
+    committed batches a MINOR compaction (``compact(max_txns=N+1)``)
+    folds the new txns plus the previous rollup into one, so the
+    visible txn count stays O(N) forever while rewrite cost tracks the
+    window, not the table. Batch-id replay stamps are carried through
+    the fold (manifest ``stream_batch_ids``), so exactly-once
+    suppression survives compaction + vacuum. ``vacuum_superseded``
+    additionally reclaims folded data immediately (forfeits time
+    travel into the folded window).
     """
+    if compact_every is not None and compact_every < 1:
+        raise ValueError(f"compact_every={compact_every}; expected >= 1")
     source = source_name or checkpoint
     # Mutable cell: highest batch id already in the store for this
     # source, discovered lazily on the first batch after (re)start.
@@ -79,6 +94,16 @@ def stream_into_database(
         txn.add_dataframe(batch_df)
         txn.commit(extra={"stream_source": source, "batch_id": int(batch_id)})
         seen[0] = batch_id if seen[0] is None else max(seen[0], batch_id)
+        if compact_every is not None:
+            commits[0] += 1
+            if commits[0] % compact_every == 0:
+                # fold the window plus the previous rollup (chained
+                # minor compaction); None (conflict/<2 txns) is fine —
+                # the next window retries with a larger fold
+                if db.compact(max_txns=compact_every + 1) is not None and vacuum_superseded:
+                    db.vacuum()
+
+    commits = [0]
 
     writer = (
         stream_df.writeStream.foreachBatch(_commit_batch)

@@ -63,6 +63,80 @@ def test_stream_ingest_commits_microbatches(spark):
     assert snap.count() == n_events
 
 
+def test_compaction_carries_stream_batch_ids(spark, tmp_path):
+    """compact() + vacuum() deletes the folded stream manifests; the
+    carried-forward stream_batch_ids map must keep replay suppression
+    working (max_committed_batch_id survives), including through a
+    chained minor compaction."""
+    from matdb_spark import manifest as m
+
+    schema = Schema(dimensions=[Dimension("k", 10)], values=[Value("v")])
+    db = Database.create(spark, str(tmp_path / "db"), schema)
+    for b in range(3):
+        t = db.begin()
+        t.add_row((b, b))
+        t.commit(extra={"stream_source": "srcA", "batch_id": b})
+    t = db.begin()
+    t.add_row((9, 9))
+    t.commit(extra={"stream_source": "srcB", "batch_id": 7})
+    assert m.max_committed_batch_id(db.path, "srcA") == 2
+    assert db.compact(max_txns=3) is not None  # folds the three srcA txns
+    db.vacuum()
+    assert m.max_committed_batch_id(db.path, "srcA") == 2
+    assert m.max_committed_batch_id(db.path, "srcB") == 7
+    assert db.compact() is not None  # absorbs the rollup + the rest
+    db.vacuum()
+    assert m.max_committed_batch_id(db.path, "srcA") == 2
+    assert m.max_committed_batch_id(db.path, "srcB") == 7
+    assert m.max_committed_batch_id(db.path, "other") is None
+    got = {r["k"]: r["v"] for r in db.snapshot().collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 9: 9}
+
+
+def test_stream_ingest_auto_minor_compaction(spark):
+    """compact_every folds ingest txns as batches land; results match
+    the plain ingest, visible txn count stays bounded, and the replay
+    stamps survive the folds."""
+    from matdb_spark import manifest as m
+
+    src = _fresh("auto_compact_src")
+    os.makedirs(src)
+    ev = load_table(spark, SF, "events").select("user_id", "event_id", "value")
+    n_events = ev.count()
+    # four files → four micro-batches with maxFilesPerTrigger=1
+    ev.withColumn("part", F.col("event_id") % 4).coalesce(1).write.partitionBy(
+        "part"
+    ).parquet(src, mode="overwrite")
+
+    from matdb_spark.streaming.sources import parquet_stream
+
+    db_path = _fresh("auto_compact_db")
+    schema = Schema(
+        dimensions=[Dimension("user_id", 100), Dimension("event_id", 100_000)],
+        values=[Value("value", type="double")],
+    )
+    db = Database.create(spark, db_path, schema)
+    stream = parquet_stream(
+        spark, src, max_files_per_trigger=1
+    ).select("user_id", "event_id", "value")
+    q = stream_into_database(
+        stream,
+        db,
+        _fresh("ckpt_auto_compact"),
+        source_name="autoc",
+        compact_every=2,
+        vacuum_superseded=True,
+    )
+    q.awaitTermination(180)
+
+    snap = db.begin().query(ordered=False)
+    assert snap.count() == n_events
+    stats = db.stats()
+    # 4 ingest txns folded every 2 → at most ingest-tail + one rollup
+    assert stats["visible_txns"] <= 3
+    assert m.max_committed_batch_id(db.path, "autoc") == 3
+
+
 def test_stateful_sessionize_across_batches(spark):
     # two files processed as separate micro-batches: the session opened
     # in batch 1 must close (and emit) only when batch 2's late event
