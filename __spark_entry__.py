@@ -712,19 +712,11 @@ def _cached_mvcc_db(spark, db_path: str, schema, build):
     _build_once(db_path, _create, version=_MVCC_BUILD_VERSION)
     return Database.open(spark, db_path)
 
-def _gate_mvcc_store(spark, sf_dir: str):
-    """THE shared two-txn upsert store (txn1: all events; txn2: +1000
-    on every tenth event_id). Single source of truth for every query
-    that reads the ``gate_mvcc_*`` cached store — the oracles of all
-    of them assume exactly this recipe, so it must exist once."""
-    from matdb_spark import Dimension, Schema, Value
-
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    db_path = os.path.join(SCRATCH, f"gate_mvcc_{tag}")
-    schema = Schema(
-        dimensions=[Dimension("user_id", 1000), Dimension("event_id", 100_000)],
-        values=[Value("value", type="double")],
-    )
+def _two_txn_upsert_build(spark, sf_dir: str):
+    """THE two-txn upsert recipe (txn1: all events; txn2: +1000 on
+    every tenth event_id) — single source of truth shared by the plain
+    and the compacted gate stores; their common oracle assumes exactly
+    this recipe, so it must exist once."""
 
     def build(db):
         ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
@@ -737,7 +729,25 @@ def _gate_mvcc_store(spark, sf_dir: str):
         )
         t2.commit()
 
-    return _cached_mvcc_db(spark, db_path, schema, build)
+    return build
+
+
+def _gate_mvcc_schema():
+    from matdb_spark import Dimension, Schema, Value
+
+    return Schema(
+        dimensions=[Dimension("user_id", 1000), Dimension("event_id", 100_000)],
+        values=[Value("value", type="double")],
+    )
+
+
+def _gate_mvcc_store(spark, sf_dir: str):
+    """The shared two-txn upsert store (see _two_txn_upsert_build)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    db_path = os.path.join(SCRATCH, f"gate_mvcc_{tag}")
+    return _cached_mvcc_db(
+        spark, db_path, _gate_mvcc_schema(), _two_txn_upsert_build(spark, sf_dir)
+    )
 
 
 
@@ -765,29 +775,16 @@ def q_mvcc_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     — at 100 TB, reads of a compacted store skip a full-table shuffle.
     Same oracle as q_mvcc_scan: compaction is layout-only, results
     bit-identical."""
-    from matdb_spark import Dimension, Schema, Value
-
     tag = os.path.basename(os.path.normpath(sf_dir))
     db_path = os.path.join(SCRATCH, f"gate_mvcc_compacted_{tag}")
-    schema = Schema(
-        dimensions=[Dimension("user_id", 1000), Dimension("event_id", 100_000)],
-        values=[Value("value", type="double")],
-    )
+    base_build = _two_txn_upsert_build(spark, sf_dir)
 
     def build(db):
-        ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
-        t1 = db.begin()
-        t1.add_dataframe(ev)
-        t1.commit()
-        t2 = db.begin()
-        t2.add_dataframe(
-            ev.filter(F.col("event_id") % 10 == 0).withColumn("value", F.col("value") + 1000)
-        )
-        t2.commit()
+        base_build(db)
         assert db.compact() is not None
         db.vacuum()
 
-    db = _cached_mvcc_db(spark, db_path, schema, build)
+    db = _cached_mvcc_db(spark, db_path, _gate_mvcc_schema(), build)
     return db.begin().query(ordered=True)
 
 

@@ -127,9 +127,10 @@ class Database:
         cluster: str = "sort",
         resolution: str = "row",
         max_txns: int | None = None,
+        fold: str = "oldest",
     ) -> int | None:
-        """Rewrite the current snapshot (or, with ``max_txns``, its
-        oldest transactions) as ONE new transaction that supersedes
+        """Rewrite the current snapshot (or, with ``max_txns``, a
+        contiguous window of it) as ONE new transaction that supersedes
         what it folded (manifest ``replaces`` list).
 
         The many-small-transactions problem at scale: every commit adds
@@ -172,20 +173,30 @@ class Database:
         would freeze the partial rows' nulls as real nulls and lose the
         older cells.
 
-        ``max_txns`` enables MINOR compaction: fold only the OLDEST
-        ``max_txns`` transactions (by effective version) instead of the
-        whole snapshot — the incremental maintenance mode a 100 TB
-        store needs, where rewriting everything per compaction is
-        prohibitive but the oldest small txns (e.g. one per streaming
-        micro-batch) should keep folding. Correctness hinges on two
-        invariants: the folded set is DOWNWARD-CLOSED in version order
-        (we always take the oldest k, so a tombstone or overwrite in
-        the fold can only ever shadow versions that are also in the
-        fold), and the rewrite keeps its logical position via the
-        manifest's ``version_rank`` = the highest effective version it
-        absorbed — scans compare effective versions, so transactions
-        OUTSIDE the fold still win over the rewrite exactly as they
-        won before it.
+        ``max_txns`` + ``fold`` enable MINOR compaction: fold only a
+        CONTIGUOUS window of ``max_txns`` transactions in effective
+        version order — ``fold="oldest"`` (default) or ``"newest"`` —
+        instead of the whole snapshot. This is the incremental
+        maintenance mode a 100 TB store needs, where rewriting
+        everything per compaction is prohibitive but small txn windows
+        (e.g. one per streaming micro-batch) should keep folding at a
+        cost that tracks the window, not the table. Correctness hinges
+        on two invariants: the folded set is a contiguous INTERVAL of
+        the effective version order (so for any key, the fold's
+        internal resolution is exactly the resolution the scan would
+        have computed over those versions), and the rewrite keeps its
+        logical position via the manifest's ``version_rank`` = the
+        highest effective version it absorbed — scans compare
+        effective versions, so transactions OUTSIDE the fold still win
+        (or lose) over the rewrite exactly as they did before it. A
+        fold that does not start at the oldest visible version keeps
+        tombstone rows physically (dropping one would resurrect older
+        versions BELOW the interval); tombstones disappear for good in
+        downward-closed folds (``"oldest"``/full). Tiering falls out
+        naturally: newest-window rollups are themselves the oldest,
+        contiguous txns later, so a periodic ``compact(max_txns=R)``
+        folds accumulated rollups without ever rewriting more than R
+        of them.
         """
         from matdb_spark import manifest as m
         from matdb_spark.scan import ScanSource, scan_dataframe
@@ -196,21 +207,37 @@ class Database:
             raise ValueError(f"resolution={resolution!r}; expected 'row' or 'cell'")
         if max_txns is not None and max_txns < 2:
             raise ValueError(f"max_txns={max_txns}; folding needs at least 2 txns")
+        if fold not in ("oldest", "newest"):
+            raise ValueError(f"fold={fold!r}; expected 'oldest' or 'newest'")
         visible = m.visible_txn_ids(self.path, self.next_txn_id)
 
         def _eff(t: int) -> int:
             return int(m.read_manifest_cached(self.path, t).get("version_rank", t))
 
         by_version = sorted(visible, key=_eff)
-        fold = by_version if max_txns is None else by_version[:max_txns]
-        if len(fold) < 2:
+        if max_txns is None:
+            window = by_version
+        elif fold == "oldest":
+            window = by_version[:max_txns]
+        else:
+            window = by_version[-max_txns:]
+        if len(window) < 2:
             return None
-        rank = max(_eff(t) for t in fold)
+        rank = max(_eff(t) for t in window)
+        # Downward-closed folds (start at the oldest visible version)
+        # may drop tombstones for good — there is nothing older left to
+        # resurrect. An interior/newest window must KEEP them: a
+        # tombstone in the window shadows versions below it.
+        downward_closed = window[0] == by_version[0]
         src = ScanSource(
-            db_path=self.path, schema=self.schema, visible_txns=sorted(fold)
+            db_path=self.path, schema=self.schema, visible_txns=sorted(window)
         )
         snap = scan_dataframe(
-            self.spark, src, ordered=False, cell_merge=(resolution == "cell")
+            self.spark,
+            src,
+            ordered=False,
+            cell_merge=(resolution == "cell"),
+            drop_null_value_rows=downward_closed,
         )
         cluster_by = None
         if cluster == "zorder":
@@ -220,38 +247,45 @@ class Database:
             # every folded txn carries them (zero Spark jobs); the
             # snapshot aggregation — a full extra scan+dedup pass — is
             # only the fallback for stats-less stores.
-            bounds = self._stats_bounds(fold)
+            bounds = self._stats_bounds(window)
             if bounds is not None:
                 cluster_by = [zorder_key_from_bounds(self.schema, bounds)]
             else:
                 cluster_by = [zorder_key(snap, self.schema)]
         txn = self.begin()
         txn.add_dataframe(snap, cluster_by=cluster_by)
-        # Pre-publish conflict check: the rewrite shadows every
-        # effective version <= rank, so any txn at-or-below that rank
-        # which is committed-but-not-folded, or still pending (a
-        # concurrent writer holding an old reservation), would lose its
-        # data to the rewrite. Abort for those — and only those:
-        # commits that landed AFTER the snapshot was pinned carry ids
-        # above the rank and legitimately outrank the rewrite, so they
-        # are safe and no longer force an abort.
+        # Pre-publish conflict check. The rewrite shadows, for its
+        # keys, every effective version <= rank — so an un-folded txn
+        # whose version lands INSIDE the interval would lose data.
+        # Below the interval is safe only when the fold kept
+        # tombstones (non-downward-closed): the rewrite then carries
+        # the exact shadowing the originals did; a downward-closed
+        # fold dropped tombstones, so anything below its rank
+        # (including a pending reservation from a slow writer) could
+        # be wrongly resurrected or shadowed — abort for those. Post-
+        # pin commits always carry ids above the rank and are safe.
         my_id = txn.txn_id
+        floor = None if downward_closed else min(_eff(t) for t in window)
         committed_now = set(m.committed_txn_ids(self.path))
         superseded = m.replaced_txn_ids(self.path)
         pending = {t for t in m.outstanding_txn_ids(self.path) if t != my_id}
         conflicts = {
             t
             for t in committed_now
-            if t not in fold and t not in superseded and _eff(t) <= rank
-        } | {t for t in pending if t <= rank}
+            if t not in window
+            and t not in superseded
+            and _eff(t) <= rank
+            and (floor is None or _eff(t) >= floor)
+        } | {t for t in pending if t <= rank and (floor is None or t >= floor)}
         if conflicts:
             txn.rollback()
             return None
-        # The rewrite is the version-resolved content of the fold: one
-        # version per key, tombstones dropped. unique_keys lets scans
-        # of a snapshot that is exactly this txn skip the dedup shuffle
-        # (scan.py fast path); version_rank anchors it in the version
-        # order for everyone else.
+        # The rewrite is the version-resolved content of the window:
+        # one version per key (tombstones dropped only when downward-
+        # closed). unique_keys lets scans of a snapshot that is exactly
+        # this txn skip the dedup shuffle (scan.py fast path);
+        # version_rank anchors it in the version order for everyone
+        # else.
         extra: dict = {"unique_keys": True, "version_rank": rank}
         # Carry streaming replay-suppression records forward: the
         # folded manifests hold the (stream_source, batch_id) stamps
@@ -259,7 +293,7 @@ class Database:
         # delete those manifests. Without the carry, a replayed old
         # batch would re-commit as a duplicate transaction.
         carried: dict[str, int] = {}
-        for t in fold:
+        for t in window:
             mf = m.read_manifest_cached(self.path, t)
             if mf.get("stream_source") is not None and "batch_id" in mf:
                 s = mf["stream_source"]
@@ -268,7 +302,7 @@ class Database:
                 carried[s] = max(carried.get(s, -1), int(b))
         if carried:
             extra["stream_batch_ids"] = carried
-        txn.commit(replaces=sorted(fold), extra=extra)
+        txn.commit(replaces=sorted(window), extra=extra)
         return txn.txn_id
 
     def _stats_bounds(self, txns: list[int]) -> dict[str, tuple] | None:
@@ -402,7 +436,11 @@ class Database:
         Compaction commits rewrite old logical content, so they are
         excluded by default (``replaces`` manifests); a feed consumer
         that wants physical rewrites too passes
-        ``include_compactions=True``. Deleting a key that never existed
+        ``include_compactions=True`` — note ``__txn`` is always the
+        EFFECTIVE version (what version resolution compares), so a
+        compaction rollup's rows report its ``version_rank``, not the
+        rollup's physical txn id; cursor arithmetic must use the feed's
+        own cursors, never row-level ``__txn`` values. Deleting a key that never existed
         before ``since`` still surfaces as a 'delete' (the feed is a
         net-write log, not a diff against the pre-window snapshot —
         downstream apply is idempotent either way). Window txns must

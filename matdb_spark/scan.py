@@ -256,9 +256,9 @@ def scan_dataframe(
     # Version resolution compares effective versions, so transactions
     # newer than the folded prefix still win over the rewrite.
     rank_overrides: dict[int, int] = {}
+    # read_txns holds only committed txns here (the own staged txn — which
+    # has no manifest yet — is appended just below)
     for t in read_txns:
-        if t == source.own_txn:
-            continue
         vr = manifest.read_manifest_cached(source.db_path, t).get("version_rank")
         if vr is not None and int(vr) != int(t):
             rank_overrides[int(t)] = int(vr)

@@ -52,14 +52,21 @@ def stream_into_database(
 
     ``compact_every=N`` bounds transaction accumulation — the standing
     problem of one-txn-per-micro-batch ingest at scale: after every N
-    committed batches a MINOR compaction (``compact(max_txns=N+1)``)
-    folds the new txns plus the previous rollup into one, so the
-    visible txn count stays O(N) forever while rewrite cost tracks the
-    window, not the table. Batch-id replay stamps are carried through
-    the fold (manifest ``stream_batch_ids``), so exactly-once
+    committed batches a MINOR compaction
+    (``compact(max_txns=N, fold="newest")``) folds exactly that batch
+    window into one rollup. Rewrite cost tracks the window — never the
+    table, and never a pre-existing bulk-load txn. Rollups accumulate
+    at rate batches/N; because they are contiguous and oldest in the
+    version order, a periodic maintenance ``compact(max_txns=R)``
+    (oldest fold) collapses R of them at cost R·window — the two-tier
+    schedule every LSM store runs. Batch-id replay stamps are carried
+    through folds (manifest ``stream_batch_ids``), so exactly-once
     suppression survives compaction + vacuum. ``vacuum_superseded``
-    additionally reclaims folded data immediately (forfeits time
-    travel into the folded window).
+    additionally reclaims folded data immediately — note this forfeits
+    time travel into the folded window AND permanently fails any
+    change-feed consumer (``changes``/``follow_changes``) whose cursor
+    still lags inside it; leave it False when CDC consumers tail the
+    store.
     """
     if compact_every is not None and compact_every < 1:
         raise ValueError(f"compact_every={compact_every}; expected >= 1")
@@ -97,10 +104,11 @@ def stream_into_database(
         if compact_every is not None:
             commits[0] += 1
             if commits[0] % compact_every == 0:
-                # fold the window plus the previous rollup (chained
-                # minor compaction); None (conflict/<2 txns) is fine —
-                # the next window retries with a larger fold
-                if db.compact(max_txns=compact_every + 1) is not None and vacuum_superseded:
+                # fold exactly this batch window (newest-contiguous) —
+                # cost tracks the window, not the table; None
+                # (conflict/<2 txns) is fine, the next window retries
+                cid = db.compact(max_txns=compact_every, fold="newest")
+                if cid is not None and vacuum_superseded:
                     db.vacuum()
 
     commits = [0]

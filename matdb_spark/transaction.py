@@ -142,8 +142,22 @@ class Transaction:
         store's resolved snapshot).
         """
         self._check_writable()
-        if dedup not in (False, True, "assume"):
+        # identity checks, not ==: dedup=1 passes `in (False, True, ...)`
+        # membership yet would skip the `dedup is True` branch and still
+        # stamp unique_keys — the silent-duplicates hazard validation
+        # exists to block
+        if not (dedup is False or dedup is True or dedup == "assume"):
             raise ValueError(f"dedup={dedup!r}; expected False, True, or 'assume'")
+        if dedup is True and partial:
+            # whole-row dedup is NOT semantics-preserving under the cell
+            # model: of two partial rows for one key, dropDuplicates
+            # keeps one arbitrarily and discards the other's non-null
+            # cells that query(cell_merge=True) would have kept
+            raise ValueError(
+                "dedup=True cannot combine with partial=True (whole-row "
+                "dedup drops cells that cell-level resolution keeps); "
+                "use dedup='assume' if the keys are genuinely unique"
+            )
         self._seq += 1
         cols = []
         present = set(df.columns)

@@ -109,6 +109,52 @@ def test_compact_aborts_on_pending_low_reservation(spark, tmp_path):
     assert got2 == got
 
 
+def test_newest_window_fold_preserves_tombstones_and_versions(spark, tmp_path):
+    """compact(fold='newest') folds only the newest contiguous window —
+    the streaming maintenance mode whose cost must track the window,
+    not the table. The window rollup must KEEP tombstones (dropping
+    one would resurrect versions below the interval) and must not
+    touch the older txns at all."""
+    from matdb_spark import manifest as m
+
+    schema = Schema(dimensions=[Dimension("k", 10)], values=[Value("v")])
+    db = Database.create(spark, str(tmp_path / "db"), schema)
+    t1 = db.begin()
+    t1.add_rows([(i, 1) for i in range(10)])
+    t1.commit()
+    t2 = db.begin()
+    t2.add_row((0, 2))
+    t2.delete_row((5,))
+    t2.commit()
+    t3 = db.begin()
+    t3.add_row((1, 3))
+    t3.delete_row((6,))
+    t3.commit()
+    before = {r["k"]: r["v"] for r in db.snapshot().collect()}
+    assert before == {0: 2, 1: 3, 2: 1, 3: 1, 4: 1, 7: 1, 8: 1, 9: 1}
+
+    cid = db.compact(max_txns=2, fold="newest")  # folds txn2+txn3 only
+    assert cid is not None
+    mf = m.read_manifest(db.path, cid)
+    assert mf["replaces"] == [2, 3] and mf["version_rank"] == 3
+    # txn1 untouched; the rollup's tombstones keep k=5 and k=6 deleted
+    assert {r["k"]: r["v"] for r in db.snapshot().collect()} == before
+    db.vacuum()
+    assert {r["k"]: r["v"] for r in db.snapshot().collect()} == before
+    # the rollup physically carries the two tombstone rows
+    rollup = spark.read.parquet(m.txn_data_dir(db.path, cid))
+    assert rollup.filter("v is null").count() == 2
+    # the rollup is now a contiguous OLDEST pair with txn1: a full fold
+    # collapses them and finally drops the tombstones physically
+    assert db.compact() is not None
+    db.vacuum()
+    final = {r["k"]: r["v"] for r in db.snapshot().collect()}
+    assert final == before
+    last = db.history()[0]
+    data = spark.read.parquet(m.txn_data_dir(db.path, last["txn"]))
+    assert data.filter("v is null").count() == 0
+
+
 def test_bulk_load_dedup_stamp_gives_dedup_free_scans(spark, tmp_path):
     """add_dataframe(dedup=...) earns the unique_keys manifest stamp at
     write time, so a single-txn bulk-loaded store reads dedup-free
@@ -156,6 +202,16 @@ def test_bulk_load_dedup_stamp_gives_dedup_free_scans(spark, tmp_path):
     t4.commit()
     assert m.read_manifest(db4.path, 1).get("unique_keys") is None
     assert db4.snapshot().count() == 6
+
+    # truthy-but-not-True values must be rejected, not half-honored
+    # (dedup=1 would skip the dropDuplicates yet still stamp), and
+    # whole-row dedup cannot combine with partial-column upserts
+    t5 = db4.begin()
+    with pytest.raises(ValueError, match="dedup"):
+        t5.add_dataframe(uniq, dedup=1)
+    with pytest.raises(ValueError, match="partial"):
+        t5.add_dataframe(uniq.select("k"), dedup=True, partial=True)
+    t5.rollback()
 
 
 def test_minor_compaction_folds_oldest_and_preserves_versions(spark, tmp_path):
