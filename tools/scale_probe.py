@@ -10,8 +10,11 @@ in SCALE.md §11. Two axes the small-SF gate never stresses:
   stream   : sustained rate-source ingest — rows/s end-to-end with
              one MVCC txn per micro-batch, plus a live torn-batch
              invisibility check on stop().
+  tiered   : two-tier minor-compaction schedule — per-window
+             newest-folds must stay flat-cost as the table grows,
+             then one oldest-fold collapses the rollups.
 
-Usage: PYTHONPATH=/root/repo python tools/scale_probe.py [volume|manytxn|stream]
+Usage: PYTHONPATH=/root/repo python tools/scale_probe.py [volume|manytxn|stream|tiered]
 Scratch stores live under /root/repo/.scratch/ (gitignored).
 """
 
@@ -128,6 +131,53 @@ def probe_manytxn(spark):
     shutil.rmtree(path, ignore_errors=True)
 
 
+def probe_tiered(spark):
+    """Two-tier minor-compaction schedule under standing ingest — the
+    claim to verify: per-window fold cost stays FLAT (window-sized) as
+    the table grows, because ``fold="newest"`` rewrites only the batch
+    window, never the accumulated store. 16 windows x 8 commits; after
+    each window ``compact(max_txns=8, fold="newest")``; finally the 16
+    accumulated rollups (now the oldest contiguous txns) collapse with
+    one ``compact(max_txns=16)`` + vacuum."""
+    path = os.path.join(SCRATCH, "probe_tiered")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "user_id", "event_id", (F.col("value") * 1000).cast("long").alias("v")
+    )
+    base = ev.count()
+    windows, per = 16, 8
+    print(f"tiered probe: {windows} windows x {per} commits x {base} rows")
+    db = Database.create(spark, path, Schema(
+        dimensions=[Dimension("user_id", 25), Dimension("event_id", 0)],
+        values=[Value("v")],
+    ))
+    slice_df = ev.coalesce(4)
+    fold_times = []
+    for w in range(windows):
+        for i in range(per):
+            j = w * per + i
+            txn = db.begin()
+            txn.add_dataframe(slice_df.select(
+                "user_id", (F.col("event_id") + j * base).alias("event_id"), "v"))
+            txn.commit()
+        t0 = time.time()
+        cid = db.compact(max_txns=per, fold="newest")
+        fold_times.append(time.time() - t0)
+        assert cid is not None, f"window {w} fold refused"
+    head, tail = fold_times[:4], fold_times[-4:]
+    print(f"  window folds: first 4 avg {sum(head)/4:.2f} s, "
+          f"last 4 avg {sum(tail)/4:.2f} s over {windows} windows "
+          f"(flat = cost tracks window, not table)")
+    stats = db.stats()
+    assert stats["visible_txns"] == windows, stats
+    timed(f"collapse {windows} rollups (oldest fold)",
+          lambda: db.compact(max_txns=windows))
+    timed("vacuum()", lambda: len(db.vacuum()))
+    got = timed("final full scan count", lambda: db.begin().query(ordered=False).count())
+    assert got == windows * per * base, f"{got} != {windows * per * base}"
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def probe_stream(spark):
     """Sustained streaming-ingest throughput: rate source → MVCC store
     (one txn per micro-batch, exactly-once batch stamping). Measures
@@ -185,6 +235,8 @@ if __name__ == "__main__":
         probe_volume(spark)
     elif which == "manytxn":
         probe_manytxn(spark)
+    elif which == "tiered":
+        probe_tiered(spark)
     elif which == "stream":
         probe_stream(spark)
     else:
