@@ -142,3 +142,73 @@ def test_random_workloads_with_deletes_history_and_range(spark, workload, lo, hi
         for r in db.begin().query_range({"a": (lo, hi)}, ordered=False).collect()
     }
     assert rng == {k: v for k, v in model.items() if lo <= k[0] <= hi}
+
+
+# fold-schedule invariance: ANY sequence of contiguous window folds
+# (oldest/newest, any size) is layout-only — the resolved state must
+# be bit-identical to the model at every step, including tombstones
+# shadowing across fold boundaries and writes landing after folds
+_fold_op = st.tuples(st.sampled_from(["oldest", "newest"]), st.integers(2, 5))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    workload=_workload2,
+    folds=st.lists(_fold_op, min_size=1, max_size=3),
+    extra=st.lists(_op, min_size=0, max_size=6),
+)
+def test_random_fold_schedules_preserve_state(spark, workload, folds, extra):
+    path = os.path.join(SCRATCH, "prop_fold_db")
+    shutil.rmtree(path, ignore_errors=True)
+    schema = Schema(
+        dimensions=[Dimension("a", 3), Dimension("b", 2)], values=[Value("v")]
+    )
+    db = Database.create(spark, path, schema)
+
+    model: dict[tuple[int, int], int] = {}
+
+    def apply(txn, ops, staged):
+        for op in ops:
+            if op[0] == "put":
+                _, a, b, v = op
+                txn.add_row([a, b, v])
+                staged[(a, b)] = v
+            else:
+                _, a, b = op
+                txn.delete_row([a, b])
+                staged.pop((a, b), None)
+        return staged
+
+    for commit, ops in workload:
+        txn = db.begin()
+        staged = apply(txn, ops, dict(model))
+        if commit:
+            txn.commit()
+            model = staged
+        else:
+            txn.rollback()
+
+    def check(tag):
+        got = {(r["a"], r["b"]): r["v"] for r in db.snapshot().collect()}
+        assert got == model, tag
+
+    for i, (mode, size) in enumerate(folds):
+        db.compact(max_txns=size, fold=mode)  # None (too few txns) is fine
+        check(f"after fold {i} ({mode}, {size})")
+        db.vacuum()
+        check(f"after vacuum {i}")
+
+    # a write AFTER the folds must win over every rollup
+    txn = db.begin()
+    model = apply(txn, extra, dict(model))
+    txn.commit()
+    check("after post-fold commit")
+    db.compact()
+    db.vacuum()
+    check("after final full compact")
+    ordered = [(r["a"], r["b"]) for r in db.begin().query(ordered=True).collect()]
+    assert ordered == sorted(ordered)
