@@ -88,13 +88,30 @@ def main() -> None:
     tc.commit()
     print("cell merge:", db2.begin().query(cell_merge=True).collect())
 
-    # 10. maintenance: fold small txns (z-order layout for multi-dim
-    #     pruning), GC superseded segments
+    # 10. maintenance: minor compaction folds a contiguous txn window
+    #     (cost tracks the window), a full z-order compact folds the
+    #     rest for multi-dim pruning, vacuum GCs superseded segments —
+    #     and the compacted snapshot then scans DEDUP-FREE (no shuffle)
     print("stats before compact:", db.stats())
-    db.compact(cluster="zorder")
+    db.compact(max_txns=2, fold="oldest")   # fold the two oldest txns
+    db.compact(cluster="zorder")            # collapse the rest
     db.vacuum()
     print("stats after vacuum:  ", db.stats())
+    print("rows after maintenance:", db.snapshot().count())
+
+    # 11. bulk load with write-time dedup: single-txn stores earn
+    #     dedup-free scans immediately, no compaction needed
+    db3 = Database.create(spark, path + "_bulk", Schema(
+        dimensions=[Dimension("k", 1000)], values=[Value("v")],
+    ))
+    tb = db3.begin()
+    tb.add_dataframe(
+        spark.range(20_000).selectExpr("id % 10000 as k", "id as v"), dedup=True
+    )
+    tb.commit()
+    print("bulk rows (deduped):", db3.snapshot().count())
     shutil.rmtree(path + "_cells", ignore_errors=True)
+    shutil.rmtree(path + "_bulk", ignore_errors=True)
     shutil.rmtree(path + "_export", ignore_errors=True)
 
 
