@@ -76,6 +76,24 @@ class Database:
             return Transaction(self, horizon=self.next_txn_id)
         if as_of >= self.next_txn_id:
             raise ValueError(f"as_of={as_of} is in the future (next txn {self.next_txn_id})")
+        # Fail LOUDLY when the historical snapshot is no longer
+        # complete: a compaction whose own id is beyond the horizon has
+        # replaced txns inside it, and vacuum deleted their manifests —
+        # silently scanning the survivors would return partial data.
+        # (A replacing txn at-or-below the horizon covers the content
+        # itself, so its vacuumed originals are fine.)
+        committed = set(manifest.committed_txn_ids(self.path))
+        for t in committed:
+            if t <= as_of:
+                continue
+            reps = manifest.read_manifest_cached(self.path, t).get("replaces") or []
+            gone = [r for r in reps if r <= as_of and r not in committed]
+            if gone:
+                raise ValueError(
+                    f"time-travel snapshot as_of={as_of} is unreadable: txns "
+                    f"{gone} were superseded by compaction {t} and vacuumed "
+                    f"away; historical reads are valid only until vacuum"
+                )
         return Transaction(self, horizon=as_of + 1, read_only=True)
 
     def allocate_txn_id(self) -> int:

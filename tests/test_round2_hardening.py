@@ -109,6 +109,29 @@ def test_compact_aborts_on_pending_low_reservation(spark, tmp_path):
     assert got2 == got
 
 
+def test_time_travel_raises_after_vacuum_not_partial(spark, tmp_path):
+    """A historical snapshot whose constituent txns were compacted away
+    and vacuumed must RAISE, not silently return the partial survivors;
+    a horizon at-or-after the compaction keeps working (the rollup
+    carries the content)."""
+    schema = Schema(dimensions=[Dimension("k", 10)], values=[Value("v")])
+    db = Database.create(spark, str(tmp_path / "db"), schema)
+    for i in range(3):
+        t = db.begin()
+        t.add_row((i, i))
+        t.commit()
+    cid = db.compact()  # txn 4 replaces 1..3
+    assert cid is not None
+    # pre-vacuum: history still readable
+    assert db.begin(as_of=2).query(ordered=False).count() == 2
+    db.vacuum()
+    with pytest.raises(ValueError, match="vacuum"):
+        db.begin(as_of=2)
+    # at/after the compaction the rollup itself covers the content
+    assert db.begin(as_of=cid).query(ordered=False).count() == 3
+    assert db.snapshot().count() == 3
+
+
 def test_newest_window_fold_preserves_tombstones_and_versions(spark, tmp_path):
     """compact(fold='newest') folds only the newest contiguous window —
     the streaming maintenance mode whose cost must track the window,
