@@ -382,8 +382,20 @@ class Transaction:
         (the reference's chunk routing, schema.rs:28-38) and parquet
         row-group stats skip blocks inside them (its zone maps,
         segment.rs:138-163). The reference exposes no filtered query;
-        this is its missing range-scan made first-class."""
+        this is its missing range-scan made first-class.
+
+        Bounds may name DIMENSIONS only: a pre-dedup filter on a value
+        column would drop old versions row-by-row and CHANGE version
+        resolution (filter value columns on the returned DataFrame
+        instead — that commutes)."""
         self._check_open()
+        dims = set(self.schema.dim_names)
+        bad = sorted(set(bounds or {}) - dims)
+        if bad:
+            raise ValueError(
+                f"query_range bounds name non-dimension column(s) {bad}; "
+                f"dimensions are {sorted(dims)}"
+            )
         return scan_dataframe(
             self.db.spark,
             self._source(),

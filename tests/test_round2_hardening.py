@@ -109,6 +109,20 @@ def test_compact_aborts_on_pending_low_reservation(spark, tmp_path):
     assert got2 == got
 
 
+def test_query_range_rejects_value_column_bounds(spark, tmp_path):
+    """A pre-dedup filter on a value column would silently change
+    version resolution; bounds must name dimensions only."""
+    schema = Schema(dimensions=[Dimension("k", 10)], values=[Value("v")])
+    db = Database.create(spark, str(tmp_path / "db"), schema)
+    t = db.begin()
+    t.add_row((1, 5))
+    t.commit()
+    with pytest.raises(ValueError, match="non-dimension"):
+        db.begin().query_range({"v": (0, 10)})
+    with pytest.raises(ValueError, match="non-dimension"):
+        db.begin().query_range({"k": (0, 10), "nope": (0, 1)})
+
+
 def test_time_travel_raises_after_vacuum_not_partial(spark, tmp_path):
     """A historical snapshot whose constituent txns were compacted away
     and vacuumed must RAISE, not silently return the partial survivors;
