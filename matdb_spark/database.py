@@ -77,23 +77,18 @@ class Database:
         if as_of >= self.next_txn_id:
             raise ValueError(f"as_of={as_of} is in the future (next txn {self.next_txn_id})")
         # Fail LOUDLY when the historical snapshot is no longer
-        # complete: a compaction whose own id is beyond the horizon has
-        # replaced txns inside it, and vacuum deleted their manifests —
-        # silently scanning the survivors would return partial data.
-        # (A replacing txn at-or-below the horizon covers the content
-        # itself, so its vacuumed originals are fine.)
-        committed = set(manifest.committed_txn_ids(self.path))
-        for t in committed:
-            if t <= as_of:
-                continue
-            reps = manifest.read_manifest_cached(self.path, t).get("replaces") or []
-            gone = [r for r in reps if r <= as_of and r not in committed]
-            if gone:
-                raise ValueError(
-                    f"time-travel snapshot as_of={as_of} is unreadable: txns "
-                    f"{gone} were superseded by compaction {t} and vacuumed "
-                    f"away; historical reads are valid only until vacuum"
-                )
+        # complete: a compaction beyond the horizon replaced txns
+        # inside it and vacuum deleted their manifests — silently
+        # scanning the survivors would return partial data. The check
+        # walks replace-CHAINS via each rollup's covers_lo, so a
+        # vacuumed intermediate rollup cannot hide the loss.
+        gone = manifest.missing_history(self.path, as_of)
+        if gone:
+            raise ValueError(
+                f"time-travel snapshot as_of={as_of} is unreadable: txns "
+                f"{gone} were superseded by a later compaction and vacuumed "
+                f"away; historical reads are valid only until vacuum"
+            )
         return Transaction(self, horizon=as_of + 1, read_only=True)
 
     def allocate_txn_id(self) -> int:
@@ -304,7 +299,19 @@ class Database:
         # this txn skip the dedup shuffle (scan.py fast path);
         # version_rank anchors it in the version order for everyone
         # else.
-        extra: dict = {"unique_keys": True, "version_rank": rank}
+        def _covers_lo(t: int) -> int:
+            mf_ = m.read_manifest_cached(self.path, t)
+            reps = mf_.get("replaces") or []
+            return int(mf_.get("covers_lo", min(reps) if reps else t))
+
+        extra: dict = {
+            "unique_keys": True,
+            "version_rank": rank,
+            # lowest effective version transitively absorbed — lets the
+            # historical-readability check (manifest.missing_history)
+            # see through chains even after intermediates are vacuumed
+            "covers_lo": min(_covers_lo(t) for t in window),
+        }
         # Carry streaming replay-suppression records forward: the
         # folded manifests hold the (stream_source, batch_id) stamps
         # that make post-crash batch replays no-ops, and vacuum will
@@ -521,6 +528,17 @@ class Database:
         if since >= 1 and m.committed_txn_ids(self.path):
             from matdb_spark.transaction import Transaction
 
+            # same loud-failure rule as begin(as_of): a vacuumed
+            # pre-image snapshot would silently mislabel updates as
+            # inserts and null their old_<col> pre-images
+            gone = m.missing_history(self.path, since)
+            if gone:
+                raise ValueError(
+                    f"changes(with_preimage=True) needs the snapshot at "
+                    f"since={since}, but txns {gone} were superseded by a "
+                    f"later compaction and vacuumed away; re-sync from a "
+                    f"full snapshot instead"
+                )
             pre_txn = Transaction(self, horizon=since + 1, read_only=True)
             # Prune the pre-image scan to the CHANGED KEYS' envelope,
             # taken from the window txns' manifest stats: the snapshot

@@ -282,6 +282,69 @@ def max_committed_batch_id(db_path: str, source: str) -> int | None:
     return best
 
 
+def missing_history(db_path: str, as_of: int) -> list[int]:
+    """Ids whose content a snapshot at horizon ``as_of`` needs but
+    whose manifests were vacuumed away — empty when the historical
+    snapshot is fully readable.
+
+    A compaction manifest carries ``covers_lo`` = the lowest effective
+    version it transitively absorbed, so the check survives CHAINS of
+    compactions even after intermediate rollups were vacuumed: for
+    every committed compaction above the horizon that covers versions
+    at-or-below it, each direct replaced id must still be committed
+    and (recursively) readable. Legacy manifests without ``covers_lo``
+    fall back to min(replaces) — conservative for single compactions,
+    possibly blind one level deep on pre-``covers_lo`` chains.
+
+    Reads manifests UNCACHED on purpose: this sweep is rare (time
+    travel / pre-image feeds) and touching every manifest through the
+    shared LRU would evict the hot entries the next scan needs."""
+    committed = set(committed_txn_ids(db_path))
+    memo: dict[int, list[int]] = {}
+
+    def mf(t: int) -> dict:
+        try:
+            return read_manifest(db_path, t)
+        except FileNotFoundError:
+            return {}
+
+    def covers_lo(m: dict, t: int) -> int:
+        reps = m.get("replaces") or []
+        if not reps:
+            return t
+        return int(m.get("covers_lo", min(reps)))
+
+    def missing(t: int) -> list[int]:
+        if t in memo:
+            return memo[t]
+        memo[t] = []  # cycle guard (ids strictly decrease; belt+braces)
+        if t <= as_of:
+            # at-or-below the horizon the manifest itself is part of
+            # the snapshot and carries its folded content — whatever it
+            # replaced is irrelevant to readability
+            return memo[t]
+        m = mf(t)
+        if covers_lo(m, t) > as_of:
+            return memo[t]
+        out: list[int] = []
+        for r in m.get("replaces") or []:
+            if r not in committed:
+                # its manifest is gone; if it was (or covered) content
+                # at-or-below the horizon, the snapshot is incomplete
+                if r <= as_of or covers_lo(m, t) <= as_of:
+                    out.append(r)
+                continue
+            out.extend(missing(r))
+        memo[t] = sorted(set(out))
+        return memo[t]
+
+    gone: set[int] = set()
+    for t in committed:
+        if t > as_of:
+            gone.update(missing(t))
+    return sorted(gone)
+
+
 def discard_txn_data(db_path: str, txn_id: int) -> None:
     """Rollback: delete staged data (reference: transaction.rs:138-150
     deletes temp segment files)."""

@@ -36,6 +36,7 @@ def stream_into_database(
     available_now: bool = True,
     source_name: str | None = None,
     compact_every: int | None = None,
+    major_every: int = 16,
     vacuum_superseded: bool = False,
 ):
     """Start a streaming query writing ``stream_df`` into ``db``.
@@ -55,21 +56,29 @@ def stream_into_database(
     committed batches a MINOR compaction
     (``compact(max_txns=N, fold="newest")``) folds exactly that batch
     window into one rollup. Rewrite cost tracks the window — never the
-    table, and never a pre-existing bulk-load txn. Rollups accumulate
-    at rate batches/N; because they are contiguous and oldest in the
-    version order, a periodic maintenance ``compact(max_txns=R)``
-    (oldest fold) collapses R of them at cost R·window — the two-tier
-    schedule every LSM store runs. Batch-id replay stamps are carried
-    through folds (manifest ``stream_batch_ids``), so exactly-once
-    suppression survives compaction + vacuum. ``vacuum_superseded``
-    additionally reclaims folded data immediately — note this forfeits
-    time travel into the folded window AND permanently fails any
-    change-feed consumer (``changes``/``follow_changes``) whose cursor
-    still lags inside it; leave it False when CDC consumers tail the
-    store.
+    table, and never a pre-existing bulk-load txn. Higher tiers run
+    LSM-style leveling: every ``major_every`` windows the accumulated
+    rollups fold into one, every ``major_every`` of THOSE fold again,
+    and so on — each row is rewritten O(log_M batches) times total and
+    the visible txn count stays O(N + M·log_M batches) under unbounded
+    standing ingest. Refused folds (concurrent-writer conflicts) leave
+    raw txns that the next level's contiguous interval absorbs.
+    Batch-id replay stamps are
+    carried through folds (manifest ``stream_batch_ids``), so
+    exactly-once suppression survives compaction + vacuum.
+    ``vacuum_superseded`` additionally reclaims folded data
+    immediately — note this forfeits time travel into the folded
+    window AND permanently fails any change-feed consumer
+    (``changes``/``follow_changes``) whose cursor still lags inside
+    it; leave it False when CDC consumers tail the store.
     """
-    if compact_every is not None and compact_every < 1:
-        raise ValueError(f"compact_every={compact_every}; expected >= 1")
+    if compact_every is not None and compact_every < 2:
+        raise ValueError(
+            f"compact_every={compact_every}; folding needs a window of >= 2 "
+            "batches"
+        )
+    if major_every < 2:
+        raise ValueError(f"major_every={major_every}; expected >= 2")
     source = source_name or checkpoint
     # Mutable cell: highest batch id already in the store for this
     # source, discovered lazily on the first batch after (re)start.
@@ -103,13 +112,21 @@ def stream_into_database(
         seen[0] = batch_id if seen[0] is None else max(seen[0], batch_id)
         if compact_every is not None:
             commits[0] += 1
-            if commits[0] % compact_every == 0:
-                # fold exactly this batch window (newest-contiguous) —
-                # cost tracks the window, not the table; None
-                # (conflict/<2 txns) is fine, the next window retries
-                cid = db.compact(max_txns=compact_every, fold="newest")
-                if cid is not None and vacuum_superseded:
-                    db.vacuum()
+            # Leveled folding, LSM-style: tier 1 folds each N-batch
+            # window; tier k (span N·M^(k-1)) folds the M tier-(k-1)
+            # rollups that accumulated since its last firing. All folds
+            # are newest-contiguous, so a refused fold's raw txns are
+            # absorbed by the next level up. Amortized: each row is
+            # rewritten once per level = O(log_M batches) times total;
+            # visible txn count stays O(N + M·log_M batches).
+            did = False
+            span, size = compact_every, compact_every
+            while commits[0] % span == 0:
+                did = (db.compact(max_txns=size, fold="newest") is not None) or did
+                span *= major_every
+                size = major_every
+            if did and vacuum_superseded:
+                db.vacuum()
 
     commits = [0]
 

@@ -146,6 +146,58 @@ def test_time_travel_raises_after_vacuum_not_partial(spark, tmp_path):
     assert db.snapshot().count() == 3
 
 
+def test_time_travel_raises_through_chained_compactions(spark, tmp_path):
+    """A vacuumed INTERMEDIATE rollup must not hide history loss: the
+    final rollup's covers_lo lets the readability check see through
+    the chain. Also guards the change feed's pre-image snapshot."""
+    schema = Schema(dimensions=[Dimension("k", 10)], values=[Value("v")])
+    db = Database.create(spark, str(tmp_path / "db"), schema)
+    for i in range(3):
+        t = db.begin()
+        t.add_row((i, i))
+        t.commit()
+    assert db.compact(max_txns=2) is not None  # txn4 replaces [1,2]
+    t = db.begin()
+    t.add_row((9, 9))
+    t.commit()  # txn5
+    assert db.compact() is not None  # txn6 replaces [3,4,5], covers_lo=1
+    db.vacuum()  # removes 1..5 including the intermediate rollup 4
+    with pytest.raises(ValueError, match="vacuum"):
+        db.begin(as_of=1)
+    with pytest.raises(ValueError, match="vacuum"):
+        db.begin(as_of=3)
+    assert db.begin(as_of=6).query(ordered=False).count() == 4
+
+    # pre-image feed: window readable but the since-snapshot is gone
+    t = db.begin()
+    t.add_row((0, 100))
+    t.commit()  # txn7
+    with pytest.raises(ValueError, match="vacuum"):
+        db.changes(since=5, with_preimage=True)
+    # readable horizon: the single update classifies with its pre-image
+    rows = db.changes(since=6, with_preimage=True).collect()
+    assert len(rows) == 1
+    assert rows[0]["change_type"] == "update" and rows[0]["old_v"] == 0
+
+
+def test_stream_compact_every_one_rejected(spark, tmp_path):
+    """compact_every=1 cannot fold (needs >= 2 txns) and previously
+    crashed the stream inside foreachBatch; reject it up front."""
+    from matdb_spark.streaming.ingest import stream_into_database
+
+    schema = Schema(dimensions=[Dimension("k", 10)], values=[Value("v")])
+    db = Database.create(spark, str(tmp_path / "db"), schema)
+    src = spark.readStream.format("rate").load().selectExpr(
+        "value as k", "value as v"
+    )
+    with pytest.raises(ValueError, match="compact_every"):
+        stream_into_database(src, db, str(tmp_path / "ckpt"), compact_every=1)
+    with pytest.raises(ValueError, match="major_every"):
+        stream_into_database(
+            src, db, str(tmp_path / "ckpt2"), compact_every=2, major_every=1
+        )
+
+
 def test_newest_window_fold_preserves_tombstones_and_versions(spark, tmp_path):
     """compact(fold='newest') folds only the newest contiguous window —
     the streaming maintenance mode whose cost must track the window,
