@@ -178,6 +178,69 @@ def probe_tiered(spark):
     shutil.rmtree(path, ignore_errors=True)
 
 
+def probe_leveled_stream(spark):
+    """Standing ingest WITH in-stream leveled compaction — the full
+    maintenance story end-to-end: rate source → one txn per batch,
+    tier-1 fold every compact_every batches, higher tiers every
+    major_every windows, vacuum after folds. Reports throughput, the
+    fold schedule actually taken (from the commit history), the final
+    visible txn count (must stay small), and the post-run scan time
+    against an unmaintained twin store ingesting the same stream."""
+    from matdb_spark.streaming.ingest import stream_into_database
+
+    rows_per_sec = 100_000
+    run_secs = 25
+    results = {}
+    for mode in ("maintained", "unmaintained"):
+        path = os.path.join(SCRATCH, f"probe_lvl_{mode}")
+        ckpt = os.path.join(SCRATCH, f"probe_lvl_{mode}_ckpt")
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        db = Database.create(spark, path, Schema(
+            dimensions=[Dimension("k", 100_000), Dimension("sub", 0)],
+            values=[Value("v")],
+        ))
+        src = (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", rows_per_sec)
+            .load()
+            .select(
+                F.col("value").alias("k"),
+                (F.col("value") % 1000).alias("sub"),
+                (F.col("value") * 7).alias("v"),
+            )
+        )
+        kwargs = {}
+        if mode == "maintained":
+            kwargs = dict(compact_every=4, major_every=4, vacuum_superseded=True)
+        q = stream_into_database(
+            src, db, ckpt, available_now=False, source_name=f"lvl_{mode}", **kwargs
+        )
+        t0 = time.time()
+        time.sleep(run_secs)
+        q.stop()
+        q.awaitTermination()
+        el = time.time() - t0
+        n = db.begin().query(ordered=False).count()
+        hist = db.history()
+        folds = [h for h in hist if h["replaces"]]
+        stats = db.stats()
+        t0 = time.time()
+        db.begin().query(ordered=False).write.format("noop").mode("overwrite").save()
+        scan_s = time.time() - t0
+        print(f"  {mode:12s}: {n:>9} rows in {el:.1f} s "
+              f"({n/el:,.0f} rows/s), {len(hist)} commits "
+              f"({len(folds)} folds), visible_txns={stats['visible_txns']}, "
+              f"full scan {scan_s:.2f} s")
+        results[mode] = (n, stats["visible_txns"], scan_s)
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    nm, vm, sm = results["maintained"]
+    nu, vu, su = results["unmaintained"]
+    print(f"  leveling kept visible txns at {vm} vs {vu} unmaintained; "
+          f"scan {sm:.2f} s vs {su:.2f} s")
+
+
 def probe_stream(spark):
     """Sustained streaming-ingest throughput: rate source → MVCC store
     (one txn per micro-batch, exactly-once batch stamping). Measures
@@ -237,6 +300,8 @@ if __name__ == "__main__":
         probe_manytxn(spark)
     elif which == "tiered":
         probe_tiered(spark)
+    elif which == "leveledstream":
+        probe_leveled_stream(spark)
     elif which == "stream":
         probe_stream(spark)
     else:
