@@ -265,7 +265,23 @@ class Database:
                 cluster_by = [zorder_key_from_bounds(self.schema, bounds)]
             else:
                 cluster_by = [zorder_key(snap, self.schema)]
-        txn = self.begin()
+        # Context manager: a failed rewrite (Spark job error mid-write)
+        # must roll back, or the leaked reservation + staged dir pin
+        # safe_feed_head and block every later downward-closed
+        # compaction as a phantom pending conflict.
+        with self.begin() as txn:
+            return self._finish_compaction(
+                txn, snap, cluster_by, window, rank, downward_closed
+            )
+
+    def _finish_compaction(
+        self, txn, snap, cluster_by, window, rank, downward_closed
+    ) -> int | None:
+        from matdb_spark import manifest as m
+
+        def _eff(t: int) -> int:
+            return int(m.read_manifest_cached(self.path, t).get("version_rank", t))
+
         txn.add_dataframe(snap, cluster_by=cluster_by)
         # Pre-publish conflict check. The rewrite shadows, for its
         # keys, every effective version <= rank — so an un-folded txn
@@ -299,18 +315,17 @@ class Database:
         # this txn skip the dedup shuffle (scan.py fast path);
         # version_rank anchors it in the version order for everyone
         # else.
-        def _covers_lo(t: int) -> int:
-            mf_ = m.read_manifest_cached(self.path, t)
-            reps = mf_.get("replaces") or []
-            return int(mf_.get("covers_lo", min(reps) if reps else t))
-
         extra: dict = {
             "unique_keys": True,
             "version_rank": rank,
             # lowest effective version transitively absorbed — lets the
-            # historical-readability check (manifest.missing_history)
-            # see through chains even after intermediates are vacuumed
-            "covers_lo": min(_covers_lo(t) for t in window),
+            # historical-readability checks (manifest.missing_history /
+            # missing_feed_content) see through chains even after
+            # intermediates are vacuumed
+            "covers_lo": min(
+                m.covers_lo_value(m.read_manifest_cached(self.path, t), t)
+                for t in window
+            ),
         }
         # Carry streaming replay-suppression records forward: the
         # folded manifests hold the (stream_source, batch_id) stamps
@@ -441,6 +456,8 @@ class Database:
         until: int | None = None,
         include_compactions: bool = False,
         with_preimage: bool = False,
+        resolution: str = "row",
+        _window: list[int] | None = None,
     ) -> "DataFrame":
         """Change feed (CDC): the NET effect of the commits in
         ``(since, until]`` — for every key written in that window, its
@@ -484,10 +501,23 @@ class Database:
         key lets any distributive aggregate be patched without
         re-reading the base table. Requires the ``since`` snapshot to
         still be readable (same retention rule as time travel).
+
+        ``resolution`` must match how the store is written/queried,
+        exactly like ``compact()``: the default ``"row"`` treats each
+        window row as a whole new version (and all-null rows as
+        tombstone deletes); ``"cell"`` resolves per value cell — for
+        stores written with ``add_dataframe(partial=True)``, where a
+        row-merged feed would surface unwritten cells as null
+        overwrites and a row-wise downstream apply would erase them.
+        Cell stores have no tombstones, so every cell-mode change is
+        an 'upsert' (null cell = no write in the window).
         """
         from matdb_spark import manifest as m
         from matdb_spark.scan import ScanSource, scan_dataframe
         from pyspark.sql import functions as F
+
+        if resolution not in ("row", "cell"):
+            raise ValueError(f"resolution={resolution!r}; expected 'row' or 'cell'")
 
         # Default head comes from the manifest LISTING (safe_feed_head),
         # not this handle's cached next_txn_id — another writer process
@@ -497,23 +527,38 @@ class Database:
         hi = m.safe_feed_head(self.path) if until is None else until
         if hi < since:
             raise ValueError(f"until={hi} precedes since={since}")
-        window = self._change_window_txns(since, hi, include_compactions)
+        # _window: follow_changes already computed (and validated) the
+        # window for this exact (since, hi) — recomputing would double
+        # the per-poll manifest sweep
+        window = (
+            self._change_window_txns(since, hi, include_compactions)
+            if _window is None
+            else _window
+        )
         src = ScanSource(db_path=self.path, schema=self.schema, visible_txns=window)
+        cell = resolution == "cell"
         df = scan_dataframe(
             self.spark,
             src,
             ordered=False,
             include_txn=True,
-            drop_null_value_rows=False,  # tombstones ARE the deletes
+            drop_null_value_rows=False,  # row mode: tombstones ARE the deletes
+            cell_merge=cell,
         )
-        # a key-only schema has no cells to tombstone — every change is
-        # an upsert there
-        all_null = F.lit(bool(self.schema.value_names))
-        for v in self.schema.value_names:
-            all_null = all_null & F.col(v).isNull()
-        df = df.withColumn(
-            "change_type", F.when(all_null, F.lit("delete")).otherwise(F.lit("upsert"))
-        )
+        if cell:
+            # no tombstones under the cell model; null cells mean "not
+            # written in this window", never a delete
+            df = df.withColumn("change_type", F.lit("upsert"))
+        else:
+            # a key-only schema has no cells to tombstone — every
+            # change is an upsert there
+            all_null = F.lit(bool(self.schema.value_names))
+            for v in self.schema.value_names:
+                all_null = all_null & F.col(v).isNull()
+            df = df.withColumn(
+                "change_type",
+                F.when(all_null, F.lit("delete")).otherwise(F.lit("upsert")),
+            )
         if not with_preimage:
             return df
 
@@ -547,9 +592,9 @@ class Database:
             # full base table. Missing stats degrade to the full scan.
             env = self._stats_bounds(window)
             pre_df = (
-                pre_txn.query_range(env, ordered=False)
+                pre_txn.query_range(env, ordered=False, cell_merge=cell)
                 if env
-                else pre_txn.query(ordered=False)
+                else pre_txn.query(ordered=False, cell_merge=cell)
             )
             pre = pre_df.select(
                 *dims,
@@ -586,22 +631,26 @@ class Database:
         from matdb_spark import manifest as m
 
         committed = set(m.committed_txn_ids(self.path))
+        if not include_compactions:
+            # covers_lo-aware chain walk: a vacuumed INTERMEDIATE
+            # rollup must not hide that window commits are gone (the
+            # direct-replaces check alone would find nothing once the
+            # rollup that listed them was itself vacuumed)
+            vacuumed = m.missing_feed_content(self.path, since, until)
+            if vacuumed:
+                raise ValueError(
+                    f"change window ({since}, {until}] is unreadable: txns "
+                    f"{vacuumed} were superseded by compaction and vacuumed "
+                    f"away; re-sync from a snapshot or pass "
+                    f"include_compactions=True"
+                )
         window = []
         for t in sorted(committed):
-            mf = m.read_manifest_cached(self.path, t)
-            reps = mf.get("replaces") or []
-            if not include_compactions:
-                vacuumed = [r for r in reps if since < r <= until and r not in committed]
-                if vacuumed:
-                    raise ValueError(
-                        f"change window ({since}, {until}] is unreadable: txns "
-                        f"{vacuumed} were superseded by compaction {t} and "
-                        f"vacuumed away; re-sync from a snapshot or pass "
-                        f"include_compactions=True"
-                    )
             if not (since < t <= until):
                 continue
-            if not include_compactions and reps:
+            if not include_compactions and (
+                m.read_manifest_cached(self.path, t).get("replaces")
+            ):
                 continue
             window.append(t)
         return window
@@ -647,11 +696,17 @@ class Database:
             empty = 0
             while max_empty_polls is None or empty < max_empty_polls:
                 newest = m.safe_feed_head(self.path)
-                if newest > cursor and self._change_window_txns(
-                    cursor, newest, include_compactions
-                ):
+                win = (
+                    self._change_window_txns(cursor, newest, include_compactions)
+                    if newest > cursor
+                    else []
+                )
+                if win:
                     df = self.changes(
-                        since=cursor, until=newest, include_compactions=include_compactions
+                        since=cursor,
+                        until=newest,
+                        include_compactions=include_compactions,
+                        _window=win,
                     )
                     yield newest, df
                     cursor = newest

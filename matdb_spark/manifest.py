@@ -282,6 +282,60 @@ def max_committed_batch_id(db_path: str, source: str) -> int | None:
     return best
 
 
+def covers_lo_value(mf: dict, txn_id: int) -> int:
+    """Lowest effective version a manifest transitively absorbed: the
+    recorded ``covers_lo``, else min(replaces) (legacy single
+    compaction), else the txn's own id (plain commit). THE single
+    interpretation of the field — compaction stamping and both
+    readability walks must share it."""
+    reps = mf.get("replaces") or []
+    if not reps:
+        return txn_id
+    return int(mf.get("covers_lo", min(reps)))
+
+
+def missing_feed_content(db_path: str, since: int, until: int) -> list[int]:
+    """Vacuumed ids whose content a change-feed window ``(since,
+    until]`` needed — empty when the window is fully readable. Like
+    ``missing_history`` this walks replace-chains via ``covers_lo`` so
+    a vacuumed INTERMEDIATE rollup cannot hide the loss; a missing
+    child whose parent's covered interval intersects the window is
+    reported conservatively (it may have been a raw commit in the
+    window or a rollup covering one)."""
+    committed = set(committed_txn_ids(db_path))
+    out: set[int] = set()
+    seen: set[int] = set()
+
+    def walk(t: int) -> None:
+        if t in seen:
+            return
+        seen.add(t)
+        try:
+            # cached: the feed path polls this sweep; snapshot
+            # resolution already reads every committed manifest through
+            # the same cache, so this adds no new retention pressure
+            m = read_manifest_cached(db_path, t)
+        except FileNotFoundError:
+            return
+        reps = m.get("replaces") or []
+        if not reps or covers_lo_value(m, t) > until:
+            return
+        for r in reps:
+            if r in committed:
+                walk(r)
+            elif r > since:
+                # missing, and possibly a window commit (or a rollup
+                # covering one — unknowable once its manifest is gone;
+                # the parent's covered interval reaches the window, so
+                # report conservatively). r <= since content lies
+                # entirely at-or-before the cursor and is irrelevant.
+                out.add(r)
+
+    for t in sorted(committed):
+        walk(t)
+    return sorted(out)
+
+
 def missing_history(db_path: str, as_of: int) -> list[int]:
     """Ids whose content a snapshot at horizon ``as_of`` needs but
     whose manifests were vacuumed away — empty when the historical
@@ -308,12 +362,6 @@ def missing_history(db_path: str, as_of: int) -> list[int]:
         except FileNotFoundError:
             return {}
 
-    def covers_lo(m: dict, t: int) -> int:
-        reps = m.get("replaces") or []
-        if not reps:
-            return t
-        return int(m.get("covers_lo", min(reps)))
-
     def missing(t: int) -> list[int]:
         if t in memo:
             return memo[t]
@@ -324,14 +372,14 @@ def missing_history(db_path: str, as_of: int) -> list[int]:
             # replaced is irrelevant to readability
             return memo[t]
         m = mf(t)
-        if covers_lo(m, t) > as_of:
+        if covers_lo_value(m, t) > as_of:
             return memo[t]
         out: list[int] = []
         for r in m.get("replaces") or []:
             if r not in committed:
                 # its manifest is gone; if it was (or covered) content
                 # at-or-below the horizon, the snapshot is incomplete
-                if r <= as_of or covers_lo(m, t) <= as_of:
+                if r <= as_of or covers_lo_value(m, t) <= as_of:
                     out.append(r)
                 continue
             out.extend(missing(r))

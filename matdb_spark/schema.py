@@ -193,10 +193,20 @@ class Schema:
         )
 
     def save(self, path: str) -> None:
+        # Same durability discipline as manifest.publish: fsync the
+        # file AND the directory entry. Schema evolution must not be
+        # weaker-durable than the commits that follow it — a crash that
+        # kept a later commit but lost the schema rename would silently
+        # hide the evolved column from every scan.
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             f.write(self.to_json())
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
+        from matdb_spark.manifest import _fsync_dir
+
+        _fsync_dir(os.path.dirname(os.path.abspath(path)))
 
     @classmethod
     def load(cls, path: str) -> "Schema":

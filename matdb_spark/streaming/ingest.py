@@ -106,12 +106,17 @@ def stream_into_database(
                 stacklevel=2,
             )
             return
-        txn = db.begin()
-        txn.add_dataframe(batch_df)
-        txn.commit(extra={"stream_source": source, "batch_id": int(batch_id)})
+        # Context manager so a failed batch write ROLLS BACK: without
+        # it, an exception mid-add_dataframe leaks the txn's .reserve
+        # file and staged segments, which pins safe_feed_head (feed
+        # consumers stall) and blocks every later downward-closed
+        # compaction as a phantom pending conflict until a recovery
+        # sweep ages it out.
+        with db.begin() as txn:
+            txn.add_dataframe(batch_df)
+            txn.commit(extra={"stream_source": source, "batch_id": int(batch_id)})
         seen[0] = batch_id if seen[0] is None else max(seen[0], batch_id)
         if compact_every is not None:
-            commits[0] += 1
             # Leveled folding, LSM-style: tier 1 folds each N-batch
             # window; tier k (span N·M^(k-1)) folds the M tier-(k-1)
             # rollups that accumulated since its last firing. All folds
@@ -119,16 +124,20 @@ def stream_into_database(
             # absorbed by the next level up. Amortized: each row is
             # rewritten once per level = O(log_M batches) times total;
             # visible txn count stays O(N + M·log_M batches).
+            # Scheduling keys off the CHECKPOINT-SCOPED batch id, not a
+            # process-local counter, so restarts keep the tier
+            # boundaries aligned; txns stranded by a crash mid-window
+            # sit below later rollups and are absorbed the same way
+            # refused folds are.
             did = False
+            n_batches = int(batch_id) + 1
             span, size = compact_every, compact_every
-            while commits[0] % span == 0:
+            while n_batches % span == 0:
                 did = (db.compact(max_txns=size, fold="newest") is not None) or did
                 span *= major_every
                 size = major_every
             if did and vacuum_superseded:
                 db.vacuum()
-
-    commits = [0]
 
     writer = (
         stream_df.writeStream.foreachBatch(_commit_batch)

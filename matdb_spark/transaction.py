@@ -284,7 +284,13 @@ class Transaction:
             # cap locality at the file-interior level. (This is the
             # public OPTIMIZE ZORDER shape: range partition + sort.)
             ncols = [F.col(c) if isinstance(c, str) else c for c in sort_cols]
-            nparts = int(out.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+            try:
+                # may be non-numeric on some platforms (e.g. "auto")
+                nparts = int(
+                    out.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+                )
+            except ValueError:
+                nparts = 200
             out = out.repartitionByRange(nparts, *ncols)
         elif chunk_cols:
             out = out.repartition(*[F.col(c) for c in chunk_cols])
@@ -375,6 +381,7 @@ class Transaction:
         bounds: dict[str, tuple],
         ordered: bool = True,
         include_txn: bool = False,
+        cell_merge: bool = False,
     ) -> DataFrame:
         """Key-range scan: like ``query`` but with inclusive per-dim
         bounds ``{dim: (lo, hi)}`` (either side None for open) applied
@@ -402,6 +409,7 @@ class Transaction:
             ordered=ordered,
             include_txn=include_txn,
             bounds=bounds,
+            cell_merge=cell_merge,
         )
 
     def query_points(
@@ -428,14 +436,20 @@ class Transaction:
             tuple(k[d] for d in dims) if isinstance(k, dict) else tuple(k)
             for k in keys
         ]
+        # reject strings only where the SCHEMA says the dim is numeric —
+        # string-typed (non-chunked) dimensions are legal and their keys
+        # are legitimately strings; the blanket guard existed to catch
+        # tuple(dict) misuse, which the mapping branch above now handles
+        dim_types = [d.type for d in self.schema.dimensions]
         for p in pts:
             if len(p) != len(dims):
                 raise ValueError(f"key {p!r} must have {len(dims)} dimension values")
-            if any(isinstance(v, str) for v in p):
-                raise TypeError(
-                    f"key {p!r} contains a string — dimension values are "
-                    "numeric; pass value sequences or {dim: value} mappings"
-                )
+            for v, dt, name in zip(p, dim_types, dims):
+                if isinstance(v, str) and dt != "string":
+                    raise TypeError(
+                        f"key {p!r}: dimension {name!r} is {dt}, got a string "
+                        "— pass value sequences or {dim: value} mappings"
+                    )
         if not pts:
             return self.query(ordered=ordered, include_txn=include_txn).limit(0)
         env = {

@@ -167,3 +167,67 @@ def test_changes_validates_window(spark, tmp_db_path):
 
     with pytest.raises(ValueError):
         db.changes(since=5, until=2)
+
+
+def test_changes_cell_resolution(spark, tmp_db_path):
+    """resolution='cell' resolves the window per value cell: two
+    partial-column upserts in one window merge instead of the newer
+    row nulling the other column; pre-images come cell-merged too."""
+    import pytest
+
+    schema = Schema(
+        dimensions=[Dimension("k", 10)], values=[Value("a"), Value("b")]
+    )
+    db = Database.create(spark, os.path.join(tmp_db_path, "cellcdc"), schema)
+    t1 = db.begin()
+    t1.add_row([1, 1, 2])
+    t1.commit()
+    t2 = db.begin()
+    t2.add_dataframe(
+        db.spark.createDataFrame([(1, 10)], "k long, a long"), partial=True
+    )
+    t2.commit()
+    t3 = db.begin()
+    t3.add_dataframe(
+        db.spark.createDataFrame([(1, 20)], "k long, b long"), partial=True
+    )
+    t3.commit()
+
+    # row merge: the newer partial row wins wholesale — a is nulled
+    row = db.changes(since=1).collect()[0]
+    assert row["a"] is None and row["b"] == 20
+
+    # cell merge: each column's newest non-null write in the window
+    cell = db.changes(since=1, resolution="cell").collect()[0]
+    assert cell["a"] == 10 and cell["b"] == 20
+    assert cell["change_type"] == "upsert"
+
+    pre = db.changes(since=1, resolution="cell", with_preimage=True).collect()[0]
+    assert pre["a"] == 10 and pre["b"] == 20
+    assert pre["old_a"] == 1 and pre["old_b"] == 2
+    assert pre["change_type"] == "update"
+
+    with pytest.raises(ValueError, match="resolution"):
+        db.changes(since=1, resolution="nope")
+
+
+def test_changes_raises_through_chained_vacuum(spark, tmp_db_path):
+    """A vacuumed INTERMEDIATE rollup must not hide that window
+    commits are gone: the covers_lo chain walk reports them."""
+    import pytest
+
+    db = _mk(spark, tmp_db_path, "chaincdc")
+    for i in range(4):
+        _commit(db, [[i, i]])
+    assert db.compact(max_txns=2) is not None  # txn5 replaces [1,2]
+    _commit(db, [[9, 9]])  # txn6
+    assert db.compact() is not None  # txn7 replaces [3,4,5,6], covers_lo=1
+    db.vacuum()
+    with pytest.raises(ValueError, match="vacuum"):
+        db.changes(since=0, until=2)
+    with pytest.raises(ValueError, match="vacuum"):
+        db.changes(since=3)
+    # a window entirely past the lost history stays quiet
+    _commit(db, [[1, 111]])  # txn8
+    got = {r["k"]: r["v"] for r in db.changes(since=7).collect()}
+    assert got == {1: 111}
