@@ -788,6 +788,41 @@ def q_mvcc_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return db.begin().query(ordered=True)
 
 
+def q_mvcc_string_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store keyed by a STRING dimension — type breadth beyond the
+    reference's u64-only model (SURVEY §1.2): string dims are legal
+    when unchunked; ordering, version resolution, and upserts all work
+    across the string key. txn2 upserts every 'click' row (+500) to
+    exercise newest-wins on a string-keyed store."""
+    from matdb_spark import Dimension, Schema, Value
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    db_path = os.path.join(SCRATCH, f"gate_mvcc_strdim_{tag}")
+    schema = Schema(
+        dimensions=[
+            Dimension("event_type", type="string"),
+            Dimension("event_id", 100_000),
+        ],
+        values=[Value("value", type="double")],
+    )
+
+    def build(db):
+        ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+        t1 = db.begin()
+        t1.add_dataframe(ev)
+        t1.commit()
+        t2 = db.begin()
+        t2.add_dataframe(
+            ev.filter(F.col("event_type") == "click").withColumn(
+                "value", F.col("value") + 500
+            )
+        )
+        t2.commit()
+
+    db = _cached_mvcc_db(spark, db_path, schema, build)
+    return db.begin().query(ordered=True)
+
+
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed point-get on the upserted MVCC store (query_points): the
     key set pushes down as an exact predicate + envelope bounds through
@@ -2870,6 +2905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": q_range_join,
         "q_mvcc_scan": q_mvcc_scan,
         "q_mvcc_compacted_scan": q_mvcc_compacted_scan,
+        "q_mvcc_string_dim": q_mvcc_string_dim,
         "q_mvcc_range_scan": q_mvcc_range_scan,
         "q_point_lookup": q_point_lookup,
         "q_percentiles": q_percentiles,
@@ -3542,6 +3578,11 @@ def oracle_sql() -> dict[str, str]:
         "q_mvcc_compacted_scan": """
             SELECT user_id, event_id,
                    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
+            FROM events
+        """,
+        "q_mvcc_string_dim": """
+            SELECT event_type, event_id,
+                   CASE WHEN event_type = 'click' THEN value + 500 ELSE value END AS value
             FROM events
         """,
         "q_point_lookup": """
