@@ -1248,6 +1248,51 @@ def q_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_store_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation analytics directly over the MVCC store's snapshot —
+    the transactional engine and the training-data operators COMPOSE:
+    documents live in a doc_id-keyed store (txn1: full corpus; txn2: a
+    re-crawl upsert of every 7th doc appending a marker), and the
+    per-source token census runs on the version-resolved snapshot
+    relation. The oracle restates the store's net content with a CASE
+    over the raw table."""
+    from matdb_spark import Dimension, Schema, Value
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    db_path = os.path.join(SCRATCH, f"gate_store_curation_{tag}")
+    schema = Schema(
+        dimensions=[Dimension("doc_id", 1000)],
+        values=[
+            Value("source", type="string"),
+            Value("text", type="string"),
+            Value("n_chars", type="long"),
+        ],
+    )
+
+    def build(db):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text", "n_chars"
+        )
+        t1 = db.begin()
+        t1.add_dataframe(docs)
+        t1.commit()
+        t2 = db.begin()
+        t2.add_dataframe(
+            docs.filter(F.col("doc_id") % 7 == 0)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" recrawl")))
+            .withColumn("n_chars", F.col("n_chars") + F.lit(8))
+        )
+        t2.commit()
+
+    db = _cached_mvcc_db(spark, db_path, schema, build)
+    snap = db.snapshot()
+    return snap.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # deduplication (documents)
 # ---------------------------------------------------------------------------
@@ -2906,6 +2951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mvcc_scan": q_mvcc_scan,
         "q_mvcc_compacted_scan": q_mvcc_compacted_scan,
         "q_mvcc_string_dim": q_mvcc_string_dim,
+        "q_store_curation": q_store_curation,
         "q_mvcc_range_scan": q_mvcc_range_scan,
         "q_point_lookup": q_point_lookup,
         "q_percentiles": q_percentiles,
@@ -3715,6 +3761,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))) AS BIGINT) AS total_tokens,
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY source
+        """,
+        "q_store_curation": f"""
+            WITH store AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' recrawl' ELSE text END AS text,
+                     CASE WHEN doc_id % 7 = 0 THEN n_chars + 8 ELSE n_chars END AS n_chars
+              FROM documents)
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))) AS BIGINT) AS total_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM store GROUP BY source
         """,
         "q_groupmap_rank": """
             SELECT source, doc_id,
