@@ -212,3 +212,57 @@ def test_random_fold_schedules_preserve_state(spark, workload, folds, extra):
     check("after final full compact")
     ordered = [(r["a"], r["b"]) for r in db.begin().query(ordered=True).collect()]
     assert ordered == sorted(ordered)
+
+
+# incremental aggregate maintenance: for ANY committed workload split
+# at ANY cursor, state(since) patched with the diff feed must equal a
+# full recompute of the final snapshot — including nullable values
+# (None puts keep the row but contribute no sum) and emptied groups
+_op3 = st.one_of(
+    st.tuples(
+        st.just("put"),
+        st.integers(0, 5),
+        st.integers(0, 2),
+        st.one_of(st.none(), st.integers(-50, 50)),
+    ),
+    st.tuples(st.just("del"), st.integers(0, 5), st.integers(0, 2)),
+)
+_txn3 = st.lists(_op3, min_size=1, max_size=8)
+_workload3 = st.lists(_txn3, min_size=2, max_size=5)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(workload=_workload3, cut=st.integers(1, 4))
+def test_incremental_maintenance_matches_recompute(spark, workload, cut):
+    from matdb_spark.operators.incremental import maintain_sum_count, sum_count_state
+
+    path = os.path.join(SCRATCH, "prop_incr_db")
+    shutil.rmtree(path, ignore_errors=True)
+    schema = Schema(
+        dimensions=[Dimension("a", 3), Dimension("b", 2)], values=[Value("v")]
+    )
+    db = Database.create(spark, path, schema)
+    ids = []
+    for ops in workload:
+        txn = db.begin()
+        for op in ops:
+            if op[0] == "put":
+                txn.add_row([op[1], op[2], op[3]])
+            else:
+                txn.delete_row([op[1], op[2]])
+        txn.commit()
+        if txn.txn_id is not None:
+            ids.append(txn.txn_id)
+    since = ids[min(cut, len(ids)) - 1]
+
+    patched = maintain_sum_count(db, keys=["a"], value_cols=["v"], since=since)
+    recomputed = sum_count_state(db.snapshot(), keys=["a"], value_cols=["v"])
+
+    def norm(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert norm(patched) == norm(recomputed)
