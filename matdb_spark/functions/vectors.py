@@ -21,7 +21,13 @@ def as_double(vec: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Left-fold sum of elementwise products, in index order."""
+    """Left-fold sum of elementwise products, in index order.
+
+    Length-mismatched inputs return NULL (zip_with pads the shorter
+    array with nulls, which poison the fold) — a deliberate contract:
+    a truncated embedding yields NULL similarity and drops out of
+    ranked/thresholded results instead of producing a silently wrong
+    score. Validate embedding dims upstream if absence must be loud."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -34,8 +40,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """NULL when either vector is all-zero (no direction ⇒ undefined
+    cosine) rather than a DIVIDE_BY_ZERO abort under ANSI mode."""
     a, b = as_double(a), as_double(b)
-    return dot(a, b) / (norm(a) * norm(b))
+    denom = norm(a) * norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom)
 
 
 def with_bound_scalar(scalar: Column, fn) -> Column:

@@ -11,10 +11,12 @@ UDF-free (built-in functions only) so they codegen and scale:
   within a block; used on small/medium corpora or downstream of LSH.
 - **MinHash + LSH**: k permutation-style hashes over shingles → band
   signatures → bucket join. Near-dup recall at linear cost — the
-  100 TB path. Hashing is (a·x + b) mod p over a 60-bit md5-derived
-  shingle id, reproducible in any SQL engine.
-- **SimHash**: 64-bit bitwise-majority fingerprint; hamming-close
-  pairs via band buckets. Cheapest near-dup signal.
+  100 TB path. Hashing is (a·x + b) mod p over a 28-bit md5-derived
+  shingle id (see the overflow note below — a wider id would overflow
+  the int64 product on engines that raise instead of wrap).
+- **SimHash**: 60-bit bitwise-majority fingerprint (15 hex digits —
+  the widest md5 prefix that stays exact in every engine's int64);
+  hamming-close pairs via band buckets. Cheapest near-dup signal.
 
 (Embedding-cosine near-dup lives in operators/similarity.py.)
 """
@@ -87,8 +89,20 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, canonical_id, cluster_size) per row: rows sharing a
     normalized-text fingerprint cluster together; the smallest id is
-    canonical. One shuffle on the fingerprint."""
-    fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("__fp"))
+    canonical. One shuffle on the fingerprint.
+
+    NULL-text documents are each their own singleton cluster: their
+    fingerprint is NULL, and Window.partitionBy groups NULLs together
+    — without the per-doc fallback key, every missing-text document
+    would land in ONE bogus cluster and a keep-canonical pass would
+    delete all but one of them."""
+    fp = df.select(
+        F.col(id_col),
+        F.coalesce(
+            fingerprint(F.col(text_col)),
+            F.concat(F.lit("__null__"), F.col(id_col).cast("string")),
+        ).alias("__fp"),
+    )
     w = Window.partitionBy("__fp")
     return (
         fp.withColumn("canonical_id", F.min(id_col).over(w))
@@ -242,31 +256,35 @@ def minhash_lsh_pairs(
     # explode, k-min aggregate, band explode) TWICE — the executed plan
     # showed no ReusedExchange and 2 FileScans (measured 3.3 s → 2.1 s
     # at sf0.1). Collecting each bucket's member ids instead computes
-    # the pipeline once; pair emission is an in-row nested transform
-    # over the (bounded — see max_bucket) bucket array, and the join
-    # shuffle disappears entirely.
+    # the pipeline once; pair emission streams from the bucket array
+    # via generators (below), and the join shuffle disappears entirely.
     buckets = banded.groupBy("__band", "__key").agg(
         F.collect_list("__id").alias("__ids")
     )
     buckets = buckets.filter(F.size("__ids") >= 2)
     if max_bucket is not None:
         buckets = buckets.filter(F.size("__ids") <= max_bucket)
-    # materialize the sorted array as an attribute BEFORE the lambdas:
-    # an expression referenced inside a HOF lambda is re-evaluated per
-    # element (the shingle_rows rule)
+    # materialize the sorted array as an attribute BEFORE the explodes
+    # (the shingle_rows rule), then STREAM the C(m,2) pairs as rows via
+    # posexplode + slice-explode. The previous form flattened all
+    # m(m-1)/2 pair structs into ONE array value per bucket row —
+    # at m≈65k that exceeds Spark's array-element limit outright, and
+    # far below that a single row holding the whole quadratic blowup
+    # OOMs the executor; generators instead emit pairs incrementally
+    # (spillable), with transient memory O(m) per row, while the
+    # signature pipeline is still evaluated exactly once (both
+    # explodes consume the aggregation output).
     sorted_ids = buckets.select(F.array_sort("__ids").alias("__ids"))
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("__ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("__ids"), i + 2, F.greatest(F.size(F.col("__ids")) - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
     pairs = (
-        sorted_ids.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        sorted_ids.select(
+            F.col("__ids"), F.posexplode(F.col("__ids")).alias("__i", "id_a")
+        )
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("__ids"), F.col("__i") + 2, F.size(F.col("__ids")))
+            ).alias("id_b"),
+        )
         .distinct()
     )
     return pairs

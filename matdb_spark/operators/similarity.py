@@ -41,9 +41,15 @@ def _unit(df: DataFrame, id_exprs: list, vec_col: str, out_col: str) -> DataFram
     from matdb_spark.functions.vectors import with_bound_scalar
 
     t = df.select(*id_exprs, as_double(F.col(vec_col)).alias("__v0"))
+    # Zero-norm guard: an all-zero embedding (failed upstream encode)
+    # has no direction — its unit vector is NULL, so its similarities
+    # are NULL and it drops out of top-k/threshold results instead of
+    # aborting the whole job with DIVIDE_BY_ZERO under ANSI mode.
     uv = with_bound_scalar(
         norm(F.col("__v0")),
-        lambda nv: F.transform(F.col("__v0"), lambda x: x / nv),
+        lambda nv: F.when(
+            nv != 0.0, F.transform(F.col("__v0"), lambda x: x / nv)
+        ),
     )
     keep = [c for c in t.columns if c != "__v0"]
     return t.select(*keep, uv.alias(out_col))
@@ -69,7 +75,7 @@ def cosine_topk(
         query_id_col,
         "neighbor_id",
         dot(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
-    )
+    ).filter(F.col("cos_sim").isNotNull())  # zero/mismatched vectors drop out
     return top_k_per_group(
         scored,
         [query_id_col],
@@ -165,9 +171,12 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 10,
     nprobe: int = 2,
+    include_self: bool = False,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``nprobe`` nearest cells per
-    query. (query_id, neighbor_id, cos_sim, rank), deterministic."""
+    query. (query_id, neighbor_id, cos_sim, rank), deterministic.
+    ``include_self`` mirrors ``cosine_topk`` so recall comparisons
+    against the exact baseline see identical candidate rules."""
     cells = assign_cells(corpus, centroids, id_col, vec_col)  # unit vectors
     cents = _unit(centroids, [F.col("cell_id")], vec_col, "__cv")
     q = _unit(queries, [F.col(id_col).alias("query_id")], vec_col, "__qv")
@@ -180,10 +189,11 @@ def ivf_topk(
         nprobe,
     ).select("query_id", "__qv", "cell_id")
     cand = probe.join(cells.withColumnRenamed(id_col, "neighbor_id"), "cell_id")
-    cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    if not include_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = cand.select(
         "query_id", "neighbor_id", dot(F.col("__qv"), F.col(vec_col)).alias("cos_sim")
-    )
+    ).filter(F.col("cos_sim").isNotNull())
     return top_k_per_group(
         scored, ["query_id"], [F.col("cos_sim").desc(), F.col("neighbor_id").asc()], k
     )
@@ -221,11 +231,18 @@ def ivf_topk_indexed(
     vec_col: str = "embedding",
     k: int = 10,
     nprobe: int = 2,
+    include_self: bool = False,
 ) -> DataFrame:
     """Top-k against a persisted IVF index: probe cells per query, read
     ONLY those `cell_id=` partitions (the filter on the partition
     column prunes directories before any IO), score by dot product on
-    the stored unit vectors."""
+    the stored unit vectors.
+
+    Note the probe DataFrame stays persisted for the Spark
+    application's lifetime (storage-memory LRU evicts it under
+    pressure): unpersisting inside this function would race the
+    returned plan's execution. Long-running query services should
+    batch calls or clear `spark.catalog.clearCache()` periodically."""
     cents = spark.read.parquet(path + "/_centroids").select(
         "cell_id", F.col(vec_col).alias("__cv")
     )
@@ -245,10 +262,11 @@ def ivf_topk_indexed(
     probed_cells = [r.cell_id for r in probe.select("cell_id").distinct().collect()]
     index = spark.read.parquet(path).filter(F.col("cell_id").isin(probed_cells))
     cand = probe.join(index.withColumnRenamed(id_col, "neighbor_id"), "cell_id")
-    cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    if not include_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = cand.select(
         "query_id", "neighbor_id", dot(F.col("__qv"), F.col(vec_col)).alias("cos_sim")
-    )
+    ).filter(F.col("cos_sim").isNotNull())
     return top_k_per_group(
         scored, ["query_id"], [F.col("cos_sim").desc(), F.col("neighbor_id").asc()], k
     )
@@ -304,8 +322,19 @@ def hyperplane_near_dup_pairs(
     Scale: the bucket join shuffles each side once on ``__bucket``;
     bucket sizes concentrate around |corpus| / 2^n_planes, so raise
     ``n_planes`` with corpus size to hold per-bucket pair cost flat
-    (AQE skew-join splits any hot bucket)."""
-    dim = len(corpus.select(vec_col).first()[0])
+    (AQE skew-join splits any hot bucket).
+
+    Note: reads ONE row eagerly (a small Spark job at plan-build time)
+    to learn the embedding dimensionality; every corpus row must carry
+    that same dimensionality (mismatched rows mis-bucket — dot's
+    NULL-on-mismatch contract then drops them from scored pairs)."""
+    first = corpus.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError(
+            "hyperplane_near_dup_pairs: corpus is empty or its first "
+            f"row's {vec_col!r} is NULL — cannot infer dimensionality"
+        )
+    dim = len(first[0])
     planes = hyperplanes(n_planes, dim, seed)
     cells = _unit(corpus, [F.col(id_col)], vec_col, "__v")
     cells = cells.withColumn("__bucket", hyperplane_bucket(F.col("__v"), planes))

@@ -102,3 +102,51 @@ def test_hyperplane_lsh_pairs(spark):
     )
     exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
     assert all((r.id_a, r.id_b) in exact_pairs for r in rows)
+
+
+def test_zero_vector_and_degenerate_inputs(spark):
+    """A single all-zero embedding (failed upstream encode) must not
+    abort the job under ANSI mode: its unit vector is NULL, so it
+    drops out of ranked results; empty/NULL-first corpora raise a
+    clear error from the LSH path instead of TypeError."""
+    import pytest
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.6, 0.8]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = similarity.cosine_topk(corpus, queries, k=5).collect()
+    assert [r["neighbor_id"] for r in got] == [1, 2]  # zero vec absent
+
+    empty = corpus.limit(0)
+    with pytest.raises(ValueError, match="empty"):
+        similarity.hyperplane_near_dup_pairs(empty, n_planes=4)
+
+    # include_self parity between exact and IVF paths
+    cents = similarity.kmeans_centroids(corpus.filter("vec_id < 3"), k=1)
+    exact = similarity.cosine_topk(
+        corpus.filter("vec_id < 3"), corpus.filter("vec_id < 3"), k=3, include_self=True
+    )
+    approx = similarity.ivf_topk(
+        corpus.filter("vec_id < 3"), corpus.filter("vec_id < 3"), cents,
+        k=3, nprobe=1, include_self=True,
+    )
+    key = lambda rows: sorted((r["query_id"], r["neighbor_id"]) for r in rows)
+    assert key(exact.collect()) == key(approx.collect())
+
+
+def test_exact_duplicates_null_text_singletons(spark):
+    """NULL-text docs must not cluster together."""
+    from matdb_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "hello"), (4, "hello")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+           for r in dedup.exact_duplicates(df, "doc_id", "text").collect()}
+    assert got[1] == (1, 1) and got[2] == (2, 1)
+    assert got[3] == (3, 2) and got[4] == (3, 2)
