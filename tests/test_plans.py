@@ -276,6 +276,12 @@ def test_minhash_lsh_single_pipeline_evaluation(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan") == 1
     assert "Join" not in plan
+    # ...and pairs must STREAM from the bucket array via generator
+    # nodes, never materialize as one flattened C(m,2) array per row
+    # (a degenerate bucket's quadratic blowup inside a single value
+    # would OOM or exceed the array-element limit)
+    assert plan.count("Generate") >= 3  # band explode + posexplode + pair explode
+    assert "flatten" not in plan.lower()
 
 
 def test_ngram_jaccard_no_inferred_generate_filter(spark):
