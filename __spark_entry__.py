@@ -788,6 +788,44 @@ def q_mvcc_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return db.begin().query(ordered=True)
 
 
+def q_auto_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan of a store maintained by the AUTOMATIC compaction policy
+    (Database.enable_auto_compact): 12 slice-insert commits + 1 upsert
+    wave land as small transactions, and the policy's LSM leveling
+    folds every 4th window with no manual compact() calls. The gate
+    asserts the post-policy store scans identically to the logical
+    content (same CASE oracle as q_mvcc_scan) — compaction scheduling
+    is layout-only."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    db_path = os.path.join(SCRATCH, f"gate_auto_compact_{tag}")
+
+    def build(db):
+        db.enable_auto_compact(every=4, major_every=4)
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "value"
+        )
+        for i in range(12):
+            with db.begin() as t:
+                t.add_dataframe(ev.filter(F.col("event_id") % 12 == i))
+                t.commit()
+        with db.begin() as t:
+            t.add_dataframe(
+                ev.filter(F.col("event_id") % 10 == 0).withColumn(
+                    "value", F.col("value") + 1000
+                )
+            )
+            t.commit()
+        # the policy must actually have folded: 13 commits at every=4
+        # leave at most 4 rollups + 1 raw txn visible, never 13
+        from matdb_spark import manifest as m
+
+        visible = m.visible_txn_ids(db.path, db.next_txn_id)
+        assert len(visible) <= 6, f"auto-compact never fired: {sorted(visible)}"
+
+    db = _cached_mvcc_db(spark, db_path, _gate_mvcc_schema(), build)
+    return db.begin().query(ordered=True)
+
+
 def q_mvcc_string_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Store keyed by a STRING dimension — type breadth beyond the
     reference's u64-only model (SURVEY §1.2): string dims are legal
@@ -1486,14 +1524,43 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct counts — the 100 TB path for
     cardinality (constant memory vs exact distinct's shuffle of every
-    value). NO oracle on purpose: HLL estimates are engine-specific,
-    so the driver records the weaker rows-only check; the exact
-    counterpart q_distinct_agg is fully oracle-checked."""
+    value). Estimates are engine-specific, so the gate uses a
+    TOLERANCE-BANDED oracle: the query emits the exact counts plus a
+    deterministic in-band verdict |approx-exact| <= 5%*exact
+    (rsd=0.01 => the band is ~5 sigma), and DuckDB emits the same
+    exact counts with TRUE verdicts — an out-of-band estimate flips
+    the boolean and fails the hash match without pretending the
+    estimate itself is deterministic."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    # Approx and exact in SEPARATE aggregations, joined on the 3-row
+    # group key: mixing approx_count_distinct with countDistinct in one
+    # agg makes Catalyst's distinct-expand rewrite key the partial
+    # hash-agg by (group, distinct value) — millions of groups EACH
+    # carrying a multi-KB HLL buffer (~15x slower at sf0.1, worse with
+    # scale). Two plain aggs keep HLL buffers at one per group.
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+    def _band(approx_col, exact_col, name):
+        return (
+            F.abs(F.col(approx_col) - F.col(exact_col))
+            <= F.lit(0.05) * F.col(exact_col)
+        ).alias(name)
+
+    return approx.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        "n_rows",
+        _band("approx_orders", "exact_orders", "orders_in_band"),
+        _band("approx_parts", "exact_parts", "parts_in_band"),
     )
 
 
@@ -2383,21 +2450,31 @@ def q_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     one sketch per (source, lang) partition (hll_sketch_agg), then
     roll up per source by merging SKETCHES (hll_union_agg), never
     rescanning rows. This is how distinct counts compose across
-    partitions/days at scale; estimates are engine-specific, so this
-    records the weaker rows-only check (exact counterpart:
-    q_distinct_agg)."""
+    partitions/days at scale. Estimates are engine-specific, so the
+    gate is TOLERANCE-BANDED (see q_approx_distinct): exact counts +
+    a deterministic |approx-exact| <= 5%*exact verdict, mirrored by
+    TRUE in the DuckDB oracle (default lgConfigK=12 => rsd ~1.6%, so
+    5% is ~3 sigma)."""
     docs = load_table(spark, sf_dir, "documents")
     part = docs.groupBy("source", "lang").agg(
         F.hll_sketch_agg("doc_id").alias("sk"),
         F.count(F.lit(1)).alias("n_rows"),
     )
-    return (
-        part.groupBy("source")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_docs"),
-            F.sum("n_rows").alias("n_rows"),
-        )
-        .select("source", "approx_docs", "n_rows")
+    merged = part.groupBy("source").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_docs"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    exact = docs.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("exact_docs")
+    )
+    return merged.join(exact, "source").select(
+        "source",
+        "exact_docs",
+        "n_rows",
+        (
+            F.abs(F.col("approx_docs") - F.col("exact_docs"))
+            <= F.lit(0.05) * F.col("exact_docs")
+        ).alias("docs_in_band"),
     )
 
 
@@ -2949,6 +3026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_mvcc_scan": q_mvcc_scan,
+        "q_auto_compact_scan": q_auto_compact_scan,
         "q_mvcc_compacted_scan": q_mvcc_compacted_scan,
         "q_mvcc_string_dim": q_mvcc_string_dim,
         "q_store_curation": q_store_curation,
@@ -3101,6 +3179,10 @@ _SHINGLES = (
 )
 
 
+# keep in lockstep with minhash_lsh_pairs' max_bucket default
+_LSH_MAX_BUCKET = 4096
+
+
 def _minhash_sql() -> str:
     params = dedup.minhash_params(32)
     p = dedup.MERSENNE_P
@@ -3119,9 +3201,15 @@ def _minhash_sql() -> str:
         _SHINGLES + ", "
         "h AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT) AS h FROM sh), "
         f"sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id), "
-        f"bands AS ({band_selects}) "
-        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a "
-        "JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"
+        f"bands AS ({band_selects}), "
+        # mirror of minhash_lsh_pairs' default max_bucket skew cap:
+        # buckets above the cap emit no pairs on either engine
+        "okbuckets AS (SELECT band, key FROM bands GROUP BY band, key "
+        f"HAVING COUNT(*) <= {_LSH_MAX_BUCKET}), "
+        "cb AS (SELECT bands.doc_id, bands.band, bands.key FROM bands "
+        "JOIN okbuckets USING (band, key)) "
+        "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM cb a "
+        "JOIN cb b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"
     )
 
 
@@ -3307,6 +3395,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
                    COUNT(DISTINCT l_suppkey) AS n_supp, COUNT(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag
+        """,
+        # Tolerance-banded sketch oracles: the Spark queries emit exact
+        # counts plus a deterministic |approx-exact| <= 5%*exact
+        # verdict; DuckDB mirrors the exact counts with TRUE verdicts,
+        # so an out-of-band estimate fails the hash without pretending
+        # HLL estimates are engine-portable.
+        "q_approx_distinct": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_orderkey) AS exact_orders,
+                   COUNT(DISTINCT l_partkey) AS exact_parts,
+                   COUNT(*) AS n_rows,
+                   TRUE AS orders_in_band,
+                   TRUE AS parts_in_band
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_hll_sketch_merge": """
+            SELECT source,
+                   COUNT(DISTINCT doc_id) AS exact_docs,
+                   COUNT(*) AS n_rows,
+                   TRUE AS docs_in_band
+            FROM documents GROUP BY source
         """,
         "q_rollup_acctbal": """
             SELECT r_name, n_name,
@@ -3622,6 +3731,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "q_mvcc_compacted_scan": """
+            SELECT user_id, event_id,
+                   CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
+            FROM events
+        """,
+        "q_auto_compact_scan": """
             SELECT user_id, event_id,
                    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
             FROM events

@@ -63,6 +63,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(times),
     }
     if failed:
         # failures must be LOUD in the headline line: a crashing query
@@ -70,7 +71,39 @@ def main() -> None:
         # run look faster than a healthy one
         out["failed"] = failed
         out["n_failed"] = len(failed)
-    print(json.dumps(out))
+
+    # The driver keeps only the TAIL of stdout (last ~2000 chars): a
+    # 147-entry queries map overflows that and the whole line becomes
+    # unparseable (BENCH_r02 recorded parsed:null). Persist the full
+    # per-query map to a side file, then shrink the printed line to a
+    # guaranteed-to-fit budget by keeping the SLOWEST queries (the
+    # ones perf grading cares about) and flagging the truncation.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    line = json.dumps(out, separators=(",", ":"))
+    budget = 1800
+    if len(line) > budget:
+        ranked = sorted(times.items(), key=lambda kv: -kv[1])
+        out["queries_truncated"] = True
+        out["detail_file"] = "BENCH_FULL.json"
+        keep = len(ranked)
+        while keep > 1:
+            out["queries"] = dict(ranked[:keep])
+            line = json.dumps(out, separators=(",", ":"))
+            if len(line) <= budget:
+                break
+            keep -= max(1, (len(line) - budget) // 24)
+        # the decrement overshoots (assumes max-width entries); claw
+        # back entries while they still fit
+        while keep < len(ranked):
+            out["queries"] = dict(ranked[: keep + 1])
+            cand = json.dumps(out, separators=(",", ":"))
+            if len(cand) > budget:
+                out["queries"] = dict(ranked[:keep])
+                break
+            line, keep = cand, keep + 1
+    print(line)
 
 
 if __name__ == "__main__":

@@ -32,6 +32,7 @@ class Database:
         self.path = os.path.abspath(path)
         self.schema = schema
         self.next_txn_id = manifest.recover(self.path)
+        self._auto_compact: dict | None = None
 
     # ---- lifecycle --------------------------------------------------
     @classmethod
@@ -108,6 +109,72 @@ class Database:
         ids from concurrent writers."""
         manifest.release_txn_reservation(self.path, txn_id)
         self.next_txn_id = max(self.next_txn_id, txn_id + 1)
+
+    # ---- automatic compaction ---------------------------------------
+    def enable_auto_compact(
+        self,
+        every: int = 8,
+        major_every: int = 16,
+        vacuum: bool = False,
+        cluster: str = "sort",
+        resolution: str = "row",
+    ) -> None:
+        """Size/txn-count compaction POLICY for batch stores: after
+        every ``every``-th plain commit through THIS handle, the newest
+        ``every``-txn window folds into one rollup; every
+        ``major_every`` windows the accumulated rollups fold again,
+        and so on — the same LSM leveling the streaming sink runs
+        (streaming/ingest.py), so each row is rewritten O(log batches)
+        times and the visible txn count stays bounded under unbounded
+        small-commit ingest, with no manual ``compact()`` calls.
+
+        The schedule counter is HANDLE-LOCAL (commits made through
+        other handles/processes don't advance it — their txns simply
+        ride along in the next contiguous window; a refused fold from
+        a concurrent-writer conflict is retried implicitly by the next
+        tier). ``vacuum=True`` reclaims folded data immediately — the
+        same CDC/time-travel forfeit as the streaming sink's flag.
+        Streaming ingest has its own ``compact_every``; don't stack
+        both on one store."""
+        if every < 2:
+            raise ValueError(f"every={every}; folding needs a window of >= 2")
+        if major_every < 2:
+            raise ValueError(f"major_every={major_every}; expected >= 2")
+        self._auto_compact = {
+            "every": every,
+            "major": major_every,
+            "vacuum": vacuum,
+            "cluster": cluster,
+            "resolution": resolution,
+            "n": 0,
+        }
+
+    def disable_auto_compact(self) -> None:
+        self._auto_compact = None
+
+    def _after_commit(self, compaction: bool) -> None:
+        """Policy hook run by Transaction.commit. Compaction commits
+        don't count toward (or recursively trigger) the schedule."""
+        ac = self._auto_compact
+        if ac is None or compaction:
+            return
+        ac["n"] += 1
+        did = False
+        span, size = ac["every"], ac["every"]
+        while ac["n"] % span == 0:
+            did = (
+                self.compact(
+                    max_txns=size,
+                    fold="newest",
+                    cluster=ac["cluster"],
+                    resolution=ac["resolution"],
+                )
+                is not None
+            ) or did
+            span *= ac["major"]
+            size = ac["major"]
+        if did and ac["vacuum"]:
+            self.vacuum()
 
     # ---- schema evolution ------------------------------------------
     def add_value_column(self, name: str, type: str = "long") -> None:
@@ -282,6 +349,18 @@ class Database:
         def _eff(t: int) -> int:
             return int(m.read_manifest_cached(self.path, t).get("version_rank", t))
 
+        # Declare the covered interval on our reservation BEFORE the
+        # (long) rewrite job: a reservation id alone cannot reveal a
+        # concurrent compaction (every reservation probes above the
+        # rank), so without the intent two overlapping compactions
+        # would both pass the pending test and both publish — a
+        # redundant rollup, and a vacuum between the two publishes
+        # deletes window files the loser's rewrite is still scanning.
+        lo_eff = min(_eff(t) for t in window)
+        my_id = txn._ensure_txn_id()
+        m.write_reservation_intent(
+            self.path, my_id, {"op": "compact", "lo": lo_eff, "rank": rank}
+        )
         txn.add_dataframe(snap, cluster_by=cluster_by)
         # Pre-publish conflict check. The rewrite shadows, for its
         # keys, every effective version <= rank — so an un-folded txn
@@ -293,19 +372,42 @@ class Database:
         # (including a pending reservation from a slow writer) could
         # be wrongly resurrected or shadowed — abort for those. Post-
         # pin commits always carry ids above the rank and are safe.
-        my_id = txn.txn_id
-        floor = None if downward_closed else min(_eff(t) for t in window)
+        floor = None if downward_closed else lo_eff
         committed_now = set(m.committed_txn_ids(self.path))
         superseded = m.replaced_txn_ids(self.path)
         pending = {t for t in m.outstanding_txn_ids(self.path) if t != my_id}
-        conflicts = {
+        # A concurrent COMPACTION's reservation id is always above the
+        # rank, so the pending-id interval test cannot see it; its
+        # declared intent interval can. Lower reservation id wins the
+        # tie — exactly one of two overlapping in-flight compactions
+        # publishes in every interleaving (the later-reserved one
+        # aborts here; if it somehow checked before we reserved, our
+        # committed-interval test catches its published rollup
+        # instead).
+        intents = m.read_reservation_intents(self.path)
+        compact_conflicts = {
             t
-            for t in committed_now
-            if t not in window
-            and t not in superseded
-            and _eff(t) <= rank
-            and (floor is None or _eff(t) >= floor)
-        } | {t for t in pending if t <= rank and (floor is None or t >= floor)}
+            for t, info in intents.items()
+            if t in pending
+            and t < my_id
+            and info.get("op") == "compact"
+            and not (
+                int(info.get("rank", rank)) < lo_eff
+                or rank < int(info.get("lo", lo_eff))
+            )
+        }
+        conflicts = (
+            {
+                t
+                for t in committed_now
+                if t not in window
+                and t not in superseded
+                and _eff(t) <= rank
+                and (floor is None or _eff(t) >= floor)
+            }
+            | {t for t in pending if t <= rank and (floor is None or t >= floor)}
+            | compact_conflicts
+        )
         if conflicts:
             txn.rollback()
             return None
@@ -381,6 +483,32 @@ class Database:
             mf = m.read_manifest_cached(self.path, t)
             if mf.get("replaces") and mf.get("committed_at", 0) <= cutoff:
                 eligible.update(mf["replaces"])
+        # Hold back files an IN-FLIGHT compaction is still scanning: a
+        # pending reservation with a compact intent declares its
+        # covered effective-version interval; deleting a superseded txn
+        # inside that interval would fail the rewrite job mid-scan.
+        # The hold lapses with the reservation (publish, rollback, or
+        # recover sweep) — safety over immediacy, same as
+        # safe_feed_head.
+        holds = [
+            (int(i.get("lo", 0)), int(i.get("rank", 0)))
+            for t, i in m.read_reservation_intents(self.path).items()
+            if i.get("op") == "compact" and t in m.outstanding_txn_ids(self.path)
+        ]
+        if holds:
+
+            def _eff(t: int) -> int:
+                try:
+                    mf = m.read_manifest_cached(self.path, t)
+                except FileNotFoundError:
+                    return t
+                return int(mf.get("version_rank", t))
+
+            eligible = {
+                t
+                for t in eligible
+                if not any(lo <= _eff(t) <= hi for lo, hi in holds)
+            }
         removed = sorted(eligible)
         for t in removed:
             m.discard_txn_data(self.path, t)

@@ -50,10 +50,17 @@ def dictionary_encode(
     ``sensors.json`` dictionary (ids allocated on first sight,
     sensor-log.rs:85-104).
 
-    Deterministic: new keys are numbered in sorted key order via a
-    global row_number — acceptable because the dictionary is by
-    definition small (it gets broadcast in the encode join); the big
-    side never shuffles.
+    Deterministic: new keys are numbered in sorted key order. The
+    numbering is TWO-PHASE, never a single-task global window:
+    repartitionByRange on the keys, row_number within each range
+    partition, plus a broadcast per-partition offset — partition ids
+    ascend with the ranges, so offset + within-partition rank IS the
+    global sorted rank, for any dictionary size (the result does not
+    depend on where the sampled range boundaries fall). A
+    high-cardinality key space (user ids, URLs) therefore numbers
+    distributed; the reference holds its dictionary in memory as
+    sensors.json (sensor-log.rs:85-104), which caps it at driver
+    scale by construction.
     """
     distinct = df.select(*key_cols).distinct()
     if existing is not None:
@@ -62,8 +69,26 @@ def dictionary_encode(
     else:
         start = 0
         new = distinct
-    w = Window.orderBy(*[F.col(c).asc() for c in key_cols])
-    numbered = new.withColumn(id_col, (F.row_number().over(w) + start).cast("long"))
+    parted = new.repartitionByRange(*[F.col(c).asc() for c in key_cols]).withColumn(
+        "__dp", F.spark_partition_id()
+    )
+    counts = parted.groupBy("__dp").agg(F.count(F.lit(1)).alias("__dc"))
+    # window over partition COUNTS only: #shuffle-partitions rows
+    w_off = Window.orderBy("__dp").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__dp", F.coalesce(F.sum("__dc").over(w_off), F.lit(0)).alias("__doff")
+    )
+    w_in = Window.partitionBy("__dp").orderBy(*[F.col(c).asc() for c in key_cols])
+    numbered = (
+        parted.join(F.broadcast(offsets), "__dp")
+        .withColumn(
+            id_col,
+            (F.row_number().over(w_in) + F.col("__doff") + F.lit(start)).cast("long"),
+        )
+        .drop("__dp", "__doff")
+    )
     if existing is not None:
-        numbered = existing.select(id_col, *key_cols).unionByName(numbered)
+        numbered = existing.select(id_col, *key_cols).unionByName(
+            numbered.select(id_col, *key_cols)
+        )
     return numbered.select(id_col, *key_cols)

@@ -256,6 +256,42 @@ def release_txn_reservation(db_path: str, txn_id: int) -> None:
         pass
 
 
+def write_reservation_intent(db_path: str, txn_id: int, intent: dict) -> None:
+    """Stamp a payload into an existing ``.reserve`` file. A plain
+    writer's reservation stays empty; a compaction declares
+    ``{"op": "compact", "lo": L, "rank": R}`` (its covered effective-
+    version interval) so that (a) an overlapping concurrent compaction
+    can detect it pre-publish — the pending-id interval test alone
+    cannot, because every reservation id sits above the rank — and
+    (b) ``vacuum`` holds back window files the in-flight rewrite is
+    still scanning. The intent dies with the reservation (publish
+    release / rollback / ``recover`` sweep), so it can never outlive
+    its writer by more than the recovery grace period."""
+    p = os.path.join(commits_dir(db_path), f"{txn_id:08d}.reserve")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(intent, f)
+    os.replace(tmp, p)
+
+
+def read_reservation_intents(db_path: str) -> dict[int, dict]:
+    """Intent payloads of outstanding reservations (empty/unparseable
+    reservation files — plain writers — are skipped)."""
+    out: dict[int, dict] = {}
+    for name in os.listdir(commits_dir(db_path)):
+        mo = re.match(r"^(\d{8,})\.reserve$", name)
+        if not mo:
+            continue
+        try:
+            with open(os.path.join(commits_dir(db_path), name)) as f:
+                text = f.read()
+            if text.strip():
+                out[int(mo.group(1))] = json.loads(text)
+        except (OSError, ValueError):
+            continue
+    return out
+
+
 def max_committed_batch_id(db_path: str, source: str) -> int | None:
     """Highest streaming ``batch_id`` committed for ``source`` (None if
     none). One manifest sweep — called once per stream (re)start, then
@@ -319,6 +355,17 @@ def missing_feed_content(db_path: str, since: int, until: int) -> list[int]:
             return
         reps = m.get("replaces") or []
         if not reps or covers_lo_value(m, t) > until:
+            return
+        # A rollup's covered interval TOPS OUT at its version_rank (the
+        # highest effective version it absorbed) even though its
+        # physical id is far above. When that top is at-or-below the
+        # cursor, everything underneath — including vacuumed children
+        # whose physical ids exceed ``since`` — is content the consumer
+        # already read; descending would misreport those children as
+        # lost window content and permanently kill a fully-caught-up
+        # feed after fold+vacuum. Legacy manifests without version_rank
+        # fall back to the physical id, keeping the conservative walk.
+        if int(m.get("version_rank", t)) <= since:
             return
         for r in reps:
             if r in committed:

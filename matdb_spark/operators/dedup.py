@@ -215,7 +215,7 @@ def minhash_lsh_pairs(
     k: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
-    max_bucket: int | None = None,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: split the k-wide
     signature into ``bands`` rows of k/bands hashes, bucket on the
@@ -229,11 +229,15 @@ def minhash_lsh_pairs(
     members emits n(n-1)/2 pairs, so one degenerate signature shared
     by a million boilerplate/empty documents would emit ~5·10^11 pairs
     from a single bucket. Buckets larger than ``max_bucket`` are
-    dropped (one extra map-side-partial count + semi-join). Recall
-    cost is small by construction — a true near-dup pair agrees on
-    several bands, and degenerate giant buckets are precisely the
-    boilerplate signatures you don't want driving clusters — but the
-    default (None) keeps exact parity with cap-free oracles.
+    dropped (a cheap size filter on the already-aggregated bucket
+    row). Recall cost is small by construction — a true near-dup pair
+    agrees on several bands, and degenerate giant buckets are
+    precisely the boilerplate signatures you don't want driving
+    clusters; byte-identical documents are the exact-dedup operator's
+    job, not this one's. The cap is ON by default (4096 ≈ 8.4M pairs
+    worst-case per bucket, bounded work per task at any corpus size);
+    ``max_bucket=None`` opts out for small corpora where cap-free
+    parity matters more than skew safety.
     """
     if k % bands:
         raise ValueError("k must be divisible by bands")

@@ -28,6 +28,7 @@ CLI (mirrors :307-353):
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -86,44 +87,109 @@ def load_sensors_dim(spark: SparkSession, db_path: str) -> DataFrame | None:
 
 
 def encode_sensor_rows(
-    raw: DataFrame, sensors_dim: DataFrame | None
+    raw: DataFrame, sensors_dim: DataFrame | None, dim_spill_path: str | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """(fact rows [time, sensor_id, value], updated dictionary).
 
     Skips rows whose timestamp fails to parse, like the reference's
-    per-line error path; an empty/invalid value encodes as 0."""
-    keys = ["component", "sensor", "kind"]
+    per-line error path; an empty/invalid value encodes as 0.
+
+    The updated dictionary is materialized DISTRIBUTED, never
+    collected to the driver (a high-cardinality key space must not
+    grow driver memory): with ``dim_spill_path`` it is written there
+    as parquet and read back (``load()`` passes its tmp dir — the
+    write doubles as the persistence step); without one it is
+    ``localCheckpoint``-ed to executor storage. Either way the
+    returned dim is severed from the lazy plan over the PREVIOUS
+    on-disk dictionary, which load() is about to overwrite. The
+    encode join broadcasts only when the materialized dictionary is
+    small (parquet byte size under the 32 MB hint threshold);
+    otherwise it is a plain shuffle join — at dictionary sizes that
+    big the shuffle is the correct plan, and forcing broadcast would
+    OOM every executor."""
+    ok = _clean_raw(raw)
+    dim_lazy = dictionary_encode(
+        ok, _DIM_KEYS, existing=sensors_dim, id_col="sensor_id"
+    )
+    spark = raw.sparkSession
+    broadcast_ok = True
+    if dim_spill_path is not None:
+        dim_lazy.write.mode("overwrite").parquet(dim_spill_path)
+        dim = spark.read.parquet(dim_spill_path)
+        broadcast_ok = _dim_parquet_size(dim_spill_path) < _BROADCAST_DIM_BYTES
+    else:
+        dim = dim_lazy.localCheckpoint(eager=True)
+    return _facts_against_dim(ok, dim, broadcast_ok), dim
+
+
+_DIM_KEYS = ["component", "sensor", "kind"]
+_BROADCAST_DIM_BYTES = 32 * 1024 * 1024
+
+
+def _clean_raw(raw: DataFrame) -> DataFrame:
     # malformed (<5 field) lines surface as NULL columns — drop them
     # before they pollute the dictionary (reference: skip bad lines)
-    ok = raw.filter(
-        F.col("component").isNotNull() & F.col("sensor").isNotNull() & F.col("kind").isNotNull()
+    return raw.filter(
+        F.col("component").isNotNull()
+        & F.col("sensor").isNotNull()
+        & F.col("kind").isNotNull()
     )
-    dim_lazy = dictionary_encode(ok, keys, existing=sensors_dim, id_col="sensor_id")
-    # Materialize the dictionary on the driver (it is small by contract
-    # — it gets broadcast — and the reference holds it in memory as
-    # sensors.json). This also breaks the lazy-plan dependency on the
-    # previous on-disk dictionary, which load() is about to overwrite.
-    dim = raw.sparkSession.createDataFrame(dim_lazy.collect(), dim_lazy.schema)
-    parsed = ok.withColumn("time", parse_sensor_time(F.col("time_str"))).withColumn(
-        "value", fixed_point_encode(F.col("value_str"))
+
+
+def _dim_parquet_size(path: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
     )
-    parsed = parsed.filter(F.col("time").isNotNull())
-    facts = parsed.join(F.broadcast(dim), keys).select("time", "sensor_id", "value")
-    return facts, dim
+
+
+def _facts_against_dim(
+    ok: DataFrame, dim: DataFrame, broadcast_ok: bool
+) -> DataFrame:
+    parsed = (
+        ok.withColumn("time", parse_sensor_time(F.col("time_str")))
+        .withColumn("value", fixed_point_encode(F.col("value_str")))
+        .filter(F.col("time").isNotNull())
+    )
+    dim_side = F.broadcast(dim) if broadcast_ok else dim
+    return parsed.join(dim_side, _DIM_KEYS).select("time", "sensor_id", "value")
 
 
 def load(spark: SparkSession, db_path: str, paths: list[str]) -> int:
     """Ingest files as ONE transaction (the reference uses one txn with
     periodic flushes; Spark's distributed write replaces the flush
-    cadence). Returns the ingested row count."""
+    cadence). Returns the ingested row count.
+
+    The updated dictionary materializes into a tmp dir (distributed
+    parquet write — never a driver collect) and is PUBLISHED by rename
+    BEFORE the fact txn commits: a crash between the two leaves only
+    unused dictionary entries, which the retry reuses at the same ids
+    (deterministic numbering continues from the published dictionary);
+    committing facts first could strand rows referencing ids no
+    dictionary knows. rename-aside + rename-in keeps every crash
+    window holding either the old or the new dictionary — never
+    neither."""
     db = open_or_create(spark, db_path)
     raw = read_sensor_tsv(spark, paths)
     sensors = load_sensors_dim(spark, db_path)
-    facts, dim = encode_sensor_rows(raw, sensors)
-    # persist dictionary first (small; overwrite is idempotent) —
-    # write to temp then swap would make this atomic on object stores
+    ok = _clean_raw(raw)
     dim_out = _sensors_dim_path(db_path)
-    dim.coalesce(1).write.mode("overwrite").parquet(dim_out)
+    dim_tmp = dim_out + ".tmp"
+    shutil.rmtree(dim_tmp, ignore_errors=True)
+    dictionary_encode(ok, _DIM_KEYS, existing=sensors, id_col="sensor_id").write.mode(
+        "overwrite"
+    ).parquet(dim_tmp)
+    old = dim_out + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(dim_out):
+        os.rename(dim_out, old)
+    os.rename(dim_tmp, dim_out)
+    shutil.rmtree(old, ignore_errors=True)
+    dim = spark.read.parquet(dim_out)
+    facts = _facts_against_dim(
+        ok, dim, _dim_parquet_size(dim_out) < _BROADCAST_DIM_BYTES
+    )
     txn = db.begin()
     txn.add_dataframe(facts)
     # row count from the written segment's parquet footers — counting

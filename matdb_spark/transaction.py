@@ -510,6 +510,10 @@ class Transaction:
                 extra=payload or None,
             )
             self.db.note_committed(self.txn_id)
+            # policy hook AFTER this txn is fully closed: the hook may
+            # open (and commit) compaction transactions of its own
+            self._closed = True
+            self.db._after_commit(compaction=bool(replaces))
         self._closed = True
 
     def rollback(self) -> None:

@@ -88,3 +88,89 @@ def test_fixed_point_and_time_encoding(spark):
     # 2023-02-14T15:05:09Z
     assert row["ms"] == 1676387109000
     assert row["fp"] == 9999
+
+
+def test_dictionary_encode_distributed_1m_keys(spark):
+    """ADVICE/VERDICT r2: dictionary id assignment must be
+    distributed — 1M distinct keys numbered without a driver collect
+    or a single-task global window, deterministically in sorted key
+    order, and continuation from an existing dictionary keeps old ids
+    stable."""
+    from pyspark.sql import Window
+    from matdb_spark.functions.encoders import dictionary_encode
+
+    n = 1_000_000
+    keys = spark.range(n).select(
+        F.concat(F.lit("c"), F.format_string("%07d", F.col("id"))).alias("component"),
+        (F.col("id") % 13).cast("string").alias("sensor"),
+        F.lit("kind0").alias("kind"),
+    )
+    dim = dictionary_encode(keys, ["component", "sensor", "kind"], id_col="sensor_id")
+    stats = dim.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("sensor_id").alias("nd"),
+        F.min("sensor_id").alias("lo"),
+        F.max("sensor_id").alias("hi"),
+    ).first()
+    assert (stats["n"], stats["nd"], stats["lo"], stats["hi"]) == (n, n, 1, n)
+    # ids follow sorted key order: ranking by key must equal the id
+    # (window here is test-side verification only)
+    w = Window.orderBy("component", "sensor", "kind")
+    bad = (
+        dim.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") != F.col("sensor_id"))
+        .count()
+    )
+    assert bad == 0
+
+    # continuation: re-encode a superset — existing ids must not move
+    extra = spark.range(5).select(
+        F.concat(F.lit("zzz"), F.col("id").cast("string")).alias("component"),
+        F.lit("s").alias("sensor"),
+        F.lit("kind0").alias("kind"),
+    )
+    dim2 = dictionary_encode(
+        keys.unionByName(extra),
+        ["component", "sensor", "kind"],
+        existing=dim,
+        id_col="sensor_id",
+    )
+    assert dim2.count() == n + 5
+    assert dim2.agg(F.max("sensor_id")).first()[0] == n + 5
+    moved = (
+        dim2.join(dim.withColumnRenamed("sensor_id", "old_id"),
+                  ["component", "sensor", "kind"])
+        .filter(F.col("sensor_id") != F.col("old_id"))
+        .count()
+    )
+    assert moved == 0
+
+
+def test_sensor_cli_end_to_end(tmp_path):
+    """Reference CLI parity (sensor-log.rs:307-353): load | count |
+    list as real subprocess invocations of the module entry point."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo, SPARK_GRAFT_CPUS="4")
+    tsv = tmp_path / "cli.tsv"
+    tsv.write_text("\n".join(LINES_A) + "\n")
+    db_dir = str(tmp_path / "clidb")
+
+    def run(*args):
+        r = subprocess.run(
+            [_sys.executable, "-m", "matdb_spark.sources.sensor_tsv", *args],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout
+
+    out = run("load", db_dir, str(tsv))
+    assert "Loaded 4 rows" in out
+    assert run("count", db_dir).strip().splitlines()[-1] == "4"
+    listing = [l for l in run("list", db_dir).splitlines() if l and l[0].isdigit()]
+    assert len(listing) == 4
+    # time sensor_id value triplets, times ascending
+    times = [int(l.split()[0]) for l in listing]
+    assert times == sorted(times)

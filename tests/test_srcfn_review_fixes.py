@@ -89,15 +89,17 @@ def test_simhash_known_value(spark):
 def test_minhash_lsh_max_bucket_guard(spark):
     """The skew guard drops giant band buckets; identical documents
     all land in the same buckets, so with a cap below the group size
-    they produce no candidate pairs, while the cap-free default keeps
-    them."""
+    they produce no candidate pairs. The cap is ON by default (4096)
+    — small clusters sail under it — and None opts out."""
     from pyspark.sql import Row
 
     from matdb_spark.operators.dedup import minhash_lsh_pairs
 
     text = "alpha beta gamma delta epsilon zeta eta theta"
     docs = spark.createDataFrame([Row(doc_id=i, text=text) for i in range(5)])
-    free = minhash_lsh_pairs(docs, "doc_id", "text")
+    free = minhash_lsh_pairs(docs, "doc_id", "text", max_bucket=None)
     assert free.count() == 10  # C(5,2): all identical docs pair up
+    default = minhash_lsh_pairs(docs, "doc_id", "text")
+    assert default.count() == 10  # 5-member buckets sail under 4096
     capped = minhash_lsh_pairs(docs, "doc_id", "text", max_bucket=4)
     assert capped.count() == 0  # every bucket has 5 members > cap

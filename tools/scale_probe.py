@@ -291,6 +291,46 @@ def probe_stream(spark):
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def probe_lsh_skew(spark):
+    """Adversarial LSH skew: 1M documents where 500k share ONE
+    boilerplate text (every band bucket degenerate, cap-free pair
+    count would be ~1.25e11) mixed with 500k distinct docs. With the
+    default max_bucket cap the candidate-pair job must finish in
+    linear time and never materialize the quadratic bucket."""
+    from matdb_spark.operators.dedup import minhash_lsh_pairs
+
+    n_boiler, n_unique = 500_000, 500_000
+    docs = spark.range(n_boiler + n_unique).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") < n_boiler,
+            F.lit("terms of service apply all rights reserved contact us"),
+        )
+        .otherwise(
+            F.concat_ws(
+                " ",
+                F.lit("doc"),
+                F.col("id"),
+                (F.col("id") * 7919 % 104729).cast("string"),
+                (F.col("id") * 104729 % 7919).cast("string"),
+                F.sha2(F.col("id").cast("string"), 256),
+            )
+        )
+        .alias("text"),
+    )
+    n_pairs = timed(
+        f"LSH pairs, {n_boiler/1e3:.0f}k-dup adversary, default cap",
+        lambda: minhash_lsh_pairs(docs, "doc_id", "text", k=32, bands=8).count(),
+    )
+    # The boilerplate bucket (500k members) must be dropped by the
+    # cap; surviving pairs come only from incidental band collisions
+    # among the unique docs — far below quadratic.
+    assert n_pairs < 10_000_000, (
+        f"cap failed: {n_pairs} pairs emitted — quadratic bucket leaked"
+    )
+    print(f"  pair emission stayed linear ({n_pairs} pairs, no O(n^2) bucket)")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "volume"
     spark = get_spark(app_name=f"scale_probe_{which}")
@@ -304,5 +344,7 @@ if __name__ == "__main__":
         probe_leveled_stream(spark)
     elif which == "stream":
         probe_stream(spark)
+    elif which == "lshskew":
+        probe_lsh_skew(spark)
     else:
         raise SystemExit(f"unknown probe {which!r}")
