@@ -307,12 +307,17 @@ def connected_components(
     near-dup evidence (LSH/Jaccard output) into dedup clusters so one
     canonical document per cluster can be kept.
 
-    Iterative min-label propagation: each round, a node's label drops
-    to the min of its own and its neighbors' labels; converges in
-    O(component diameter) rounds. Each round is one join + one groupBy
-    (both on node id); ``localCheckpoint`` truncates the plan each
-    round — without it the lineage doubles per iteration and planning
-    time explodes long before data size matters.
+    Iterative min-label propagation WITH POINTER DOUBLING: each round
+    a node's label drops to the min of (its own, its neighbors', and
+    its label's label). The neighbor step alone moves a component's
+    min one hop per round — O(diameter) rounds, hopeless for chain-
+    shaped components; following the label chain one extra hop halves
+    the remaining chain every round, so convergence is O(log
+    diameter) (the same shortcut large-star/small-star contraction
+    exploits). Each round is two joins + one groupBy, all on node id;
+    ``localCheckpoint`` truncates the plan each round — without it the
+    lineage doubles per iteration and planning time explodes long
+    before data size matters.
 
     Size-aware: candidate-pair lists are aggregates, orders of
     magnitude smaller than the corpus — below ``driver_threshold``
@@ -368,11 +373,25 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("label").alias("__nmin"))
         )
+        stepped = labels.join(neigh, labels.node == neigh.s, "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("__nmin"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer doubling: also adopt my label's label (labels are
+        # always node ids of the same component, so the chain join
+        # hits); this is what turns O(diameter) into O(log diameter)
+        chain = stepped.select(
+            F.col("node").alias("__cn"), F.col("label").alias("__cl")
+        )
         new_labels = (
-            labels.join(neigh, labels.node == neigh.s, "left")
+            stepped.join(chain, stepped.label == F.col("__cn"), "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("__nmin"), F.col("label"))).alias("label"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("__cl"), F.col("label"))
+                ).alias("label"),
             )
             .localCheckpoint()
         )

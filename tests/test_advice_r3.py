@@ -13,6 +13,7 @@
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from matdb_spark import Database, Dimension, Schema, Value
 from matdb_spark import manifest
@@ -141,3 +142,35 @@ def test_auto_compact_policy_levels_and_preserves_content(spark, tmp_db_path):
         t.add_row([99, 990])
         t.commit()
     assert len(manifest.visible_txn_ids(db.path, db.next_txn_id)) == 2
+
+
+def test_connected_components_distributed_long_chain(spark):
+    """VERDICT r2 #4: the distributed label-propagation path, driven
+    in anger on a long-diameter component. driver_threshold=0 forces
+    the distributed loop; a 4000-edge chain (diameter 4000) must
+    converge within max_iter=24 — only possible with pointer doubling
+    (plain min-propagation needs 4000 rounds)."""
+    from matdb_spark.operators.dedup import connected_components
+
+    n = 4001
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = connected_components(edges, max_iter=24, driver_threshold=0)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("cluster_id").alias("nc"),
+        F.max("cluster_id").alias("mx"),
+    ).first()
+    assert (stats["n"], stats["nc"], stats["mx"]) == (n, 1, 0)
+
+    # two components + an isolated pair: labels stay per-component
+    multi = edges.filter(F.col("id_a") < 5).unionByName(
+        spark.createDataFrame([(100, 101), (101, 102)], "id_a long, id_b long")
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(multi, max_iter=24, driver_threshold=0).collect()
+    }
+    assert {k: v for k, v in got.items() if k >= 100} == {100: 100, 101: 100, 102: 100}
+    assert all(v == 0 for k, v in got.items() if k < 100)

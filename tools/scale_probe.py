@@ -331,6 +331,31 @@ def probe_lsh_skew(spark):
     print(f"  pair emission stayed linear ({n_pairs} pairs, no O(n^2) bucket)")
 
 
+def probe_cc_deep(spark):
+    """Connected components in anger: a single CHAIN component of 1.2M
+    edges — above driver_threshold (forces the distributed loop) and
+    with diameter 1.2M, the worst case for plain min-propagation
+    (O(diameter) rounds). Pointer doubling must converge in ~log2
+    rounds and label every node with the component min (0)."""
+    from matdb_spark.operators.dedup import connected_components
+
+    n = 1_200_001
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = timed(
+        f"chain CC, {n-1} edges, diameter {n-1}, distributed",
+        lambda: connected_components(edges, max_iter=64).localCheckpoint(),
+    )
+    rows = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("cluster_id").alias("nc"),
+        F.max("cluster_id").alias("mx"),
+    ).first()
+    assert (rows["n"], rows["nc"], rows["mx"]) == (n, 1, 0), rows
+    print(f"  {rows['n']} nodes -> 1 component, canonical id 0 (log-round doubling)")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "volume"
     spark = get_spark(app_name=f"scale_probe_{which}")
@@ -346,5 +371,7 @@ if __name__ == "__main__":
         probe_stream(spark)
     elif which == "lshskew":
         probe_lsh_skew(spark)
+    elif which == "ccdeep":
+        probe_cc_deep(spark)
     else:
         raise SystemExit(f"unknown probe {which!r}")
