@@ -1424,6 +1424,36 @@ def q_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.sample_n_per_group(docs, ["source"], "doc_id", 5)
 
 
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (operators/packing.py): documents
+    laid out as 8 independent hash-sharded token streams, each chunked
+    into 2048-token packs; every doc gets its (shard, start_tok,
+    pack_id, pack_pos). Deterministic md5-hash order + per-shard
+    prefix sum — one shuffle, no RNG, oracle-reproducible."""
+    from matdb_spark.functions.text import token_count
+    from matdb_spark.operators.packing import pack_documents
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_documents(docs, "doc_id", "n_tokens", budget=2048, n_shards=8).select(
+        "doc_id", "n_tokens", "shard", "start_tok", "pack_id", "pack_pos"
+    )
+
+
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack manifest over the packed stream (docs per pack, token
+    mass, first in-pack offset) — what a training loader consumes."""
+    from matdb_spark.functions.text import token_count
+    from matdb_spark.operators.packing import pack_documents, pack_manifest
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    packed = pack_documents(docs, "doc_id", "n_tokens", budget=2048, n_shards=8)
+    return pack_manifest(packed, "n_tokens")
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composition — the shape of a real corpus-curation job:
     quality filter → exact-dedup keep-canonical → deterministic 50%
@@ -3409,6 +3439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_stats_by_source": q_token_stats_by_source,
         "q_groupmap_rank": q_groupmap_rank,
         "q_sample_hash": q_sample_hash,
+        "q_pack_documents": q_pack_documents,
+        "q_pack_manifest": q_pack_manifest,
         "q_sample_per_source": q_sample_per_source,
         "q_curation_pipeline": q_curation_pipeline,
         "q_dedup_exact": q_dedup_exact,
@@ -4270,6 +4302,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_sample_hash": f"""
             SELECT doc_id, source FROM documents WHERE {_DOCHASH} < 100000
+        """,
+        "q_pack_documents": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h,
+                       CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens
+                FROM documents),
+            s AS (
+                SELECT doc_id, n_tokens, CAST(h % 8 AS INT) AS shard,
+                       COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY h % 8 ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           AS start_tok
+                FROM t)
+            SELECT doc_id, n_tokens, shard,
+                   CAST(start_tok AS BIGINT) AS start_tok,
+                   CAST(FLOOR(start_tok / 2048) AS BIGINT) AS pack_id,
+                   CAST(start_tok % 2048 AS BIGINT) AS pack_pos
+            FROM s
+        """,
+        "q_pack_manifest": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h,
+                       CAST(len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS BIGINT) AS n_tokens
+                FROM documents),
+            s AS (
+                SELECT doc_id, n_tokens, CAST(h % 8 AS INT) AS shard,
+                       COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY h % 8 ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           AS start_tok
+                FROM t)
+            SELECT shard, CAST(FLOOR(start_tok / 2048) AS BIGINT) AS pack_id,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS tok_mass,
+                   CAST(MIN(start_tok % 2048) AS BIGINT) AS first_pos
+            FROM s GROUP BY shard, CAST(FLOOR(start_tok / 2048) AS BIGINT)
         """,
         "q_sample_per_source": f"""
             SELECT doc_id, source FROM (

@@ -1,0 +1,88 @@
+"""Sequence packing for training-data pipelines: lay documents out as
+a deterministic token stream and chunk it into fixed-budget packs
+(GPT-style pretraining packing — documents are concatenated in a
+reproducible order, and each training sequence is one ``budget``-token
+window of the stream).
+
+Design for 100 TB:
+- The layout order is (shard, hash, id): shard = hash(id) mod
+  n_shards, so the stream is split into ``n_shards`` independent
+  streams — each shard's cumulative-sum window is its own partition
+  (no global single-task window), and n_shards scales with the
+  cluster while keeping every shard's order reproducible from the
+  data alone (no RNG, no driver state).
+- Everything is JVM expressions: one md5-derived hash, one window
+  cumsum per shard = ONE shuffle total; full codegen.
+- Deterministic & engine-portable: the same md5 hash and prefix-sum
+  are expressible in ANSI SQL, so packing decisions can be
+  oracle-verified and reproduced by any engine that reads the corpus.
+
+The reference has no notion of this operator (it is an LLM-pipeline
+addition per the build brief); the hash trick is shared with
+operators/sampling.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from matdb_spark.functions.text import hash_hex
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Assign every document a position in the packed token stream.
+
+    Returns the input plus:
+      ``shard``     — which independent stream (hash(id) mod n_shards)
+      ``start_tok`` — the document's first-token offset in its shard's
+                      concatenated stream (prefix sum of earlier docs)
+      ``pack_id``   — floor(start_tok / budget): the training sequence
+                      in which this document STARTS (documents may
+                      straddle pack boundaries, exactly like
+                      concatenate-then-chunk pretraining pipelines)
+      ``pack_pos``  — start_tok mod budget: offset within that pack
+
+    Choose ``n_shards`` ≈ a few × cluster cores: each shard's window
+    is one task, and packs never cross shards (shard boundaries are
+    the only place the stream "restarts").
+    """
+    if budget < 1:
+        raise ValueError(f"budget={budget}; expected >= 1")
+    if n_shards < 1:
+        raise ValueError(f"n_shards={n_shards}; expected >= 1")
+    h = hash_hex(F.col(id_col), 12)
+    with_shard = df.withColumn("__ph", h).withColumn(
+        "shard", F.pmod(F.col("__ph"), F.lit(n_shards)).cast("int")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("__ph").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0)).cast("long")
+    return (
+        with_shard.withColumn("start_tok", start)
+        .withColumn(
+            "pack_id", F.floor(F.col("start_tok") / F.lit(budget)).cast("long")
+        )
+        .withColumn("pack_pos", (F.col("start_tok") % F.lit(budget)).cast("long"))
+        .drop("__ph")
+    )
+
+
+def pack_manifest(packed: DataFrame, token_col: str) -> DataFrame:
+    """Per-pack manifest: documents starting in each pack and the
+    token mass they contribute (boundary-straddling tails are counted
+    with the pack where their document STARTS, matching how a loader
+    slices the stream). One aggregation on the packed relation."""
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col)).cast("long").alias("tok_mass"),
+        F.min("pack_pos").cast("long").alias("first_pos"),
+    )

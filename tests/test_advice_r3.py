@@ -174,3 +174,48 @@ def test_connected_components_distributed_long_chain(spark):
     }
     assert {k: v for k, v in got.items() if k >= 100} == {100: 100, 101: 100, 102: 100}
     assert all(v == 0 for k, v in got.items() if k < 100)
+
+
+def test_pack_documents_stream_semantics(spark):
+    """Sequence packing: per-shard prefix sums, budget chunking, and
+    determinism. One shard (n_shards=1) makes the stream order fully
+    checkable: start offsets are the exact prefix sums in (hash, id)
+    order, pack_id = start // budget, and a doc straddling a boundary
+    starts in the earlier pack."""
+    from matdb_spark.operators.packing import pack_documents, pack_manifest
+
+    docs = spark.createDataFrame(
+        [(i, 100 + i) for i in range(20)], "doc_id long, toks long"
+    )
+    out = pack_documents(docs, "doc_id", "toks", budget=256, n_shards=1)
+    rows = sorted(out.collect(), key=lambda r: r["start_tok"])
+    # prefix-sum invariant: each start = previous start + previous toks
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["start_tok"] == prev["start_tok"] + prev["toks"]
+    assert rows[0]["start_tok"] == 0
+    for r in rows:
+        assert r["pack_id"] == r["start_tok"] // 256
+        assert r["pack_pos"] == r["start_tok"] % 256
+    # deterministic across evaluations
+    again = sorted(
+        pack_documents(docs, "doc_id", "toks", budget=256, n_shards=1).collect(),
+        key=lambda r: r["start_tok"],
+    )
+    assert [r["doc_id"] for r in again] == [r["doc_id"] for r in rows]
+
+    # sharded: offsets restart per shard, packs never cross shards
+    sharded = pack_documents(docs, "doc_id", "toks", budget=256, n_shards=4)
+    per_shard = {}
+    for r in sharded.collect():
+        per_shard.setdefault(r["shard"], []).append(r)
+    assert len(per_shard) > 1
+    for rs in per_shard.values():
+        rs.sort(key=lambda r: r["start_tok"])
+        assert rs[0]["start_tok"] == 0
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur["start_tok"] == prev["start_tok"] + prev["toks"]
+
+    man = pack_manifest(sharded, "toks")
+    m = man.collect()
+    assert sum(r["n_docs"] for r in m) == 20
+    assert sum(r["tok_mass"] for r in m) == sum(100 + i for i in range(20))

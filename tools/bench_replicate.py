@@ -1,0 +1,67 @@
+"""Replicated benchmark: run one representative query per family N
+times (default 10) and report median / IQR — the noise-resistant
+regression signal the single-shot suite can't give (±20% run-to-run
+on a shared box swamps per-query deltas; a median of 10 doesn't).
+
+Usage: PYTHONPATH=/root/repo python tools/bench_replicate.py [N]
+Results recorded in SCALE.md §11. Run on an otherwise-idle box.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from matdb_spark.session import get_spark
+
+# one query per family, chosen as each family's slowest stable member
+FAMILY_REPS = {
+    "relational": "q21_waiting_suppliers",
+    "window": "q_window_running",
+    "dedup": "q_dedup_minhash_lsh",
+    "similarity": "q_similarity_topk",
+    "text": "q_tfidf_topk",
+    "mvcc_scan": "q_mvcc_scan",
+    "mvcc_lifecycle": "q_mvcc_time_travel",
+    "streaming": "q_stream_dedup",
+    "udf": "q_cogroup_stats",
+    "multimodal": "q_multimodal_decode",
+}
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench_replicate")
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    qs = entrymod.queries()
+    out = {}
+    for family, name in FAMILY_REPS.items():
+        fn = qs[name]
+        times = []
+        for _ in range(n):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times.append(time.time() - t0)
+        med = statistics.median(times)
+        q1, q3 = statistics.quantiles(times, n=4)[0], statistics.quantiles(times, n=4)[2]
+        out[family] = {
+            "query": name,
+            "median_s": round(med, 3),
+            "iqr_s": round(q3 - q1, 3),
+            "min_s": round(min(times), 3),
+            "n": n,
+        }
+        print(f"{family:15s} {name:28s} median {med:6.2f} s  "
+              f"IQR {q3 - q1:5.2f}  min {min(times):5.2f}", flush=True)
+    print(json.dumps({"sf_dir": sf_dir, "replicates": n, "families": out}))
+
+
+if __name__ == "__main__":
+    main()
