@@ -1791,366 +1791,6 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# round 3: full TPC-H query-shape coverage (adapted to the reduced
-# testdata schema — no partsupp table, no l_commitdate/l_receiptdate/
-# l_shipmode/p_container/c_phone columns; each query keeps the
-# original's PLAN SHAPE and notes its adaptation)
-# ---------------------------------------------------------------------------
-
-
-def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: priority counts over orders with at least one
-    qualifying lineitem — EXISTS rewritten as a semi join (no
-    l_commitdate/l_receiptdate in the testdata; 'shipped after order
-    date' is the late-lineitem stand-in)."""
-    orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    )
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    late = orders.join(
-        li,
-        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
-        "left_semi",
-    )
-    return late.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("order_count")
-    )
-
-
-def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape: bilateral trade volume between two nations by
-    ship year — the double-nation-role join (supplier nation vs
-    customer nation on the same lineitem)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nation = load_table(spark, sf_dir, "nation")
-    n1 = nation.select(
-        F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")
-    )
-    n2 = nation.select(
-        F.col("n_nationkey").alias("__cn_key"), F.col("n_name").alias("cust_nation")
-    )
-    disc = _dec("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
-    )
-    j = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(n1), supp.s_nationkey == F.col("__sn_key"))
-        .join(F.broadcast(n2), cust.c_nationkey == F.col("__cn_key"))
-    )
-    pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
-    return (
-        j.filter(pair)
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(disc).cast("double").alias("revenue"))
-    )
-
-
-def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8 shape: NATION_3's share of EUROPE-customer ECONOMY-part
-    volume by order year — conditional-sum-over-sum on one aggregation
-    pass, all dims broadcast."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate"
-    )
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    cnation = nation.join(
-        F.broadcast(region), nation.n_regionkey == region.r_regionkey
-    ).select(F.col("n_nationkey").alias("__cn_key"))
-    snation = nation.select(
-        F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")
-    )
-    disc = _dec("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
-    )
-    j = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(cnation), cust.c_nationkey == F.col("__cn_key"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(snation), supp.s_nationkey == F.col("__sn_key"))
-    )
-    return (
-        j.groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(
-            F.sum(F.when(F.col("supp_nation") == "NATION_3", disc)).cast("double")
-            .alias("__nat"),
-            F.sum(disc).cast("double").alias("__tot"),
-        )
-        .select(
-            "o_year",
-            (F.coalesce(F.col("__nat"), F.lit(0.0)) / F.col("__tot")).alias(
-                "mkt_share"
-            ),
-        )
-    )
-
-
-def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 shape: profit by supplier nation and year over a
-    part-name predicate. No partsupp table in the testdata, so
-    ps_supplycost is proxied by 10% of p_retailprice — the amount
-    expression keeps Q9's (revenue − cost×quantity) structure."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    part = load_table(spark, sf_dir, "part").filter(
-        F.col("p_name").contains("red")
-    )
-    nation = load_table(spark, sf_dir, "nation")
-    amount = (
-        _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-        - (_dec("p_retailprice") * F.lit(0.1).cast("decimal(18,2)")).cast(
-            "decimal(18,4)"
-        )
-        * _dec("l_quantity")
-    )
-    j = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-    )
-    return j.groupBy(
-        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
-    ).agg(F.sum(amount).cast("double").alias("sum_profit"))
-
-
-def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
-    one quarter — join + agg + TakeOrdered with a unique tiebreak."""
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    )
-    cust = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    disc = _dec("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
-    )
-    j = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-    )
-    return (
-        j.groupBy(
-            "c_custkey",
-            "c_name",
-            "n_name",
-            F.col("c_acctbal").cast("double").alias("c_acctbal"),
-        )
-        .agg(F.sum(disc).cast("double").alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-        .limit(20)
-    )
-
-
-def q12_ship_lag_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q12 shape: line counts by priority class per shipping
-    bucket. No l_shipmode/l_commitdate in the testdata — the bucket is
-    the order→ship lag (late = >60 days), keeping Q12's
-    conditional-count-by-category aggregation."""
-    li = load_table(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1996)
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate", "o_orderpriority"
-    )
-    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
-    bucket = F.when(
-        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60, "late"
-    ).otherwise("on-time")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return j.groupBy(bucket.alias("ship_bucket")).agg(
-        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-        F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
-    )
-
-
-def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13 shape: histogram of per-customer order counts — left
-    join (keeping zero-order customers) with a join-side predicate
-    (priority stand-in for the comment filter), double aggregation."""
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") != "4-NOT SPECIFIED"
-    )
-    per_cust = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
-    )
-    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
-
-
-def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: promo revenue share for one month —
-    conditional sum over sum, part dim broadcast."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
-    )
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    disc = _dec("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
-    )
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    return j.agg(
-        (
-            F.lit(100.0)
-            * F.coalesce(
-                F.sum(F.when(F.col("p_type") == "PROMO", disc)).cast("double"),
-                F.lit(0.0),
-            )
-            / F.sum(disc).cast("double")
-        ).alias("promo_revenue")
-    )
-
-
-def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15 shape: supplier(s) achieving the max quarterly
-    revenue — aggregate view + scalar-max self-comparison. The revenue
-    relation feeds both the max and the filter, so it is
-    localCheckpoint-ed once (the Q15 'view')."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
-    )
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    disc = _dec("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
-    )
-    revenue = (
-        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(disc).cast("double").alias("total_revenue"))
-        .localCheckpoint()
-    )
-    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
-    return (
-        revenue.crossJoin(F.broadcast(mx))
-        .filter(F.col("total_revenue") == F.col("__mx"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
-    )
-
-
-def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape: revenue from small-quantity orders of one
-    brand's small parts (p_size < 10 stands in for the missing
-    p_container) — per-part average-quantity correlated subquery as a
-    broadcast of the per-part aggregate."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_brand") == "Brand#1") & (F.col("p_size") < 10)
-    )
-    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    # per-part avg from exact decimal sums: sum/count in double after
-    avg_q = branded.groupBy(F.col("l_partkey").alias("__pk")).agg(
-        (
-            F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))
-        ).alias("__avg_qty")
-    )
-    return (
-        branded.join(F.broadcast(avg_q), branded.l_partkey == F.col("__pk"))
-        .filter(F.col("l_quantity").cast("double") < F.lit(0.5) * F.col("__avg_qty"))
-        .agg(
-            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
-                "avg_yearly"
-            )
-        )
-    )
-
-
-def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: customers behind orders whose total quantity
-    exceeds a threshold — lineitem self-aggregation driving a semi
-    filter on orders, top-20 with unique tiebreak."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
-        .filter(F.col("sum_qty") > 260)
-    )
-    return (
-        big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .select(
-            "c_name",
-            "c_custkey",
-            "o_orderkey",
-            "o_orderdate",
-            F.col("o_totalprice").cast("double").alias("o_totalprice"),
-            "sum_qty",
-        )
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .limit(20)
-    )
-
-
-def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q19 shape: revenue under a disjunction of brand/size/
-    quantity envelopes (p_size ranges stand in for the missing
-    p_container sets) — the OR-of-ANDs join predicate Catalyst must
-    keep inside ONE broadcast join, not three scans."""
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    disc = _dec("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
-    )
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    q = F.col("l_quantity")
-    s = F.col("p_size")
-    env = (
-        ((F.col("p_brand") == "Brand#1") & s.between(1, 15) & q.between(1, 21))
-        | ((F.col("p_brand") == "Brand#2") & s.between(10, 30) & q.between(10, 30))
-        | ((F.col("p_brand") == "Brand#3") & s.between(20, 50) & q.between(20, 40))
-    )
-    return j.filter(env).agg(F.sum(disc).cast("double").alias("revenue"))
-
-
-def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: well-funded customers with no recent urgent
-    orders, counted per nation — scalar-average threshold + anti join.
-    (c_phone country codes don't exist in the testdata; n_nationkey is
-    the grouping stand-in, and 'no 1997+ urgent orders' replaces 'no
-    orders' so the anti side is non-empty at every SF.)"""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-        & (F.col("o_orderpriority") == "1-URGENT")
-    )
-    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        (
-            F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))
-        ).alias("__avg")
-    )
-    funded = (
-        cust.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal").cast("double") > F.col("__avg"))
-        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-    )
-    return funded.groupBy("c_nationkey").agg(
-        F.count(F.lit(1)).alias("numcust"),
-        F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # round 2: function-surface and statistics coverage
 # ---------------------------------------------------------------------------
 
@@ -3455,19 +3095,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_decode": q_multimodal_decode,
         "q_multimodal_frames": q_multimodal_frames,
         "q02_min_cost_supplier": q02_min_cost_supplier,
-        "q04_order_priority": q04_order_priority,
-        "q07_volume_shipping": q07_volume_shipping,
-        "q08_market_share": q08_market_share,
-        "q09_product_profit": q09_product_profit,
-        "q10_returned_items": q10_returned_items,
-        "q12_ship_lag_modes": q12_ship_lag_modes,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q14_promo_effect": q14_promo_effect,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q18_large_volume_customers": q18_large_volume_customers,
-        "q19_discounted_revenue": q19_discounted_revenue,
-        "q22_sales_opportunity": q22_sales_opportunity,
         "q11_important_volume": q11_important_volume,
         "q16_supplier_count": q16_supplier_count,
         "q20_excess_shippers": q20_excess_shippers,
@@ -4518,167 +4145,6 @@ def oracle_sql() -> dict[str, str]:
             FROM m JOIN solo USING (l_orderkey)
             JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
-        """,
-        "q04_order_priority": """
-            SELECT o_orderpriority, COUNT(*) AS order_count
-            FROM orders
-            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-              AND EXISTS (SELECT 1 FROM lineitem
-                          WHERE l_orderkey = o_orderkey
-                            AND l_shipdate > o_orderdate)
-            GROUP BY o_orderpriority
-        """,
-        "q07_volume_shipping": f"""
-            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-                   EXTRACT(YEAR FROM l_shipdate) AS l_year,
-                   CAST(SUM({_DISC}) AS DOUBLE) AS revenue
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            JOIN supplier ON l_suppkey = s_suppkey
-            JOIN nation n1 ON s_nationkey = n1.n_nationkey
-            JOIN nation n2 ON c_nationkey = n2.n_nationkey
-            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
-            GROUP BY n1.n_name, n2.n_name, EXTRACT(YEAR FROM l_shipdate)
-        """,
-        "q08_market_share": f"""
-            SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
-                   COALESCE(CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
-                                          THEN {_DISC} END) AS DOUBLE), 0.0)
-                   / CAST(SUM({_DISC}) AS DOUBLE) AS mkt_share
-            FROM lineitem
-            JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            JOIN nation n2 ON c_nationkey = n2.n_nationkey
-            JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'EUROPE'
-            JOIN supplier ON l_suppkey = s_suppkey
-            JOIN nation n1 ON s_nationkey = n1.n_nationkey
-            GROUP BY EXTRACT(YEAR FROM o_orderdate)
-        """,
-        "q09_product_profit": f"""
-            SELECT n_name AS nation,
-                   EXTRACT(YEAR FROM o_orderdate) AS o_year,
-                   CAST(SUM({_DISC}
-                        - CAST(CAST(p_retailprice AS DECIMAL(18,2))
-                               * CAST(0.1 AS DECIMAL(18,2)) AS DECIMAL(18,4))
-                          * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-                       AS sum_profit
-            FROM lineitem
-            JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN supplier ON l_suppkey = s_suppkey
-            JOIN nation ON s_nationkey = n_nationkey
-            GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
-        """,
-        "q10_returned_items": f"""
-            SELECT c_custkey, c_name, n_name,
-                   CAST(c_acctbal AS DOUBLE) AS c_acctbal,
-                   CAST(SUM({_DISC}) AS DOUBLE) AS revenue
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            JOIN nation ON c_nationkey = n_nationkey
-            WHERE l_returnflag = 'R'
-              AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
-              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-            GROUP BY c_custkey, c_name, n_name, c_acctbal
-            ORDER BY revenue DESC, c_custkey LIMIT 20
-        """,
-        "q12_ship_lag_modes": """
-            SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
-                        THEN 'late' ELSE 'on-time' END AS ship_bucket,
-                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-            WHERE EXTRACT(YEAR FROM l_shipdate) = 1996
-            GROUP BY 1
-        """,
-        "q13_customer_distribution": """
-            SELECT c_count, COUNT(*) AS custdist
-            FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
-                  FROM customer LEFT JOIN orders
-                    ON c_custkey = o_custkey
-                   AND o_orderpriority <> '4-NOT SPECIFIED'
-                  GROUP BY c_custkey) t
-            GROUP BY c_count
-        """,
-        "q14_promo_effect": f"""
-            SELECT 100.0 * COALESCE(CAST(SUM(CASE WHEN p_type = 'PROMO'
-                                                  THEN {_DISC} END) AS DOUBLE), 0.0)
-                   / CAST(SUM({_DISC}) AS DOUBLE) AS promo_revenue
-            FROM lineitem JOIN part ON l_partkey = p_partkey
-            WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
-              AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
-        """,
-        "q15_top_supplier": f"""
-            WITH revenue AS (
-                SELECT l_suppkey AS supplier_no,
-                       CAST(SUM({_DISC}) AS DOUBLE) AS total_revenue
-                FROM lineitem
-                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-                  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
-                GROUP BY l_suppkey)
-            SELECT s_suppkey, s_name, total_revenue
-            FROM revenue JOIN supplier ON supplier_no = s_suppkey
-            WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
-        """,
-        "q17_small_quantity_revenue": """
-            WITH branded AS (
-                SELECT l_partkey, l_quantity, l_extendedprice
-                FROM lineitem JOIN part ON l_partkey = p_partkey
-                WHERE p_brand = 'Brand#1' AND p_size < 10),
-            a AS (
-                SELECT l_partkey AS pk,
-                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-                       / COUNT(*) AS avg_qty
-                FROM branded GROUP BY l_partkey)
-            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                   / 7.0 AS avg_yearly
-            FROM branded JOIN a ON l_partkey = pk
-            WHERE CAST(l_quantity AS DOUBLE) < 0.5 * avg_qty
-        """,
-        "q18_large_volume_customers": """
-            WITH big AS (
-                SELECT l_orderkey,
-                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-                           AS sum_qty
-                FROM lineitem GROUP BY l_orderkey
-                HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 260)
-            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
-                   CAST(o_totalprice AS DOUBLE) AS o_totalprice, sum_qty
-            FROM big JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
-        """,
-        "q19_discounted_revenue": f"""
-            SELECT CAST(SUM({_DISC}) AS DOUBLE) AS revenue
-            FROM lineitem JOIN part ON l_partkey = p_partkey
-            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
-                   AND l_quantity BETWEEN 1 AND 21)
-               OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
-                   AND l_quantity BETWEEN 10 AND 30)
-               OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
-                   AND l_quantity BETWEEN 20 AND 40)
-        """,
-        "q22_sales_opportunity": """
-            SELECT c_nationkey, COUNT(*) AS numcust,
-                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-                       AS totacctbal
-            FROM customer
-            WHERE CAST(c_acctbal AS DOUBLE) >
-                  (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-                          / COUNT(*)
-                   FROM customer WHERE c_acctbal > 0)
-              AND NOT EXISTS (SELECT 1 FROM orders
-                              WHERE o_custkey = c_custkey
-                                AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-                                AND o_orderpriority = '1-URGENT')
-            GROUP BY c_nationkey
         """,
         "q_stats_moments": """
             WITH g AS (
