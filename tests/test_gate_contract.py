@@ -43,3 +43,24 @@ def test_segments_written_zstd(spark):
         meta = pq.ParquetFile(f).metadata
         codecs = {meta.row_group(i).column(0).compression for i in range(meta.num_row_groups)}
         assert codecs == {"ZSTD"}, f
+
+
+def test_no_duplicate_registry_keys_in_source():
+    """Python dict literals accept duplicate keys silently (later
+    wins) — a re-added query would shadow the original and shrink the
+    effective registry without any error. Scan the source statically."""
+    import collections
+    import re
+
+    src = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "__spark_entry__.py",
+    )
+    with open(src) as f:
+        text = f.read()
+    reg = re.findall(r'"(q[0-9a-zA-Z_]+)":\s*(?:q[0-9a-zA-Z_]+,)', text)
+    dup_reg = [n for n, c in collections.Counter(reg).items() if c > 1]
+    assert dup_reg == [], f"duplicate queries() keys: {dup_reg}"
+    orc = re.findall(r'"(q[0-9a-zA-Z_]+)":\s*f?"""', text)
+    dup_orc = [n for n, c in collections.Counter(orc).items() if c > 1]
+    assert dup_orc == [], f"duplicate oracle_sql() keys: {dup_orc}"
