@@ -68,8 +68,9 @@ def main() -> None:
     if failed:
         # failures must be LOUD in the headline line: a crashing query
         # is excluded from the sum, which would otherwise make a broken
-        # run look faster than a healthy one
-        out["failed"] = failed
+        # run look faster than a healthy one. Cap the name list so a
+        # mass failure cannot itself overflow the line budget.
+        out["failed"] = failed[:15]
         out["n_failed"] = len(failed)
 
     # The driver keeps only the TAIL of stdout (last ~2000 chars): a
@@ -88,12 +89,17 @@ def main() -> None:
         out["queries_truncated"] = True
         out["detail_file"] = "BENCH_FULL.json"
         keep = len(ranked)
-        while keep > 1:
+        while keep > 0:
             out["queries"] = dict(ranked[:keep])
             line = json.dumps(out, separators=(",", ":"))
             if len(line) <= budget:
                 break
-            keep -= max(1, (len(line) - budget) // 24)
+            keep = max(0, keep - max(1, (len(line) - budget) // 24))
+        if keep == 0:
+            # even an empty map overflows (e.g. a huge failed list) —
+            # print the bare headline, which always fits
+            out["queries"] = {}
+            line = json.dumps(out, separators=(",", ":"))
         # the decrement overshoots (assumes max-width entries); claw
         # back entries while they still fit
         while keep < len(ranked):

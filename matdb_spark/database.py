@@ -140,6 +140,13 @@ class Database:
             raise ValueError(f"every={every}; folding needs a window of >= 2")
         if major_every < 2:
             raise ValueError(f"major_every={major_every}; expected >= 2")
+        # validate HERE, not at the every-th commit: compact() would
+        # raise these miles from the misconfiguration site, disguised
+        # as a commit failure
+        if cluster not in ("sort", "zorder"):
+            raise ValueError(f"cluster={cluster!r}; expected 'sort' or 'zorder'")
+        if resolution not in ("row", "cell"):
+            raise ValueError(f"resolution={resolution!r}; expected 'row' or 'cell'")
         self._auto_compact = {
             "every": every,
             "major": major_every,
@@ -159,22 +166,36 @@ class Database:
         if ac is None or compaction:
             return
         ac["n"] += 1
-        did = False
-        span, size = ac["every"], ac["every"]
-        while ac["n"] % span == 0:
-            did = (
-                self.compact(
-                    max_txns=size,
-                    fold="newest",
-                    cluster=ac["cluster"],
-                    resolution=ac["resolution"],
-                )
-                is not None
-            ) or did
-            span *= ac["major"]
-            size = ac["major"]
-        if did and ac["vacuum"]:
-            self.vacuum()
+        # The user's commit is already durable when this hook runs — a
+        # failed MAINTENANCE job (executor loss, disk full mid-rewrite)
+        # must not surface as a commit failure, or retry logic would
+        # re-ingest an already-landed batch. Folds are idempotent
+        # opportunities: a skipped one is absorbed by the next tier.
+        try:
+            did = False
+            span, size = ac["every"], ac["every"]
+            while ac["n"] % span == 0:
+                did = (
+                    self.compact(
+                        max_txns=size,
+                        fold="newest",
+                        cluster=ac["cluster"],
+                        resolution=ac["resolution"],
+                    )
+                    is not None
+                ) or did
+                span *= ac["major"]
+                size = ac["major"]
+            if did and ac["vacuum"]:
+                self.vacuum()
+        except Exception:
+            import warnings
+
+            warnings.warn(
+                "auto-compact maintenance failed after a successful "
+                "commit; the fold will be retried by a later tier",
+                stacklevel=3,
+            )
 
     # ---- schema evolution ------------------------------------------
     def add_value_column(self, name: str, type: str = "long") -> None:
@@ -373,8 +394,14 @@ class Database:
         # be wrongly resurrected or shadowed — abort for those. Post-
         # pin commits always carry ids above the rank and are safe.
         floor = None if downward_closed else lo_eff
-        committed_now = set(m.committed_txn_ids(self.path))
-        superseded = m.replaced_txn_ids(self.path)
+        # READ ORDER MATTERS: pending ids and intents FIRST, committed
+        # manifests LAST. A competitor is pending (reservation +
+        # intent) until it publishes, and releases its reservation only
+        # AFTER publishing — so a competitor absent from our
+        # pending/intent snapshots has already published and must show
+        # up in the later committed read. Snapshotting committed first
+        # would open a gap (competitor publishes + releases between the
+        # two reads) in which it is invisible to all three tests.
         pending = {t for t in m.outstanding_txn_ids(self.path) if t != my_id}
         # A concurrent COMPACTION's reservation id is always above the
         # rank, so the pending-id interval test cannot see it; its
@@ -385,6 +412,8 @@ class Database:
         # committed-interval test catches its published rollup
         # instead).
         intents = m.read_reservation_intents(self.path)
+        committed_now = set(m.committed_txn_ids(self.path))
+        superseded = m.replaced_txn_ids(self.path)
         compact_conflicts = {
             t
             for t, info in intents.items()

@@ -69,8 +69,17 @@ def dictionary_encode(
     else:
         start = 0
         new = distinct
-    parted = new.repartitionByRange(*[F.col(c).asc() for c in key_cols]).withColumn(
-        "__dp", F.spark_partition_id()
+    # localCheckpoint PINS the partition assignment: counts/offsets and
+    # the numbering branch both consume this relation, and without
+    # materialization a re-executed range exchange could re-sample
+    # DIFFERENT boundaries (RangePartitioner sampling is per-execution),
+    # silently pairing rows with offsets from another partitioning —
+    # duplicate/skipped ids with no error. The checkpoint holds only
+    # the NEW keys (dictionary delta), not the corpus.
+    parted = (
+        new.repartitionByRange(*[F.col(c).asc() for c in key_cols])
+        .withColumn("__dp", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = parted.groupBy("__dp").agg(F.count(F.lit(1)).alias("__dc"))
     # window over partition COUNTS only: #shuffle-partitions rows

@@ -373,11 +373,19 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("label").alias("__nmin"))
         )
-        stepped = labels.join(neigh, labels.node == neigh.s, "left").select(
-            "node",
-            F.least(
-                F.col("label"), F.coalesce(F.col("__nmin"), F.col("label"))
-            ).alias("label"),
+        # checkpoint: the doubling join consumes `stepped` TWICE (as
+        # the rows and as the chain map) — unmaterialized, the whole
+        # neighbor join + min-aggregate subtree would execute twice per
+        # round whenever exchange reuse misses
+        stepped = (
+            labels.join(neigh, labels.node == neigh.s, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("__nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
         )
         # pointer doubling: also adopt my label's label (labels are
         # always node ids of the same component, so the chain join

@@ -79,11 +79,31 @@ def _sensors_dim_path(db_path: str) -> str:
 
 
 def load_sensors_dim(spark: SparkSession, db_path: str) -> DataFrame | None:
-    """Existing dictionary, or None on first load (sensors.json analog)."""
+    """Existing dictionary, or None on first load (sensors.json analog).
+    Runs dictionary crash recovery first — see _recover_dims."""
     p = _sensors_dim_path(db_path)
+    _recover_dims(db_path)
     if not os.path.exists(p):
         return None
     return spark.read.parquet(p)
+
+
+def _recover_dims(db_path: str) -> None:
+    """Repair a dictionary swap interrupted mid-publish. POSIX has no
+    atomic directory swap, so load() publishes via rename-aside
+    (dim -> dim.old) + rename-in (dim.tmp -> dim); a crash between the
+    two leaves NO dictionary at the final path. The .old sibling is
+    then the authoritative last-published state — the .tmp content was
+    never joined into any committed facts (facts build only against
+    the PUBLISHED path) — so restoring it is always safe, and the
+    retry re-derives the same new ids deterministically. A crash after
+    rename-in merely leaves .old/.tmp debris to sweep."""
+    p = _sensors_dim_path(db_path)
+    old = p + ".old"
+    if not os.path.exists(p) and os.path.exists(old):
+        os.rename(old, p)
+    if os.path.exists(p):
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def encode_sensor_rows(
@@ -94,31 +114,34 @@ def encode_sensor_rows(
     Skips rows whose timestamp fails to parse, like the reference's
     per-line error path; an empty/invalid value encodes as 0.
 
-    The updated dictionary is materialized DISTRIBUTED, never
-    collected to the driver (a high-cardinality key space must not
-    grow driver memory): with ``dim_spill_path`` it is written there
-    as parquet and read back (``load()`` passes its tmp dir — the
-    write doubles as the persistence step); without one it is
-    ``localCheckpoint``-ed to executor storage. Either way the
-    returned dim is severed from the lazy plan over the PREVIOUS
-    on-disk dictionary, which load() is about to overwrite. The
-    encode join broadcasts only when the materialized dictionary is
-    small (parquet byte size under the 32 MB hint threshold);
-    otherwise it is a plain shuffle join — at dictionary sizes that
-    big the shuffle is the correct plan, and forcing broadcast would
-    OOM every executor."""
+    Library-facing convenience over the same helpers ``load()``
+    composes (load additionally sequences the persistence swap BEFORE
+    building facts — crash ordering it cannot delegate here). The
+    updated dictionary is materialized DISTRIBUTED, never collected to
+    the driver (a high-cardinality key space must not grow driver
+    memory): with ``dim_spill_path`` it is written there as parquet
+    and read back; without one it is ``localCheckpoint``-ed to
+    executor storage. Either way the returned dim is severed from the
+    lazy plan over the previous on-disk dictionary. The encode join
+    broadcasts only when the materialized dictionary is small (parquet
+    bytes under 32 MB, or row count under the equivalent bound on the
+    checkpoint path); otherwise it is a plain shuffle join — at
+    dictionary sizes that big the shuffle is the correct plan, and
+    forcing broadcast would OOM every executor."""
     ok = _clean_raw(raw)
     dim_lazy = dictionary_encode(
         ok, _DIM_KEYS, existing=sensors_dim, id_col="sensor_id"
     )
     spark = raw.sparkSession
-    broadcast_ok = True
     if dim_spill_path is not None:
         dim_lazy.write.mode("overwrite").parquet(dim_spill_path)
         dim = spark.read.parquet(dim_spill_path)
         broadcast_ok = _dim_parquet_size(dim_spill_path) < _BROADCAST_DIM_BYTES
     else:
         dim = dim_lazy.localCheckpoint(eager=True)
+        # no file sizes on the checkpoint path — bound by row count
+        # (~100 B/row keeps 300k rows safely under the byte threshold)
+        broadcast_ok = dim.count() <= 300_000
     return _facts_against_dim(ok, dim, broadcast_ok), dim
 
 
@@ -167,9 +190,10 @@ def load(spark: SparkSession, db_path: str, paths: list[str]) -> int:
     unused dictionary entries, which the retry reuses at the same ids
     (deterministic numbering continues from the published dictionary);
     committing facts first could strand rows referencing ids no
-    dictionary knows. rename-aside + rename-in keeps every crash
-    window holding either the old or the new dictionary — never
-    neither."""
+    dictionary knows. The publish swap is rename-aside + rename-in; a
+    crash between the two renames leaves the dictionary at the .old
+    path, which _recover_dims restores on the next open — every crash
+    window is recoverable to the last published state."""
     db = open_or_create(spark, db_path)
     raw = read_sensor_tsv(spark, paths)
     sensors = load_sensors_dim(spark, db_path)

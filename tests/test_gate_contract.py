@@ -58,7 +58,9 @@ def test_no_duplicate_registry_keys_in_source():
     )
     with open(src) as f:
         text = f.read()
-    reg = re.findall(r'"(q[0-9a-zA-Z_]+)":\s*(?:q[0-9a-zA-Z_]+,)', text)
+    # no trailing-comma requirement: a duplicate added as the dict's
+    # LAST entry must still be caught
+    reg = re.findall(r'"(q[0-9a-zA-Z_]+)":\s*q[0-9a-zA-Z_]', text)
     dup_reg = [n for n, c in collections.Counter(reg).items() if c > 1]
     assert dup_reg == [], f"duplicate queries() keys: {dup_reg}"
     orc = re.findall(r'"(q[0-9a-zA-Z_]+)":\s*f?"""', text)

@@ -297,3 +297,19 @@ def test_ngram_jaccard_no_inferred_generate_filter(spark):
     out = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Filter ((size(CASE" not in plan
+
+
+def test_pack_documents_single_shuffle(spark):
+    """Sequence packing must stay a one-shuffle pipeline: the only
+    exchange is the hash-shard repartition feeding the per-shard
+    prefix-sum window — no global window, no extra aggregation
+    exchange on the doc path."""
+    import __spark_entry__ as e
+
+    df = e.q_pack_documents(spark, SF)
+    assert exchange_count(df) == 1, physical_plan(df)
+    plan = physical_plan(df)
+    # the window must be partitioned (per-shard), never a global
+    # single-task window
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, plan

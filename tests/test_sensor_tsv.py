@@ -174,3 +174,45 @@ def test_sensor_cli_end_to_end(tmp_path):
     # time sensor_id value triplets, times ascending
     times = [int(l.split()[0]) for l in listing]
     assert times == sorted(times)
+
+
+def test_dictionary_swap_crash_recovery(spark):
+    """A crash between rename-aside and rename-in leaves NO dictionary
+    at the final path; _recover_dims must restore the .old (last
+    published) state so ids never restart from 1 (restart would
+    silently cross-wire sensor_ids of previously committed facts)."""
+    d = _fresh("sensor_crashdim")
+    tsv = os.path.join(d, "a.tsv")
+    with open(tsv, "w") as f:
+        f.write("\n".join(LINES_A) + "\n")
+    db_path = os.path.join(d, "db")
+    sensor_tsv.load(spark, db_path, [tsv])
+    dim_path = sensor_tsv._sensors_dim_path(db_path)
+    ids_before = {
+        tuple(r[k] for k in ("component", "sensor", "kind")): r["sensor_id"]
+        for r in sensor_tsv.load_sensors_dim(spark, db_path).collect()
+    }
+
+    # simulate the crash window: published dict moved aside, tmp never
+    # renamed in
+    os.rename(dim_path, dim_path + ".old")
+    dim = sensor_tsv.load_sensors_dim(spark, db_path)
+    assert dim is not None, "recovery failed to restore the .old dictionary"
+    ids_after = {
+        tuple(r[k] for k in ("component", "sensor", "kind")): r["sensor_id"]
+        for r in dim.collect()
+    }
+    assert ids_after == ids_before
+    assert not os.path.exists(dim_path + ".old")
+
+    # a follow-up load keeps ids stable and appends new keys above max
+    gz = os.path.join(d, "b.tsv")
+    with open(gz, "w") as f:
+        f.write("\n".join(LINES_B) + "\n")
+    sensor_tsv.load(spark, db_path, [gz])
+    ids2 = {
+        tuple(r[k] for k in ("component", "sensor", "kind")): r["sensor_id"]
+        for r in sensor_tsv.load_sensors_dim(spark, db_path).collect()
+    }
+    assert all(ids2[k] == v for k, v in ids_before.items())
+    assert len(ids2) == len(ids_before) + 1

@@ -50,7 +50,11 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(time.time() - t0)
         med = statistics.median(times)
-        q1, q3 = statistics.quantiles(times, n=4)[0], statistics.quantiles(times, n=4)[2]
+        if len(times) >= 2:
+            qs = statistics.quantiles(times, n=4)
+            q1, q3 = qs[0], qs[2]
+        else:
+            q1 = q3 = med
         out[family] = {
             "query": name,
             "median_s": round(med, 3),
