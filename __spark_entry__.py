@@ -889,6 +889,39 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) — the 100 TB
+    quantile path: mergeable partial sketches instead of a full sort.
+    Like q_approx_distinct, the gate is TOLERANCE-BANDED: the query
+    emits exact percentiles (the oracle recomputes them) plus
+    deterministic in-band verdicts |approx-exact| <= 2%*spread; an
+    accuracy of 10000 makes the GK rank error ~1e-4, far inside the
+    band."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    exact = lambda q: F.percentile(x, F.lit(q))
+    approx = lambda q: F.percentile_approx(x, F.lit(q), F.lit(10000))
+    agg = orders.groupBy("o_orderstatus").agg(
+        exact(0.5).alias("__e50"), approx(0.5).alias("__a50"),
+        exact(0.95).alias("__e95"), approx(0.95).alias("__a95"),
+        F.min(x).cast("double").alias("__lo"),
+        F.max(x).cast("double").alias("__hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    band = lambda a, e: (
+        F.abs(F.col(a) - F.col(e))
+        <= F.lit(0.02) * (F.col("__hi") - F.col("__lo"))
+    )
+    return agg.select(
+        "o_orderstatus",
+        F.round(F.col("__e50"), 6).alias("p50_exact"),
+        F.round(F.col("__e95"), 6).alias("p95_exact"),
+        "n",
+        band("__a50", "__e50").alias("p50_in_band"),
+        band("__a95", "__e95").alias("p95_in_band"),
+    )
+
+
 def q_date_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-function surface: year/quarter/month buckets with distinct
     day counts and ISO-weekday splits."""
@@ -3063,6 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mvcc_range_scan": q_mvcc_range_scan,
         "q_point_lookup": q_point_lookup,
         "q_percentiles": q_percentiles,
+        "q_approx_percentile": q_approx_percentile,
         "q_date_extract": q_date_extract,
         "q_collect_agg": q_collect_agg,
         "q_pandas_udf_scalar": q_pandas_udf_scalar,
@@ -3801,6 +3835,18 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
                    ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75,
                    COUNT(*) AS n
+            FROM orders GROUP BY o_orderstatus
+        """,
+        # tolerance-banded (see q_approx_distinct): exact percentiles +
+        # TRUE verdicts mirror the Spark side's |approx-exact| <= 2%
+        # of the per-group value spread
+        "q_approx_percentile": """
+            SELECT o_orderstatus,
+                   ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50_exact,
+                   ROUND(quantile_cont(o_totalprice, 0.95), 6) AS p95_exact,
+                   COUNT(*) AS n,
+                   TRUE AS p50_in_band,
+                   TRUE AS p95_in_band
             FROM orders GROUP BY o_orderstatus
         """,
         "q_date_extract": """

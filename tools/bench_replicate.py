@@ -51,8 +51,8 @@ def main() -> None:
             times.append(time.time() - t0)
         med = statistics.median(times)
         if len(times) >= 2:
-            qs = statistics.quantiles(times, n=4)
-            q1, q3 = qs[0], qs[2]
+            quartiles = statistics.quantiles(times, n=4)
+            q1, q3 = quartiles[0], quartiles[2]
         else:
             q1 = q3 = med
         out[family] = {

@@ -42,7 +42,7 @@ def timed(label, fn):
     return out
 
 
-def probe_volume(spark):
+def probe_volume(spark, reps: int = 256):
     path = os.path.join(SCRATCH, "probe_volume")
     shutil.rmtree(path, ignore_errors=True)
     ev = load_table(spark, "/root/testdata/sf0.1", "events").select(
@@ -50,7 +50,6 @@ def probe_volume(spark):
     )
     n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
     base = ev.count()
-    reps = 256
     print(f"volume probe: {base} rows x {reps} = {base * reps} rows, "
           f"{n_users * reps} distinct users")
     rep = spark.range(reps).select(F.col("id").alias("__r"))
@@ -361,6 +360,9 @@ if __name__ == "__main__":
     spark = get_spark(app_name=f"scale_probe_{which}")
     if which == "volume":
         probe_volume(spark)
+    elif which == "volume1024":
+        # the deep-volume tier: ~102M rows through the same path
+        probe_volume(spark, reps=1024)
     elif which == "manytxn":
         probe_manytxn(spark)
     elif which == "tiered":
