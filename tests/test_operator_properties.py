@@ -183,3 +183,90 @@ def test_global_row_number_matches_window_model(spark, rows):
         for i, (rid, _) in enumerate(sorted(rows, key=lambda r: (r[1], r[0])))
     }
     assert got == expected
+
+
+_tok_rows = st.lists(
+    st.tuples(st.integers(0, 10_000), st.integers(0, 400)),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=_tok_rows, budget=st.integers(1, 300), n_shards=st.integers(1, 4))
+def test_pack_documents_matches_pure_python(spark, rows, budget, n_shards):
+    """Packing layout cross-checked against a pure-Python reference:
+    same md5 hash, same (shard, hash, id) order, same prefix sums."""
+    import hashlib
+
+    from matdb_spark.operators.packing import pack_documents
+
+    df = spark.createDataFrame(rows, "doc_id long, toks long")
+    got = {
+        r["doc_id"]: (r["shard"], r["start_tok"], r["pack_id"], r["pack_pos"])
+        for r in pack_documents(df, "doc_id", "toks", budget, n_shards).collect()
+    }
+
+    def h(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16)
+
+    expected = {}
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, toks in rows:
+        by_shard.setdefault(h(doc_id) % n_shards, []).append((doc_id, toks))
+    for shard, members in by_shard.items():
+        members.sort(key=lambda m: (h(m[0]), m[0]))
+        start = 0
+        for doc_id, toks in members:
+            expected[doc_id] = (shard, start, start // budget, start % budget)
+            start += toks
+    assert got == expected
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    keys=st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=4), min_size=1, max_size=20
+    ),
+    split=st.integers(0, 20),
+)
+def test_dictionary_encode_incremental_matches_batch_order(spark, keys, split):
+    """Dictionary ids are dense 1..N in sorted key order, and feeding
+    the keys in two batches (second batch continues from the first's
+    dictionary) never moves an already-assigned id."""
+    from matdb_spark.functions.encoders import dictionary_encode
+
+    uniq = sorted(set(keys))
+    df_all = spark.createDataFrame([(k, "s", "k") for k in uniq],
+                                   "component string, sensor string, kind string")
+    dim = dictionary_encode(df_all, ["component", "sensor", "kind"], id_col="id")
+    got = {r["component"]: r["id"] for r in dim.collect()}
+    assert got == {k: i + 1 for i, k in enumerate(uniq)}
+
+    first, second = uniq[:split], uniq
+    if not first:
+        return
+    df1 = spark.createDataFrame([(k, "s", "k") for k in first],
+                                "component string, sensor string, kind string")
+    dim1 = dictionary_encode(df1, ["component", "sensor", "kind"], id_col="id")
+    df2 = spark.createDataFrame([(k, "s", "k") for k in second],
+                                "component string, sensor string, kind string")
+    dim2 = dictionary_encode(df2, ["component", "sensor", "kind"],
+                             existing=dim1, id_col="id")
+    ids1 = {r["component"]: r["id"] for r in dim1.collect()}
+    ids2 = {r["component"]: r["id"] for r in dim2.collect()}
+    assert all(ids2[k] == v for k, v in ids1.items()), "existing ids moved"
+    assert sorted(ids2.values()) == list(range(1, len(second) + 1))
+    new_keys = sorted(set(second) - set(first))
+    assert [ids2[k] for k in new_keys] == list(
+        range(len(first) + 1, len(second) + 1)
+    ), "new keys not numbered in sorted order after the existing max"
