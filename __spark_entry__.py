@@ -3991,7 +3991,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM t)
             SELECT doc_id, n_tokens, shard,
                    CAST(start_tok AS BIGINT) AS start_tok,
-                   CAST(FLOOR(start_tok / 2048) AS BIGINT) AS pack_id,
+                   CAST(start_tok // 2048 AS BIGINT) AS pack_id,
                    CAST(start_tok % 2048 AS BIGINT) AS pack_pos
             FROM s
         """,
@@ -4008,11 +4008,11 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                            AS start_tok
                 FROM t)
-            SELECT shard, CAST(FLOOR(start_tok / 2048) AS BIGINT) AS pack_id,
+            SELECT shard, CAST(start_tok // 2048 AS BIGINT) AS pack_id,
                    COUNT(*) AS n_docs,
                    CAST(SUM(n_tokens) AS BIGINT) AS tok_mass,
                    CAST(MIN(start_tok % 2048) AS BIGINT) AS first_pos
-            FROM s GROUP BY shard, CAST(FLOOR(start_tok / 2048) AS BIGINT)
+            FROM s GROUP BY shard, CAST(start_tok // 2048 AS BIGINT)
         """,
         "q_sample_per_source": f"""
             SELECT doc_id, source FROM (

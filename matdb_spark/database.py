@@ -313,7 +313,7 @@ class Database:
         visible = m.visible_txn_ids(self.path, self.next_txn_id)
 
         def _eff(t: int) -> int:
-            return int(m.read_manifest_cached(self.path, t).get("version_rank", t))
+            return m.effective_version(self.path, t)
 
         by_version = sorted(visible, key=_eff)
         if max_txns is None:
@@ -368,7 +368,7 @@ class Database:
         from matdb_spark import manifest as m
 
         def _eff(t: int) -> int:
-            return int(m.read_manifest_cached(self.path, t).get("version_rank", t))
+            return m.effective_version(self.path, t)
 
         # Declare the covered interval on our reservation BEFORE the
         # (long) rewrite job: a reservation id alone cannot reveal a
@@ -527,11 +527,7 @@ class Database:
         if holds:
 
             def _eff(t: int) -> int:
-                try:
-                    mf = m.read_manifest_cached(self.path, t)
-                except FileNotFoundError:
-                    return t
-                return int(mf.get("version_rank", t))
+                return m.effective_version(self.path, t)
 
             eligible = {
                 t
@@ -675,6 +671,13 @@ class Database:
 
         if resolution not in ("row", "cell"):
             raise ValueError(f"resolution={resolution!r}; expected 'row' or 'cell'")
+        # the feed's tag column must not silently overwrite user data
+        # (withColumn REPLACES an existing column of the same name)
+        if "change_type" in self.schema.column_names:
+            raise ValueError(
+                "changes() emits a 'change_type' column, which collides "
+                "with a schema column of that name; rename the column"
+            )
 
         # Default head comes from the manifest LISTING (safe_feed_head),
         # not this handle's cached next_txn_id — another writer process

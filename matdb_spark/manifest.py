@@ -318,6 +318,20 @@ def max_committed_batch_id(db_path: str, source: str) -> int | None:
     return best
 
 
+def effective_version(db_path: str, txn_id: int) -> int:
+    """The version rank resolution compares: a rollup's recorded
+    ``version_rank`` (the top of its covered interval), else the
+    physical txn id. THE single interpretation — compaction window
+    selection, conflict checks, and vacuum holds must all share it.
+    A vacuumed/unreadable manifest falls back to the physical id
+    (conservative for the hold checks that tolerate missing files)."""
+    try:
+        mf = read_manifest_cached(db_path, txn_id)
+    except FileNotFoundError:
+        return txn_id
+    return int(mf.get("version_rank", txn_id))
+
+
 def covers_lo_value(mf: dict, txn_id: int) -> int:
     """Lowest effective version a manifest transitively absorbed: the
     recorded ``covers_lo``, else min(replaces) (legacy single

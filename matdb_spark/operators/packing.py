@@ -56,7 +56,14 @@ def pack_documents(
         raise ValueError(f"budget={budget}; expected >= 1")
     if n_shards < 1:
         raise ValueError(f"n_shards={n_shards}; expected >= 1")
-    h = hash_hex(F.col(id_col), 12)
+    # a NULL id would hash to a NULL shard — an undeclared extra stream
+    # with nondeterministic internal order. Fail the job on the first
+    # such row (per-row expression, no extra validation pass).
+    checked_id = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(F.lit(f"pack_documents: NULL {id_col}")),
+    ).otherwise(F.col(id_col))
+    h = hash_hex(checked_id, 12)
     with_shard = df.withColumn("__ph", h).withColumn(
         "shard", F.pmod(F.col("__ph"), F.lit(n_shards)).cast("int")
     )
@@ -68,9 +75,10 @@ def pack_documents(
     start = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0)).cast("long")
     return (
         with_shard.withColumn("start_tok", start)
-        .withColumn(
-            "pack_id", F.floor(F.col("start_tok") / F.lit(budget)).cast("long")
-        )
+        # integer DIV, never floor(double/double): double division is
+        # inexact past 2^53 token offsets (same rule as scan.py's
+        # chunk arithmetic) and would diverge from integer-div oracles
+        .withColumn("pack_id", F.expr(f"start_tok DIV {int(budget)}"))
         .withColumn("pack_pos", (F.col("start_tok") % F.lit(budget)).cast("long"))
         .drop("__ph")
     )

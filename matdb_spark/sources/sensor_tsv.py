@@ -64,14 +64,26 @@ def sensor_schema() -> Schema:
 
 
 def open_or_create(spark: SparkSession, db_path: str) -> Database:
-    if os.path.exists(os.path.join(db_path, "schema.json")):
-        return Database.open(spark, db_path)
-    return Database.create(spark, db_path, sensor_schema())
+    return Database.create_or_open(spark, db_path, sensor_schema())
 
 
 def read_sensor_tsv(spark: SparkSession, paths: list[str] | str) -> DataFrame:
-    """Raw 5-column TSV relation (gzip + glob handled by the source)."""
-    return spark.read.options(sep="\t", mode="PERMISSIVE").schema(RAW_SCHEMA).csv(paths)
+    """Raw 5-column TSV relation (gzip + glob handled by the source).
+
+    UTC is pinned first: the timestamp encoder interprets strings in
+    the session timezone, and a foreign non-UTC session would silently
+    shift every ingested ``time`` across chunk boundaries. Quoting is
+    DISABLED for parser parity with the reference's split-on-tab
+    (sensor-log.rs:199): a field starting with '"' must not swallow
+    the following tab separators into one quoted field."""
+    from matdb_spark.sources.tables import _force_utc
+
+    _force_utc(spark)
+    return (
+        spark.read.options(sep="\t", mode="PERMISSIVE", quote="", escape="")
+        .schema(RAW_SCHEMA)
+        .csv(paths)
+    )
 
 
 def _sensors_dim_path(db_path: str) -> str:
@@ -150,8 +162,11 @@ _BROADCAST_DIM_BYTES = 32 * 1024 * 1024
 
 
 def _clean_raw(raw: DataFrame) -> DataFrame:
-    # malformed (<5 field) lines surface as NULL columns — drop them
-    # before they pollute the dictionary (reference: skip bad lines)
+    # lines missing component/sensor/kind surface as NULL key columns
+    # — drop them before they pollute the dictionary (reference: skip
+    # bad lines). A missing or empty VALUE field is indistinguishable
+    # post-CSV-parse (both read as NULL) and encodes as 0, matching
+    # the reference's parse_value unwrap_or(0) (sensor-log.rs:130-136)
     return raw.filter(
         F.col("component").isNotNull()
         & F.col("sensor").isNotNull()
@@ -214,15 +229,20 @@ def load(spark: SparkSession, db_path: str, paths: list[str]) -> int:
     facts = _facts_against_dim(
         ok, dim, _dim_parquet_size(dim_out) < _BROADCAST_DIM_BYTES
     )
-    txn = db.begin()
-    txn.add_dataframe(facts)
-    # row count from the written segment's parquet footers — counting
-    # the *input* DataFrame would re-run the whole decompress + parse +
-    # dictionary-join pipeline a second time (gzip TSV is
-    # non-splittable; the re-read doubled ingest wall-clock)
-    stats = txn._txn_stats
-    n = stats["rows"] if stats else facts.count()
-    txn.commit()
+    # context manager: a failed ingest job must ROLL BACK, or the
+    # leaked reservation + staged segments pin safe_feed_head (feed
+    # consumers stall) and block downward-closed compactions until the
+    # recovery grace elapses (same hazard database.compact guards)
+    with db.begin() as txn:
+        txn.add_dataframe(facts)
+        # row count from the written segment's parquet footers —
+        # counting the *input* DataFrame would re-run the whole
+        # decompress + parse + dictionary-join pipeline a second time
+        # (gzip TSV is non-splittable; the re-read doubled ingest
+        # wall-clock)
+        stats = txn._txn_stats
+        n = stats["rows"] if stats else facts.count()
+        txn.commit()
     return n
 
 

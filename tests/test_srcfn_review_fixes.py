@@ -103,3 +103,52 @@ def test_minhash_lsh_max_bucket_guard(spark):
     assert default.count() == 10  # 5-member buckets sail under 4096
     capped = minhash_lsh_pairs(docs, "doc_id", "text", max_bucket=4)
     assert capped.count() == 0  # every bucket has 5 members > cap
+
+
+def test_pack_documents_null_id_fails_loudly(spark):
+    from pyspark.sql import Row
+    from pyspark.errors import PySparkRuntimeError
+    from py4j.protocol import Py4JJavaError
+
+    from matdb_spark.operators.packing import pack_documents
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, toks=5), Row(doc_id=None, toks=3)],
+        "doc_id long, toks long",
+    )
+    out = pack_documents(docs, "doc_id", "toks", budget=8, n_shards=2)
+    import pytest
+
+    with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)):
+        out.collect()
+
+
+def test_changes_rejects_change_type_schema_collision(spark, tmp_db_path):
+    import os
+
+    import pytest
+
+    from matdb_spark import Database, Dimension, Schema, Value
+
+    schema = Schema(dimensions=[Dimension("k")], values=[Value("change_type")])
+    db = Database.create(
+        spark, os.path.join(tmp_db_path, "ctcol"), schema
+    )
+    with db.begin() as t:
+        t.add_row([1, 10])
+        t.commit()
+    with pytest.raises(ValueError, match="change_type"):
+        db.changes(since=0)
+
+
+def test_sensor_tsv_quotes_are_literal(spark, tmp_path):
+    """Parser parity with split-on-tab: a field starting with a double
+    quote must not swallow following tab separators."""
+    from matdb_spark.sources import sensor_tsv
+
+    line = '14/02/2023 3:05:09 p.m.\t"boiler\ttemp\tcelsius\t7.5'
+    p = tmp_path / "q.tsv"
+    p.write_text(line + "\n")
+    row = sensor_tsv.read_sensor_tsv(spark, str(p)).first()
+    assert row["component"] == '"boiler'
+    assert row["sensor"] == "temp" and row["value_str"] == "7.5"
