@@ -1457,6 +1457,89 @@ def q_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.sample_n_per_group(docs, ["source"], "doc_id", 5)
 
 
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture calculator: per-source token mass → the
+    sampling weight that flattens the mixture to uniform shares
+    (weight_s = target_share / actual_share). One aggregation + a
+    broadcast of the 1-row grand total; exact BIGINT token counts, so
+    the double divisions are engine-identical."""
+    from matdb_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("total_tokens"),
+    )
+    tot = per.agg(
+        F.sum("total_tokens").cast("double").alias("__grand"),
+        F.count(F.lit(1)).alias("__nsrc"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        (F.col("total_tokens") / F.col("__grand")).alias("actual_share"),
+        (
+            (F.lit(1.0) / F.col("__nsrc"))
+            / (F.col("total_tokens") / F.col("__grand"))
+        ).alias("weight"),
+    )
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: distinct-
+    token ratio, top-token frequency fraction, duplicate-2-gram
+    fraction. The word array materializes ONCE per row (the
+    shingle_rows two-phase rule — collapsing re-runs the split per
+    lambda element); the only shuffle is the per-(doc, token) count."""
+    from matdb_spark.operators.dedup import normalize
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
+    )
+    words = docs.select(
+        "doc_id", F.split(normalize(F.col("text")), " ").alias("__w")
+    )
+    arr = words.select(
+        "doc_id",
+        F.size("__w").alias("n_tokens"),
+        F.size(F.array_distinct("__w")).alias("__nd"),
+        (F.size("__w") - 1).alias("__n2g"),
+        # zip_with over two slices, not transform over
+        # sequence(0, size-2): a single-token doc makes that sequence
+        # [0, -1] (start>stop defaults to step -1) and the negative
+        # subscript errors under ANSI mode; slices degrade to [] safely
+        F.size(
+            F.array_distinct(
+                F.expr(
+                    "zip_with(slice(__w, 1, size(__w) - 1),"
+                    " slice(__w, 2, size(__w) - 1),"
+                    " (a, b) -> concat(a, ' ', b))"
+                )
+            )
+        ).alias("__n2gd"),
+    )
+    top = (
+        words.select("doc_id", F.explode("__w").alias("__t"))
+        .groupBy("doc_id", "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("doc_id")
+        .agg(F.max("__c").alias("__topc"))
+    )
+    return arr.join(top, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("__nd") / F.col("n_tokens")).alias("distinct_ratio"),
+        (F.col("__topc") / F.col("n_tokens")).alias("top_token_frac"),
+        F.when(
+            F.col("__n2g") > 0,
+            F.lit(1.0) - F.col("__n2gd") / F.col("__n2g").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_2gram_frac"),
+    )
+
+
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing (operators/packing.py): documents
     laid out as 8 independent hash-sharded token streams, each chunked
@@ -3115,6 +3198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sample_hash": q_sample_hash,
         "q_pack_documents": q_pack_documents,
         "q_pack_manifest": q_pack_manifest,
+        "q_mixture_weights": q_mixture_weights,
+        "q_repetition_signals": q_repetition_signals,
         "q_sample_per_source": q_sample_per_source,
         "q_curation_pipeline": q_curation_pipeline,
         "q_dedup_exact": q_dedup_exact,
@@ -3975,6 +4060,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_sample_hash": f"""
             SELECT doc_id, source FROM documents WHERE {_DOCHASH} < 100000
+        """,
+        "q_mixture_weights": f"""
+            WITH per AS (
+                SELECT source, COUNT(*) AS n_docs,
+                       CAST(SUM(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))) AS BIGINT)
+                           AS total_tokens
+                FROM documents GROUP BY source),
+            tot AS (SELECT CAST(SUM(total_tokens) AS DOUBLE) AS grand,
+                           COUNT(*) AS nsrc FROM per)
+            SELECT source, n_docs, total_tokens,
+                   total_tokens / grand AS actual_share,
+                   (1.0 / nsrc) / (total_tokens / grand) AS weight
+            FROM per, tot
+        """,
+        "q_repetition_signals": f"""
+            WITH base AS (
+                SELECT doc_id, string_split({_NORM}, ' ') AS w
+                FROM documents
+                WHERE text IS NOT NULL AND length(trim(text)) > 0),
+            tok AS (SELECT doc_id, unnest(w) AS t FROM base),
+            tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+            agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                           COUNT(*) AS nd, MAX(c) AS topc
+                    FROM tc GROUP BY doc_id),
+            g2 AS (SELECT doc_id, len(w) - 1 AS n2g,
+                          COUNT(DISTINCT w[i] || ' ' || w[i+1]) AS n2gd
+                   FROM base, unnest(range(1, len(w))) AS u(i)
+                   GROUP BY doc_id, len(w)),
+            g2all AS (SELECT b.doc_id, COALESCE(g2.n2g, len(b.w) - 1) AS n2g,
+                             COALESCE(g2.n2gd, 0) AS n2gd
+                      FROM base b LEFT JOIN g2 ON b.doc_id = g2.doc_id)
+            SELECT a.doc_id, a.n_tokens,
+                   CAST(a.nd AS DOUBLE) / a.n_tokens AS distinct_ratio,
+                   CAST(a.topc AS DOUBLE) / a.n_tokens AS top_token_frac,
+                   CASE WHEN g.n2g > 0
+                        THEN 1.0 - CAST(g.n2gd AS DOUBLE) / g.n2g
+                        ELSE 0.0 END AS dup_2gram_frac
+            FROM agg a JOIN g2all g ON a.doc_id = g.doc_id
         """,
         "q_pack_documents": f"""
             WITH t AS (
