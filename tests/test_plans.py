@@ -313,3 +313,23 @@ def test_pack_documents_single_shuffle(spark):
     # single-task window
     assert "Window" in plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_mixture_weights_broadcasts_total(spark):
+    """The 1-row grand total must reach the per-source relation as a
+    broadcast (a shuffled cross join of a 1-row side would be an
+    absurd plan at any scale)."""
+    import __spark_entry__ as e
+
+    df = e.q_mixture_weights(spark, SF)
+    assert broadcast_join_count(df) >= 1, physical_plan(df)
+
+
+def test_repetition_signals_no_global_window(spark):
+    """Per-document signals must never use a global (single-task)
+    window or sort; all aggregation is keyed by doc_id."""
+    import __spark_entry__ as e
+
+    df = e.q_repetition_signals(spark, SF)
+    plan = physical_plan(df)
+    assert "SinglePartition" not in plan, plan

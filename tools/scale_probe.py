@@ -290,6 +290,52 @@ def probe_stream(spark):
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def probe_auto_compact(spark):
+    """Auto-compaction policy under sustained small commits: 64
+    commits x 10k rows with enable_auto_compact(every=8,
+    major_every=8). Claims to verify: (a) visible txn count stays
+    bounded (never grows past every + a few rollups), (b) commit cost
+    stays flat — the policy folds windows, never the whole table, (c)
+    the final content is exact."""
+    path = os.path.join(SCRATCH, "probe_autocompact")
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "user_id", "event_id", (F.col("value") * 1000).cast("long").alias("v")
+    )
+    base = ev.count()
+    n = 64
+    db = Database.create(spark, path, Schema(
+        dimensions=[Dimension("user_id", 25), Dimension("event_id", 0)],
+        values=[Value("v")],
+    ))
+    db.enable_auto_compact(every=8, major_every=8)
+    slice_df = ev.coalesce(4)
+    from matdb_spark import manifest as m
+
+    costs, max_visible = [], 0
+    for i in range(n):
+        t0 = time.time()
+        with db.begin() as txn:
+            txn.add_dataframe(slice_df.select(
+                "user_id", (F.col("event_id") + i * base).alias("event_id"), "v"))
+            txn.commit()
+        costs.append(time.time() - t0)
+        max_visible = max(
+            max_visible, len(m.visible_txn_ids(db.path, db.next_txn_id))
+        )
+    head, tail = costs[:16], costs[-16:]
+    print(f"  {n} commits under policy: first-16 avg {sum(head)/16:.2f} s, "
+          f"last-16 avg {sum(tail)/16:.2f} s (flat = fold cost tracks the "
+          f"window, not the table)")
+    final_visible = len(m.visible_txn_ids(db.path, db.next_txn_id))
+    print(f"  visible txns: max {max_visible} during run, {final_visible} at end "
+          f"(raw commits would be {n})")
+    assert max_visible <= 8 + 8, max_visible
+    got = timed("final scan count", lambda: db.begin().query(ordered=False).count())
+    assert got == n * base, f"{got} != {n * base}"
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def probe_lsh_skew(spark):
     """Adversarial LSH skew: 1M documents where 500k share ONE
     boilerplate text (every band bucket degenerate, cap-free pair
@@ -375,5 +421,7 @@ if __name__ == "__main__":
         probe_lsh_skew(spark)
     elif which == "ccdeep":
         probe_cc_deep(spark)
+    elif which == "autocompact":
+        probe_auto_compact(spark)
     else:
         raise SystemExit(f"unknown probe {which!r}")
