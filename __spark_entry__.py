@@ -1474,14 +1474,21 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("total_tokens").cast("double").alias("__grand"),
         F.count(F.lit(1)).alias("__nsrc"),
     )
+    # zero guards matter under ANSI (double /0 THROWS in Spark 4): an
+    # all-empty source gets weight NULL (you cannot upweight nothing),
+    # and an all-empty corpus gets NULL shares rather than aborting
+    share = F.when(
+        F.col("__grand") > 0, F.col("total_tokens") / F.col("__grand")
+    )
     return per.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         "total_tokens",
-        (F.col("total_tokens") / F.col("__grand")).alias("actual_share"),
-        (
+        share.alias("actual_share"),
+        F.when(
+            (F.col("__grand") > 0) & (F.col("total_tokens") > 0),
             (F.lit(1.0) / F.col("__nsrc"))
-            / (F.col("total_tokens") / F.col("__grand"))
+            / (F.col("total_tokens") / F.col("__grand")),
         ).alias("weight"),
     )
 
@@ -1492,7 +1499,10 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction. The word array materializes ONCE per row (the
     shingle_rows two-phase rule — collapsing re-runs the split per
     lambda element); the only shuffle is the per-(doc, token) count."""
-    from matdb_spark.operators.dedup import normalize
+    from matdb_spark.operators.dedup import normalize, shingles_from_words
+
+    def _shingles2(w):
+        return shingles_from_words(w, 2)
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length(F.trim(F.col("text"))) > 0)
@@ -1505,19 +1515,9 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("__w").alias("n_tokens"),
         F.size(F.array_distinct("__w")).alias("__nd"),
         (F.size("__w") - 1).alias("__n2g"),
-        # zip_with over two slices, not transform over
-        # sequence(0, size-2): a single-token doc makes that sequence
-        # [0, -1] (start>stop defaults to step -1) and the negative
-        # subscript errors under ANSI mode; slices degrade to [] safely
-        F.size(
-            F.array_distinct(
-                F.expr(
-                    "zip_with(slice(__w, 1, size(__w) - 1),"
-                    " slice(__w, 2, size(__w) - 1),"
-                    " (a, b) -> concat(a, ' ', b))"
-                )
-            )
-        ).alias("__n2gd"),
+        # distinct bigrams via the shared shingle helper (single-token
+        # docs degrade to [] there, ANSI-safely)
+        F.size(_shingles2(F.col("__w"))).alias("__n2gd"),
     )
     top = (
         words.select("doc_id", F.explode("__w").alias("__t"))
@@ -4070,8 +4070,11 @@ def oracle_sql() -> dict[str, str]:
             tot AS (SELECT CAST(SUM(total_tokens) AS DOUBLE) AS grand,
                            COUNT(*) AS nsrc FROM per)
             SELECT source, n_docs, total_tokens,
-                   total_tokens / grand AS actual_share,
-                   (1.0 / nsrc) / (total_tokens / grand) AS weight
+                   CASE WHEN grand > 0 THEN total_tokens / grand END
+                       AS actual_share,
+                   CASE WHEN grand > 0 AND total_tokens > 0
+                        THEN (1.0 / nsrc) / (total_tokens / grand) END
+                       AS weight
             FROM per, tot
         """,
         "q_repetition_signals": f"""

@@ -56,13 +56,20 @@ def pack_documents(
         raise ValueError(f"budget={budget}; expected >= 1")
     if n_shards < 1:
         raise ValueError(f"n_shards={n_shards}; expected >= 1")
-    # a NULL id would hash to a NULL shard — an undeclared extra stream
-    # with nondeterministic internal order. Fail the job on the first
-    # such row (per-row expression, no extra validation pass).
+    # NULLs fail the job on the first offending row (per-row
+    # expression, no extra validation pass): a NULL id would hash to a
+    # NULL shard — an undeclared extra stream with nondeterministic
+    # internal order — and a NULL token count would be SKIPPED by the
+    # window sum, silently assigning two documents the same
+    # (pack_id, pack_pos) slot.
     checked_id = F.when(
         F.col(id_col).isNull(),
         F.raise_error(F.lit(f"pack_documents: NULL {id_col}")),
     ).otherwise(F.col(id_col))
+    checked_toks = F.when(
+        F.col(token_col).isNull(),
+        F.raise_error(F.lit(f"pack_documents: NULL {token_col}")),
+    ).otherwise(F.col(token_col))
     h = hash_hex(checked_id, 12)
     with_shard = df.withColumn("__ph", h).withColumn(
         "shard", F.pmod(F.col("__ph"), F.lit(n_shards)).cast("int")
@@ -72,7 +79,7 @@ def pack_documents(
         .orderBy(F.col("__ph").asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    start = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0)).cast("long")
+    start = F.coalesce(F.sum(checked_toks).over(w), F.lit(0)).cast("long")
     return (
         with_shard.withColumn("start_tok", start)
         # integer DIV, never floor(double/double): double division is

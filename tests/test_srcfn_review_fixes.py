@@ -105,22 +105,28 @@ def test_minhash_lsh_max_bucket_guard(spark):
     assert capped.count() == 0  # every bucket has 5 members > cap
 
 
-def test_pack_documents_null_id_fails_loudly(spark):
+def test_pack_documents_nulls_fail_loudly(spark):
+    """NULL id OR NULL token count must abort with the guard's own
+    message (a NULL id would form a phantom shard; a NULL count is
+    skipped by the window sum, silently double-assigning a slot)."""
+    import pytest
     from pyspark.sql import Row
-    from pyspark.errors import PySparkRuntimeError
-    from py4j.protocol import Py4JJavaError
 
     from matdb_spark.operators.packing import pack_documents
 
-    docs = spark.createDataFrame(
+    null_id = spark.createDataFrame(
         [Row(doc_id=1, toks=5), Row(doc_id=None, toks=3)],
         "doc_id long, toks long",
     )
-    out = pack_documents(docs, "doc_id", "toks", budget=8, n_shards=2)
-    import pytest
+    with pytest.raises(Exception, match="pack_documents: NULL doc_id"):
+        pack_documents(null_id, "doc_id", "toks", budget=8, n_shards=2).collect()
 
-    with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)):
-        out.collect()
+    null_toks = spark.createDataFrame(
+        [Row(doc_id=1, toks=5), Row(doc_id=2, toks=None)],
+        "doc_id long, toks long",
+    )
+    with pytest.raises(Exception, match="pack_documents: NULL toks"):
+        pack_documents(null_toks, "doc_id", "toks", budget=8, n_shards=2).collect()
 
 
 def test_changes_rejects_change_type_schema_collision(spark, tmp_db_path):
