@@ -2565,7 +2565,11 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF cells — no centroid build pass, one shuffle on the bucket id.
     The oracle embeds the SAME hyperplane literals."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = similarity.hyperplane_near_dup_pairs(emb, n_planes=12, threshold=0.30)
+    # dim=64 (the testdata embedding width) keeps plan building fully
+    # lazy — no eager first() probe job
+    out = similarity.hyperplane_near_dup_pairs(
+        emb, n_planes=12, threshold=0.30, dim=64
+    )
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 

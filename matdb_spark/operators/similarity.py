@@ -311,6 +311,7 @@ def hyperplane_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 0x5EED,
+    dim: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos_sim) candidate near-duplicates via hyperplane
     LSH: exact cosine is computed only WITHIN a bucket. Complements
@@ -324,17 +325,20 @@ def hyperplane_near_dup_pairs(
     ``n_planes`` with corpus size to hold per-bucket pair cost flat
     (AQE skew-join splits any hot bucket).
 
-    Note: reads ONE row eagerly (a small Spark job at plan-build time)
-    to learn the embedding dimensionality; every corpus row must carry
-    that same dimensionality (mismatched rows mis-bucket — dot's
+    Pass ``dim`` (the embedding dimensionality) to keep plan building
+    fully lazy; without it, ONE row is read eagerly (a small Spark job
+    at plan-build time) to infer it. Every corpus row must carry that
+    same dimensionality (mismatched rows mis-bucket — dot's
     NULL-on-mismatch contract then drops them from scored pairs)."""
-    first = corpus.select(vec_col).first()
-    if first is None or first[0] is None:
-        raise ValueError(
-            "hyperplane_near_dup_pairs: corpus is empty or its first "
-            f"row's {vec_col!r} is NULL — cannot infer dimensionality"
-        )
-    dim = len(first[0])
+    if dim is None:
+        first = corpus.select(vec_col).first()
+        if first is None or first[0] is None:
+            raise ValueError(
+                "hyperplane_near_dup_pairs: corpus is empty or its first "
+                f"row's {vec_col!r} is NULL — cannot infer dimensionality; "
+                "pass dim= explicitly"
+            )
+        dim = len(first[0])
     planes = hyperplanes(n_planes, dim, seed)
     cells = _unit(corpus, [F.col(id_col)], vec_col, "__v")
     cells = cells.withColumn("__bucket", hyperplane_bucket(F.col("__v"), planes))
