@@ -110,8 +110,40 @@ def main() -> None:
     )
     tb.commit()
     print("bulk rows (deduped):", db3.snapshot().count())
+
+    # 12. automatic compaction policy: small commits fold themselves
+    #     LSM-style — no manual compact() calls, visible txn count
+    #     stays bounded under standing ingest
+    db4 = Database.create(spark, path + "_auto", Schema(
+        dimensions=[Dimension("k", 100)], values=[Value("v")],
+    ))
+    db4.enable_auto_compact(every=4, major_every=4)
+    for i in range(8):
+        with db4.begin() as ta:
+            ta.add_row([i, i * 10])
+            ta.commit()
+    print("auto-compact stats:", db4.stats())
+
+    # 13. LLM-pipeline operators over a toy corpus: sequence packing,
+    #     mixture weights, dedup pairs — all plain DataFrame transforms
+    from matdb_spark.functions.text import token_count
+    from matdb_spark.operators.packing import pack_documents
+    from matdb_spark.operators.dedup import minhash_lsh_pairs
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i} " + "lorem ipsum dolor sit amet " * (1 + i % 4))
+         for i in range(100)],
+        "doc_id long, text string",
+    ).withColumn("n_tokens", token_count(F.col("text")).cast("long"))
+    packed = pack_documents(corpus, "doc_id", "n_tokens", budget=64, n_shards=4)
+    print("packing:")
+    packed.select("doc_id", "shard", "pack_id", "pack_pos").show(5)
+    print("near-dup candidate pairs:",
+          minhash_lsh_pairs(corpus, "doc_id", "text", k=32, bands=8).count())
+
     shutil.rmtree(path + "_cells", ignore_errors=True)
     shutil.rmtree(path + "_bulk", ignore_errors=True)
+    shutil.rmtree(path + "_auto", ignore_errors=True)
     shutil.rmtree(path + "_export", ignore_errors=True)
 
 

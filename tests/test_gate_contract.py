@@ -66,3 +66,37 @@ def test_no_duplicate_registry_keys_in_source():
     orc = re.findall(r'"(q[0-9a-zA-Z_]+)":\s*f?"""', text)
     dup_orc = [n for n, c in collections.Counter(orc).items() if c > 1]
     assert dup_orc == [], f"duplicate oracle_sql() keys: {dup_orc}"
+
+
+def test_banded_sketch_gates_have_teeth(spark):
+    """The tolerance bands must actually fail on a bad estimate: a
+    deliberately coarse sketch (accuracy=1 approx_percentile over a
+    wide-spread skewed distribution) must flip the in-band verdict to
+    False — proving the gate detects broken estimators rather than
+    passing vacuously."""
+    from pyspark.sql import functions as F
+
+    # long-tailed: p50 of [0..999] ~ 500 but a coarse GK sketch with
+    # accuracy=1 collapses to a handful of retained samples
+    df = spark.range(100_000).select(
+        (F.col("id") % 1000).cast("double").alias("x")
+    )
+    row = df.agg(
+        F.percentile(F.col("x"), F.lit(0.5)).alias("exact"),
+        F.percentile_approx(F.col("x"), F.lit(0.5), F.lit(1)).alias("coarse"),
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+    ).first()
+    in_band = abs(row["coarse"] - row["exact"]) <= 0.02 * (row["hi"] - row["lo"])
+    assert not in_band, (
+        f"coarse sketch unexpectedly in band: exact={row['exact']} "
+        f"coarse={row['coarse']}"
+    )
+    # and the production setting (accuracy=10000) is comfortably inside
+    row2 = df.agg(
+        F.percentile(F.col("x"), F.lit(0.5)).alias("exact"),
+        F.percentile_approx(F.col("x"), F.lit(0.5), F.lit(10000)).alias("good"),
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+    ).first()
+    assert abs(row2["good"] - row2["exact"]) <= 0.02 * (row2["hi"] - row2["lo"])
