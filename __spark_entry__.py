@@ -3334,8 +3334,8 @@ _SHINGLES = (
 )
 
 
-# keep in lockstep with minhash_lsh_pairs' max_bucket default
-_LSH_MAX_BUCKET = 4096
+# the operator's own default — one source of truth for Spark and oracle
+_LSH_MAX_BUCKET = dedup.DEFAULT_MAX_BUCKET
 
 
 def _minhash_sql() -> str:

@@ -68,20 +68,25 @@ def main() -> None:
     if failed:
         # failures must be LOUD in the headline line: a crashing query
         # is excluded from the sum, which would otherwise make a broken
-        # run look faster than a healthy one. Cap the name list so a
-        # mass failure cannot itself overflow the line budget.
-        out["failed"] = failed[:15]
+        # run look faster than a healthy one.
+        out["failed"] = failed
         out["n_failed"] = len(failed)
 
     # The driver keeps only the TAIL of stdout (last ~2000 chars): a
     # 147-entry queries map overflows that and the whole line becomes
     # unparseable (BENCH_r02 recorded parsed:null). Persist the full
-    # per-query map to a side file, then shrink the printed line to a
-    # guaranteed-to-fit budget by keeping the SLOWEST queries (the
-    # ones perf grading cares about) and flagging the truncation.
+    # UNCAPPED object to a side file FIRST (it must survive a mass
+    # failure intact), then shrink the printed line to a
+    # guaranteed-to-fit budget by capping the failed list and keeping
+    # the SLOWEST queries (the ones perf grading cares about), flagging
+    # the truncation.
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
+    if failed:
+        # cap only the PRINTED name list so a mass failure cannot
+        # overflow the line budget (the side file above keeps them all)
+        out["failed"] = failed[:15]
     line = json.dumps(out, separators=(",", ":"))
     budget = 1800
     if len(line) > budget:

@@ -132,8 +132,10 @@ class Database:
         other handles/processes don't advance it — their txns simply
         ride along in the next contiguous window; a refused fold from
         a concurrent-writer conflict is retried implicitly by the next
-        tier). ``vacuum=True`` reclaims folded data immediately — the
-        same CDC/time-travel forfeit as the streaming sink's flag.
+        tier). ``vacuum=True`` reclaims folded data once it is older
+        than the recovery grace (not immediately — see _after_commit's
+        race note) — the same CDC/time-travel forfeit as the streaming
+        sink's flag.
         Streaming ingest has its own ``compact_every``; don't stack
         both on one store."""
         if every < 2:
@@ -187,7 +189,16 @@ class Database:
                 span *= ac["major"]
                 size = ac["major"]
             if did and ac["vacuum"]:
-                self.vacuum()
+                # NOT min_age_seconds=0: a vacuum snapshot taken before
+                # a concurrent compaction stamps its reservation intent
+                # (but after this fold published) could otherwise
+                # reclaim window files the in-flight rewrite is still
+                # scanning — the intent-hold only protects intents
+                # visible at vacuum's read time. The recovery grace
+                # bounds any rewrite's stamp-to-publish window, so
+                # auto-vacuum retains that long; immediate reclamation
+                # stays available via an explicit user vacuum().
+                self.vacuum(min_age_seconds=manifest.DEFAULT_RECOVERY_GRACE)
         except Exception:
             import warnings
 

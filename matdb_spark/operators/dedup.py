@@ -208,6 +208,11 @@ def minhash_signatures(
     )
 
 
+#: Default skew cap for LSH banding self-joins — the SQL oracle in
+#: __spark_entry__ imports this so operator and oracle cannot diverge.
+DEFAULT_MAX_BUCKET = 4096
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -215,7 +220,7 @@ def minhash_lsh_pairs(
     k: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
-    max_bucket: int | None = 4096,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: split the k-wide
     signature into ``bands`` rows of k/bands hashes, bucket on the

@@ -238,11 +238,15 @@ def ivf_topk_indexed(
     column prunes directories before any IO), score by dot product on
     the stored unit vectors.
 
-    Note the probe DataFrame stays persisted for the Spark
-    application's lifetime (storage-memory LRU evicts it under
-    pressure): unpersisting inside this function would race the
-    returned plan's execution. Long-running query services should
-    batch calls or clear `spark.catalog.clearCache()` periodically."""
+    The probe plan is eagerly materialized via ``localCheckpoint``
+    (NOT ``persist``): it is consumed twice — collected for the
+    partition filter and joined against the index — but a persist would
+    register it with the CacheManager for the application's lifetime
+    (unpersisting inside this function would race the returned lazy
+    plan). Checkpoint blocks are instead owned by the RDD itself, so
+    the ContextCleaner reclaims them as soon as the returned plan is
+    no longer reachable — repeated calls from a long-running query
+    service cannot accumulate pinned storage."""
     cents = spark.read.parquet(path + "/_centroids").select(
         "cell_id", F.col(vec_col).alias("__cv")
     )
@@ -255,10 +259,12 @@ def ivf_topk_indexed(
         [F.col("__sim").desc(), F.col("cell_id").asc()],
         nprobe,
     ).select("query_id", "__qv", "cell_id")
-    # persist: the probe plan (crossJoin + ranking window) is consumed
-    # twice — once collected for the partition filter, once as the join
-    # input — and would otherwise be fully re-executed
-    probe = probe.persist()
+    # eager materialization: the probe plan (crossJoin + ranking
+    # window) is consumed twice — once collected for the partition
+    # filter, once as the join input — and would otherwise be fully
+    # re-executed; see the docstring for why this is a localCheckpoint
+    # and not a persist (bounded storage across repeated calls)
+    probe = probe.localCheckpoint(eager=True)
     probed_cells = [r.cell_id for r in probe.select("cell_id").distinct().collect()]
     index = spark.read.parquet(path).filter(F.col("cell_id").isin(probed_cells))
     cand = probe.join(index.withColumnRenamed(id_col, "neighbor_id"), "cell_id")

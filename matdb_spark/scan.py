@@ -40,7 +40,7 @@ from typing import Iterator
 
 from pyspark.sql import DataFrame, Row, SparkSession, functions as F
 
-from matdb_spark.schema import Schema, SEQ_COL, TXN_COL
+from matdb_spark.schema import Schema, SEQ_COL, TXN_COL, _dtype
 from matdb_spark import manifest
 
 
@@ -155,6 +155,35 @@ def _select_manifest_files(
 #: above this many explicit paths, pass directories instead (py4j
 #: argument-marshalling and driver plan size outweigh listing savings)
 _MAX_EXPLICIT_PATHS = 50_000
+
+
+def _read_schema(schema: Schema):
+    """Explicit Parquet read schema for segment scans: file columns
+    (dims, values, write sequence) plus the partition-directory columns
+    (``txn``, ``seg``, ``__chunk_*``).
+
+    The schema is *catalog metadata* (schema.json), exactly as in the
+    reference (schema.rs:40-55, schema.json is authoritative; file
+    contents never define the schema) — so the reader never infers or
+    merges Parquet footers. Columns a file predates (additive value
+    evolution) resolve to typed nulls by Spark's by-name clipping; a
+    never-evolved store skips even the single-footer inference read.
+    At 100 TB this removes the O(#file-footers) driver-coordinated
+    mergeSchema job an evolved store used to pay on EVERY snapshot
+    read."""
+    from pyspark.sql import types as T
+
+    fields = [T.StructField(f.name, f.dataType, True) for f in schema.spark_schema()]
+    fields.append(T.StructField(SEQ_COL, T.LongType(), True))
+    fields.append(T.StructField("txn", T.LongType(), True))
+    fields.append(T.StructField("seg", T.IntegerType(), True))
+    for d in schema.chunked_dims:
+        # _chunked computes LONG for integral dims (`div`), the decimal
+        # type itself for decimal dims — partition values parse back
+        # under the same type so read predicates compare exactly.
+        ctype = _dtype(d.type) if d.type.startswith("decimal") else T.LongType()
+        fields.append(T.StructField(d.chunk_col, ctype, True))
+    return T.StructType(fields)
 
 
 def _range_filters(
@@ -293,13 +322,12 @@ def scan_dataframe(
                 break
         if not explicit_ok:
             paths = [manifest.txn_data_dir(source.db_path, t) for t in read_txns]
-        reader = spark.read.option("basePath", manifest.data_dir(source.db_path))
-        if schema.epoch:
-            # Evolved store: segments predating a value column lack it;
-            # footer merge unifies the file schemas (additive only).
-            # Epoch-gated because merging footers costs a listing pass
-            # a never-evolved store shouldn't pay.
-            reader = reader.option("mergeSchema", "true")
+        # Catalog-schema read: no footer inference, no mergeSchema job
+        # (see _read_schema). Files predating an evolved value column
+        # read it as typed null.
+        reader = spark.read.option(
+            "basePath", manifest.data_dir(source.db_path)
+        ).schema(_read_schema(schema))
         if paths:  # empty = every committed file chunk-pruned away
             df = reader.parquet(*paths)
             # Prune BEFORE projecting away the __chunk_* partition columns.

@@ -137,7 +137,10 @@ def stream_into_database(
                 span *= major_every
                 size = major_every
             if did and vacuum_superseded:
-                db.vacuum()
+                # grace-delayed, not immediate: protects a concurrent
+                # compaction that published before stamping its next
+                # intent (see Database._after_commit for the race)
+                db.vacuum(min_age_seconds=manifest.DEFAULT_RECOVERY_GRACE)
 
     writer = (
         stream_df.writeStream.foreachBatch(_commit_batch)
