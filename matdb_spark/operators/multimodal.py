@@ -55,11 +55,188 @@ DECODED_META_FIELDS = [
 
 
 def _decode_with_real_codec(payload: bytes) -> dict:
-    """Real decode path — requires an image/video library that is NOT
-    available in this environment. Kept as the single swap point."""
-    raise NotImplementedError(
-        "no codec library in this environment; pipelines use _fake_decode"
-    )
+    """Real decode path, pure stdlib (``struct`` + ``zlib``): BMP
+    (uncompressed 24/32-bit), PNM (binary P5/P6), and PNG (8-bit depth,
+    gray / RGB / palette / +alpha, non-interlaced — full IDAT inflate +
+    per-row unfilter, not just the IHDR header). Returns the same shape
+    as ``_fake_decode``: width/height/n_frames/brightness/checksum,
+    brightness = mean Rec.601 luma in [0, 1].
+
+    Unrecognized containers (e.g. the synthetic text payloads of the
+    gate fixtures) and malformed files raise NotImplementedError so the
+    pipeline falls back to the deterministic pseudo-decode — at 100 TB
+    one corrupt asset must degrade, not kill the job. Swapping in
+    PIL/ffmpeg for the long tail of formats still means replacing ONLY
+    this function."""
+    out = None
+    try:
+        if payload[:2] == b"BM":
+            out = _decode_bmp(payload)
+        elif payload[:1] == b"P" and payload[1:2] in b"56":
+            out = _decode_pnm(payload)
+        elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+            out = _decode_png(payload)
+    except NotImplementedError:
+        raise
+    except Exception as e:  # truncated/corrupt file -> deterministic fallback
+        raise NotImplementedError(f"malformed image payload: {e}") from e
+    if out is None:
+        raise NotImplementedError("unrecognized container; using _fake_decode")
+    out["checksum"] = hashlib.md5(payload).hexdigest()
+    return out
+
+
+def _rgb_luma(r: int, g: int, b: int) -> float:
+    return 0.299 * r + 0.587 * g + 0.114 * b
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    import struct
+
+    if len(payload) < 54:
+        raise NotImplementedError("BMP too short")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("pre-BITMAPINFOHEADER BMP")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+    height = abs(height)  # negative = top-down; row order is luma-invariant
+    nbytes = bpp // 8
+    stride = (nbytes * width + 3) // 4 * 4
+    if len(payload) < data_off + stride * height:
+        raise NotImplementedError("truncated BMP pixel data")
+    luma = 0.0
+    for row in range(height):
+        base = data_off + row * stride
+        for col in range(width):
+            o = base + col * nbytes  # BGR(A) order
+            luma += _rgb_luma(payload[o + 2], payload[o + 1], payload[o])
+    out = _dims_ok(width, height)
+    out["brightness"] = round(luma / (width * height) / 255.0, 6)
+    return out
+
+
+def _dims_ok(width: int, height: int) -> dict:
+    if width <= 0 or height <= 0:
+        raise NotImplementedError("degenerate image dimensions")
+    return {"width": int(width), "height": int(height), "n_frames": 1}
+
+
+def _decode_pnm(payload: bytes) -> dict:
+    """Binary PGM (P5, gray) / PPM (P6, RGB), 1-byte samples."""
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:  # width, height, maxval
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] not in b"\r\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    width, height, maxval = vals
+    if not 0 < maxval < 256:
+        raise NotImplementedError("2-byte-sample PNM")
+    out = _dims_ok(width, height)
+    n = width * height
+    luma = 0.0
+    if payload[1:2] == b"5":
+        if len(payload) < pos + n:
+            raise NotImplementedError("truncated PGM")
+        luma = float(sum(payload[pos : pos + n]))
+    else:
+        if len(payload) < pos + 3 * n:
+            raise NotImplementedError("truncated PPM")
+        for i in range(n):
+            o = pos + 3 * i
+            luma += _rgb_luma(payload[o], payload[o + 1], payload[o + 2])
+    # sample range [0, maxval] scales to [0, 1]
+    out["brightness"] = round(luma / n / maxval, 6)
+    return out
+
+
+def _decode_png(payload: bytes) -> dict:
+    """PNG: walk chunks, inflate IDAT, undo per-row filters (types
+    0-4: None/Sub/Up/Average/Paeth — the complete set), mean luma.
+    Supports bit depth 8, color types 0 gray / 2 RGB / 3 palette /
+    4 gray+alpha / 6 RGBA, interlace 0 (alpha ignored for luma)."""
+    import struct
+    import zlib
+
+    pos, ihdr, plte, idat = 8, None, b"", []
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif typ == b"PLTE":
+            plte = body
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + crc
+    if ihdr is None or not idat:
+        raise NotImplementedError("PNG missing IHDR/IDAT")
+    width, height, depth, ctype, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or channels is None or interlace != 0:
+        raise NotImplementedError(
+            f"unsupported PNG (depth={depth}, color={ctype}, interlace={interlace})"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = channels * width
+    if len(raw) < (stride + 1) * height:
+        raise NotImplementedError("truncated PNG scanlines")
+    prev = bytearray(stride)
+    luma = 0.0
+    for row in range(height):
+        base = row * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                p = a + prev[i] - c
+                pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (prev[i] if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise NotImplementedError(f"unknown PNG filter {ftype}")
+        for col in range(width):
+            o = col * channels
+            if ctype in (0, 4):
+                luma += line[o]
+            elif ctype == 3:
+                pi = 3 * line[o]
+                if pi + 3 > len(plte):
+                    raise NotImplementedError("palette index out of range")
+                luma += _rgb_luma(plte[pi], plte[pi + 1], plte[pi + 2])
+            else:
+                luma += _rgb_luma(line[o], line[o + 1], line[o + 2])
+        prev = line
+    out = _dims_ok(width, height)
+    out["brightness"] = round(luma / (width * height) / 255.0, 6)
+    return out
 
 
 def _fake_decode(payload: bytes) -> dict:

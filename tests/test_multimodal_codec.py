@@ -1,0 +1,177 @@
+"""Real pure-stdlib image codec (round-4 verdict item 5): BMP / PNM /
+PNG decode with hand-computed expected luma, malformed-payload
+fallback, and the Spark decode_assets pipeline over mixed real+text
+payloads."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import pytest
+
+from matdb_spark.operators import multimodal as M
+
+LUMA = lambda r, g, b: 0.299 * r + 0.587 * g + 0.114 * b
+
+
+def make_bmp_2x2() -> bytes:
+    """24-bit bottom-up BMP: blue+green bottom row, red+white top."""
+    px_rows = [
+        bytes([255, 0, 0, 0, 255, 0]) + b"\x00\x00",      # BGR: blue, green
+        bytes([0, 0, 255, 255, 255, 255]) + b"\x00\x00",  # BGR: red, white
+    ]
+    pixel_data = b"".join(px_rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    off = 14 + 40
+    return (
+        b"BM" + struct.pack("<IHHI", off + len(pixel_data), 0, 0, off)
+        + info + pixel_data
+    )
+
+
+def _chunk(t: bytes, b: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(b)) + t + b
+        + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+    )
+
+
+def make_png_rgb_2x2() -> bytes:
+    """2x2 RGB PNG exercising filter types 0 (None) and 2 (Up):
+    red, green / blue, white."""
+    row0 = bytes([255, 0, 0, 0, 255, 0])
+    final1 = bytes([0, 0, 255, 255, 255, 255])
+    row1 = bytes([(f - u) & 0xFF for f, u in zip(final1, row0)])
+    raw = b"\x00" + row0 + b"\x02" + row1
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def make_png_gray_filters_3x3() -> bytes:
+    """3x3 grayscale PNG exercising filters 1 (Sub), 3 (Average),
+    4 (Paeth); pixel values 10..90."""
+    rows = [bytes([10, 20, 30]), bytes([40, 50, 60]), bytes([70, 80, 90])]
+
+    def sub_f(row):
+        return bytes([row[0]] + [(row[i] - row[i - 1]) & 0xFF for i in range(1, len(row))])
+
+    def avg_f(row, prev):
+        return bytes(
+            [(row[i] - ((row[i - 1] if i > 0 else 0) + prev[i]) // 2) & 0xFF
+             for i in range(len(row))]
+        )
+
+    def paeth_f(row, prev):
+        out = []
+        for i in range(len(row)):
+            a = row[i - 1] if i > 0 else 0
+            b, c = prev[i], prev[i - 1] if i > 0 else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((row[i] - pred) & 0xFF)
+        return bytes(out)
+
+    raw = (
+        b"\x01" + sub_f(rows[0])
+        + b"\x03" + avg_f(rows[1], rows[0])
+        + b"\x04" + paeth_f(rows[2], rows[1])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_bmp_decode_exact():
+    r = M._decode_with_real_codec(make_bmp_2x2())
+    exp = (LUMA(0, 0, 255) + LUMA(0, 255, 0) + LUMA(255, 0, 0) + LUMA(255, 255, 255))
+    assert (r["width"], r["height"], r["n_frames"]) == (2, 2, 1)
+    assert r["brightness"] == round(exp / 4 / 255.0, 6) == 0.5
+    assert r["checksum"] == hashlib.md5(make_bmp_2x2()).hexdigest()
+
+
+def test_pnm_decode_exact():
+    ppm = b"P6\n# comment\n2 1\n255\n" + bytes([255, 0, 0, 128, 128, 128])
+    r = M._decode_with_real_codec(ppm)
+    assert (r["width"], r["height"]) == (2, 1)
+    assert r["brightness"] == round((LUMA(255, 0, 0) + 128) / 2 / 255.0, 6)
+
+    pgm = b"P5 1 2 255 " + bytes([0, 255])
+    r = M._decode_with_real_codec(pgm)
+    assert (r["width"], r["height"]) == (1, 2)
+    assert r["brightness"] == 0.5
+
+
+def test_png_decode_exact_all_filters():
+    r = M._decode_with_real_codec(make_png_rgb_2x2())
+    exp = (LUMA(255, 0, 0) + LUMA(0, 255, 0) + LUMA(0, 0, 255) + LUMA(255, 255, 255))
+    assert (r["width"], r["height"]) == (2, 2)
+    assert r["brightness"] == round(exp / 4 / 255.0, 6) == 0.5
+
+    r = M._decode_with_real_codec(make_png_gray_filters_3x3())
+    assert (r["width"], r["height"]) == (3, 3)
+    assert r["brightness"] == round(sum(range(10, 91, 10)) / 9 / 255.0, 6)
+
+
+def test_png_palette_decode():
+    # 2x1 palette PNG: entries red + white, indices 0, 1
+    plte = bytes([255, 0, 0, 255, 255, 255])
+    raw = b"\x00" + bytes([0, 1])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    r = M._decode_with_real_codec(png)
+    assert (r["width"], r["height"]) == (2, 1)
+    assert r["brightness"] == round((LUMA(255, 0, 0) + 255.0) / 2 / 255.0, 6)
+
+
+def test_unrecognized_and_malformed_fall_back_to_fake():
+    for payload in (b"plain text document", b"BM" + b"\x01" * 60, b"P6 9 9 255 ", b""):
+        with pytest.raises(NotImplementedError):
+            M._decode_with_real_codec(payload)
+        assert M._decode(payload) == M._fake_decode(payload)
+
+
+def test_interlaced_and_16bit_png_rejected():
+    for depth, interlace in ((16, 0), (8, 1)):
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, depth, 0, 0, 0, interlace))
+            + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            M._decode_with_real_codec(png)
+
+
+def test_decode_assets_mixed_real_and_text_payloads(spark):
+    """The Spark pipeline routes real containers through the stdlib
+    codec and text payloads through the deterministic fallback — one
+    mapInPandas pass, per-row dispatch."""
+    png, bmp, txt = make_png_rgb_2x2(), make_bmp_2x2(), b"some document text"
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(bmp)), (3, bytearray(txt))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in M.decode_assets(df).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].brightness) == (2, 2, 0.5)
+    assert (rows[2].width, rows[2].height, rows[2].brightness) == (2, 2, 0.5)
+    fake = M._fake_decode(txt)
+    assert (rows[3].width, rows[3].height) == (fake["width"], fake["height"])
+    assert rows[1].checksum == hashlib.md5(png).hexdigest()
+    assert rows[1].byte_len == len(png)

@@ -32,6 +32,11 @@ FAMILY_REPS = {
     "streaming": "q_stream_dedup",
     "udf": "q_cogroup_stats",
     "multimodal": "q_multimodal_decode",
+    # round-3 single-shot movers (>1.5x vs r2) put under medians to
+    # separate suite-order noise from real regressions
+    "dedup_simhash": "q_dedup_simhash",
+    "schema_evolution": "q_schema_evolution",
+    "sketch_merge": "q_hll_sketch_merge",
 }
 
 
