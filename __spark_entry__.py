@@ -2923,6 +2923,57 @@ def q_mvcc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return db.begin().query(ordered=True)
 
 
+def q_mvcc_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full lifecycle on a THREE-dimension key (user_id chunked,
+    event_type string unchunked, event_id chunked): insert → upsert
+    (+1000 on every 10th event) → tombstone delete (every 97th), then
+    a range scan bounded on BOTH chunked dims. The reference declares
+    N-d but its tests only ever exercise 2-D (SURVEY §1.3,
+    block.rs:57-62); this gate makes the rebuild's N-d claim real —
+    3-dim chunk routing, driver-side manifest pruning on two chunk
+    axes, newest-wins resolution and lexicographic ordering across a
+    mixed-type key."""
+    from matdb_spark import Dimension, Schema, Value
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    db_path = os.path.join(SCRATCH, f"gate_mvcc3d_{tag}")
+    schema = Schema(
+        dimensions=[
+            Dimension("user_id", 1000),
+            Dimension("event_type", type="string"),
+            Dimension("event_id", 100_000),
+        ],
+        values=[Value("value", type="double")],
+    )
+
+    def build(db):
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_type", "event_id", "value"
+        )
+        with db.begin() as t1:
+            t1.add_dataframe(ev)
+            t1.commit()
+        with db.begin() as t2:
+            t2.add_dataframe(
+                ev.filter(F.col("event_id") % 10 == 0).withColumn(
+                    "value", F.col("value") + 1000
+                )
+            )
+            t2.commit()
+        with db.begin() as t3:
+            t3.add_dataframe(
+                ev.filter(F.col("event_id") % 97 == 0).withColumn(
+                    "value", F.lit(None).cast("double")
+                )
+            )
+            t3.commit()
+
+    db = _cached_mvcc_db(spark, db_path, schema, build)
+    return db.begin().query_range(
+        {"user_id": (2, 12), "event_id": (100, 800)}, ordered=True
+    )
+
+
 def q_mvcc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics (update-matched / ignore-unmatched): the
     source holds every third event doubled, but only keys already in
@@ -3275,6 +3326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cogroup_stats": q_cogroup_stats,
         "q_mvcc_time_travel": q_mvcc_time_travel,
         "q_mvcc_delete": q_mvcc_delete,
+        "q_mvcc_3d": q_mvcc_3d,
         "q_mvcc_merge": q_mvcc_merge,
         "q_schema_evolution": q_schema_evolution,
         "q_bucketed_join": q_bucketed_join,
@@ -4843,6 +4895,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_mvcc_delete": """
             SELECT user_id, event_id, value FROM events WHERE event_id % 100 <> 0
+        """,
+        "q_mvcc_3d": """
+            SELECT user_id, event_type, event_id,
+                   CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
+            FROM events
+            WHERE event_id % 97 <> 0
+              AND user_id BETWEEN 2 AND 12
+              AND event_id BETWEEN 100 AND 800
         """,
         "q_mvcc_merge": """
             SELECT user_id, event_id,

@@ -2,11 +2,18 @@
 evolved stores), bounded IVF probe caching, >=3-dimension schemas."""
 
 import os
+import shutil
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from matdb_spark.database import Database
 from matdb_spark.schema import Dimension, Schema, Value
+
+SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
+)
 
 
 def _jobs_in_group(spark, group, fn):
@@ -81,6 +88,107 @@ def test_ivf_indexed_probe_cache_is_bounded(spark, tmp_path_factory):
         assert res == first
     # nothing registered with the cache manager => nothing pinned
     assert cache_manager.isEmpty(), "ivf_topk_indexed leaked a persist"
+
+
+# --- 4-dimension schemas end-to-end (verdict item 4) -----------------
+# The reference declares N-d but only ever exercises 2-D (SURVEY §1.3,
+# block.rs:57-62). These tests put a 4-dim mixed-type key — chunked
+# long, chunked int, unchunked string, unchunked long — through the
+# full lifecycle against a pure-Python oracle.
+
+_4D_KEY = st.tuples(
+    st.integers(min_value=-7, max_value=7),   # a: long, chunk 3 (negatives!)
+    st.integers(min_value=0, max_value=9),    # b: int, chunk 4
+    st.sampled_from(["red", "blue", "käse"]), # s: string, unchunked
+    st.integers(min_value=0, max_value=4),    # c: long, unchunked
+)
+_4D_ROW = st.tuples(_4D_KEY, st.one_of(st.none(), st.integers(-50, 50)))
+_4D_TXNS = st.lists(st.lists(_4D_ROW, min_size=1, max_size=10), min_size=1, max_size=4)
+
+
+def _4d_schema() -> Schema:
+    return Schema(
+        dimensions=[
+            Dimension("a", 3),
+            Dimension("b", 4, type="int"),
+            Dimension("s", type="string"),
+            Dimension("c"),
+        ],
+        values=[Value("v")],
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(txns=_4D_TXNS, bounds=st.tuples(st.integers(-7, 7), st.integers(0, 9)))
+def test_4d_lifecycle_matches_python_oracle(spark, txns, bounds):
+    path = os.path.join(SCRATCH, "prop_4d_db")
+    shutil.rmtree(path, ignore_errors=True)
+    db = Database.create(spark, path, _4d_schema())
+
+    model: dict[tuple, int] = {}
+    for rows in txns:
+        df = spark.createDataFrame(
+            [(a, b, s, c, v) for (a, b, s, c), v in rows],
+            "a long, b int, s string, c long, v long",
+        )
+        with db.begin() as t:
+            t.add_dataframe(df)
+            t.commit()
+        for key, v in rows:  # within-txn: later row wins; None = delete
+            model[key] = v
+    live = {k: v for k, v in model.items() if v is not None}
+
+    def as_dict(df):
+        return {(r.a, r.b, r.s, r.c): r.v for r in df.collect()}
+
+    # ordered scan: content + lexicographic 4-tuple order
+    got_rows = db.begin().query(ordered=True).collect()
+    assert {(r.a, r.b, r.s, r.c): r.v for r in got_rows} == live
+    keys = [(r.a, r.b, r.s, r.c) for r in got_rows]
+    assert keys == sorted(keys)
+
+    # range scan bounded on BOTH chunked dims (driver-side manifest
+    # pruning + partition pruning on two chunk axes at once)
+    a_lo, b_hi = bounds
+    rng = db.begin().query_range({"a": (a_lo, None), "b": (None, b_hi)}, ordered=False)
+    assert as_dict(rng) == {
+        k: v for k, v in live.items() if k[0] >= a_lo and k[1] <= b_hi
+    }
+
+    # point lookups: present and absent keys in one probe set
+    probe = list(live)[:5] + [(99, 9, "red", 0)]
+    pts = db.begin().query_points(probe, ordered=False)
+    assert as_dict(pts) == {k: live[k] for k in probe if k in live}
+
+    # compaction + vacuum are layout-only
+    if db.compact() is not None:
+        db.vacuum()
+    assert as_dict(db.snapshot()) == live
+    assert as_dict(
+        db.begin().query_range({"a": (a_lo, None), "b": (None, b_hi)}, ordered=False)
+    ) == {k: v for k, v in live.items() if k[0] >= a_lo and k[1] <= b_hi}
+
+
+def test_4d_range_scan_prunes_manifest_files(spark):
+    """The driver-side manifest file pruning must engage on BOTH chunk
+    axes of a 4-dim store: a bounded scan selects only files whose
+    __chunk_a AND __chunk_b directories intersect the bounds."""
+    from matdb_spark.scan import _chunk_ranges, _select_manifest_files
+
+    schema = _4d_schema()
+    cr = _chunk_ranges(schema, {"a": (3, 5), "b": (0, 3)})
+    assert cr == {"__chunk_a": (1, 1), "__chunk_b": (0, 0)}
+    files = [
+        "seg=0/__chunk_a=1/__chunk_b=0/f1.parquet",   # keep
+        "seg=0/__chunk_a=1/__chunk_b=1/f2.parquet",   # pruned by b
+        "seg=0/__chunk_a=0/__chunk_b=0/f3.parquet",   # pruned by a
+        "seg=0/__chunk_a=-1/__chunk_b=0/f4.parquet",  # pruned by a (negative)
+    ]
+    assert _select_manifest_files(files, cr) == [files[0]]
 
 
 def test_never_evolved_store_scan_runs_no_inference_job(spark, tmp_db_path):
