@@ -74,7 +74,7 @@ class Database:
         segments superseded by a later compaction. The reference
         cannot express this (its visibility is always "now")."""
         if as_of is None:
-            return Transaction(self, horizon=self.next_txn_id)
+            return Transaction(self, horizon=self._current_horizon())
         if as_of >= self.next_txn_id:
             raise ValueError(f"as_of={as_of} is in the future (next txn {self.next_txn_id})")
         # Fail LOUDLY when the historical snapshot is no longer
@@ -91,6 +91,19 @@ class Database:
                 f"away; historical reads are valid only until vacuum"
             )
         return Transaction(self, horizon=as_of + 1, read_only=True)
+
+    def _current_horizon(self) -> int:
+        """Snapshot horizon covering every commit visible ON DISK right
+        now, not just those this handle made. The reference's horizon
+        is its in-memory next-id counter (database.rs:68-72) — correct
+        for an embedded single-process store, but with multiple handles
+        or processes sharing one path a handle-local counter goes stale
+        and a 'current' snapshot would silently miss foreign commits
+        (found by the auto-compact concurrency soak). One directory
+        listing; the manifest sweep that follows reads the same
+        listing anyway."""
+        committed = manifest.committed_txn_ids(self.path)
+        return max(self.next_txn_id, max(committed, default=0) + 1)
 
     def allocate_txn_id(self) -> int:
         """Lazy txn-id allocation at first flush
@@ -321,7 +334,7 @@ class Database:
             raise ValueError(f"max_txns={max_txns}; folding needs at least 2 txns")
         if fold not in ("oldest", "newest"):
             raise ValueError(f"fold={fold!r}; expected 'oldest' or 'newest'")
-        visible = m.visible_txn_ids(self.path, self.next_txn_id)
+        visible = m.visible_txn_ids(self.path, self._current_horizon())
 
         def _eff(t: int) -> int:
             return m.effective_version(self.path, t)
@@ -591,7 +604,7 @@ class Database:
         from matdb_spark import manifest as m
 
         committed = m.committed_txn_ids(self.path)
-        visible = m.visible_txn_ids(self.path, self.next_txn_id)
+        visible = m.visible_txn_ids(self.path, self._current_horizon())
         n_files = 0
         n_bytes = 0
         n_segments = 0

@@ -1,6 +1,15 @@
-"""Unit test for connected_components on synthetic graphs."""
+"""Unit tests for connected_components on synthetic graphs: driver
+union-find path, distributed partition-local contraction path (forced
+via driver_threshold=0), and the label-propagation fallback."""
+import random
+
 from pyspark.sql import functions as F
-from matdb_spark.operators.dedup import connected_components
+
+from matdb_spark.operators.dedup import _label_propagation_cc, connected_components
+
+
+def _collect(df):
+    return {r["doc_id"]: r["cluster_id"] for r in df.collect()}
 
 
 def test_connected_components_shapes(spark):
@@ -11,11 +20,44 @@ def test_connected_components_shapes(spark):
     )
     expected = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
     # driver union-find fast path (default threshold)
-    out = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
-    assert out == expected
-    # distributed label-propagation path (threshold forced to 0)
-    out2 = {
-        r["doc_id"]: r["cluster_id"]
-        for r in connected_components(pairs, driver_threshold=0).collect()
-    }
-    assert out2 == expected
+    assert _collect(connected_components(pairs)) == expected
+    # distributed contraction path (threshold forced to 0)
+    assert _collect(connected_components(pairs, driver_threshold=0)) == expected
+
+
+def test_distributed_random_ids_no_locality(spark):
+    # ids shuffled so range partitioning gets NO contiguity help: the
+    # contraction must still converge (possibly over several levels)
+    rng = random.Random(7)
+    perm = list(range(3000))
+    rng.shuffle(perm)
+    # 10 components, each a 300-node chain through the permuted ids
+    rows, want = [], {}
+    for c in range(10):
+        chunk = perm[c * 300 : (c + 1) * 300]
+        root = min(chunk)
+        for n in chunk:
+            want[n] = root
+        rows += list(zip(chunk, chunk[1:]))
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    assert _collect(connected_components(pairs, driver_threshold=0)) == want
+
+
+def test_distributed_string_ids_and_self_pairs(spark):
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "x"), ("m", "n")],
+        "id_a string, id_b string",
+    )
+    want = {"a": "a", "b": "a", "c": "a", "x": "x", "m": "m", "n": "m"}
+    assert _collect(connected_components(pairs)) == want
+    # self-pair-only node "x" must survive the distributed path too
+    assert _collect(connected_components(pairs, driver_threshold=0)) == want
+
+
+def test_label_propagation_fallback(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13)],
+        "id_a long, id_b long",
+    )
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+    assert _collect(_label_propagation_cc(pairs)) == want

@@ -398,7 +398,7 @@ def probe_cc_deep(spark):
         F.max("cluster_id").alias("mx"),
     ).first()
     assert (rows["n"], rows["nc"], rows["mx"]) == (n, 1, 0), rows
-    print(f"  {rows['n']} nodes -> 1 component, canonical id 0 (log-round doubling)")
+    print(f"  {rows['n']} nodes -> 1 component, canonical id 0 (partition-local contraction)")
 
 
 if __name__ == "__main__":
