@@ -108,13 +108,17 @@ def test_resample_ffill_null_observation_not_overwritten(spark):
 
 
 def test_connected_components_raises_on_nonconvergence(spark):
-    # chain 1-2-3-4: min-label needs >1 round on the distributed path
+    # chain 1-2-3-4: min-label needs >1 round of propagation. The
+    # contraction main path resolves chains without iterating, so the
+    # convergence guard lives in the label-propagation fallback.
+    from matdb_spark.operators.dedup import _label_propagation_cc
+
     pairs = spark.createDataFrame(
-        [Row(a=1, b=2), Row(a=2, b=3), Row(a=3, b=4)]
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4)]
     )
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(pairs, "a", "b", driver_threshold=0, max_iter=1)
-    ok = connected_components(pairs, "a", "b", driver_threshold=0).collect()
+        _label_propagation_cc(pairs, max_iter=1)
+    ok = connected_components(pairs, "id_a", "id_b", driver_threshold=0).collect()
     assert {r["cluster_id"] for r in ok} == {1}
 
 
