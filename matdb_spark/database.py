@@ -75,8 +75,9 @@ class Database:
         cannot express this (its visibility is always "now")."""
         if as_of is None:
             return Transaction(self, horizon=self._current_horizon())
-        if as_of >= self.next_txn_id:
-            raise ValueError(f"as_of={as_of} is in the future (next txn {self.next_txn_id})")
+        horizon = self._current_horizon()
+        if as_of >= horizon:
+            raise ValueError(f"as_of={as_of} is in the future (next txn {horizon})")
         # Fail LOUDLY when the historical snapshot is no longer
         # complete: a compaction beyond the horizon replaced txns
         # inside it and vacuum deleted their manifests — silently

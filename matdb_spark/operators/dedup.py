@@ -499,20 +499,39 @@ def _label_propagation_cc(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         "label", F.col("node")
     )
 
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(pairs.schema["id_a"].dataType, NumericType)
+
     def _label_sum(df: DataFrame) -> tuple:
         # labels only ever DECREASE (every update is a least(...)), so
         # an unchanged sum ⟺ no label changed — convergence for the
         # price of one scan instead of a self-join + count per round.
         # decimal(38,0) so the sum is exact for any realistic id space.
+        # Numeric ids only: casting a string label to decimal yields
+        # NULL, the sum would be NULL every round, and the loop would
+        # declare convergence after one iteration — string ids use the
+        # changed-row join below instead.
         r = df.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
             F.count(F.lit(1)).alias("n"),
         ).first()
         return (r["s"], r["n"])
 
-    prev_sum = _label_sum(labels)
+    def _changed(new_df: DataFrame, old_df: DataFrame) -> bool:
+        return (
+            new_df.alias("n")
+            .join(old_df.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    prev_sum = _label_sum(labels) if numeric_ids else None
     converged = False
     for _ in range(max_iter):
+        prev_labels = labels
         neigh = (
             edges.join(labels, edges.d == labels.node)
             .groupBy("s")
@@ -550,11 +569,15 @@ def _label_propagation_cc(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
             )
             .localCheckpoint()
         )
-        cur_sum = _label_sum(labels)
-        if cur_sum == prev_sum:
+        if numeric_ids:
+            cur_sum = _label_sum(labels)
+            if cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
+        elif not _changed(labels, prev_labels):
             converged = True
             break
-        prev_sum = cur_sum
     if not converged:
         # returning intermediate labels would silently split one real
         # component into several "canonical" documents

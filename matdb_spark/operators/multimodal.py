@@ -90,6 +90,19 @@ def _rgb_luma(r: int, g: int, b: int) -> float:
     return 0.299 * r + 0.587 * g + 0.114 * b
 
 
+def _strided_luma(buf, r_off: int, g_off: int, b_off: int, step: int) -> float:
+    """Rec.601 luma summed over interleaved samples via strided slices:
+    ``sum(buf[off::step])`` runs in C, so a megapixel image costs three
+    slice-sums instead of width*height Python-level _rgb_luma calls
+    (~10-50x). Exact: the per-channel sums are integer-exact, and
+    coeff*R + coeff*G + coeff*B is algebraically the per-pixel sum."""
+    return (
+        0.299 * sum(buf[r_off::step])
+        + 0.587 * sum(buf[g_off::step])
+        + 0.114 * sum(buf[b_off::step])
+    )
+
+
 def _decode_bmp(payload: bytes) -> dict:
     import struct
 
@@ -112,9 +125,8 @@ def _decode_bmp(payload: bytes) -> dict:
     luma = 0.0
     for row in range(height):
         base = data_off + row * stride
-        for col in range(width):
-            o = base + col * nbytes  # BGR(A) order
-            luma += _rgb_luma(payload[o + 2], payload[o + 1], payload[o])
+        seg = payload[base : base + nbytes * width]  # BGR(A) order
+        luma += _strided_luma(seg, 2, 1, 0, nbytes)
     out = _dims_ok(width, height)
     out["brightness"] = round(luma / (width * height) / 255.0, 6)
     return out
@@ -155,9 +167,7 @@ def _decode_pnm(payload: bytes) -> dict:
     else:
         if len(payload) < pos + 3 * n:
             raise NotImplementedError("truncated PPM")
-        for i in range(n):
-            o = pos + 3 * i
-            luma += _rgb_luma(payload[o], payload[o + 1], payload[o + 2])
+        luma = _strided_luma(payload[pos : pos + 3 * n], 0, 1, 2, 3)
     # sample range [0, maxval] scales to [0, 1]
     out["brightness"] = round(luma / n / maxval, 6)
     return out
@@ -196,6 +206,14 @@ def _decode_png(payload: bytes) -> dict:
     stride = channels * width
     if len(raw) < (stride + 1) * height:
         raise NotImplementedError("truncated PNG scanlines")
+    if ctype == 3:
+        # per-channel 256-entry lookup tables: translate() maps every
+        # palette index to its channel byte in C, so palette rows cost
+        # three translate+sum passes instead of a per-pixel dict walk
+        plen = len(plte) // 3
+        r_tab = bytes(plte[3 * i] for i in range(plen)).ljust(256, b"\x00")
+        g_tab = bytes(plte[3 * i + 1] for i in range(plen)).ljust(256, b"\x00")
+        b_tab = bytes(plte[3 * i + 2] for i in range(plen)).ljust(256, b"\x00")
     prev = bytearray(stride)
     luma = 0.0
     for row in range(height):
@@ -222,17 +240,21 @@ def _decode_png(payload: bytes) -> dict:
                 line[i] = (line[i] + pred) & 0xFF
         elif ftype != 0:
             raise NotImplementedError(f"unknown PNG filter {ftype}")
-        for col in range(width):
-            o = col * channels
-            if ctype in (0, 4):
-                luma += line[o]
-            elif ctype == 3:
-                pi = 3 * line[o]
-                if pi + 3 > len(plte):
-                    raise NotImplementedError("palette index out of range")
-                luma += _rgb_luma(plte[pi], plte[pi + 1], plte[pi + 2])
-            else:
-                luma += _rgb_luma(line[o], line[o + 1], line[o + 2])
+        if ctype == 0:
+            luma += float(sum(line))
+        elif ctype == 4:
+            luma += float(sum(line[0::2]))
+        elif ctype == 3:
+            if line and max(line) >= plen:
+                raise NotImplementedError("palette index out of range")
+            lb = bytes(line)
+            luma += _rgb_luma(
+                sum(lb.translate(r_tab)),
+                sum(lb.translate(g_tab)),
+                sum(lb.translate(b_tab)),
+            )
+        else:
+            luma += _strided_luma(line, 0, 1, 2, channels)
         prev = line
     out = _dims_ok(width, height)
     out["brightness"] = round(luma / (width * height) / 255.0, 6)

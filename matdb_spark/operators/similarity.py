@@ -238,15 +238,16 @@ def ivf_topk_indexed(
     column prunes directories before any IO), score by dot product on
     the stored unit vectors.
 
-    The probe plan is eagerly materialized via ``localCheckpoint``
-    (NOT ``persist``): it is consumed twice — collected for the
-    partition filter and joined against the index — but a persist would
-    register it with the CacheManager for the application's lifetime
-    (unpersisting inside this function would race the returned lazy
-    plan). Checkpoint blocks are instead owned by the RDD itself, so
-    the ContextCleaner reclaims them as soon as the returned plan is
-    no longer reachable — repeated calls from a long-running query
-    service cannot accumulate pinned storage."""
+    The probe is materialized by COLLECTING it to the driver and
+    re-creating a local DataFrame: it is consumed twice (the partition
+    filter needs its cell ids on the driver anyway, and the index join
+    consumes it again), it is bounded by queries × nprobe rows by
+    construction, and driver-held rows survive executor loss — unlike
+    ``persist`` (pins CacheManager storage for the app's lifetime;
+    unpersisting here would race the returned lazy plan) or
+    ``localCheckpoint`` (truncates lineage onto unreplicated executor
+    blocks, so losing one executor would permanently fail the returned
+    plan instead of recomputing)."""
     cents = spark.read.parquet(path + "/_centroids").select(
         "cell_id", F.col(vec_col).alias("__cv")
     )
@@ -259,13 +260,15 @@ def ivf_topk_indexed(
         [F.col("__sim").desc(), F.col("cell_id").asc()],
         nprobe,
     ).select("query_id", "__qv", "cell_id")
-    # eager materialization: the probe plan (crossJoin + ranking
-    # window) is consumed twice — once collected for the partition
-    # filter, once as the join input — and would otherwise be fully
-    # re-executed; see the docstring for why this is a localCheckpoint
-    # and not a persist (bounded storage across repeated calls)
-    probe = probe.localCheckpoint(eager=True)
-    probed_cells = [r.cell_id for r in probe.select("cell_id").distinct().collect()]
+    # one collect materializes the probe plan (crossJoin + ranking
+    # window) for BOTH consumers: the partition filter below needs the
+    # cell ids driver-side regardless, and rebuilding the (queries ×
+    # nprobe)-row probe as a local DataFrame gives the join a
+    # lineage-free, executor-loss-proof input — see the docstring
+    probe_rows = probe.collect()
+    probe_schema = probe.schema
+    probed_cells = sorted({r["cell_id"] for r in probe_rows})
+    probe = spark.createDataFrame(probe_rows, probe_schema)
     index = spark.read.parquet(path).filter(F.col("cell_id").isin(probed_cells))
     cand = probe.join(index.withColumnRenamed(id_col, "neighbor_id"), "cell_id")
     if not include_self:

@@ -335,11 +335,9 @@ def scan_dataframe(
                 df = df.filter(cond)
             if predicate is not None:
                 df = df.filter(predicate)
-            # Partition dirs contribute txn=<t>, seg=<s>, __chunk_* columns.
-            # A value column absent from EVERY read file (evolved, not yet
-            # written anywhere in this snapshot) backfills as typed null.
-            present = set(df.columns)
-            vtypes = {f.name: f.dataType for f in schema.spark_schema().fields}
+            # Partition dirs contribute txn=<t>, seg=<s>, __chunk_* columns;
+            # the explicit catalog read schema guarantees every value
+            # column exists (typed null where a file predates it).
             txn_expr = F.col("txn").cast("long")
             if rank_overrides:
                 case = None
@@ -355,10 +353,7 @@ def scan_dataframe(
                 txn_expr.alias(TXN_COL),
                 F.col(SEQ_COL),
                 *[F.col(c) for c in dims],
-                *[
-                    F.col(c) if c in present else F.lit(None).cast(vtypes[c]).alias(c)
-                    for c in vals
-                ],
+                *[F.col(c) for c in vals],
             )
             parts.append(df)
 

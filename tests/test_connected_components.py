@@ -61,3 +61,15 @@ def test_label_propagation_fallback(spark):
     )
     want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10}
     assert _collect(_label_propagation_cc(pairs)) == want
+
+
+def test_label_propagation_fallback_string_ids(spark):
+    # string labels cannot use the decimal-sum convergence check (the
+    # cast yields NULL and every round would look converged after one
+    # iteration): a >1-round chain catches a false early convergence
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f")],
+        "id_a string, id_b string",
+    )
+    want = {x: "a" for x in "abcdef"}
+    assert _collect(_label_propagation_cc(pairs)) == want

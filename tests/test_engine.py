@@ -480,3 +480,32 @@ def test_add_value_column_evolution(spark, tmp_db_path):
     # point + range paths work on the evolved store
     assert db2.begin().query_range({"k": (2, 3)}).count() == 2
     assert db2.begin().query_points([(3,)]).collect()[0].w == 3.5
+
+
+def test_as_of_sees_foreign_commits(spark, tmp_db_path):
+    """Time travel must validate as_of against the ON-DISK horizon, not
+    the handle-local txn counter: a handle that never committed has a
+    stale counter, yet commits made through other handles are real and
+    readable (the current-snapshot path already honors them)."""
+    import os
+
+    path = os.path.join(tmp_db_path, "foreign_asof")
+    a = Database.create(spark, path, Schema(
+        dimensions=[Dimension("k", 10)], values=[Value("v")]
+    ))
+    b = Database.open(spark, path)
+    with b.begin() as t:
+        t.add_rows([[1, 10]])
+        t.commit()
+    with b.begin() as t:
+        t.add_rows([[2, 20]])
+        t.commit()
+    # handle a's counter is stale (it never allocated a txn id), but
+    # txn 1 is committed on disk and must be time-travelable
+    with a.begin(as_of=1) as t:
+        assert {r.k: r.v for r in t.query().collect()} == {1: 10}
+    # the future is still rejected, against the on-disk horizon
+    import pytest
+
+    with pytest.raises(ValueError, match="future"):
+        a.begin(as_of=99)
