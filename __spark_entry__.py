@@ -1383,6 +1383,30 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=32, bands=8)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a persisted corpus LSH index (doc_id % 10 !=
+    0, built once) is PROBED by a new batch (doc_id % 10 = 0) — the
+    standing-corpus admission path, where a batch costs its own
+    signatures plus one index scan instead of re-hashing the corpus.
+    The reference has no dedup at all; this exceeds it on the 100 TB
+    training-pipeline axis."""
+    from matdb_spark.operators.dedup import pairs_against_index, write_minhash_index
+    from matdb_spark.sources.formats import _build_once
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SCRATCH, f"fixture_minhash_index_{tag}")
+
+    def build(p: str) -> None:
+        corpus = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 != 0
+        )
+        write_minhash_index(corpus, p, "doc_id", "text", k=32, bands=8)
+
+    _build_once(path, build)
+    batch = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return pairs_against_index(spark, path, batch, "doc_id", "text", k=32, bands=8)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components over the MinHash-LSH
     candidate pairs (iterative label propagation; the oracle computes
@@ -3260,6 +3284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "q_dedup_incremental": q_dedup_incremental,
         "q_dedup_clusters": q_dedup_clusters,
         "q_dedup_simhash": q_dedup_simhash,
         "q_decontaminate": q_decontaminate,
@@ -3390,7 +3415,9 @@ _SHINGLES = (
 _LSH_MAX_BUCKET = dedup.DEFAULT_MAX_BUCKET
 
 
-def _minhash_sql() -> str:
+def _banded_cte() -> str:
+    """Shared DuckDB CTE prefix producing ``bands(doc_id, band, key)``
+    — the exact banding relation of dedup.banded_minhash."""
     params = dedup.minhash_params(32)
     p = dedup.MERSENNE_P
     mins = ", ".join(
@@ -3408,7 +3435,13 @@ def _minhash_sql() -> str:
         _SHINGLES + ", "
         "h AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT) AS h FROM sh), "
         f"sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id), "
-        f"bands AS ({band_selects}), "
+        f"bands AS ({band_selects})"
+    )
+
+
+def _minhash_sql() -> str:
+    return (
+        _banded_cte() + ", "
         # mirror of minhash_lsh_pairs' default max_bucket skew cap:
         # buckets above the cap emit no pairs on either engine
         "okbuckets AS (SELECT band, key FROM bands GROUP BY band, key "
@@ -3417,6 +3450,25 @@ def _minhash_sql() -> str:
         "JOIN okbuckets USING (band, key)) "
         "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM cb a "
         "JOIN cb b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"
+    )
+
+
+def _incremental_dedup_sql() -> str:
+    """Oracle for pairs_against_index: corpus = doc_id % 10 != 0
+    (indexed), batch = doc_id % 10 = 0; pairs share a (band, key) whose
+    total membership respects the operator's skew cap."""
+    return (
+        _banded_cte() + ", "
+        "cb AS (SELECT doc_id, band, key FROM bands WHERE doc_id % 10 != 0), "
+        "bb AS (SELECT doc_id, band, key FROM bands WHERE doc_id % 10 = 0), "
+        "cnts AS (SELECT band, key, "
+        "SUM(CASE WHEN doc_id % 10 != 0 THEN 1 ELSE 0 END) AS cc, "
+        "SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS bc "
+        "FROM bands GROUP BY band, key), "
+        f"ok AS (SELECT band, key FROM cnts WHERE bc > 0 AND cc + bc <= {_LSH_MAX_BUCKET}) "
+        "SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS corpus_id "
+        "FROM bb b JOIN cb c ON b.band = c.band AND b.key = c.key "
+        "JOIN ok ON ok.band = b.band AND ok.key = b.key"
     )
 
 
@@ -4259,6 +4311,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_dedup_minhash_lsh": _minhash_sql(),
+        "q_dedup_incremental": _incremental_dedup_sql(),
         "q_dedup_clusters": _dedup_clusters_sql(),
         "q_dedup_simhash": _simhash_sql(),
         "q_similarity_topk": _cosine_sql(),

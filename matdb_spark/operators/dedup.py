@@ -213,6 +213,39 @@ def minhash_signatures(
 DEFAULT_MAX_BUCKET = 4096
 
 
+def banded_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, band, key) LSH banding rows: the k-wide MinHash
+    signature split into ``bands`` rows of k/bands hashes, key = the
+    comma-joined band values. The shared building block for one-shot
+    pair mining (minhash_lsh_pairs) and the persisted incremental
+    index (write_minhash_index / pairs_against_index)."""
+    if k % bands:
+        raise ValueError("k must be divisible by bands")
+    r = k // bands
+    sig = minhash_signatures(df, id_col, text_col, k, shingle_n)
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    ",", *[F.col("sig")[bi * r + j].cast("string") for j in range(r)]
+                ).alias("key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col).alias("doc_id"), F.explode(band_struct).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -244,21 +277,10 @@ def minhash_lsh_pairs(
     ``max_bucket=None`` opts out for small corpora where cap-free
     parity matters more than skew safety.
     """
-    if k % bands:
-        raise ValueError("k must be divisible by bands")
-    r = k // bands
-    sig = minhash_signatures(df, id_col, text_col, k, shingle_n)
-    band_struct = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.concat_ws(",", *[F.col("sig")[bi * r + j].cast("string") for j in range(r)]).alias("key"),
-            )
-            for bi in range(bands)
-        ]
-    )
-    banded = sig.select(F.col(id_col).alias("__id"), F.explode(band_struct).alias("b")).select(
-        "__id", F.col("b.band").alias("__band"), F.col("b.key").alias("__key")
+    banded = banded_minhash(df, id_col, text_col, k, bands, shingle_n).select(
+        F.col("doc_id").alias("__id"),
+        F.col("band").alias("__band"),
+        F.col("key").alias("__key"),
     )
     # Bucket-collect + in-array pair generation, NOT a banded self-join:
     # a self-join evaluates the whole signature pipeline (scan, shingle
@@ -294,6 +316,112 @@ def minhash_lsh_pairs(
                 F.slice(F.col("__ids"), F.col("__i") + 2, F.size(F.col("__ids")))
             ).alias("id_b"),
         )
+        .distinct()
+    )
+    return pairs
+
+
+# ------------------------------------------- incremental MinHash index
+def write_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's LSH banding rows (doc_id, band, key) as a
+    parquet index, partitioned by band. This is what makes dedup
+    INCREMENTAL at corpus scale: a new batch is checked by probing the
+    index (pairs_against_index) instead of re-shingling and re-hashing
+    the whole corpus per batch — the corpus pays for its signatures
+    exactly once. Storage is docs x bands rows of (id, int, short
+    string); rows are range-clustered by key within each band
+    partition so parquet row-group min/max stats can skip
+    non-matching key ranges."""
+    banded = banded_minhash(df, id_col, text_col, k, bands, shingle_n)
+    (
+        banded.repartitionByRange("band", "key")
+        .sortWithinPartitions("band", "key")
+        .write.partitionBy("band")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def append_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> None:
+    """Add a new batch's banding rows to an existing index (after the
+    batch has been admitted): the standing corpus index grows by one
+    append, never a rewrite. Parameters must match the original
+    write_minhash_index call — keys from different (k, bands,
+    shingle_n) settings never collide correctly."""
+    write_minhash_index(
+        df, path, id_col, text_col, k, bands, shingle_n, mode="append"
+    )
+
+
+def pairs_against_index(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """(new_id, corpus_id) candidate near-dup pairs between a new
+    batch and the persisted corpus index. The 100 TB shape: the index
+    is SCANNED once (three columns, band-partitioned) but never
+    shuffled in full — the batch's (band, key) set is broadcast and
+    the index is filtered by a broadcast semi-join, so only actual
+    matches ever enter an exchange. Intra-batch duplicates are the
+    one-shot operator's job (minhash_lsh_pairs on the batch).
+
+    ``max_bucket`` mirrors minhash_lsh_pairs' skew guard: a (band,
+    key) bucket whose total membership (batch + corpus matches)
+    exceeds the cap is dropped entirely — one degenerate boilerplate
+    signature would otherwise emit |batch_bucket| x |corpus_bucket|
+    pairs from a single key."""
+    nb = banded_minhash(new_df, id_col, text_col, k, bands, shingle_n).localCheckpoint()
+    keys = nb.select("band", "key").distinct()
+    idx = spark.read.parquet(path).select("doc_id", "band", "key")
+    # broadcast semi-join: the full index flows through a map-side
+    # filter, no exchange of the corpus side
+    hits = idx.join(F.broadcast(keys), ["band", "key"], "leftsemi")
+    if max_bucket is not None:
+        # three consumers below (count, cap filter, pair join):
+        # materialize so the index scan runs once
+        hits = hits.localCheckpoint()
+        # count-aggregates partial-combine map-side, so even a
+        # degenerate key costs one row per input partition
+        c_cnt = hits.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__cc"))
+        b_cnt = nb.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__bc"))
+        ok = (
+            c_cnt.join(b_cnt, ["band", "key"])
+            .filter(F.col("__cc") + F.col("__bc") <= F.lit(max_bucket))
+            .select("band", "key")
+        )
+        hits = hits.join(F.broadcast(ok), ["band", "key"], "leftsemi")
+    pairs = (
+        nb.select(F.col("doc_id").alias("new_id"), "band", "key")
+        .join(
+            hits.select(F.col("doc_id").alias("corpus_id"), "band", "key"),
+            ["band", "key"],
+        )
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
         .distinct()
     )
     return pairs

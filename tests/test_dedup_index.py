@@ -1,0 +1,118 @@
+"""Incremental MinHash index: write -> probe -> append lifecycle,
+parity with the one-shot LSH pair miner, skew-cap behavior, and the
+no-corpus-shuffle plan claim."""
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from matdb_spark.operators.dedup import (
+    append_minhash_index,
+    minhash_lsh_pairs,
+    pairs_against_index,
+    write_minhash_index,
+)
+
+SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
+)
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "a completely different document about spark distributed computing engines"),
+    (3, "yet another unrelated text concerning parquet columnar storage formats"),
+]
+# 10 is a near-dup of 1; 11 is novel
+BATCH = [
+    (10, "the quick brown fox jumps over the lazy dog near the river banks"),
+    (11, "nothing in the corpus resembles this sentence about volcanic geology"),
+]
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_index_probe_and_append(spark):
+    path = os.path.join(SCRATCH, "mh_index_test")
+    shutil.rmtree(path, ignore_errors=True)
+    corpus = _mk(spark, CORPUS)
+    write_minhash_index(corpus, path, "doc_id", "text")
+
+    pairs = pairs_against_index(spark, path, _mk(spark, BATCH), "doc_id", "text")
+    got = {(r["new_id"], r["corpus_id"]) for r in pairs.collect()}
+    assert (10, 1) in got
+    assert all(n != 11 for n, _ in got), "novel doc must not match"
+
+    # admit the batch, then a later batch matching doc 11 finds it
+    append_minhash_index(_mk(spark, BATCH), path, "doc_id", "text")
+    batch2 = _mk(
+        spark,
+        [(20, "nothing in the corpus resembles this sentence about volcanic geology")],
+    )
+    got2 = {
+        (r["new_id"], r["corpus_id"])
+        for r in pairs_against_index(spark, path, batch2, "doc_id", "text").collect()
+    }
+    assert (20, 11) in got2
+
+
+def test_index_parity_with_one_shot(spark):
+    """Probing an index of the corpus with a batch must find exactly
+    the cross (batch x corpus) subset of the one-shot miner run over
+    corpus+batch together."""
+    path = os.path.join(SCRATCH, "mh_index_parity")
+    shutil.rmtree(path, ignore_errors=True)
+    corpus, batch = _mk(spark, CORPUS), _mk(spark, BATCH)
+    write_minhash_index(corpus, path, "doc_id", "text")
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in pairs_against_index(spark, path, batch, "doc_id", "text").collect()
+    }
+    corpus_ids = {i for i, _ in CORPUS}
+    batch_ids = {i for i, _ in BATCH}
+    want = {
+        (b, c)
+        for r in minhash_lsh_pairs(corpus.union(batch), "doc_id", "text").collect()
+        for a_, b_ in [(r["id_a"], r["id_b"])]
+        for b, c in [(a_, b_), (b_, a_)]
+        if b in batch_ids and c in corpus_ids
+    }
+    assert got == want
+
+
+def test_index_skew_cap_drops_bucket(spark):
+    path = os.path.join(SCRATCH, "mh_index_cap")
+    shutil.rmtree(path, ignore_errors=True)
+    write_minhash_index(_mk(spark, CORPUS), path, "doc_id", "text")
+    batch = _mk(spark, BATCH)
+    # total bucket membership is >= 2 for any match, so cap=1 drops all
+    none = pairs_against_index(spark, path, batch, "doc_id", "text", max_bucket=1)
+    assert none.count() == 0
+    # cap off reproduces the matches
+    some = pairs_against_index(spark, path, batch, "doc_id", "text", max_bucket=None)
+    assert some.count() > 0
+
+
+def test_index_probe_does_not_shuffle_corpus(spark):
+    """The index side must reach its semi-join through a broadcast
+    (map-side filter), never an Exchange: at corpus scale a shuffle of
+    docs x bands rows would dominate the probe."""
+    path = os.path.join(SCRATCH, "mh_index_plan")
+    shutil.rmtree(path, ignore_errors=True)
+    write_minhash_index(_mk(spark, CORPUS), path, "doc_id", "text")
+    pairs = pairs_against_index(
+        spark, path, _mk(spark, BATCH), "doc_id", "text", max_bucket=None
+    )
+    pairs.collect()
+    plan = pairs._sc._jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    # the parquet index scan feeds the semi join directly — every
+    # Exchange in the probe is either a broadcast or the final
+    # distinct's hash shuffle of the (tiny) matched pairs; the scan
+    # branch itself must carry none
+    scan_branch = plan.split("LeftSemi")[0]
+    assert "Scan parquet" in plan
+    assert "Exchange hashpartitioning" not in scan_branch
