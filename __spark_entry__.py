@@ -1734,6 +1734,20 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio round-trip: synthesize a complete RIFF/WAVE container
+    per document (one 16-bit PCM sample per text codepoint, plus a
+    LIST chunk so the parser must walk chunks), then decode it back
+    with the pure-stdlib WAV parser — channels/rate/sample-count/
+    duration/RMS. The oracle recomputes every stat from the text
+    itself, so a lazy parser (fixed offsets, fake RMS) cannot pass."""
+    from matdb_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wav = mm.attach_audio_payload(docs, "text")
+    return mm.decode_audio_assets(wav, "doc_id")
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode + resize pipeline over binary payloads (the
     codec itself is a deterministic md5-keyed stub — see
@@ -3291,6 +3305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_global_rownum": q_global_rownum,
         "q_similarity_topk": q_similarity_topk,
         "q_multimodal_meta": q_multimodal_meta,
+        "q_multimodal_audio": q_multimodal_audio,
         "q_multimodal_decode": q_multimodal_decode,
         "q_multimodal_frames": q_multimodal_frames,
         "q02_min_cost_supplier": q02_min_cost_supplier,
@@ -4319,6 +4334,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                    CAST(length(text) AS BIGINT) AS char_len, md5(text) AS checksum
             FROM documents
+        """,
+        "q_multimodal_audio": """
+            WITH docs AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+            cps AS (SELECT doc_id, unicode(substr(text, CAST(i AS INT), 1)) AS cp
+                    FROM docs, unnest(range(1, length(text) + 1)) AS u(i)),
+            agg AS (SELECT doc_id, COUNT(*) AS n,
+                           AVG(CAST((cp % 128) * 256 AS DOUBLE)
+                               * CAST((cp % 128) * 256 AS DOUBLE)) AS msq
+                    FROM cps GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(70 + 2 * length(d.text) AS BIGINT) AS byte_len,
+                   CAST(1 AS INT) AS channels,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CAST(length(d.text) AS BIGINT) AS n_samples,
+                   round(length(d.text) / 8000.0, 6) AS duration_sec,
+                   CASE WHEN a.n IS NULL THEN 0.0
+                        ELSE round(sqrt(a.msq) / 32768.0, 6) END AS rms
+            FROM docs d LEFT JOIN agg a USING (doc_id)
         """,
         "q_multimodal_decode": """
             WITH d AS (

@@ -286,6 +286,128 @@ def _decode(payload: bytes) -> dict:
         return _fake_decode(payload)
 
 
+# ----------------------------------------------------------- audio WAV
+def synth_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """A complete little-endian RIFF/WAVE container around 16-bit PCM
+    mono ``samples``: fmt chunk, a LIST/INFO chunk (so decoders must
+    WALK chunks rather than assume data starts at byte 44), then data.
+    Deterministic — the gate fixtures synthesize audio from text."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    info = b"INFOISFT" + struct.pack("<I", 6) + b"matdb\x00"
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(info)) + info
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """Real RIFF/WAVE parse, pure stdlib: walk chunks (word-aligned,
+    unknown chunks skipped), require PCM (format tag 1), decode the
+    data chunk's int16 frames. Returns channels / sample_rate /
+    n_samples (per channel) / duration_sec / rms (root-mean-square of
+    the normalized [-1, 1) signal)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, ln = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise NotImplementedError("WAV missing fmt/data chunk")
+    tag, channels, rate, _byte_rate, _block, bits = fmt
+    if tag != 1 or bits != 16:
+        raise NotImplementedError(f"unsupported WAV (tag={tag}, bits={bits})")
+    n_frames = len(data) // (2 * channels)
+    total = len(data) // 2
+    sq = 0
+    if total:
+        vals = struct.unpack(f"<{total}h", data[: 2 * total])
+        for v in vals:
+            sq += v * v
+    rms = (sq / total) ** 0.5 / 32768.0 if total else 0.0
+    return {
+        "channels": channels,
+        "sample_rate": rate,
+        "n_samples": n_frames,
+        "duration_sec": round(n_frames / rate, 6),
+        "rms": round(rms, 6),
+    }
+
+
+AUDIO_META_FIELDS = [
+    StructField("channels", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("duration_sec", DoubleType()),
+    StructField("rms", DoubleType()),
+]
+
+
+def attach_audio_payload(
+    df: DataFrame, text_col: str = "text", sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic audio fixture: each text codepoint becomes one
+    16-bit PCM sample ((cp % 128) * 256), wrapped in a real WAV
+    container via mapInPandas. Real pipelines read bytes from object
+    storage (binaryFile); this builder exists so the decode path is
+    exercised against payloads an oracle can reason about."""
+    fields = [f for f in df.schema.fields]
+    out_schema = StructType(fields + [StructField("payload", BinaryType())])
+    cols = [f.name for f in fields]
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                synth_wav([(ord(c) % 128) * 256 for c in t], sample_rate)
+                for t in pdf[text_col].fillna("").astype(str)
+            ]
+            out = {c: pdf[c].values for c in cols}
+            out["payload"] = payloads
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(synth, out_schema)
+
+
+def decode_audio_assets(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id, byte_len, channels, sample_rate, n_samples, duration_sec,
+    rms) via mapInPandas — the audio twin of decode_assets, same Arrow
+    batch shape, no shuffle."""
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("byte_len", LongType()),
+        ]
+        + AUDIO_META_FIELDS
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [_decode_wav(bytes(p)) for p in pdf[payload_col]]
+            out = {
+                id_col: pdf[id_col].values,
+                "byte_len": [len(bytes(p)) for p in pdf[payload_col]],
+            }
+            for f in AUDIO_META_FIELDS:
+                out[f.name] = [m[f.name] for m in metas]
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(decode_batches, out_schema)
+
+
 def attach_payload(df: DataFrame, text_col: str = "text", modality: str = "image") -> DataFrame:
     """Stand-in asset builder for the synthetic corpus: utf-8 bytes of
     a text column become the binary payload (real pipelines read bytes

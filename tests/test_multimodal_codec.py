@@ -175,3 +175,68 @@ def test_decode_assets_mixed_real_and_text_payloads(spark):
     assert (rows[3].width, rows[3].height) == (fake["width"], fake["height"])
     assert rows[1].checksum == hashlib.md5(png).hexdigest()
     assert rows[1].byte_len == len(png)
+
+
+# ------------------------------------------------------------ WAV audio
+def test_wav_round_trip_exact():
+    samples = [0, 16384, -16384, 32767, -32768]
+    wav = M.synth_wav(samples, sample_rate=8000)
+    meta = M._decode_wav(wav)
+    assert meta["channels"] == 1
+    assert meta["sample_rate"] == 8000
+    assert meta["n_samples"] == 5
+    assert meta["duration_sec"] == round(5 / 8000, 6)
+    expect_rms = (sum(s * s for s in samples) / 5) ** 0.5 / 32768.0
+    assert meta["rms"] == round(expect_rms, 6)
+
+
+def test_wav_chunk_walking_and_padding():
+    """The parser must skip unknown chunks (incl. odd-length ones with
+    their pad byte) rather than assume data starts at byte 44."""
+    import struct
+
+    wav = M.synth_wav([100, 200], sample_rate=16000)
+    # splice an odd-length junk chunk between WAVE and fmt
+    junk = b"junk" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad to even
+    spliced = wav[:12] + junk + wav[12:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    meta = M._decode_wav(spliced)
+    assert meta["n_samples"] == 2 and meta["sample_rate"] == 16000
+
+
+def test_wav_rejects_non_pcm_and_non_riff():
+    import struct
+
+    with pytest.raises(NotImplementedError):
+        M._decode_wav(b"not audio at all")
+    wav = bytearray(M.synth_wav([1, 2, 3]))
+    # flip the format tag to 3 (IEEE float) inside the fmt chunk
+    fmt_at = wav.find(b"fmt ") + 8
+    wav[fmt_at : fmt_at + 2] = struct.pack("<H", 3)
+    with pytest.raises(NotImplementedError):
+        M._decode_wav(bytes(wav))
+
+
+def test_wav_empty_signal():
+    meta = M._decode_wav(M.synth_wav([]))
+    assert meta["n_samples"] == 0
+    assert meta["duration_sec"] == 0.0
+    assert meta["rms"] == 0.0
+
+
+def test_audio_pipeline_over_spark(spark):
+    df = spark.createDataFrame(
+        [(1, "AB"), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in M.decode_audio_assets(M.attach_audio_payload(df)).collect()
+    }
+    assert rows[1].n_samples == 2
+    # sample for 'A' (65) is 65*256; rms = sqrt(mean of squares)/32768
+    exp = ((((65 * 256) ** 2 + (66 * 256) ** 2) / 2) ** 0.5) / 32768.0
+    assert rows[1].rms == round(exp, 6)
+    assert rows[1].byte_len == 70 + 4
+    # empty and NULL text degrade to a zero-length (but valid) WAV
+    for d in (2, 3):
+        assert rows[d].n_samples == 0 and rows[d].rms == 0.0
