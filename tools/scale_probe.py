@@ -14,7 +14,7 @@ in SCALE.md §11. Two axes the small-SF gate never stresses:
              newest-folds must stay flat-cost as the table grows,
              then one oldest-fold collapses the rollups.
 
-Usage: PYTHONPATH=/root/repo python tools/scale_probe.py [volume|manytxn|stream|tiered]
+Usage: PYTHONPATH=/root/repo python tools/scale_probe.py [volume|manytxn|stream|tiered|lshskew|ccdeep|autocompact|incdex]
 Scratch stores live under /root/repo/.scratch/ (gitignored).
 """
 
@@ -401,6 +401,68 @@ def probe_cc_deep(spark):
     print(f"  {rows['n']} nodes -> 1 component, canonical id 0 (partition-local contraction)")
 
 
+def probe_incremental_index(spark):
+    """Incremental dedup economics: a 200k-doc corpus index built ONCE,
+    then a 4k-doc batch (half of it near-dups of corpus docs) admitted
+    by probing the index. The claim under test: per-batch cost is
+    O(batch) + one index scan, vs the one-shot miner's O(corpus+batch)
+    re-shingle/re-hash — so probe time must sit far under re-mine time
+    and stay there as the corpus grows (the index scan is 3 narrow
+    columns, never shuffled)."""
+    from matdb_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        pairs_against_index,
+        write_minhash_index,
+    )
+
+    n_batch = 4_000
+
+    def synth(ids, dup_of=None):
+        # 12-word pseudo-text from id arithmetic; dup_of shifts the id
+        # into an existing doc's text with ONE word changed (near-dup)
+        base = F.col("id") if dup_of is None else (F.col("id") - F.lit(dup_of))
+        words = [
+            F.concat(F.lit(f"w{j}_"), ((base * (j * 2 + 3)) % 49_999_991).cast("string"))
+            for j in range(12)
+        ]
+        if dup_of is not None:
+            words[11] = F.lit("changed")
+        return ids.select(
+            F.col("id").alias("doc_id"), F.concat_ws(" ", *words).alias("text")
+        )
+
+    for n_corpus in (1_000_000, 4_000_000):
+        path = os.path.join(SCRATCH, f"probe_mh_index_{n_corpus}")
+        shutil.rmtree(path, ignore_errors=True)
+        corpus = synth(spark.range(n_corpus))
+        timed(
+            f"index build, {n_corpus} docs (one-time corpus cost)",
+            lambda: write_minhash_index(corpus, path, "doc_id", "text"),
+        )
+        half = n_batch // 2
+        # docs n_corpus+i -> near-dup of corpus doc i
+        dups = synth(spark.range(n_corpus, n_corpus + half), dup_of=n_corpus)
+        novel = synth(
+            spark.range(n_corpus + half, n_corpus + n_batch).select(
+                (F.col("id") * 7919 + 3_000_000).alias("id")
+            )
+        )
+        batch = dups.union(novel).localCheckpoint()
+
+        n_pairs = timed(
+            f"probe index with {n_batch}-doc batch (per-batch admission cost)",
+            lambda: pairs_against_index(spark, path, batch, "doc_id", "text").count(),
+        )
+        print(f"  {n_pairs} candidate pairs from the batch probe")
+        assert n_pairs >= half * 0.5, f"expected most of {half} near-dups, got {n_pairs}"
+
+        remine = timed(
+            f"one-shot re-mine over corpus+batch ({n_corpus + n_batch} docs)",
+            lambda: minhash_lsh_pairs(corpus.union(batch), "doc_id", "text").count(),
+        )
+        print(f"  re-mine found {remine} pairs (includes intra-corpus)")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "volume"
     spark = get_spark(app_name=f"scale_probe_{which}")
@@ -423,5 +485,7 @@ if __name__ == "__main__":
         probe_cc_deep(spark)
     elif which == "autocompact":
         probe_auto_compact(spark)
+    elif which == "incdex":
+        probe_incremental_index(spark)
     else:
         raise SystemExit(f"unknown probe {which!r}")
