@@ -3129,6 +3129,33 @@ def q_similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def q_similarity_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF: the index fixture is built from only vec_id %
+    3 != 0, then the remaining third is ADMITTED via append_ivf_index
+    (assignment against the stored unit centroids, one append per
+    batch, no rebuild). Because append assigns bit-identically to a
+    full build, the probe — and therefore the oracle — is exactly
+    q_similarity_ivf_indexed's."""
+    from matdb_spark.operators.similarity import append_ivf_index, ivf_topk_indexed, write_ivf_index
+    from matdb_spark.sources.formats import _build_once
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SCRATCH, f"fixture_ivf_appended_{tag}")
+
+    def build(p: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        write_ivf_index(emb.filter(F.col("vec_id") % 3 != 0), _centroids(emb), p)
+        append_ivf_index(spark, emb.filter(F.col("vec_id") % 3 == 0), p)
+
+    _build_once(path, build)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    out = ivf_topk_indexed(spark, path, queries_df, k=5, nprobe=2)
+    scored = out.select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of: each purchase matched to the EARLIEST click at or
     after it (min_by on the mirrored predicate — locks the direction
@@ -3371,6 +3398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_schema_evolution": q_schema_evolution,
         "q_bucketed_join": q_bucketed_join,
         "q_similarity_ivf_indexed": q_similarity_ivf_indexed,
+        "q_similarity_ivf_appended": q_similarity_ivf_appended,
         "q_asof_forward": q_asof_forward,
         "q_asof_tolerance": q_asof_tolerance,
         "q_window_distinct": q_window_distinct,
@@ -3892,6 +3920,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_similarity_ivf": _ivf_sql(),
         "q_similarity_ivf_indexed": _ivf_sql(),
+        "q_similarity_ivf_appended": _ivf_sql(),
         "q_embed_near_dup": _near_dup_sql(),
         "q_embed_quantize": """
             WITH s AS (

@@ -90,6 +90,7 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "cell_id",
+    centroids_unit: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment (the IVF build step). Centroids are
     broadcast; ties break to the lowest cell id (deterministic).
@@ -98,9 +99,20 @@ def assign_cells(
     partially aggregates map-side (each task ships one candidate per
     vector, not ncells rows), which is the shape that survives a
     100 TB corpus. Output carries the UNIT vector under ``vec_col``.
+
+    ``centroids_unit=True`` marks centroids as ALREADY normalized
+    (e.g. read back from a persisted index) and must skip
+    re-normalization: dividing a unit vector by its recomputed norm
+    perturbs the last ulp, and an appended batch would then tie-break
+    assignments differently from the original build.
     """
     c = _unit(corpus, [F.col(id_col)], vec_col, "__v")
-    cents = _unit(centroids, [F.col(centroid_id_col)], vec_col, "__cv")
+    if centroids_unit:
+        cents = centroids.select(
+            F.col(centroid_id_col), F.col(vec_col).alias("__cv")
+        )
+    else:
+        cents = _unit(centroids, [F.col(centroid_id_col)], vec_col, "__cv")
     scored = c.crossJoin(F.broadcast(cents)).select(
         id_col,
         "__v",
@@ -221,6 +233,37 @@ def write_ivf_index(
     )
     cents = _unit(centroids, [F.col("cell_id")], vec_col, vec_col)
     cents.coalesce(1).write.mode("error").parquet(path + "/_centroids")
+
+
+def append_ivf_index(
+    spark,
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Admit a new embedding batch into a persisted IVF index: assign
+    each vector to its nearest STORED centroid and append into that
+    cell's partition directory — the standing-index path, where a
+    batch costs one broadcast assignment + one append, never a corpus
+    rebuild. Stored centroids are already unit vectors and are used
+    as-is (``centroids_unit=True``), so an appended batch lands in
+    bit-identical cells to a from-scratch build with the same
+    centroids; probes (``ivf_topk_indexed``) see old and new vectors
+    uniformly through the same partition pruning. Cells drift from
+    their centroids as the distribution shifts — rebuild centroids
+    (``kmeans_centroids`` + ``write_ivf_index``) when probe recall
+    degrades, exactly like any production IVF index."""
+    cents = spark.read.parquet(path + "/_centroids")
+    cells = assign_cells(
+        new_vecs, cents, id_col, vec_col, centroids_unit=True
+    )
+    (
+        cells.repartition(F.col("cell_id"))
+        .write.mode("append")
+        .partitionBy("cell_id")
+        .parquet(path)
+    )
 
 
 def ivf_topk_indexed(

@@ -150,3 +150,44 @@ def test_exact_duplicates_null_text_singletons(spark):
            for r in dedup.exact_duplicates(df, "doc_id", "text").collect()}
     assert got[1] == (1, 1) and got[2] == (2, 1)
     assert got[3] == (3, 2) and got[4] == (3, 2)
+
+
+def test_append_ivf_index_matches_full_build(spark):
+    """write(A) + append(B) must equal write(A+B) with the same
+    centroids — file-set aside, identical (cell_id, vec_id, vector)
+    content, so probes cannot tell the index was grown incrementally."""
+    import os
+    import shutil
+
+    from matdb_spark.operators.similarity import (
+        append_ivf_index,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch"
+    )
+    emb = load_table(spark, SF, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    p_full = os.path.join(scratch, "ivf_append_full")
+    p_incr = os.path.join(scratch, "ivf_append_incr")
+    for p in (p_full, p_incr):
+        shutil.rmtree(p, ignore_errors=True)
+    write_ivf_index(emb, cents, p_full)
+    write_ivf_index(emb.filter(F.col("vec_id") % 3 != 0), cents, p_incr)
+    append_ivf_index(spark, emb.filter(F.col("vec_id") % 3 == 0), p_incr)
+
+    def content(p):
+        return {
+            (r["cell_id"], r["vec_id"], tuple(round(x, 9) for x in r["embedding"]))
+            for r in spark.read.parquet(p).collect()
+        }
+
+    assert content(p_incr) == content(p_full)
+    q = emb.filter(F.col("vec_id") < 3)
+    full = ivf_topk_indexed(spark, p_full, q, k=3, nprobe=2).collect()
+    incr = ivf_topk_indexed(spark, p_incr, q, k=3, nprobe=2).collect()
+    assert sorted(map(tuple, incr)) == sorted(map(tuple, full))
