@@ -73,3 +73,48 @@ def test_label_propagation_fallback_string_ids(spark):
     )
     want = {x: "a" for x in "abcdef"}
     assert _collect(_label_propagation_cc(pairs)) == want
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 300), st.integers(0, 300)),
+    min_size=1,
+    max_size=120,
+)
+
+
+def _oracle_cc(pairs):
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(edges=_edges)
+def test_contraction_matches_union_find_oracle(spark, edges):
+    """Property: the distributed contraction path (forced via
+    driver_threshold=0, so recursion/glue/fold-back all execute) labels
+    every node with its component minimum, for arbitrary random graphs
+    including self-loops, parallel edges, and both edge orders."""
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = _collect(connected_components(pairs, driver_threshold=0))
+    assert got == _oracle_cc(edges)
