@@ -1454,6 +1454,18 @@ def q_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sampling & curation (documents)
 # ---------------------------------------------------------------------------
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training-epoch shuffle: every document ranked by
+    md5(seed:doc_id) — deterministic across engines and partitionings,
+    a fresh permutation per seed, contiguous rank without a
+    single-task global window (bucketed counting, see
+    operators/ranking.global_row_number)."""
+    from matdb_spark.operators.sampling import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, "doc_id", seed=42)
+
+
 def q_groupmap_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """groupBy().applyInPandas (group-map Pandas UDF): per-source rank
     normalization of document lengths. Integer-exact rank/count math
@@ -3315,6 +3327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_token_stats_by_source": q_token_stats_by_source,
         "q_groupmap_rank": q_groupmap_rank,
+        "q_epoch_shuffle": q_epoch_shuffle,
         "q_sample_hash": q_sample_hash,
         "q_pack_documents": q_pack_documents,
         "q_pack_manifest": q_pack_manifest,
@@ -4201,6 +4214,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))) AS BIGINT) AS total_tokens,
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM store GROUP BY source
+        """,
+        "q_epoch_shuffle": """
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS shuffle_key,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                                doc_id) AS BIGINT) AS shuffle_rank
+            FROM documents
         """,
         "q_groupmap_rank": """
             SELECT source, doc_id,

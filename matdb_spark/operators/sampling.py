@@ -64,3 +64,29 @@ def sample_n_per_group(
         rank_col="__rank",
     )
     return ranked.drop("__h", "__rank")
+
+
+def epoch_shuffle(
+    df: DataFrame, id_col: str, seed: int, out_col: str = "shuffle_rank"
+) -> DataFrame:
+    """Reproducible training-order shuffle: every row gets a
+    ``shuffle_key`` = 60-bit md5 of ``seed:id`` and ``out_col`` = its
+    1-based position in the (key, id) total order. Same seed → same
+    order on any engine and any partitioning (retries, speculative
+    tasks, engine swaps all see one epoch order); a new seed is a
+    fresh permutation. The rank is contiguous WITHOUT a single-task
+    global window: the hash's top bits bucket the order monotonically,
+    so ``global_row_number``'s per-bucket counting applies (one small
+    bucket window + a broadcast offset join)."""
+    from matdb_spark.operators.ranking import global_row_number
+
+    key = hash_hex(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")), 15
+    )
+    with_key = df.withColumn("shuffle_key", key)
+    return global_row_number(
+        with_key,
+        [F.col("shuffle_key"), F.col(id_col)],
+        F.shiftright(F.col("shuffle_key"), 52),
+        out_col=out_col,
+    )

@@ -36,3 +36,17 @@ def test_stratified_and_per_group(spark):
     per = sampling.sample_n_per_group(docs.select("doc_id", "source"), ["source"], "doc_id", 3)
     counts = per.groupBy("source").count().collect()
     assert all(r["count"] <= 3 for r in counts) and len(counts) > 1
+
+
+def test_epoch_shuffle_deterministic_and_seed_sensitive(spark):
+    from matdb_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(200).select(F.col("id").alias("doc_id"))
+    a1 = [r["doc_id"] for r in epoch_shuffle(df, "doc_id", 7).orderBy("shuffle_rank").collect()]
+    a2 = [r["doc_id"] for r in epoch_shuffle(df.repartition(7), "doc_id", 7).orderBy("shuffle_rank").collect()]
+    b = [r["doc_id"] for r in epoch_shuffle(df, "doc_id", 8).orderBy("shuffle_rank").collect()]
+    assert a1 == a2, "same seed must give one order regardless of partitioning"
+    assert a1 != b, "different seed must permute differently"
+    assert sorted(a1) == list(range(200))
+    ranks = [r["shuffle_rank"] for r in epoch_shuffle(df, "doc_id", 7).collect()]
+    assert sorted(ranks) == list(range(1, 201)), "contiguous 1-based ranks"
