@@ -914,9 +914,13 @@ class Database:
         txn = self.begin(as_of=as_of)
         return txn.query(ordered=False)
 
-    def sql(self, query: str, view: str = "matdb") -> "DataFrame":
-        """Run Spark SQL over the current snapshot, registered as
-        ``view`` (SURVEY §7.2 phase 2: the full SQL surface applies on
-        the snapshot relation)."""
-        self.snapshot().createOrReplaceTempView(view)
+    def sql(
+        self, query: str, view: str = "matdb", as_of: int | None = None
+    ) -> "DataFrame":
+        """Run Spark SQL over the current snapshot — or, with
+        ``as_of``, a historical one — registered as ``view`` (SURVEY
+        §7.2 phase 2: the full SQL surface applies on the snapshot
+        relation, and time travel composes with it for free because a
+        snapshot is just a horizon-pinned scan)."""
+        self.snapshot(as_of=as_of).createOrReplaceTempView(view)
         return self.spark.sql(query)

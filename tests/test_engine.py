@@ -509,3 +509,22 @@ def test_as_of_sees_foreign_commits(spark, tmp_db_path):
 
     with pytest.raises(ValueError, match="future"):
         a.begin(as_of=99)
+
+
+def test_sql_time_travel(spark, tmp_db_path):
+    import os
+
+    path = os.path.join(tmp_db_path, "sql_asof")
+    db = Database.create(spark, path, Schema(
+        dimensions=[Dimension("k", 10)], values=[Value("v")]
+    ))
+    with db.begin() as t:
+        t.add_rows([[1, 10], [2, 20]])
+        t.commit()
+    with db.begin() as t:
+        t.add_rows([[2, 99]])
+        t.commit()
+    now = {r.k: r.v for r in db.sql("SELECT k, v FROM matdb").collect()}
+    then = {r.k: r.v for r in db.sql("SELECT k, v FROM matdb", as_of=1).collect()}
+    assert now == {1: 10, 2: 99}
+    assert then == {1: 10, 2: 20}
