@@ -339,8 +339,10 @@ def write_minhash_index(
     the whole corpus per batch — the corpus pays for its signatures
     exactly once. Storage is docs x bands rows of (id, int, short
     string); rows are range-clustered by key within each band
-    partition so parquet row-group min/max stats can skip
-    non-matching key ranges."""
+    partition — that buys zstd dictionary/prefix compression on the
+    key column and keeps any future key-predicate reader prunable,
+    but the probe path itself filters via a broadcast semi-join and
+    reads every row group."""
     banded = banded_minhash(df, id_col, text_col, k, bands, shingle_n)
     (
         banded.repartitionByRange("band", "key")
@@ -393,35 +395,43 @@ def pairs_against_index(
     key) bucket whose total membership (batch + corpus matches)
     exceeds the cap is dropped entirely — one degenerate boilerplate
     signature would otherwise emit |batch_bucket| x |corpus_bucket|
-    pairs from a single key."""
-    nb = banded_minhash(new_df, id_col, text_col, k, bands, shingle_n).localCheckpoint()
+    pairs from a single key.
+
+    The returned plan is fully LAZY — every relation is consumed once
+    (bucket-collect per side, one key-equi-join, pair stream via
+    explodes), so nothing is checkpointed and the plan recovers from
+    executor loss by recomputation like any other. The batch's
+    signature pipeline is evaluated twice (broadcast key set + join
+    side) — batch-sized by definition, cheaper than pinning executor
+    blocks the caller cannot release."""
+    nb = banded_minhash(new_df, id_col, text_col, k, bands, shingle_n)
     keys = nb.select("band", "key").distinct()
     idx = spark.read.parquet(path).select("doc_id", "band", "key")
     # broadcast semi-join: the full index flows through a map-side
     # filter, no exchange of the corpus side
     hits = idx.join(F.broadcast(keys), ["band", "key"], "leftsemi")
+    # bucket-collect BOTH sides (minhash_lsh_pairs' pattern): each
+    # side's matched rows shuffle once into one row per key, and the
+    # skew cap filters those aggregated rows before any pair exists
+    hagg = hits.groupBy("band", "key").agg(
+        F.collect_list("doc_id").alias("__cids"),
+        F.count(F.lit(1)).alias("__cc"),
+    )
+    bagg = nb.groupBy("band", "key").agg(
+        F.collect_list("doc_id").alias("__bids"),
+        F.count(F.lit(1)).alias("__bc"),
+    )
+    buckets = hagg.join(bagg, ["band", "key"])
     if max_bucket is not None:
-        # three consumers below (count, cap filter, pair join):
-        # materialize so the index scan runs once
-        hits = hits.localCheckpoint()
-        # count-aggregates partial-combine map-side, so even a
-        # degenerate key costs one row per input partition
-        c_cnt = hits.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__cc"))
-        b_cnt = nb.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__bc"))
-        ok = (
-            c_cnt.join(b_cnt, ["band", "key"])
-            .filter(F.col("__cc") + F.col("__bc") <= F.lit(max_bucket))
-            .select("band", "key")
+        buckets = buckets.filter(
+            F.col("__cc") + F.col("__bc") <= F.lit(max_bucket)
         )
-        hits = hits.join(F.broadcast(ok), ["band", "key"], "leftsemi")
+    # stream the |batch_bucket| x |corpus_bucket| pairs via two
+    # explodes (transient memory O(bucket), spillable rows out)
     pairs = (
-        nb.select(F.col("doc_id").alias("new_id"), "band", "key")
-        .join(
-            hits.select(F.col("doc_id").alias("corpus_id"), "band", "key"),
-            ["band", "key"],
-        )
+        buckets.select("__cids", F.explode("__bids").alias("new_id"))
+        .select("new_id", F.explode("__cids").alias("corpus_id"))
         .filter(F.col("new_id") != F.col("corpus_id"))
-        .select("new_id", "corpus_id")
         .distinct()
     )
     return pairs

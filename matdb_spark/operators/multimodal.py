@@ -310,7 +310,10 @@ def _decode_wav(payload: bytes) -> dict:
     unknown chunks skipped), require PCM (format tag 1), decode the
     data chunk's int16 frames. Returns channels / sample_rate /
     n_samples (per channel) / duration_sec / rms (root-mean-square of
-    the normalized [-1, 1) signal)."""
+    the normalized [-1, 1) signal). Malformed chunk structure raises
+    NotImplementedError (the degrade-don't-kill contract shared with
+    the image codec)."""
+    import math
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -320,14 +323,16 @@ def _decode_wav(payload: bytes) -> dict:
         cid, ln = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + ln]
         if cid == b"fmt ":
+            if len(body) < 16:  # truncated or length-lying fmt chunk
+                raise NotImplementedError("malformed WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
-        elif cid == b"data":
+        elif cid == b"data" and data is None:  # RIFF: first data wins
             data = body
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise NotImplementedError("WAV missing fmt/data chunk")
     tag, channels, rate, _byte_rate, _block, bits = fmt
-    if tag != 1 or bits != 16:
+    if tag != 1 or bits != 16 or channels < 1 or rate < 1:
         raise NotImplementedError(f"unsupported WAV (tag={tag}, bits={bits})")
     n_frames = len(data) // (2 * channels)
     total = len(data) // 2
@@ -337,12 +342,17 @@ def _decode_wav(payload: bytes) -> dict:
         for v in vals:
             sq += v * v
     rms = (sq / total) ** 0.5 / 32768.0 if total else 0.0
+    # round HALF-AWAY (floor(x*1e6 + 0.5): exact for x in [0, 1e6) and
+    # ulp <= 0.5): Python's round() is half-to-even, and on an exact
+    # tie — e.g. a constant-tone signal whose rms is k/128 — it would
+    # disagree with SQL engines' ROUND by one last digit
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
     return {
         "channels": channels,
         "sample_rate": rate,
         "n_samples": n_frames,
-        "duration_sec": round(n_frames / rate, 6),
-        "rms": round(rms, 6),
+        "duration_sec": r6(n_frames / rate),
+        "rms": r6(rms),
     }
 
 
@@ -385,7 +395,8 @@ def decode_audio_assets(
 ) -> DataFrame:
     """(id, byte_len, channels, sample_rate, n_samples, duration_sec,
     rms) via mapInPandas — the audio twin of decode_assets, same Arrow
-    batch shape, no shuffle."""
+    batch shape, no shuffle. Malformed payloads yield null metadata
+    (byte_len is still real), never a task failure."""
     out_schema = StructType(
         [
             StructField(id_col, df.schema[id_col].dataType),
@@ -394,9 +405,17 @@ def decode_audio_assets(
         + AUDIO_META_FIELDS
     )
 
+    def decode_one(p: bytes) -> dict:
+        # degrade-don't-kill: one corrupt asset in a 100 TB batch must
+        # yield a null-metadata row, not fail the task
+        try:
+            return _decode_wav(p)
+        except NotImplementedError:
+            return {f.name: None for f in AUDIO_META_FIELDS}
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_decode_wav(bytes(p)) for p in pdf[payload_col]]
+            metas = [decode_one(bytes(p)) for p in pdf[payload_col]]
             out = {
                 id_col: pdf[id_col].values,
                 "byte_len": [len(bytes(p)) for p in pdf[payload_col]],

@@ -105,14 +105,17 @@ def test_index_probe_does_not_shuffle_corpus(spark):
         spark, path, _mk(spark, BATCH), "doc_id", "text", max_bucket=None
     )
     pairs.collect()
-    plan = pairs._sc._jvm.PythonSQLUtils.explainString(
-        pairs._jdf.queryExecution(), "formatted"
-    )
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
-    # the parquet index scan feeds the semi join directly — every
-    # Exchange in the probe is either a broadcast or the final
-    # distinct's hash shuffle of the (tiny) matched pairs; the scan
-    # branch itself must carry none
-    scan_branch = plan.split("LeftSemi")[0]
-    assert "Scan parquet" in plan
-    assert "Exchange hashpartitioning" not in scan_branch
+    # the executed-plan TREE (simple mode: Exchange args print inline,
+    # unlike formatted mode where they sit on detail lines)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" in plan, plan
+    # the index must reach its semi-join through a BROADCAST hash join
+    # (map-side filter) — a regression to a shuffled join would surface
+    # as SortMergeJoin/ShuffledHashJoin, each of which exchanges the
+    # full docs x bands corpus relation
+    semi_lines = [l for l in plan.splitlines() if "LeftSemi" in l]
+    assert semi_lines and all("BroadcastHashJoin" in l for l in semi_lines), plan
+    # every remaining exchange moves MATCHED rows (bucket aggregates,
+    # final distinct) — a corpus-relation shuffle would additionally
+    # appear as a sort-merge/shuffled-hash join in this small fixture
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan

@@ -240,3 +240,34 @@ def test_audio_pipeline_over_spark(spark):
     # empty and NULL text degrade to a zero-length (but valid) WAV
     for d in (2, 3):
         assert rows[d].n_samples == 0 and rows[d].rms == 0.0
+
+
+def test_wav_malformed_chunks_degrade():
+    import struct
+
+    # fmt chunk CLAIMS 16 body bytes but the payload is truncated
+    bad = b"RIFF" + struct.pack("<I", 20) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + b"\x01\x00"
+    with pytest.raises(NotImplementedError):
+        M._decode_wav(bad)
+    # duplicate data chunks: RIFF semantics, FIRST wins
+    wav = M.synth_wav([1000, 2000])
+    extra = b"data" + struct.pack("<I", 8) + struct.pack("<4h", 9, 9, 9, 9)
+    doubled = wav + extra
+    doubled = doubled[:4] + struct.pack("<I", len(doubled) - 8) + doubled[8:]
+    assert M._decode_wav(doubled)["n_samples"] == 2
+
+
+def test_wav_rms_half_tie_rounds_away(spark):
+    """rms = k/128 lands exactly on a 6-decimal half tie; Python's
+    banker's rounding would give ...812, SQL ROUND gives ...813 — the
+    decoder must match SQL (the oracle's side)."""
+    meta = M._decode_wav(M.synth_wav([65 * 256]))  # 'A' -> 65/128 exactly
+    assert meta["rms"] == 0.507813
+    # and the Spark pipeline tolerates a corrupt payload mid-batch
+    df = spark.createDataFrame(
+        [(1, bytearray(M.synth_wav([65 * 256]))), (2, bytearray(b"RIFFjunk"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in M.decode_audio_assets(df).collect()}
+    assert rows[1].rms == 0.507813
+    assert rows[2].sample_rate is None and rows[2].byte_len == 8

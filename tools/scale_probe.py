@@ -402,13 +402,15 @@ def probe_cc_deep(spark):
 
 
 def probe_incremental_index(spark):
-    """Incremental dedup economics: a 200k-doc corpus index built ONCE,
-    then a 4k-doc batch (half of it near-dups of corpus docs) admitted
-    by probing the index. The claim under test: per-batch cost is
-    O(batch) + one index scan, vs the one-shot miner's O(corpus+batch)
+    """Incremental dedup economics at 1M and 4M corpus docs: the index
+    is built ONCE, then a 4k-doc batch (half near-dups of corpus docs,
+    half genuinely novel) is admitted by probing it. The claim under
+    test: per-batch cost is O(batch) + one narrow 3-column index scan
+    (never shuffled), vs the one-shot miner's O(corpus+batch)
     re-shingle/re-hash — so probe time must sit far under re-mine time
-    and stay there as the corpus grows (the index scan is 3 narrow
-    columns, never shuffled)."""
+    and the gap must WIDEN with corpus size. Measure on an idle box:
+    a probe immediately after the heavyweight build in the same JVM
+    reads ~3x slow (GC/page-cache aftermath)."""
     from matdb_spark.operators.dedup import (
         minhash_lsh_pairs,
         pairs_against_index,
@@ -417,12 +419,17 @@ def probe_incremental_index(spark):
 
     n_batch = 4_000
 
-    def synth(ids, dup_of=None):
+    def synth(ids, dup_of=None, tag=""):
         # 12-word pseudo-text from id arithmetic; dup_of shifts the id
-        # into an existing doc's text with ONE word changed (near-dup)
+        # into an existing doc's text with ONE word changed (near-dup).
+        # ``tag`` prefixes every word so "novel" docs cannot collide
+        # with corpus texts through the modulus (id*7919 mod 49_999_991
+        # lands inside the corpus residue range ~8% of the time at 4M
+        # docs — untagged, those were byte-identical corpus copies,
+        # contaminating the measured pair counts)
         base = F.col("id") if dup_of is None else (F.col("id") - F.lit(dup_of))
         words = [
-            F.concat(F.lit(f"w{j}_"), ((base * (j * 2 + 3)) % 49_999_991).cast("string"))
+            F.concat(F.lit(f"{tag}w{j}_"), ((base * (j * 2 + 3)) % 49_999_991).cast("string"))
             for j in range(12)
         ]
         if dup_of is not None:
@@ -443,9 +450,7 @@ def probe_incremental_index(spark):
         # docs n_corpus+i -> near-dup of corpus doc i
         dups = synth(spark.range(n_corpus, n_corpus + half), dup_of=n_corpus)
         novel = synth(
-            spark.range(n_corpus + half, n_corpus + n_batch).select(
-                (F.col("id") * 7919 + 3_000_000).alias("id")
-            )
+            spark.range(n_corpus + half, n_corpus + n_batch), tag="nv_"
         )
         batch = dups.union(novel).localCheckpoint()
 
