@@ -1407,6 +1407,34 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs_against_index(spark, path, batch, "doc_id", "text", k=32, bands=8)
 
 
+def q_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission-control dedup over three arriving batches (doc_id % 3
+    = 0, then 1, then 2): each batch is admitted against the index of
+    everything admitted so far (rejecting near-dups of admitted docs
+    and of smaller-id batchmates), then appended. Output: every
+    admitted doc with the batch that admitted it. Rebuilds its index
+    from scratch per call — the query IS the three-step lifecycle."""
+    import shutil
+
+    from matdb_spark.operators.dedup import admit_batch
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SCRATCH, f"admission_index_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = None
+    for b in range(3):
+        admitted = admit_batch(
+            spark, path, docs.filter(F.col("doc_id") % 3 == b), "doc_id", "text"
+        ).select("doc_id", F.lit(b).cast("int").alias("admitted_in_batch"))
+        # materialize BEFORE the next batch mutates the index the
+        # lazy plan would re-probe
+        rows = admitted.collect()
+        part = spark.createDataFrame(rows, admitted.schema)
+        out = part if out is None else out.union(part)
+    return out
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components over the MinHash-LSH
     candidate pairs (iterative label propagation; the oracle computes
@@ -3339,6 +3367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
         "q_dedup_incremental": q_dedup_incremental,
+        "q_dedup_admission": q_dedup_admission,
         "q_dedup_clusters": q_dedup_clusters,
         "q_dedup_simhash": q_dedup_simhash,
         "q_decontaminate": q_decontaminate,
@@ -3507,6 +3536,66 @@ def _minhash_sql() -> str:
         "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM cb a "
         "JOIN cb b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"
     )
+
+
+def _admission_sql() -> str:
+    """Oracle for q_dedup_admission: the three-batch lifecycle
+    unrolled. Per stage: intra rejection = larger id of any same-batch
+    bucket pair (bucket size cap on batch rows), cross rejection =
+    shares a key with previously-ADMITTED bands under the combined
+    cap; batch membership comes from documents (a shingle-less doc has
+    no bands rows but is still admitted)."""
+    cap = _LSH_MAX_BUCKET
+    parts = [_banded_cte()]
+    for b in range(3):
+        parts.append(
+            f"d{b} AS (SELECT doc_id FROM documents WHERE doc_id % 3 = {b})"
+        )
+        parts.append(
+            f"b{b} AS (SELECT doc_id, band, key FROM bands WHERE doc_id % 3 = {b})"
+        )
+        parts.append(
+            f"bc{b} AS (SELECT band, key, COUNT(*) AS c FROM b{b} GROUP BY band, key)"
+        )
+        parts.append(
+            f"intra{b} AS (SELECT DISTINCT y.doc_id FROM b{b} x "
+            f"JOIN b{b} y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id "
+            f"JOIN bc{b} c ON c.band = x.band AND c.key = x.key AND c.c <= {cap})"
+        )
+        if b == 0:
+            parts.append(f"rej{b} AS (SELECT doc_id FROM intra{b})")
+        else:
+            adm_union = " UNION ALL ".join(
+                f"SELECT doc_id, band, key FROM ab{i}" for i in range(b)
+            )
+            parts.append(f"prev{b} AS ({adm_union})")
+            parts.append(
+                f"pc{b} AS (SELECT band, key, COUNT(*) AS c FROM prev{b} GROUP BY band, key)"
+            )
+            parts.append(
+                f"crossrej{b} AS (SELECT DISTINCT x.doc_id FROM b{b} x "
+                f"JOIN prev{b} p ON x.band = p.band AND x.key = p.key "
+                f"JOIN pc{b} pc ON pc.band = x.band AND pc.key = x.key "
+                f"JOIN bc{b} bc ON bc.band = x.band AND bc.key = x.key "
+                f"WHERE pc.c + bc.c <= {cap})"
+            )
+            parts.append(
+                f"rej{b} AS (SELECT doc_id FROM intra{b} "
+                f"UNION SELECT doc_id FROM crossrej{b})"
+            )
+        parts.append(
+            f"a{b} AS (SELECT doc_id FROM d{b} "
+            f"WHERE doc_id NOT IN (SELECT doc_id FROM rej{b}))"
+        )
+        parts.append(
+            f"ab{b} AS (SELECT b.doc_id, b.band, b.key FROM b{b} b "
+            f"JOIN a{b} USING (doc_id))"
+        )
+    final = " UNION ALL ".join(
+        f"SELECT doc_id, CAST({b} AS INT) AS admitted_in_batch FROM a{b}"
+        for b in range(3)
+    )
+    return ", ".join(parts) + " " + final
 
 
 def _incremental_dedup_sql() -> str:
@@ -4377,6 +4466,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_dedup_minhash_lsh": _minhash_sql(),
         "q_dedup_incremental": _incremental_dedup_sql(),
+        "q_dedup_admission": _admission_sql(),
         "q_dedup_clusters": _dedup_clusters_sql(),
         "q_dedup_simhash": _simhash_sql(),
         "q_similarity_topk": _cosine_sql(),

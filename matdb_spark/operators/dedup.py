@@ -437,6 +437,66 @@ def pairs_against_index(
     return pairs
 
 
+def admit_batch(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    append: bool = True,
+) -> DataFrame:
+    """Admission-control dedup for a standing corpus: returns the
+    subset of ``batch`` that is NOT a near-duplicate of anything
+    already admitted (per the persisted index at ``path``) nor of a
+    smaller-id document in the same batch, and (by default) appends
+    the survivors' banding rows so the next batch is checked against
+    them. Chain batches of an arriving corpus through this and the
+    admitted set stays near-dup-free at O(batch + index-scan) per
+    batch — the streaming form of one-shot dedup.
+
+    Rejection is PAIRWISE and order-free: a document sharing an LSH
+    bucket with a smaller-id batchmate is rejected even if that
+    batchmate was itself rejected (conservative shadowing — simpler
+    and deterministic vs. chasing rejection chains, and exactly what a
+    SQL oracle can replay). A missing/empty index admits everything
+    intra-novel and creates the index.
+    """
+    import os as _os
+
+    have_index = _os.path.isdir(path) and any(
+        f.startswith("band=") for f in _os.listdir(path)
+    )
+    intra = minhash_lsh_pairs(
+        batch, id_col, text_col, k, bands, shingle_n, max_bucket
+    ).select(F.col("id_b").alias("__rid"))
+    if have_index:
+        cross = pairs_against_index(
+            spark, path, batch, id_col, text_col, k, bands, shingle_n, max_bucket
+        ).select(F.col("new_id").alias("__rid"))
+        rejected = intra.union(cross)
+    else:
+        rejected = intra
+    admitted = batch.join(
+        rejected.distinct(),
+        batch[id_col] == F.col("__rid"),
+        "left_anti",
+    )
+    if append:
+        if have_index:
+            append_minhash_index(
+                admitted, path, id_col, text_col, k, bands, shingle_n
+            )
+        else:
+            write_minhash_index(
+                admitted, path, id_col, text_col, k, bands, shingle_n
+            )
+    return admitted
+
+
 # -------------------------------------------------- cluster resolution
 def connected_components(
     pairs: DataFrame,

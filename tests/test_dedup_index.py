@@ -119,3 +119,65 @@ def test_index_probe_does_not_shuffle_corpus(spark):
     # final distinct) — a corpus-relation shuffle would additionally
     # appear as a sort-merge/shuffled-hash join in this small fixture
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_admit_batch_lifecycle(spark):
+    from matdb_spark.operators.dedup import admit_batch
+
+    path = os.path.join(SCRATCH, "admit_test")
+    shutil.rmtree(path, ignore_errors=True)
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    # batch 1: 2 is a near-dup of 1 (smaller id wins); 3 novel
+    b1 = mk([
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "the quick brown fox jumps over the lazy dog near the rivers"),
+        (3, "completely different text about distributed columnar engines"),
+    ])
+    a1 = sorted(r["doc_id"] for r in admit_batch(spark, path, b1, "doc_id", "text").collect())
+    assert a1 == [1, 3]
+    # batch 2: 10 dups the ADMITTED 1; 11 dups the REJECTED 2 (still
+    # rejected, via 1's buckets); 12 novel
+    b2 = mk([
+        (10, "the quick brown fox jumps over the lazy dog near the river"),
+        (11, "the quick brown fox jumps over the lazy dog near the rivers"),
+        (12, "volcanic geology sentences resembling nothing admitted before"),
+    ])
+    a2 = sorted(r["doc_id"] for r in admit_batch(spark, path, b2, "doc_id", "text").collect())
+    assert a2 == [12]
+
+
+def test_stream_admission_end_to_end(spark, tmp_path_factory):
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from matdb_spark import Database, Dimension, Schema, Value
+    from matdb_spark.streaming.admission import stream_admission
+
+    base = str(tmp_path_factory.mktemp("admission_stream"))
+    index = _os.path.join(base, "index")
+    ckpt = _os.path.join(base, "ckpt")
+    src = _os.path.join(base, "src")
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog near the river",
+        2: "the quick brown fox jumps over the lazy dog near the rivers",
+        3: "completely different text about distributed columnar engines",
+    }
+    spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    ).coalesce(1).write.json(src)
+    db = Database.create(spark, _os.path.join(base, "db"), Schema(
+        dimensions=[Dimension("doc_id", 100)], values=[Value("n_chars")]
+    ))
+    stream = (
+        spark.readStream.schema("doc_id long, text string").json(src)
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    q = stream_admission(
+        stream, index, ckpt, "doc_id", "text",
+        db=db, db_columns=["doc_id", "n_chars"],
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in db.snapshot().collect())
+    assert got == [1, 3], got  # 2 rejected as near-dup of 1
+    assert _os.path.isdir(index)
