@@ -70,6 +70,69 @@ def compact_index(
     return before, _count_files(path)
 
 
+def purge_index(
+    spark,
+    path: str,
+    ids,
+    id_col: str,
+    partition_col: str,
+    cluster_cols: list[str],
+    sidecars: tuple[str, ...] = ("_centroids",),
+) -> tuple[int, int]:
+    """Deletion propagation: rewrite the index WITHOUT the given ids
+    (an id list or a single-column DataFrame). The compliance story —
+    when documents leave the corpus (takedown, opt-out, retention),
+    their fingerprints must leave the admission index too, or they
+    keep shadowing future near-identical content forever. Same
+    one-shuffle rewrite + atomic swap as compact_index (the purge IS a
+    compaction); offline maintenance, same caveats. Returns
+    (rows_before, rows_after)."""
+    from pyspark.sql import DataFrame, functions as F
+
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(i,) for i in ids], f"{id_col} string").select(
+            F.col(id_col).cast(spark.read.parquet(path).schema[id_col].dataType)
+        )
+    else:
+        ids = ids.select(F.col(ids.columns[0]).alias(id_col))
+    df = spark.read.parquet(path)
+    before = df.count()
+    kept = df.join(F.broadcast(ids.distinct()), id_col, "left_anti")
+    # count from the plan, not a re-read: purging every row leaves an
+    # empty (schema-less) tree that a parquet read cannot open — a
+    # valid end state (admit_batch treats a band-less dir as no index)
+    after = kept.count()
+    tmp = path + ".__compact_tmp"
+    bak = path + ".__compact_bak"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(bak, ignore_errors=True)
+    (
+        kept.repartitionByRange(partition_col, *cluster_cols)
+        .sortWithinPartitions(partition_col, *cluster_cols)
+        .write.partitionBy(partition_col)
+        .parquet(tmp)
+    )
+    for sc in sidecars:
+        src = os.path.join(path, sc)
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(tmp, sc))
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    return before, after
+
+
+def purge_minhash_index(spark, path: str, ids) -> tuple[int, int]:
+    """Remove documents' banding rows from a MinHash admission index."""
+    return purge_index(spark, path, ids, "doc_id", "band", ["key"], sidecars=())
+
+
+def purge_ivf_index(spark, path: str, ids) -> tuple[int, int]:
+    """Remove vectors from an IVF index (`_centroids` untouched —
+    centroids are aggregates, not per-document data)."""
+    return purge_index(spark, path, ids, "vec_id", "cell_id", ["vec_id"])
+
+
 def compact_minhash_index(spark, path: str) -> tuple[int, int]:
     """Collapse a MinHash banding index's append debris (layout:
     band=<n>/ partitions, rows clustered by key — identical to

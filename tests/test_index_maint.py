@@ -62,3 +62,42 @@ def test_compact_ivf_index_preserves_probe_and_centroids(spark):
     assert na < nb
     assert sorted(map(tuple, ivf_topk_indexed(spark, path, q, k=3, nprobe=2).collect())) == before
     assert sorted(map(tuple, spark.read.parquet(path + "/_centroids").collect())) == cents_before
+
+
+def test_purge_minhash_index_stops_shadowing(spark):
+    from matdb_spark.operators.dedup import admit_batch
+    from matdb_spark.operators.index_maint import purge_minhash_index
+
+    path = os.path.join(SCRATCH, "maint_purge")
+    shutil.rmtree(path, ignore_errors=True)
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    text = "the quick brown fox jumps over the lazy dog tonight"
+    admit_batch(spark, path, mk([(1, text)]), "doc_id", "text")
+    # near-dup of admitted doc 1 -> rejected
+    assert admit_batch(spark, path, mk([(2, text)]), "doc_id", "text", append=False).count() == 0
+    before, after = purge_minhash_index(spark, path, [1])
+    assert after < before
+    # doc 1 forgotten: the same content is admittable again
+    got = [r["doc_id"] for r in admit_batch(spark, path, mk([(3, text)]), "doc_id", "text").collect()]
+    assert got == [3]
+
+
+def test_purge_ivf_index(spark):
+    from matdb_spark.operators.index_maint import purge_ivf_index
+
+    path = os.path.join(SCRATCH, "maint_purge_ivf")
+    shutil.rmtree(path, ignore_errors=True)
+    emb = load_table(spark, SF, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 9 == 0).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    write_ivf_index(emb, cents, path)
+    victims = [r["vec_id"] for r in emb.limit(5).collect()]
+    before, after = purge_ivf_index(spark, path, victims)
+    assert before - after == 5
+    remaining = {r["vec_id"] for r in spark.read.parquet(path).select("vec_id").collect()}
+    assert not (set(victims) & remaining)
+    # probes still work and never return purged vectors
+    q = emb.filter(F.col("vec_id") < 3)
+    out = ivf_topk_indexed(spark, path, q, k=3, nprobe=2)
+    assert not ({r["neighbor_id"] for r in out.collect()} & set(victims))
