@@ -141,6 +141,29 @@ def main() -> None:
     print("near-dup candidate pairs:",
           minhash_lsh_pairs(corpus, "doc_id", "text", k=32, bands=8).count())
 
+    # 14. standing-corpus lifecycle: admit arriving batches against a
+    #     persisted MinHash index (near-dups of everything admitted so
+    #     far are rejected at the door), then maintain the index —
+    #     compact the append debris, purge opted-out documents
+    from matdb_spark.operators.dedup import admit_batch
+    from matdb_spark.operators.index_maint import (
+        compact_minhash_index,
+        purge_minhash_index,
+    )
+
+    idx = path + "_admission_index"
+    shutil.rmtree(idx, ignore_errors=True)
+    b1 = corpus.filter(F.col("doc_id") < 50)
+    b2 = corpus.filter(F.col("doc_id") >= 50)  # heavy near-dups of b1
+    n1 = admit_batch(spark, idx, b1, "doc_id", "text").count()
+    n2 = admit_batch(spark, idx, b2, "doc_id", "text").count()
+    print(f"admission: batch1 admitted {n1}/50, batch2 admitted {n2}/50")
+    files = compact_minhash_index(spark, idx)
+    purged = purge_minhash_index(spark, idx, [0, 1, 2])
+    print(f"index maintenance: compacted {files[0]}->{files[1]} files, "
+          f"purged {purged[0] - purged[1]} rows for 3 opted-out docs")
+
+    shutil.rmtree(idx, ignore_errors=True)
     shutil.rmtree(path + "_cells", ignore_errors=True)
     shutil.rmtree(path + "_bulk", ignore_errors=True)
     shutil.rmtree(path + "_auto", ignore_errors=True)
