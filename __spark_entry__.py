@@ -1424,14 +1424,13 @@ def q_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     out = None
     for b in range(3):
+        # admit_batch returns a MATERIALIZED frame (checkpointed
+        # before the index mutates), so unioning the lazy selects
+        # across batches is safe
         admitted = admit_batch(
             spark, path, docs.filter(F.col("doc_id") % 3 == b), "doc_id", "text"
         ).select("doc_id", F.lit(b).cast("int").alias("admitted_in_batch"))
-        # materialize BEFORE the next batch mutates the index the
-        # lazy plan would re-probe
-        rows = admitted.collect()
-        part = spark.createDataFrame(rows, admitted.schema)
-        out = part if out is None else out.union(part)
+        out = admitted if out is None else out.union(admitted)
     return out
 
 

@@ -397,35 +397,58 @@ def pairs_against_index(
     signature would otherwise emit |batch_bucket| x |corpus_bucket|
     pairs from a single key.
 
-    The returned plan is fully LAZY — every relation is consumed once
-    (bucket-collect per side, one key-equi-join, pair stream via
-    explodes), so nothing is checkpointed and the plan recovers from
-    executor loss by recomputation like any other. The batch's
-    signature pipeline is evaluated twice (broadcast key set + join
-    side) — batch-sized by definition, cheaper than pinning executor
-    blocks the caller cannot release."""
+    The returned plan is fully LAZY — nothing is checkpointed, so the
+    plan recovers from executor loss by recomputation like any other.
+    With the cap on, the index is scanned twice (a column-pruned
+    counts pass decides which buckets survive, then the main pass
+    reads only matching rows) and the batch's signature pipeline is
+    evaluated up to three times (key set, counts, join side) —
+    batch-sized by definition, cheaper than pinning executor blocks
+    the caller cannot release."""
     nb = banded_minhash(new_df, id_col, text_col, k, bands, shingle_n)
     keys = nb.select("band", "key").distinct()
     idx = spark.read.parquet(path).select("doc_id", "band", "key")
-    # broadcast semi-join: the full index flows through a map-side
-    # filter, no exchange of the corpus side
-    hits = idx.join(F.broadcast(keys), ["band", "key"], "leftsemi")
-    # bucket-collect BOTH sides (minhash_lsh_pairs' pattern): each
-    # side's matched rows shuffle once into one row per key, and the
-    # skew cap filters those aggregated rows before any pair exists
+    if max_bucket is not None:
+        # COUNTS FIRST, arrays second: the cap must be decided before
+        # any member list exists, or a degenerate boilerplate bucket
+        # (millions of corpus rows behind one key) materializes as a
+        # single aggregation-buffer array and OOMs the very task the
+        # cap exists to protect. countDistinct is two-phase (expand +
+        # partial agg on (key, doc_id)) — uniform however skewed the
+        # bucket — and counting DISTINCT ids also keeps crash-replayed
+        # duplicate index appends from inflating a bucket past the cap
+        # (which would silently drop it and admit real near-dups).
+        # Cost: the cap pass is a second, column-pruned scan of the
+        # index; both scans stay lazy (no pinned blocks, executor loss
+        # recomputes) and broadcast-filtered (never shuffled in full).
+        c_cnt = (
+            idx.join(F.broadcast(keys), ["band", "key"], "leftsemi")
+            .groupBy("band", "key")
+            .agg(F.count_distinct("doc_id").alias("__cc"))
+        )
+        b_cnt = nb.groupBy("band", "key").agg(
+            F.count_distinct("doc_id").alias("__bc")
+        )
+        ok = (
+            c_cnt.join(b_cnt, ["band", "key"])
+            .filter(F.col("__cc") + F.col("__bc") <= F.lit(max_bucket))
+            .select("band", "key")
+        )
+    else:
+        ok = keys
+    # main pass: the full index flows through a map-side broadcast
+    # semi filter (under-cap matched keys only), no exchange of the
+    # corpus side; distinct() drops crash-replay duplicate rows
+    hits = idx.join(F.broadcast(ok), ["band", "key"], "leftsemi").distinct()
+    # bucket-collect BOTH sides (minhash_lsh_pairs' pattern) — every
+    # surviving bucket is <= max_bucket members by construction
     hagg = hits.groupBy("band", "key").agg(
-        F.collect_list("doc_id").alias("__cids"),
-        F.count(F.lit(1)).alias("__cc"),
+        F.collect_list("doc_id").alias("__cids")
     )
     bagg = nb.groupBy("band", "key").agg(
-        F.collect_list("doc_id").alias("__bids"),
-        F.count(F.lit(1)).alias("__bc"),
+        F.collect_list("doc_id").alias("__bids")
     )
     buckets = hagg.join(bagg, ["band", "key"])
-    if max_bucket is not None:
-        buckets = buckets.filter(
-            F.col("__cc") + F.col("__bc") <= F.lit(max_bucket)
-        )
     # stream the |batch_bucket| x |corpus_bucket| pairs via two
     # explodes (transient memory O(bucket), spillable rows out)
     pairs = (
@@ -485,6 +508,15 @@ def admit_batch(
         batch[id_col] == F.col("__rid"),
         "left_anti",
     )
+    # Materialize BEFORE mutating the index: the append below writes
+    # into the directory the lazy plan reads, so an unmaterialized
+    # return would re-run the whole admission pipeline on the caller's
+    # first action — against a directory that now contains this
+    # batch's own rows (correct only by a self-match subtlety, and
+    # twice the cost). localCheckpoint is the right materialization
+    # here: admission results are consumed promptly by a pipeline
+    # step, not held open by a long-lived query service.
+    admitted = admitted.localCheckpoint()
     if append:
         if have_index:
             append_minhash_index(

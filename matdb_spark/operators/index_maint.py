@@ -25,6 +25,38 @@ import os
 import shutil
 
 
+def _rewrite_and_swap(
+    df,
+    path: str,
+    partition_col: str,
+    cluster_cols: list[str],
+    sidecars: tuple[str, ...],
+) -> None:
+    """One-shuffle rewrite of ``df`` into ``path``'s layout, then the
+    atomic directory swap (tmp write -> rename old to bak -> rename
+    tmp live -> drop bak). Shared by compaction and purge so the swap
+    protocol has exactly one implementation."""
+    tmp = path + ".__compact_tmp"
+    bak = path + ".__compact_bak"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(bak, ignore_errors=True)
+    (
+        df.repartitionByRange(partition_col, *cluster_cols)
+        .sortWithinPartitions(partition_col, *cluster_cols)
+        .write.partitionBy(partition_col)
+        .parquet(tmp)
+    )
+    for sc in sidecars:
+        src = os.path.join(path, sc)
+        if os.path.isdir(src):
+            shutil.copytree(src, os.path.join(tmp, sc))
+    # two renames: readers see either the old or the new complete tree;
+    # a crash in between leaves `bak` intact for manual recovery
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+
+
 def compact_index(
     spark,
     path: str,
@@ -47,26 +79,7 @@ def compact_index(
         return n
 
     before = _count_files(path)
-    tmp = path + ".__compact_tmp"
-    bak = path + ".__compact_bak"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(bak, ignore_errors=True)
-    df = spark.read.parquet(path)
-    (
-        df.repartitionByRange(partition_col, *cluster_cols)
-        .sortWithinPartitions(partition_col, *cluster_cols)
-        .write.partitionBy(partition_col)
-        .parquet(tmp)
-    )
-    for sc in sidecars:
-        src = os.path.join(path, sc)
-        if os.path.isdir(src):
-            shutil.copytree(src, os.path.join(tmp, sc))
-    # two renames: readers see either the old or the new complete tree;
-    # a crash in between leaves `bak` intact for manual recovery
-    os.rename(path, bak)
-    os.rename(tmp, path)
-    shutil.rmtree(bak)
+    _rewrite_and_swap(spark.read.parquet(path), path, partition_col, cluster_cols, sidecars)
     return before, _count_files(path)
 
 
@@ -102,23 +115,7 @@ def purge_index(
     # empty (schema-less) tree that a parquet read cannot open — a
     # valid end state (admit_batch treats a band-less dir as no index)
     after = kept.count()
-    tmp = path + ".__compact_tmp"
-    bak = path + ".__compact_bak"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(bak, ignore_errors=True)
-    (
-        kept.repartitionByRange(partition_col, *cluster_cols)
-        .sortWithinPartitions(partition_col, *cluster_cols)
-        .write.partitionBy(partition_col)
-        .parquet(tmp)
-    )
-    for sc in sidecars:
-        src = os.path.join(path, sc)
-        if os.path.isdir(src):
-            shutil.copytree(src, os.path.join(tmp, sc))
-    os.rename(path, bak)
-    os.rename(tmp, path)
-    shutil.rmtree(bak)
+    _rewrite_and_swap(kept, path, partition_col, cluster_cols, sidecars)
     return before, after
 
 

@@ -405,20 +405,21 @@ def decode_audio_assets(
         + AUDIO_META_FIELDS
     )
 
-    def decode_one(p: bytes) -> dict:
-        # degrade-don't-kill: one corrupt asset in a 100 TB batch must
-        # yield a null-metadata row, not fail the task
+    def decode_one(p) -> dict:
+        # degrade-don't-kill: one corrupt (or NULL — e.g. from an
+        # outer join against unfetched assets) payload in a 100 TB
+        # batch must yield a null-metadata row, not fail the task
         try:
-            return _decode_wav(p)
-        except NotImplementedError:
+            return _decode_wav(bytes(p))
+        except (NotImplementedError, TypeError):
             return {f.name: None for f in AUDIO_META_FIELDS}
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [decode_one(bytes(p)) for p in pdf[payload_col]]
+            metas = [decode_one(p) for p in pdf[payload_col]]
             out = {
                 id_col: pdf[id_col].values,
-                "byte_len": [len(bytes(p)) for p in pdf[payload_col]],
+                "byte_len": [None if p is None else len(bytes(p)) for p in pdf[payload_col]],
             }
             for f in AUDIO_META_FIELDS:
                 out[f.name] = [m[f.name] for m in metas]
@@ -445,13 +446,18 @@ def decode_assets(df: DataFrame, id_col: str = "doc_id", payload_col: str = "pay
          StructField("checksum", StringType())] + DECODED_META_FIELDS
     )
 
+    _null_meta = {"checksum": None, "width": None, "height": None,
+                  "n_frames": None, "brightness": None}
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [_decode(bytes(p)) for p in pdf[payload_col]]
+            # NULL payloads (outer joins, failed fetches) decode to
+            # null metadata, never a task failure
+            metas = [_null_meta if p is None else _decode(bytes(p)) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
-                    "byte_len": [len(bytes(p)) for p in pdf[payload_col]],
+                    "byte_len": [None if p is None else len(bytes(p)) for p in pdf[payload_col]],
                     "checksum": [m["checksum"] for m in metas],
                     "width": [m["width"] for m in metas],
                     "height": [m["height"] for m in metas],

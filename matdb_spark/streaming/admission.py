@@ -10,20 +10,23 @@ arriving corpus stays near-dup-free without ever re-mining it.
 Delivery semantics: the index append is NOT transactional with the
 checkpoint — a crash between append and checkpoint write replays the
 batch and appends its banding rows a second time. That is
-CORRECTNESS-harmless (candidate pairs are de-duplicated, so duplicate
-index rows only cost storage — reclaim with
-`operators.index_maint.compact_minhash_index` during maintenance), but
-a store hooked via ``db`` gets the usual exactly-once treatment by
-committing through the batch-id-stamped transaction path.
+correctness-harmless because the probe counts DISTINCT doc ids per
+bucket and de-duplicates index rows before pairing (duplicate rows
+can neither inflate a bucket past the skew cap nor duplicate pairs);
+they only cost storage, reclaimed by
+`operators.index_maint.compact_minhash_index` during maintenance
+(compaction keeps duplicates — run a purge+re-append or rebuild to
+drop them). A store hooked via ``db`` gets the usual exactly-once
+treatment through the batch-id-stamped transaction path.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from matdb_spark import manifest
 from matdb_spark.database import Database
 from matdb_spark.operators.dedup import admit_batch
+from matdb_spark.streaming.ingest import BatchReplayGuard
 
 
 def stream_admission(
@@ -46,7 +49,7 @@ def stream_admission(
     idempotent index append re-runs). Returns the StreamingQuery."""
     spark = stream_df.sparkSession
     source = source_name or checkpoint
-    seen: list = [None, False]  # [max committed batch id, scanned?]
+    guard = BatchReplayGuard(db.path, source, "stream_admission") if db is not None else None
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
         # Replay-idempotent by construction: if a crashed attempt
@@ -59,16 +62,13 @@ def stream_admission(
         )
         if db is None:
             return
-        if not seen[1]:
-            seen[0] = manifest.max_committed_batch_id(db.path, source)
-            seen[1] = True
-        if seen[0] is not None and batch_id <= seen[0]:
-            return  # replayed batch: already committed to the store
+        if guard.already_committed(batch_id):
+            return  # replayed batch; only the idempotent append re-ran
         rows = admitted.select(*db_columns) if db_columns else admitted
         with db.begin() as txn:
             txn.add_dataframe(rows)
             txn.commit(extra={"stream_source": source, "batch_id": int(batch_id)})
-        seen[0] = batch_id if seen[0] is None else max(seen[0], batch_id)
+        guard.record(batch_id)
 
     writer = stream_df.writeStream.foreachBatch(_admit).option(
         "checkpointLocation", checkpoint

@@ -29,6 +29,49 @@ from matdb_spark import manifest
 from matdb_spark.database import Database
 
 
+
+class BatchReplayGuard:
+    """Exactly-once replay suppression shared by every foreachBatch
+    sink that commits into an MVCC store: lazily discovers the highest
+    batch id already committed for (store, source), skips replays with
+    a LOUD warning (the checkpoint-reset hazard — same contract as
+    Delta's txnAppId/txnVersion), and records successful commits."""
+
+    def __init__(self, db_path: str, source: str, op_name: str) -> None:
+        self._db_path = db_path
+        self._source = source
+        self._op = op_name
+        self._seen: int | None = None
+        self._scanned = False
+
+    def already_committed(self, batch_id: int) -> bool:
+        if not self._scanned:
+            self._seen = manifest.max_committed_batch_id(self._db_path, self._source)
+            self._scanned = True
+        if self._seen is not None and batch_id <= self._seen:
+            # Replay of a batch whose manifest already landed — skip.
+            # CAVEAT: if the CHECKPOINT was deleted/recreated while
+            # keeping the same source id, Spark renumbers batches from
+            # 0 and this skip would silently drop genuinely-new data.
+            # Resetting a checkpoint therefore requires a fresh
+            # source_name (or checkpoint path). Warn loudly.
+            import warnings
+
+            warnings.warn(
+                f"{self._op}: skipping batch {batch_id} for source "
+                f"{self._source!r} (max committed batch id is {self._seen}). "
+                "If the checkpoint was reset, pass a new "
+                "source_name/checkpoint — otherwise this is a benign "
+                "post-crash replay.",
+                stacklevel=2,
+            )
+            return True
+        return False
+
+    def record(self, batch_id: int) -> None:
+        self._seen = batch_id if self._seen is None else max(self._seen, batch_id)
+
+
 def stream_into_database(
     stream_df: DataFrame,
     db: Database,
@@ -80,31 +123,10 @@ def stream_into_database(
     if major_every < 2:
         raise ValueError(f"major_every={major_every}; expected >= 2")
     source = source_name or checkpoint
-    # Mutable cell: highest batch id already in the store for this
-    # source, discovered lazily on the first batch after (re)start.
-    seen: list[int | None] = [None, False]  # [max_batch_id, scanned?]
+    guard = BatchReplayGuard(db.path, source, "stream_into_database")
 
     def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if not seen[1]:
-            seen[0] = manifest.max_committed_batch_id(db.path, source)
-            seen[1] = True
-        if seen[0] is not None and batch_id <= seen[0]:
-            # Replay of a batch whose manifest already landed — skip.
-            # CAVEAT (same contract as Delta's txnAppId/txnVersion): if
-            # the CHECKPOINT was deleted/recreated while keeping the
-            # same source id, Spark renumbers batches from 0 and this
-            # skip would silently drop genuinely-new data. Resetting a
-            # checkpoint therefore requires a fresh ``source_name`` (or
-            # checkpoint path). Warn loudly so a reset is visible.
-            import warnings
-
-            warnings.warn(
-                f"stream_into_database: skipping batch {batch_id} for source "
-                f"{source!r} (max committed batch id is {seen[0]}). If the "
-                "checkpoint was reset, pass a new source_name/checkpoint — "
-                "otherwise this is a benign post-crash replay.",
-                stacklevel=2,
-            )
+        if guard.already_committed(batch_id):
             return
         # Context manager so a failed batch write ROLLS BACK: without
         # it, an exception mid-add_dataframe leaks the txn's .reserve
@@ -115,7 +137,7 @@ def stream_into_database(
         with db.begin() as txn:
             txn.add_dataframe(batch_df)
             txn.commit(extra={"stream_source": source, "batch_id": int(batch_id)})
-        seen[0] = batch_id if seen[0] is None else max(seen[0], batch_id)
+        guard.record(batch_id)
         if compact_every is not None:
             # Leveled folding, LSM-style: tier 1 folds each N-batch
             # window; tier k (span N·M^(k-1)) folds the M tier-(k-1)

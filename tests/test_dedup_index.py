@@ -177,7 +177,10 @@ def test_stream_admission_end_to_end(spark, tmp_path_factory):
         stream, index, ckpt, "doc_id", "text",
         db=db, db_columns=["doc_id", "n_chars"],
     )
-    q.awaitTermination(120)
+    try:
+        assert q.awaitTermination(240), "availableNow stream did not finish"
+    finally:
+        q.stop()
     got = sorted(r["doc_id"] for r in db.snapshot().collect())
     assert got == [1, 3], got  # 2 rejected as near-dup of 1
     assert _os.path.isdir(index)
