@@ -467,6 +467,43 @@ def probe_incremental_index(spark):
         )
         print(f"  re-mine found {remine} pairs (includes intra-corpus)")
 
+    # adversarial: a 500k-member boilerplate bucket must be dropped by
+    # the cap BEFORE any member array exists (the probe stays fast and
+    # emits zero pairs from it), while an exact copy of a unique
+    # corpus doc is still found — cap safety AND sensitivity
+    path = os.path.join(SCRATCH, "probe_mh_boiler")
+    shutil.rmtree(path, ignore_errors=True)
+    boiler_text = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"
+    boiler = spark.range(500_000).select(
+        F.col("id").alias("doc_id"), F.lit(boiler_text).alias("text")
+    )
+    uniq = spark.range(500_000, 1_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("unique document "), F.col("id").cast("string"),
+            F.lit(" with words "), (F.col("id") * 7).cast("string"),
+            F.lit(" "), (F.col("id") * 13).cast("string"),
+            F.lit(" tail segment"),
+        ).alias("text"),
+    )
+    timed(
+        "degenerate index build (500k boilerplate + 500k unique)",
+        lambda: write_minhash_index(boiler.union(uniq), path, "doc_id", "text"),
+    )
+    copy_text = f"unique document 600000 with words {600000 * 7} {600000 * 13} tail segment"
+    batch = spark.createDataFrame(
+        [(2_000_001, boiler_text), (2_000_002, copy_text)],
+        "doc_id long, text string",
+    )
+    rows = timed(
+        "probe vs the 500k-member bucket",
+        lambda: pairs_against_index(spark, path, batch, "doc_id", "text").collect(),
+    )
+    got = {(r["new_id"], r["corpus_id"]) for r in rows}
+    assert all(n != 2_000_001 for n, _ in got), "cap failed: boilerplate bucket emitted pairs"
+    assert (2_000_002, 600_000) in got, "sensitivity failed: exact copy not found"
+    print(f"  {len(got)} pairs; boilerplate bucket dropped, exact copy found")
+
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "volume"
