@@ -2,7 +2,7 @@ from matdb_spark.operators.asof import asof_join
 from matdb_spark.operators.rangejoin import range_join
 from matdb_spark.operators.topk import top_k_per_group
 from matdb_spark.operators.sessionize import sessionize
-from matdb_spark.operators import dedup, multimodal, similarity
+from matdb_spark.operators import dedup, index_maint, multimodal, similarity
 
 __all__ = [
     "asof_join",
@@ -10,6 +10,7 @@ __all__ = [
     "top_k_per_group",
     "sessionize",
     "dedup",
+    "index_maint",
     "multimodal",
     "similarity",
 ]

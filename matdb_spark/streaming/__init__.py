@@ -17,12 +17,16 @@ Streaming primitives:
   stateful operator (per-key session accumulation with timeout).
 - ``joins.interval_join``: stream-stream event-time interval join
   (watermark-bounded state), batch-compatible.
+- ``admission.stream_admission``: dedup-at-the-door for an arriving
+  corpus — each micro-batch is admitted against the persisted MinHash
+  index and optionally committed into the MVCC store exactly-once.
 """
 
 from matdb_spark.streaming.sources import events_stream
 from matdb_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
 from matdb_spark.streaming.ingest import stream_into_database
 from matdb_spark.streaming.stateful import running_totals_with_state, sessionize_with_state
+from matdb_spark.streaming.admission import stream_admission
 from matdb_spark.streaming.joins import interval_join
 
 __all__ = [
@@ -34,4 +38,5 @@ __all__ = [
     "running_totals_with_state",
     "sessionize_with_state",
     "interval_join",
+    "stream_admission",
 ]
