@@ -277,7 +277,15 @@ def minhash_lsh_pairs(
     ``max_bucket=None`` opts out for small corpora where cap-free
     parity matters more than skew safety.
     """
-    banded = banded_minhash(df, id_col, text_col, k, bands, shingle_n).select(
+    banded = banded_minhash(df, id_col, text_col, k, bands, shingle_n)
+    return _pairs_from_banded(banded, max_bucket)
+
+
+def _pairs_from_banded(banded: DataFrame, max_bucket: int | None) -> DataFrame:
+    """(id_a, id_b) co-bucketed pairs from a (doc_id, band, key)
+    banding relation — the back half of minhash_lsh_pairs, split out so
+    admission can reuse an already-materialized banding."""
+    banded = banded.select(
         F.col("doc_id").alias("__id"),
         F.col("band").alias("__band"),
         F.col("key").alias("__key"),
@@ -343,7 +351,12 @@ def write_minhash_index(
     key column and keeps any future key-predicate reader prunable,
     but the probe path itself filters via a broadcast semi-join and
     reads every row group."""
-    banded = banded_minhash(df, id_col, text_col, k, bands, shingle_n)
+    _write_banded(
+        banded_minhash(df, id_col, text_col, k, bands, shingle_n), path, mode
+    )
+
+
+def _write_banded(banded: DataFrame, path: str, mode: str) -> None:
     (
         banded.repartitionByRange("band", "key")
         .sortWithinPartitions("band", "key")
@@ -406,6 +419,25 @@ def pairs_against_index(
     batch-sized by definition, cheaper than pinning executor blocks
     the caller cannot release."""
     nb = banded_minhash(new_df, id_col, text_col, k, bands, shingle_n)
+    return _index_pairs_from_banded(spark, path, nb, max_bucket)
+
+
+def _index_pairs_from_banded(
+    spark,
+    path: str,
+    nb: DataFrame,
+    max_bucket: int | None,
+    reject_identity: bool = False,
+) -> DataFrame:
+    """pairs_against_index's core over an already-built (and ideally
+    materialized) batch banding relation.
+
+    ``reject_identity=False`` (the probe default) drops same-id
+    (new, corpus) pairs — a doc appended to the index and then used
+    as a probe is not a duplicate of itself. Admission passes True:
+    there, a batch id already present in the index means the doc was
+    already admitted, and the identity pair is exactly the rejection
+    that makes replayed batches idempotent."""
     keys = nb.select("band", "key").distinct()
     idx = spark.read.parquet(path).select("doc_id", "band", "key")
     if max_bucket is not None:
@@ -451,13 +483,12 @@ def pairs_against_index(
     buckets = hagg.join(bagg, ["band", "key"])
     # stream the |batch_bucket| x |corpus_bucket| pairs via two
     # explodes (transient memory O(bucket), spillable rows out)
-    pairs = (
-        buckets.select("__cids", F.explode("__bids").alias("new_id"))
-        .select("new_id", F.explode("__cids").alias("corpus_id"))
-        .filter(F.col("new_id") != F.col("corpus_id"))
-        .distinct()
-    )
-    return pairs
+    pairs = buckets.select(
+        "__cids", F.explode("__bids").alias("new_id")
+    ).select("new_id", F.explode("__cids").alias("corpus_id"))
+    if not reject_identity:
+        pairs = pairs.filter(F.col("new_id") != F.col("corpus_id"))
+    return pairs.distinct()
 
 
 def admit_batch(
@@ -493,12 +524,19 @@ def admit_batch(
     have_index = _os.path.isdir(path) and any(
         f.startswith("band=") for f in _os.listdir(path)
     )
-    intra = minhash_lsh_pairs(
-        batch, id_col, text_col, k, bands, shingle_n, max_bucket
-    ).select(F.col("id_b").alias("__rid"))
+    # ONE banding computation per batch: signatures are the batch's
+    # dominant cost, and intra pairing, index probing, AND the final
+    # index append all consume the same (doc_id, band, key) relation —
+    # materialize it once instead of re-shingling per consumer
+    nb = banded_minhash(batch, id_col, text_col, k, bands, shingle_n).localCheckpoint()
+    intra = _pairs_from_banded(nb, max_bucket).select(F.col("id_b").alias("__rid"))
     if have_index:
-        cross = pairs_against_index(
-            spark, path, batch, id_col, text_col, k, bands, shingle_n, max_bucket
+        # reject_identity: a batch id already in the index was already
+        # admitted — rejecting it makes a replayed batch a no-op
+        # (admits nothing, appends nothing) even without the
+        # stream-level BatchReplayGuard
+        cross = _index_pairs_from_banded(
+            spark, path, nb, max_bucket, reject_identity=True
         ).select(F.col("new_id").alias("__rid"))
         rejected = intra.union(cross)
     else:
@@ -518,14 +556,14 @@ def admit_batch(
     # step, not held open by a long-lived query service.
     admitted = admitted.localCheckpoint()
     if append:
-        if have_index:
-            append_minhash_index(
-                admitted, path, id_col, text_col, k, bands, shingle_n
-            )
-        else:
-            write_minhash_index(
-                admitted, path, id_col, text_col, k, bands, shingle_n
-            )
+        # survivors' banding rows come from the already-materialized
+        # relation — no re-shingling of the admitted text
+        adm_banded = nb.join(
+            admitted.select(F.col(id_col).alias("doc_id")).distinct(),
+            "doc_id",
+            "leftsemi",
+        )
+        _write_banded(adm_banded, path, "append" if have_index else "overwrite")
     return admitted
 
 

@@ -146,6 +146,29 @@ def test_admit_batch_lifecycle(spark):
     assert a2 == [12]
 
 
+def test_admit_batch_replay_idempotent(spark):
+    """Replaying an already-admitted batch admits nothing and leaves
+    the index unchanged: each replayed doc shares all its LSH buckets
+    with its own index entry, and admission rejects identity hits
+    (unlike the standalone probe, which filters self-pairs)."""
+    from matdb_spark.operators.dedup import admit_batch
+
+    path = os.path.join(SCRATCH, "admit_replay_test")
+    shutil.rmtree(path, ignore_errors=True)
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    b1 = mk([
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (3, "completely different text about distributed columnar engines"),
+    ])
+    assert sorted(
+        r["doc_id"] for r in admit_batch(spark, path, b1, "doc_id", "text").collect()
+    ) == [1, 3]
+    before = spark.read.parquet(path).count()
+    replay = admit_batch(spark, path, b1, "doc_id", "text").collect()
+    assert replay == []
+    assert spark.read.parquet(path).count() == before
+
+
 def test_stream_admission_end_to_end(spark, tmp_path_factory):
     import os as _os
 
