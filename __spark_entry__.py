@@ -1603,6 +1603,35 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (operators/selection.py): score
+    every raw-corpus document (doc_id % 23 != 0) by the quantized
+    log-ratio of target vs corpus hashed uni+bigram distributions,
+    target = the doc_id % 23 == 0 slice. Micro-nat BIGINT weights are
+    exact integer sums — engine- and order-identical; the scoring scan
+    is exchange-free (the bounded log-ratio table rides along as one
+    array literal)."""
+    from matdb_spark.operators import selection
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 23 != 0)
+    target = docs.filter(F.col("doc_id") % 23 == 0)
+    return selection.importance_weights(
+        corpus, target, "doc_id", "text", ns=(1, 2), num_buckets=4096
+    )
+
+
+def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel-top-k resampling over the importance weights: 200 docs
+    sampled ∝ exp(weight) with deterministic seeded-md5 Gumbel keys
+    (quantized micro-nats). Executes as TakeOrderedAndProject —
+    per-partition heaps, no global sort."""
+    from matdb_spark.operators import selection
+
+    w = q_importance_weights(spark, sf_dir)
+    return selection.importance_resample(w, "doc_id", 200, seed=42)
+
+
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing (operators/packing.py): documents
     laid out as 8 independent hash-sharded token streams, each chunked
@@ -3360,6 +3389,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_manifest": q_pack_manifest,
         "q_mixture_weights": q_mixture_weights,
         "q_repetition_signals": q_repetition_signals,
+        "q_importance_weights": q_importance_weights,
+        "q_importance_resample": q_importance_resample,
         "q_sample_per_source": q_sample_per_source,
         "q_curation_pipeline": q_curation_pipeline,
         "q_dedup_exact": q_dedup_exact,
@@ -3535,6 +3566,62 @@ def _minhash_sql() -> str:
         "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM cb a "
         "JOIN cb b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"
     )
+
+
+def _importance_sql(resample: bool) -> str:
+    """Oracle for q_importance_weights / q_importance_resample: the
+    DSIR pipeline replayed in SQL. Hash buckets replicate hash_hex
+    (md5-hex → BIGINT); log-ratios are quantized to integer micro-nats
+    with the same floor(x*1e6 + 0.5) half-away convention BEFORE the
+    per-document sum, so weights are exact integer arithmetic on both
+    engines (a 1-ulp ln() disagreement only matters within ~1e-10 of
+    a grid boundary)."""
+    B = 4096
+    grams = "list_concat(w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))"
+    bucket = f"CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {B}"
+    sql = f"""
+        WITH base AS (SELECT doc_id, coalesce({_NORM}, '') AS t FROM documents),
+        corpus AS (SELECT doc_id, t FROM base WHERE doc_id % 23 <> 0),
+        target AS (SELECT t FROM base WHERE doc_id % 23 = 0),
+        cw AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS w
+               FROM corpus),
+        tw AS (SELECT list_filter(string_split(t, ' '), x -> x <> '') AS w
+               FROM target),
+        cb AS (SELECT doc_id, {bucket} AS b
+               FROM cw, UNNEST({grams}) AS u(g)),
+        tb AS (SELECT {bucket} AS b
+               FROM tw, UNNEST({grams}) AS u(g)),
+        cc AS (SELECT b, COUNT(*) AS c FROM cb GROUP BY b),
+        tc AS (SELECT b, COUNT(*) AS c FROM tb GROUP BY b),
+        tot AS (SELECT (SELECT COUNT(*) FROM cb) + {B}.0 AS s_tot,
+                       (SELECT COUNT(*) FROM tb) + {B}.0 AS t_tot),
+        lr AS (SELECT cc.b,
+                      CAST(floor((ln(coalesce(tc.c, 0) + 1.0) - ln(cc.c + 1.0)
+                                  + ln(tot.s_tot) - ln(tot.t_tot)) * 1000000 + 0.5)
+                           AS BIGINT) AS lr
+               FROM cc LEFT JOIN tc USING (b) CROSS JOIN tot),
+        dw AS (SELECT cb.doc_id, COUNT(*) AS n_grams, SUM(lr.lr) AS w
+               FROM cb JOIN lr ON cb.b = lr.b GROUP BY cb.doc_id),
+        weights AS (
+            SELECT c.doc_id,
+                   CAST(coalesce(dw.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(dw.w, 0) AS BIGINT) AS weight_unats
+            FROM corpus c LEFT JOIN dw USING (doc_id))
+    """
+    if not resample:
+        return sql + " SELECT doc_id, n_grams, weight_unats FROM weights"
+    two52 = float(1 << 52)
+    return sql + f""",
+        keyed AS (
+            SELECT doc_id, n_grams, weight_unats,
+                   weight_unats + CAST(floor(
+                       (-ln(-ln((CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 13))
+                                      AS BIGINT) + 0.5) / {two52})))
+                       * 1000000 + 0.5) AS BIGINT) AS key_unats
+            FROM weights)
+        SELECT doc_id, n_grams, weight_unats, key_unats
+        FROM keyed ORDER BY key_unats DESC, doc_id LIMIT 200
+    """
 
 
 def _admission_sql() -> str:
@@ -4338,6 +4425,8 @@ def oracle_sql() -> dict[str, str]:
                        AS weight
             FROM per, tot
         """,
+        "q_importance_weights": _importance_sql(resample=False),
+        "q_importance_resample": _importance_sql(resample=True),
         "q_repetition_signals": f"""
             WITH base AS (
                 SELECT doc_id, string_split({_NORM}, ' ') AS w

@@ -2,7 +2,13 @@ from matdb_spark.operators.asof import asof_join
 from matdb_spark.operators.rangejoin import range_join
 from matdb_spark.operators.topk import top_k_per_group
 from matdb_spark.operators.sessionize import sessionize
-from matdb_spark.operators import dedup, index_maint, multimodal, similarity
+from matdb_spark.operators import (
+    dedup,
+    index_maint,
+    multimodal,
+    selection,
+    similarity,
+)
 
 __all__ = [
     "asof_join",
@@ -12,5 +18,6 @@ __all__ = [
     "dedup",
     "index_maint",
     "multimodal",
+    "selection",
     "similarity",
 ]

@@ -1,0 +1,208 @@
+"""Importance-weighted data selection (DSIR-style) for training
+corpora.
+
+Public method: hashed n-gram importance resampling — score every raw
+document by how target-like its hashed n-gram bag is (log-ratio of a
+target vs a raw unigram/bigram distribution over hash buckets), then
+sample proportionally to the weights with the Gumbel-top-k trick
+(Xie et al., "Data Selection for Language Models via Importance
+Resampling", NeurIPS 2023 — the method is public; this is an
+independent Spark-native implementation).
+
+Reference parity: the reference engine has no data-selection surface
+(its reads are keyed scans — src/matdb.rs); this module belongs to
+the training-data-pipeline layer the rebuild adds on top.
+
+100 TB design
+-------------
+- The two distribution passes are ``groupBy(bucket)`` counts over
+  exploded n-grams: map-side combined, so the shuffle carries
+  ``num_buckets`` partial rows per task, never data rows.
+- The per-bucket log-ratio table is bounded by ``num_buckets`` and is
+  collected to the driver once (a few KB), then re-enters the scoring
+  pass as ONE array literal — scoring is a single exchange-free scan
+  (no join, no shuffle): each document folds its bucket array over the
+  literal with an exact BIGINT sum.
+- Quantization: log-ratios are fixed to integer micro-nats
+  (``floor(lr * 1e6 + 0.5)``, half-away rounding — the same
+  cross-engine convention as the codec paths). Integer sums are
+  associative, so per-document weights are bit-identical across Spark,
+  the DuckDB oracle, and any partitioning/accumulation order; the
+  1e-6-nat-per-gram quantization error is far below the sampling noise
+  the method tolerates by construction.
+- Gumbel keys are derived from md5 of a seeded id (deterministic,
+  engine-independent uniform bits) and quantized the same way; the
+  final top-k is a ``TakeOrderedAndProject`` (per-partition heaps, no
+  global sort).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from matdb_spark.functions.text import hash_hex, normalize
+
+DEFAULT_NUM_BUCKETS = 4096
+UNIT = 1_000_000  # micro-nats: the fixed-point grid for log quantities
+
+
+def _with_grams(
+    df: DataFrame, carry: list[str], text_col: str, ns: tuple[int, ...]
+) -> DataFrame:
+    """carry… + ``__g array<string>``: ALL n-gram occurrences (bag
+    semantics — unlike dedup's shingles_from_words, no dedup) for each
+    n in ``ns``, over whitespace tokens of the normalized text.
+
+    Two-phase projection (see dedup.shingle_rows): the token array is a
+    materialized attribute so split/normalize run once per row, not per
+    lambda element. NULL/empty text yields an empty gram array."""
+    words = df.select(
+        *carry,
+        F.filter(
+            F.split(normalize(F.coalesce(F.col(text_col), F.lit(""))), " "),
+            lambda x: x != F.lit(""),
+        ).alias("__w"),
+    )
+    empty = F.array().cast("array<string>")
+
+    def gram_fn(n: int):
+        # closure, NOT a default-arg lambda: pyspark infers lambda
+        # arity from the signature, and a second parameter would make
+        # transform() pass the array INDEX into it (see simhash64)
+        return lambda i: F.concat_ws(
+            " ", *[F.get(F.col("__w"), i + j) for j in range(n)]
+        )
+
+    parts = []
+    for n in ns:
+        count = F.greatest(F.size("__w") - (n - 1), F.lit(0))
+        idx = F.sequence(F.lit(0), count - 1)
+        parts.append(F.when(count > 0, F.transform(idx, gram_fn(n))).otherwise(empty))
+    combined = parts[0] if len(parts) == 1 else F.concat(*parts)
+    return words.select(*carry, combined.alias("__g"))
+
+
+def _bucket(gram: Column, num_buckets: int) -> Column:
+    # hash_hex is non-negative (60-bit), so % is a true modulus
+    return hash_hex(gram, 15) % num_buckets
+
+
+def hashed_ngram_counts(
+    df: DataFrame,
+    text_col: str,
+    ns: tuple[int, ...] = (1, 2),
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+) -> DataFrame:
+    """(bucket, cnt) — hashed n-gram occurrence counts. One map-side
+    combined aggregation; result cardinality <= num_buckets."""
+    g = _with_grams(df, [], text_col, ns)
+    return (
+        g.select(F.explode(F.transform("__g", lambda x: _bucket(x, num_buckets))).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def log_ratio_table(
+    corpus_counts: DataFrame,
+    target_counts: DataFrame,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    alpha: float = 1.0,
+) -> list[int]:
+    """Dense per-bucket quantized log-ratio table (micro-nats), index =
+    bucket id: ``round(ln(p_target(b) / p_corpus(b)) * 1e6)`` with
+    add-alpha smoothing ``p(b) = (cnt_b + alpha) / (total + alpha*B)``.
+
+    Driver-side by design — both inputs are <= num_buckets rows, and a
+    Python list re-enters the plan as one array literal, keeping the
+    scoring pass free of joins. The logs run in the driver's libm (the
+    same family the DuckDB oracle uses), and quantization makes a
+    1-ulp libm disagreement flip a value only when the true product
+    sits within ~1e-10 of a grid boundary."""
+    c = {r["bucket"]: r["cnt"] for r in corpus_counts.collect()}
+    t = {r["bucket"]: r["cnt"] for r in target_counts.collect()}
+    s_tot = sum(c.values()) + alpha * num_buckets
+    t_tot = sum(t.values()) + alpha * num_buckets
+    const = math.log(s_tot) - math.log(t_tot)
+    return [
+        math.floor(
+            (
+                math.log(t.get(b, 0) + alpha)
+                - math.log(c.get(b, 0) + alpha)
+                + const
+            )
+            * UNIT
+            + 0.5
+        )
+        for b in range(num_buckets)
+    ]
+
+
+def importance_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    ns: tuple[int, ...] = (1, 2),
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(id, n_grams, weight_unats) for every corpus document:
+    ``weight_unats`` is the quantized log importance weight
+    Σ_grams round(1e6 · ln(p_target/p_corpus)) — exact integer
+    arithmetic per document (see module docstring). Documents with no
+    grams (empty/NULL text) score 0 over 0 grams.
+
+    The returned plan is a single exchange-free scan of ``corpus``;
+    the two bounded distribution aggregations run eagerly inside this
+    call (they are collected into the literal table)."""
+    cc = hashed_ngram_counts(corpus, text_col, ns, num_buckets)
+    tc = hashed_ngram_counts(target, text_col, ns, num_buckets)
+    lr = log_ratio_table(cc, tc, num_buckets, alpha)
+    lr_lit = F.lit(lr)
+    g = _with_grams(corpus, [id_col], text_col, ns)
+    b = g.select(
+        id_col,
+        F.transform("__g", lambda x: _bucket(x, num_buckets)).alias("__b"),
+    )
+    return b.select(
+        id_col,
+        F.size("__b").cast("long").alias("n_grams"),
+        F.aggregate(
+            "__b",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.element_at(lr_lit, x.cast("int") + 1),
+        ).alias("weight_unats"),
+    )
+
+
+def gumbel_key_unats(id_expr: Column, weight_unats: Column, seed: int) -> Column:
+    """Quantized Gumbel-perturbed log-weight: ``weight_unats +
+    round(1e6 · (-ln(-ln(u))))`` with u ∈ (0,1) from 52 deterministic
+    md5 bits of ``seed:id``. Sorting by this key descending and taking
+    k rows samples k documents ∝ exp(weight) without replacement (the
+    Gumbel-top-k trick) — reproducibly, on any engine."""
+    u = (hash_hex(F.concat_ws(":", F.lit(str(seed)), id_expr.cast("string")), 13) + F.lit(0.5)) / F.lit(
+        float(1 << 52)
+    )
+    gumbel = -F.log(-F.log(u))
+    return weight_unats + F.floor(gumbel * UNIT + F.lit(0.5)).cast("long")
+
+
+def importance_resample(
+    weights: DataFrame,
+    id_col: str,
+    k: int,
+    seed: int = 42,
+    weight_col: str = "weight_unats",
+) -> DataFrame:
+    """Top-k Gumbel resample over an importance_weights result:
+    weights columns + ``key_unats``, the k highest keys (ties broken
+    by id for determinism). Executes as TakeOrderedAndProject —
+    per-partition heaps of k, no global sort."""
+    keyed = weights.withColumn(
+        "key_unats", gumbel_key_unats(F.col(id_col), F.col(weight_col), seed)
+    )
+    return keyed.orderBy(F.col("key_unats").desc(), F.col(id_col)).limit(k)
