@@ -1632,6 +1632,22 @@ def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selection.importance_resample(w, "doc_id", 200, seed=42)
 
 
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bigram-LM quality scores (operators/selection.py): every
+    raw-corpus document scored under an add-alpha hashed bigram model
+    trained on the doc_id % 23 == 0 reference slice — the CCNet/C4
+    perplexity-filter shape with exact micro-nat integer scores (both
+    log tables quantized before the per-document sum)."""
+    from matdb_spark.operators import selection
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 23 != 0)
+    ref = docs.filter(F.col("doc_id") % 23 == 0)
+    return selection.bigram_lm_scores(
+        corpus, ref, "doc_id", "text", num_buckets=4096
+    )
+
+
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing (operators/packing.py): documents
     laid out as 8 independent hash-sharded token streams, each chunked
@@ -3391,6 +3407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_signals": q_repetition_signals,
         "q_importance_weights": q_importance_weights,
         "q_importance_resample": q_importance_resample,
+        "q_bigram_lm_score": q_bigram_lm_score,
         "q_sample_per_source": q_sample_per_source,
         "q_curation_pipeline": q_curation_pipeline,
         "q_dedup_exact": q_dedup_exact,
@@ -3621,6 +3638,43 @@ def _importance_sql(resample: bool) -> str:
             FROM weights)
         SELECT doc_id, n_grams, weight_unats, key_unats
         FROM keyed ORDER BY key_unats DESC, doc_id LIMIT 200
+    """
+
+
+def _bigram_lm_sql() -> str:
+    """Oracle for q_bigram_lm_score: the hashed bigram LM replayed in
+    SQL. Both log tables quantized to micro-nats BEFORE the per-pair
+    subtraction and per-document sum — exact integers on both
+    engines."""
+    B = 4096
+    bucket = lambda e: f"CAST(('0x' || substr(md5({e}), 1, 15)) AS BIGINT) % {B}"
+    return f"""
+        WITH base AS (SELECT doc_id, coalesce({_NORM}, '') AS t FROM documents),
+        corpus AS (SELECT doc_id, t FROM base WHERE doc_id % 23 <> 0),
+        ref AS (SELECT t FROM base WHERE doc_id % 23 = 0),
+        rw AS (SELECT list_filter(string_split(t, ' '), x -> x <> '') AS w FROM ref),
+        r1 AS (SELECT {bucket("g")} AS b, COUNT(*) AS c
+               FROM (SELECT u.g FROM rw, UNNEST(w) AS u(g)) GROUP BY b),
+        r2 AS (SELECT {bucket("g")} AS b, COUNT(*) AS c
+               FROM (SELECT u.g FROM rw,
+                     UNNEST(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS u(g))
+               GROUP BY b),
+        cw AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS w
+               FROM corpus),
+        pairs AS (SELECT doc_id,
+                         {bucket("w[i]")} AS b1,
+                         {bucket("w[i] || ' ' || w[i+1]")} AS b2
+                  FROM cw, UNNEST(range(1, len(w))) AS u(i)),
+        dw AS (SELECT pairs.doc_id, COUNT(*) AS n_pairs,
+                      SUM(CAST(floor(ln(coalesce(r2.c, 0) + 1.0) * 1000000 + 0.5) AS BIGINT)
+                          - CAST(floor(ln(coalesce(r1.c, 0) + {B}.0) * 1000000 + 0.5) AS BIGINT)) AS s
+               FROM pairs LEFT JOIN r1 ON pairs.b1 = r1.b
+                          LEFT JOIN r2 ON pairs.b2 = r2.b
+               GROUP BY pairs.doc_id)
+        SELECT c.doc_id,
+               CAST(coalesce(dw.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(coalesce(dw.s, 0) AS BIGINT) AS logprob_unats
+        FROM corpus c LEFT JOIN dw USING (doc_id)
     """
 
 
@@ -4427,6 +4481,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_importance_weights": _importance_sql(resample=False),
         "q_importance_resample": _importance_sql(resample=True),
+        "q_bigram_lm_score": _bigram_lm_sql(),
         "q_repetition_signals": f"""
             WITH base AS (
                 SELECT doc_id, string_split({_NORM}, ' ') AS w

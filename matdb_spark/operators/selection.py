@@ -178,6 +178,83 @@ def importance_weights(
     )
 
 
+def bigram_lm_scores(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(id, n_pairs, logprob_unats) — hashed bigram language-model
+    score of every corpus document under a model trained on
+    ``reference``: Σ over adjacent token pairs of
+    ``ln((cnt2[b(prev cur)] + α) / (cnt1[b(prev)] + α·B))``, the
+    add-alpha bigram conditional with both the context and the bigram
+    hashed into ``num_buckets`` buckets (a hashed-feature LM — an
+    un-normalized surrogate for the KenLM-style perplexity filter of
+    CCNet/C4, trading exactness for two bounded count tables).
+    Lower (more negative) scores per pair ≈ higher perplexity ≈ less
+    reference-like text.
+
+    Same exactness contract as importance_weights: the two per-bucket
+    log terms are quantized to integer micro-nats BEFORE the
+    subtraction and per-document sum, so scores are exact BIGINT
+    arithmetic — engine- and order-identical. The scoring pass is one
+    exchange-free scan (both bounded tables ride along as array
+    literals); training is two map-combined bucket aggregations.
+    Consumers filter on ``logprob_unats / n_pairs`` (average log-prob;
+    documents with < 2 tokens have n_pairs = 0 and score 0)."""
+    c1 = hashed_ngram_counts(reference, text_col, (1,), num_buckets)
+    c2 = hashed_ngram_counts(reference, text_col, (2,), num_buckets)
+    m1 = {r["bucket"]: r["cnt"] for r in c1.collect()}
+    m2 = {r["bucket"]: r["cnt"] for r in c2.collect()}
+    l1 = [
+        math.floor(math.log(m1.get(b, 0) + alpha * num_buckets) * UNIT + 0.5)
+        for b in range(num_buckets)
+    ]
+    l2 = [
+        math.floor(math.log(m2.get(b, 0) + alpha) * UNIT + 0.5)
+        for b in range(num_buckets)
+    ]
+    l1_lit, l2_lit = F.lit(l1), F.lit(l2)
+    words = corpus.select(
+        F.col(id_col),
+        F.filter(
+            F.split(normalize(F.coalesce(F.col(text_col), F.lit(""))), " "),
+            lambda x: x != F.lit(""),
+        ).alias("__w"),
+    )
+    n_pairs = F.greatest(F.size("__w") - 1, F.lit(0))
+    idx = F.sequence(F.lit(0), n_pairs - 1)
+    ctx_b = F.transform(idx, lambda i: _bucket(F.get(F.col("__w"), i), num_buckets))
+    big_b = F.transform(
+        idx,
+        lambda i: _bucket(
+            F.concat_ws(
+                " ", F.get(F.col("__w"), i), F.get(F.col("__w"), i + 1)
+            ),
+            num_buckets,
+        ),
+    )
+    terms = F.zip_with(
+        ctx_b,
+        big_b,
+        lambda a, b: F.element_at(l2_lit, b.cast("int") + 1)
+        - F.element_at(l1_lit, a.cast("int") + 1),
+    )
+    score = F.aggregate(
+        F.when(n_pairs > 0, terms).otherwise(F.array().cast("array<bigint>")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return words.select(
+        id_col,
+        n_pairs.cast("long").alias("n_pairs"),
+        score.alias("logprob_unats"),
+    )
+
+
 def gumbel_key_unats(id_expr: Column, weight_unats: Column, seed: int) -> Column:
     """Quantized Gumbel-perturbed log-weight: ``weight_unats +
     round(1e6 · (-ln(-ln(u))))`` with u ∈ (0,1) from 52 deterministic

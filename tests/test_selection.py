@@ -106,6 +106,49 @@ def test_resample_deterministic_topk(spark, frames):
     assert [r["key_unats"] for r in c] != keys
 
 
+def _oracle_lm():
+    c1, c2 = {}, {}
+    for _, t in TARGET:  # TARGET doubles as the LM reference here
+        toks = [x for x in _norm(t).split(" ") if x]
+        for g in toks:
+            c1[_bucket(g)] = c1.get(_bucket(g), 0) + 1
+        for i in range(len(toks) - 1):
+            b = _bucket(" ".join(toks[i : i + 2]))
+            c2[b] = c2.get(b, 0) + 1
+    l1 = {b: math.floor(math.log(c1.get(b, 0) + B) * 1e6 + 0.5) for b in range(B)}
+    l2 = {b: math.floor(math.log(c2.get(b, 0) + 1) * 1e6 + 0.5) for b in range(B)}
+    out = {}
+    for d, t in CORPUS:
+        toks = [x for x in _norm(t).split(" ") if x]
+        s = 0
+        for i in range(len(toks) - 1):
+            s += l2[_bucket(" ".join(toks[i : i + 2]))] - l1[_bucket(toks[i])]
+        out[d] = (max(len(toks) - 1, 0), s)
+    return out
+
+
+def test_bigram_lm_matches_python_oracle(spark, frames):
+    corpus, target = frames
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["logprob_unats"])
+        for r in S.bigram_lm_scores(
+            corpus, target, "doc_id", "text", num_buckets=B
+        ).collect()
+    }
+    assert got == _oracle_lm()
+    # reference-like text scores higher per pair than out-of-domain text
+    avg = lambda d: got[d][1] / got[d][0]
+    assert avg(1) > avg(2)
+    assert got[4] == (0, 0) and got[5] == (0, 0)
+
+
+def test_bigram_lm_plan_is_exchange_free(spark, frames):
+    corpus, target = frames
+    df = S.bigram_lm_scores(corpus, target, "doc_id", "text", num_buckets=B)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan, plan
+
+
 def test_single_n_unigram_only(spark, frames):
     corpus, target = frames
     w = S.importance_weights(
