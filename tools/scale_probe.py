@@ -14,7 +14,7 @@ in SCALE.md §11. Two axes the small-SF gate never stresses:
              newest-folds must stay flat-cost as the table grows,
              then one oldest-fold collapses the rollups.
 
-Usage: PYTHONPATH=/root/repo python tools/scale_probe.py [volume|manytxn|stream|tiered|lshskew|ccdeep|autocompact|incdex]
+Usage: PYTHONPATH=/root/repo python tools/scale_probe.py [volume|manytxn|stream|tiered|lshskew|ccdeep|autocompact|incdex|selection]
 Scratch stores live under /root/repo/.scratch/ (gitignored).
 """
 
@@ -505,6 +505,44 @@ def probe_incremental_index(spark):
     print(f"  {len(got)} pairs; boilerplate bucket dropped, exact copy found")
 
 
+def probe_selection(spark):
+    """DSIR scoring economics at 1M → 4M docs: the claim under test is
+    that importance_weights / bigram_lm_scores cost is ONE linear scan
+    of the corpus per pass (distribution training shuffles only
+    num_buckets map-combined partials; scoring carries the bounded
+    log-ratio table as an array literal — no join, no exchange). Time
+    must scale ~linearly with corpus size and the scoring plan must
+    stay exchange-free at both sizes."""
+    from matdb_spark.operators import selection
+
+    def synth(ids, tag=""):
+        words = [
+            F.concat(F.lit(f"{tag}w{j}_"), ((F.col("id") * (j * 2 + 3)) % 997).cast("string"))
+            for j in range(12)
+        ]
+        return ids.select(
+            F.col("id").alias("doc_id"), F.concat_ws(" ", *words).alias("text")
+        )
+
+    target = synth(spark.range(10_000), tag="t_").localCheckpoint()
+    for n_corpus in (1_000_000, 4_000_000):
+        corpus = synth(spark.range(n_corpus))
+        w = timed(
+            f"importance_weights build, {n_corpus} docs (2 dist passes + table)",
+            lambda: selection.importance_weights(corpus, target, "doc_id", "text"),
+        )
+        plan = w._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan, plan
+        n = timed(
+            f"score {n_corpus} docs (exchange-free scan)",
+            lambda: w.count(),
+        )
+        assert n == n_corpus
+        lm = selection.bigram_lm_scores(corpus, target, "doc_id", "text")
+        timed(f"bigram_lm_scores {n_corpus} docs", lambda: lm.count())
+    print("  selection probe done: plans exchange-free, linear scaling above")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "volume"
     spark = get_spark(app_name=f"scale_probe_{which}")
@@ -529,5 +567,7 @@ if __name__ == "__main__":
         probe_auto_compact(spark)
     elif which == "incdex":
         probe_incremental_index(spark)
+    elif which == "selection":
+        probe_selection(spark)
     else:
         raise SystemExit(f"unknown probe {which!r}")
