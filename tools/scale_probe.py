@@ -533,13 +533,24 @@ def probe_selection(spark):
         )
         plan = w._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "Join" not in plan, plan
-        n = timed(
+        # force FULL evaluation: a bare count() lets column pruning
+        # delete the scoring expressions and times an empty scan
+        n, _s = timed(
             f"score {n_corpus} docs (exchange-free scan)",
-            lambda: w.count(),
+            lambda: tuple(
+                w.agg(
+                    F.count(F.lit(1)), F.sum("weight_unats")
+                ).collect()[0]
+            ),
         )
         assert n == n_corpus
         lm = selection.bigram_lm_scores(corpus, target, "doc_id", "text")
-        timed(f"bigram_lm_scores {n_corpus} docs", lambda: lm.count())
+        timed(
+            f"bigram_lm_scores {n_corpus} docs",
+            lambda: tuple(
+                lm.agg(F.count(F.lit(1)), F.sum("logprob_unats")).collect()[0]
+            ),
+        )
     print("  selection probe done: plans exchange-free, linear scaling above")
 
 
