@@ -1556,6 +1556,38 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized training mixture (operators/sampling.py
+    rebalance_mixture): per-source uniform-share weights (the
+    q_mixture_weights calculator) applied as stochastic-rounding
+    duplication/dropping — every doc emitted floor(w) + Bernoulli(
+    frac(w)) times with a deterministic hash-uniform draw. All float
+    steps are single correctly-rounded IEEE ops from exact integers,
+    so copies are engine-identical with no quantization. Plan: scan →
+    broadcast join (per-source weights) → generate; no data shuffle."""
+    from matdb_spark.functions.text import token_count
+    from matdb_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).cast("long").alias("__tt")
+    )
+    tot = per.agg(
+        F.sum("__tt").cast("double").alias("__grand"),
+        F.count(F.lit(1)).alias("__nsrc"),
+    )
+    weights = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.when(
+            (F.col("__grand") > 0) & (F.col("__tt") > 0),
+            (F.lit(1.0) / F.col("__nsrc")) / (F.col("__tt") / F.col("__grand")),
+        ).alias("weight"),
+    )
+    return sampling.rebalance_mixture(
+        docs.select("doc_id", "source"), weights, "source", "doc_id"
+    ).select("doc_id", "source", "copy_idx")
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document: distinct-
     token ratio, top-token frequency fraction, duplicate-2-gram
@@ -3408,6 +3440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_importance_weights": q_importance_weights,
         "q_importance_resample": q_importance_resample,
         "q_bigram_lm_score": q_bigram_lm_score,
+        "q_mixture_rebalance": q_mixture_rebalance,
         "q_sample_per_source": q_sample_per_source,
         "q_curation_pipeline": q_curation_pipeline,
         "q_dedup_exact": q_dedup_exact,
@@ -4482,6 +4515,31 @@ def oracle_sql() -> dict[str, str]:
         "q_importance_weights": _importance_sql(resample=False),
         "q_importance_resample": _importance_sql(resample=True),
         "q_bigram_lm_score": _bigram_lm_sql(),
+        "q_mixture_rebalance": f"""
+            WITH per AS (
+                SELECT source,
+                       CAST(SUM(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))) AS BIGINT)
+                           AS tt
+                FROM documents GROUP BY source),
+            tot AS (SELECT CAST(SUM(tt) AS DOUBLE) AS grand, COUNT(*) AS nsrc FROM per),
+            w AS (SELECT source,
+                         CASE WHEN grand > 0 AND tt > 0
+                              THEN (1.0 / nsrc) / (tt / grand) END AS weight
+                  FROM per, tot),
+            d AS (SELECT doc_id, d.source, weight,
+                         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                             / 281474976710656.0 AS u
+                  FROM documents d JOIN w USING (source)
+                  WHERE weight IS NOT NULL),
+            c AS (SELECT doc_id, source,
+                         CAST(floor(weight)
+                              + CASE WHEN u < weight - floor(weight) THEN 1 ELSE 0 END
+                              AS INT) AS copies
+                  FROM d)
+            SELECT doc_id, source, CAST(u.i AS INT) AS copy_idx
+            FROM c, UNNEST(range(1, copies + 1)) AS u(i)
+            WHERE copies > 0
+        """,
         "q_repetition_signals": f"""
             WITH base AS (
                 SELECT doc_id, string_split({_NORM}, ' ') AS w

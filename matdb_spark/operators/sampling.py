@@ -66,6 +66,52 @@ def sample_n_per_group(
     return ranked.drop("__h", "__rank")
 
 
+def rebalance_mixture(
+    df: DataFrame,
+    weights: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str = "weight",
+    salt: str = "",
+    out_col: str = "copy_idx",
+) -> DataFrame:
+    """Materialize a target training mixture: every row is emitted
+    ``floor(w) + Bernoulli(frac(w))`` times, where ``w`` is its
+    group's sampling weight (e.g. from the mixture-weights calculator
+    — w < 1 downsamples a source, w > 1 upsamples by duplication).
+    Output rows carry ``out_col`` (1-based copy index) so downstream
+    packing/shuffling treats copies as distinct examples. In
+    expectation each group's share becomes weight × its actual share —
+    the standard stochastic-rounding rebalance.
+
+    Deterministic: the Bernoulli draw is the hash-uniform
+    ``u = hash(id||salt)/2^48`` — reproducible across engines, runs,
+    and partitionings, independent per salt. NULL/absent weights drop
+    the row (you cannot weight an unlisted group).
+
+    Scale: the weights side is a per-group table — broadcast join, no
+    shuffle of ``df``; the explode emits ``copies`` rows per input row
+    inline (no shuffle). Whole plan is scan → broadcast-hash-join →
+    generate."""
+    u = (
+        hash_hex(F.concat(F.col(id_col).cast("string"), F.lit(salt)), 12)
+        / F.lit(float(1 << 48))
+    )
+    w = F.col(weight_col)
+    copies = (
+        F.floor(w) + F.when(u < w - F.floor(w), F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+    joined = df.join(
+        F.broadcast(weights.select(group_col, weight_col)), group_col, "inner"
+    ).filter(w.isNotNull())
+    return (
+        joined.withColumn("__copies", copies)
+        .filter(F.col("__copies") > 0)
+        .withColumn(out_col, F.explode(F.sequence(F.lit(1), F.col("__copies"))))
+        .drop("__copies", weight_col)
+    )
+
+
 def epoch_shuffle(
     df: DataFrame, id_col: str, seed: int, out_col: str = "shuffle_rank"
 ) -> DataFrame:

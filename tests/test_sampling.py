@@ -50,3 +50,49 @@ def test_epoch_shuffle_deterministic_and_seed_sensitive(spark):
     assert sorted(a1) == list(range(200))
     ranks = [r["shuffle_rank"] for r in epoch_shuffle(df, "doc_id", 7).collect()]
     assert sorted(ranks) == list(range(1, 201)), "contiguous 1-based ranks"
+
+
+def test_rebalance_mixture_copies_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i < 80 else "b") for i in range(100)],
+        "doc_id long, source string",
+    )
+    # a: downsample to half; b: upsample 2.5x; c: unlisted (dropped)
+    w = spark.createDataFrame(
+        [("a", 0.5), ("b", 2.5), ("c", 9.0)], "source string, weight double"
+    )
+    out = sampling.rebalance_mixture(df, w, "source", "doc_id")
+    rows = out.collect()
+    again = sampling.rebalance_mixture(df, w, "source", "doc_id").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    by_src = {}
+    per_doc = {}
+    for r in rows:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+        per_doc.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    # every kept doc's copies are a contiguous 1..n index
+    for d, idxs in per_doc.items():
+        assert sorted(idxs) == list(range(1, len(idxs) + 1))
+    # b docs each appear 2 or 3 times (floor 2 + bernoulli); a appear <= 1
+    for d, idxs in per_doc.items():
+        if d >= 80:
+            assert len(idxs) in (2, 3)
+        else:
+            assert len(idxs) == 1
+    # expectations: a ~ 40 of 80, b ~ 50 of 20 docs
+    assert 25 <= by_src["a"] <= 55
+    assert 40 <= by_src["b"] <= 60
+
+
+def test_rebalance_mixture_null_weight_drops_and_plan(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, source string"
+    )
+    w = spark.createDataFrame(
+        [("a", 1.0), ("b", None)], "source string, weight double"
+    )
+    out = sampling.rebalance_mixture(df, w, "source", "doc_id")
+    assert [r["doc_id"] for r in out.collect()] == [1]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
