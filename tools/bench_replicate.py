@@ -37,6 +37,12 @@ FAMILY_REPS = {
     "dedup_simhash": "q_dedup_simhash",
     "schema_evolution": "q_schema_evolution",
     "sketch_merge": "q_hll_sketch_merge",
+    # round-4 additions: the standing-corpus lifecycle (slowest suite
+    # entry — 3 sequential batches by construction) and the selection
+    # family
+    "admission": "q_dedup_admission",
+    "selection": "q_importance_weights",
+    "multimodal_audio": "q_multimodal_audio",
 }
 
 
