@@ -1680,6 +1680,18 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/packing.py chunk_documents):
+    every document split into 64-token chunks with 8-token overlap
+    (HF return_overflowing_tokens stride convention — a final window
+    wholly contained in the previous chunk is not emitted). Plan is
+    scan → generate: no shuffle, no UDF."""
+    from matdb_spark.operators.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, "doc_id", "text", 64, overlap=8)
+
+
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing (operators/packing.py): documents
     laid out as 8 independent hash-sharded token streams, each chunked
@@ -3441,6 +3453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_importance_resample": q_importance_resample,
         "q_bigram_lm_score": q_bigram_lm_score,
         "q_mixture_rebalance": q_mixture_rebalance,
+        "q_chunk_documents": q_chunk_documents,
         "q_sample_per_source": q_sample_per_source,
         "q_curation_pipeline": q_curation_pipeline,
         "q_dedup_exact": q_dedup_exact,
@@ -4515,6 +4528,22 @@ def oracle_sql() -> dict[str, str]:
         "q_importance_weights": _importance_sql(resample=False),
         "q_importance_resample": _importance_sql(resample=True),
         "q_bigram_lm_score": _bigram_lm_sql(),
+        "q_chunk_documents": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split(coalesce({_NORM}, ''), ' '),
+                                   x -> x <> '') AS w
+                FROM documents),
+            nz AS (SELECT doc_id, w, len(w) AS n FROM w WHERE len(w) > 0),
+            st AS (SELECT doc_id, w, n, CAST(u.s AS BIGINT) AS s
+                   FROM nz, UNNEST(range(0, n, 56)) AS u(s)
+                   WHERE s = 0 OR s + 8 < n)
+            SELECT doc_id,
+                   CAST(s // 56 AS INT) AS chunk_idx,
+                   CAST(least(64, n - s) AS BIGINT) AS n_chunk_tokens,
+                   array_to_string(array_slice(w, s + 1, s + 64), ' ') AS chunk_text
+            FROM st
+        """,
         "q_mixture_rebalance": f"""
             WITH per AS (
                 SELECT source,

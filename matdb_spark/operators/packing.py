@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from matdb_spark.functions.text import hash_hex
+from matdb_spark.functions.text import hash_hex, normalize
 
 
 def pack_documents(
@@ -100,4 +100,66 @@ def pack_manifest(packed: DataFrame, token_col: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col(token_col)).cast("long").alias("tok_mass"),
         F.min("pack_pos").cast("long").alias("first_pos"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split long documents into fixed-budget training chunks with
+    optional token overlap: one output row per chunk — (id, chunk_idx,
+    n_chunk_tokens, chunk_text). Chunk starts advance by
+    ``chunk_tokens - overlap``; a final window that would be wholly
+    contained in the previous chunk is not emitted (the HF-tokenizer
+    ``return_overflowing_tokens`` stride convention). Documents with
+    no tokens produce no rows; a document shorter than the budget is
+    its own single chunk.
+
+    All JVM expressions: the token array materializes once per row
+    (two-phase projection — see dedup.shingle_rows), starts are a
+    ``sequence``, and chunks slice the attribute; posexplode keeps the
+    chunk index. No shuffle, no UDF — the plan is scan → generate,
+    and the same slice arithmetic is expressible in ANSI SQL for
+    oracle verification."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    words = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(normalize(F.coalesce(F.col(text_col), F.lit(""))), " "),
+            lambda x: x != F.lit(""),
+        ).alias("__w"),
+    ).filter(F.size("__w") > 0)
+    n = F.size("__w")
+    # last useful start: the largest k*step that still adds tokens
+    # beyond the previous chunk's end (start == 0 always useful)
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1, F.lit(step)),
+        lambda s: (s == 0) | (s + F.lit(overlap) < n),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.concat_ws(
+            " ", F.slice(F.col("__w"), s + 1, F.lit(chunk_tokens))
+        ),
+    )
+    sizes = F.transform(
+        starts, lambda s: F.least(F.lit(chunk_tokens), F.size("__w") - s)
+    )
+    return (
+        words.select(
+            id_col,
+            F.posexplode(F.arrays_zip(chunks.alias("t"), sizes.alias("n"))),
+        )
+        .select(
+            id_col,
+            F.col("pos").cast("int").alias("chunk_idx"),
+            F.col("col.n").cast("long").alias("n_chunk_tokens"),
+            F.col("col.t").alias("chunk_text"),
+        )
     )

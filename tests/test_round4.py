@@ -203,3 +203,34 @@ def test_never_evolved_store_scan_runs_no_inference_job(spark, tmp_db_path):
     jobs, snap = _jobs_in_group(spark, "r4-noinfer-plain", lambda: db.snapshot())
     assert jobs == []
     assert snap.collect()[0].v == 10
+
+
+def test_chunk_documents_stride_semantics(spark):
+    from matdb_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),
+            (2, "a b"),
+            (3, ""),
+            (4, None),
+            (5, " ".join(f"x{i}" for i in range(9))),  # 9 toks: starts 0,3,6
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, "doc_id", "text", 4, overlap=1)
+    rows = {(r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_text"]) for r in out.collect()}
+    assert rows[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert rows[(1, 1)] == (4, "t3 t4 t5 t6")
+    assert rows[(1, 2)] == (4, "t6 t7 t8 t9")
+    assert (1, 3) not in rows  # start 9: 9+1 !< 10 -> contained, dropped
+    assert rows[(2, 0)] == (2, "a b")
+    assert not any(d in (3, 4) for d, _ in rows)
+    assert rows[(5, 2)] == (3, "x6 x7 x8")
+    # no shuffle in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", 4, overlap=4)
