@@ -1680,6 +1680,49 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone: the full training-data curation pipeline composed
+    end-to-end — quality gate (> 0.5) → exact-dedup keep-canonical →
+    benchmark decontamination (≥ 3 shared 3-shingles with the
+    doc_id % 97 == 0 eval slice) → DSIR importance selection (keep
+    docs above −0.72 nats per gram — the integer-exact per-gram form
+    ``weight_unats > -720000 · n_grams``, ~the most-target-like half) →
+    64-token context-window chunking (8 overlap). Every stage is one
+    of the library's gated operators; the whole thing is two Catalyst
+    plans (the bounded importance table collects in between). Scale
+    shape: quality/chunking are exchange-free scans, dedup is one
+    fingerprint shuffle, decontamination broadcasts the eval shingle
+    set, selection's scoring is exchange-free with a broadcast-free
+    literal table."""
+    from matdb_spark.operators import selection
+    from matdb_spark.operators.dedup import benchmark_overlap
+    from matdb_spark.operators.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    qual = docs.filter(quality_score(F.col("text")) > 0.5)
+    fp = qual.withColumn("__fp", fingerprint(F.col("text")))
+    canon = fp.withColumn(
+        "__cid", F.min("doc_id").over(W.partitionBy("__fp"))
+    ).filter(F.col("doc_id") == F.col("__cid")).select("doc_id", "text")
+    corpus = canon.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    contaminated = benchmark_overlap(
+        corpus, bench, "doc_id", "text", n=3, min_overlap=3
+    ).select("doc_id")
+    # materialize the cleaned corpus ONCE: four consumers read it (the
+    # gram-count build, the scoring scan, the keep semi-join, and the
+    # chunker) — unmaterialized, each re-runs quality + window dedup +
+    # the decontamination shingle join (measured 25 s -> ~4 s at sf0.1)
+    clean = corpus.join(contaminated, "doc_id", "left_anti").localCheckpoint()
+    target = docs.filter(F.col("doc_id") % 23 == 0)
+    w = selection.importance_weights(clean, target, "doc_id", "text")
+    keep = w.filter(
+        F.col("weight_unats") > F.lit(-720_000) * F.col("n_grams")
+    ).select("doc_id")
+    sel = clean.join(keep, "doc_id", "left_semi")
+    return chunk_documents(sel, "doc_id", "text", 64, overlap=8)
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (operators/packing.py chunk_documents):
     every document split into 64-token chunks with 8-token overlap
@@ -3454,6 +3497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bigram_lm_score": q_bigram_lm_score,
         "q_mixture_rebalance": q_mixture_rebalance,
         "q_chunk_documents": q_chunk_documents,
+        "q_llm_pipeline": q_llm_pipeline,
         "q_sample_per_source": q_sample_per_source,
         "q_curation_pipeline": q_curation_pipeline,
         "q_dedup_exact": q_dedup_exact,
@@ -3684,6 +3728,79 @@ def _importance_sql(resample: bool) -> str:
             FROM weights)
         SELECT doc_id, n_grams, weight_unats, key_unats
         FROM keyed ORDER BY key_unats DESC, doc_id LIMIT 200
+    """
+
+
+def _llm_pipeline_sql() -> str:
+    """Oracle for q_llm_pipeline: the five curation stages composed as
+    one CTE chain, each stage the verbatim SQL of its standalone
+    oracle (quality gate, fingerprint dedup, shingle decontamination,
+    micro-nat importance weights, stride chunking)."""
+    B = 4096
+    grams = "list_concat(w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))"
+    bucket = f"CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {B}"
+    return f"""
+        WITH qual AS (
+            SELECT doc_id, text FROM documents WHERE {_quality_sql()} > 0.5),
+        fpt AS (SELECT doc_id, text, md5({_NORM}) AS f FROM qual),
+        canon AS (SELECT doc_id, text FROM (
+                SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY f) AS cid
+                FROM fpt)
+            WHERE doc_id = cid),
+        corpus0 AS (SELECT doc_id, text FROM canon WHERE doc_id % 97 <> 0),
+        dcw AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM corpus0),
+        dsh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM dcw, unnest(range(1, greatest(len(w) - 1, 1))) AS u(i)),
+        dh AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+               FROM dsh),
+        bw AS (SELECT doc_id, string_split({_NORM}, ' ') AS w
+               FROM documents WHERE doc_id % 97 = 0),
+        bsh AS (SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                FROM bw, unnest(range(1, greatest(len(w) - 1, 1))) AS u(i)),
+        bh AS (SELECT DISTINCT CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+               FROM bsh),
+        contam AS (SELECT doc_id FROM (
+                SELECT d.doc_id,
+                       CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ov
+                FROM dh d LEFT JOIN bh b ON d.h = b.h GROUP BY d.doc_id)
+            WHERE ov >= 3),
+        clean AS (SELECT doc_id, text FROM corpus0
+                  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        cbase AS (SELECT doc_id, coalesce({_NORM}, '') AS t FROM clean),
+        tbase AS (SELECT coalesce({_NORM}, '') AS t FROM documents
+                  WHERE doc_id % 23 = 0),
+        cw AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS w
+               FROM cbase),
+        tw AS (SELECT list_filter(string_split(t, ' '), x -> x <> '') AS w
+               FROM tbase),
+        cb AS (SELECT doc_id, {bucket} AS b FROM cw, UNNEST({grams}) AS u(g)),
+        tb AS (SELECT {bucket} AS b FROM tw, UNNEST({grams}) AS u(g)),
+        cc AS (SELECT b, COUNT(*) AS c FROM cb GROUP BY b),
+        tc AS (SELECT b, COUNT(*) AS c FROM tb GROUP BY b),
+        tot AS (SELECT (SELECT COUNT(*) FROM cb) + {B}.0 AS s_tot,
+                       (SELECT COUNT(*) FROM tb) + {B}.0 AS t_tot),
+        lr AS (SELECT cc.b,
+                      CAST(floor((ln(coalesce(tc.c, 0) + 1.0) - ln(cc.c + 1.0)
+                                  + ln(tot.s_tot) - ln(tot.t_tot)) * 1000000 + 0.5)
+                           AS BIGINT) AS lr
+               FROM cc LEFT JOIN tc USING (b) CROSS JOIN tot),
+        dwt AS (SELECT cb.doc_id, COUNT(*) AS ng, SUM(lr.lr) AS wt FROM cb
+                JOIN lr ON cb.b = lr.b GROUP BY cb.doc_id),
+        sel AS (SELECT c.doc_id, c.text FROM clean c LEFT JOIN dwt USING (doc_id)
+                WHERE coalesce(dwt.wt, 0) > -720000 * coalesce(dwt.ng, 0)),
+        sw AS (SELECT doc_id,
+                      list_filter(string_split(coalesce({_NORM}, ''), ' '),
+                                  x -> x <> '') AS w
+               FROM sel),
+        snz AS (SELECT doc_id, w, len(w) AS n FROM sw WHERE len(w) > 0),
+        sst AS (SELECT doc_id, w, n, CAST(u.s AS BIGINT) AS s
+                FROM snz, UNNEST(range(0, n, 56)) AS u(s)
+                WHERE s = 0 OR s + 8 < n)
+        SELECT doc_id,
+               CAST(s // 56 AS INT) AS chunk_idx,
+               CAST(least(64, n - s) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(array_slice(w, s + 1, s + 64), ' ') AS chunk_text
+        FROM sst
     """
 
 
@@ -4528,6 +4645,7 @@ def oracle_sql() -> dict[str, str]:
         "q_importance_weights": _importance_sql(resample=False),
         "q_importance_resample": _importance_sql(resample=True),
         "q_bigram_lm_score": _bigram_lm_sql(),
+        "q_llm_pipeline": _llm_pipeline_sql(),
         "q_chunk_documents": f"""
             WITH w AS (
                 SELECT doc_id,
