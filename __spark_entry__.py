@@ -1680,6 +1680,29 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity.py pq_*): corpus
+    compressed to m=8 codes from a k=16 deterministic sample codebook
+    (the oracle-replayable trainer; pq_train_kmeans is the recall
+    path), then asymmetric-distance top-5 for the vec_id < 10
+    queries. Encode is an exchange-free scan; ADC never ships corpus
+    vectors — only code rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebook_from_sample(emb, m=8, k=16, sample_mod=31)
+    codes = similarity.pq_encode(emb, cb)
+    queries = emb.filter(F.col("vec_id") < 10)
+    top = similarity.pq_adc_topk(codes, queries, cb, k=5)
+    # rank re-derived on the ROUNDED score (q_similarity_topk's
+    # cross-engine rank-parity pattern)
+    scored = top.select(
+        "query_id", "neighbor_id", F.round("approx_sim", 6).alias("approx_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone: the full training-data curation pipeline composed
     end-to-end — quality gate (> 0.5) → exact-dedup keep-canonical →
@@ -3498,6 +3521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mixture_rebalance": q_mixture_rebalance,
         "q_chunk_documents": q_chunk_documents,
         "q_llm_pipeline": q_llm_pipeline,
+        "q_similarity_pq": q_similarity_pq,
         "q_sample_per_source": q_sample_per_source,
         "q_curation_pipeline": q_curation_pipeline,
         "q_dedup_exact": q_dedup_exact,
@@ -3728,6 +3752,55 @@ def _importance_sql(resample: bool) -> str:
             FROM weights)
         SELECT doc_id, n_grams, weight_unats, key_unats
         FROM keyed ORDER BY key_unats DESC, doc_id LIMIT 200
+    """
+
+
+def _pq_sql() -> str:
+    """Oracle for q_similarity_pq: sample codebook → per-block L2
+    argmin encode → ADC scoring, replayed relationally. Per-pair block
+    terms are summed via list(ORDER BY b) + list_sum (sequential fold
+    in block order — the same accumulation order as Spark's aggregate,
+    so scores are bit-identical before the 6-decimal round)."""
+    m, k, bs = 8, 16, 8
+    blkdist = (
+        "list_sum(list_transform(range(1, 9), "
+        "i -> (e.v[gb.b * 8 + i] - cw.v[gb.b * 8 + i])"
+        " * (e.v[gb.b * 8 + i] - cw.v[gb.b * 8 + i])))"
+    )
+    blkdot = (
+        "list_sum(list_transform(range(1, 9), "
+        "i -> q.qv[enc.b * 8 + i] * cw.v[enc.b * 8 + i]))"
+    )
+    return f"""
+        WITH {_UNIT_E},
+        cwsrc AS (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS j
+                  FROM e WHERE vec_id % 31 = 0),
+        cw AS (SELECT j - 1 AS code, v FROM cwsrc WHERE j <= {k}),
+        gb AS (SELECT unnest(range(0, {m})) AS b),
+        enc AS (
+            SELECT vec_id, b, code FROM (
+                SELECT e.vec_id, gb.b, cw.code,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id, gb.b
+                                          ORDER BY {blkdist}, cw.code) AS rn
+                FROM e, gb, cw)
+            WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        terms AS (
+            SELECT q.query_id, enc.vec_id AS neighbor_id, enc.b,
+                   {blkdot} AS t
+            FROM q, enc JOIN cw ON cw.code = enc.code
+            WHERE enc.vec_id <> q.query_id),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   ROUND(list_sum(list(t ORDER BY b)), 6) AS approx_sim
+            FROM terms GROUP BY query_id, neighbor_id),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY approx_sim DESC, neighbor_id)
+                      AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, approx_sim, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5
     """
 
 
@@ -4646,6 +4719,7 @@ def oracle_sql() -> dict[str, str]:
         "q_importance_resample": _importance_sql(resample=True),
         "q_bigram_lm_score": _bigram_lm_sql(),
         "q_llm_pipeline": _llm_pipeline_sql(),
+        "q_similarity_pq": _pq_sql(),
         "q_chunk_documents": f"""
             WITH w AS (
                 SELECT doc_id,

@@ -426,3 +426,213 @@ def cosine_near_dup_pairs(
         pairs.select("id_a", "id_b", dot(F.col("__va"), F.col("__vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ------------------------------------------------------------------ PQ
+def pq_codebook_from_sample(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    sample_mod: int = 31,
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebook: the ``k`` lowest-id
+    unit vectors with ``id % sample_mod == 0``, sliced into ``m``
+    equal blocks — ``cb[b][j]`` is block b of sample j. Real PQ trains
+    per-block k-means (Jégou, Douze, Schmid, "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011); the sample codebook is the
+    deterministic, oracle-replayable trainer — pq_encode/pq_adc_topk
+    accept ANY codebook of the same shape, so a k-means-trained one
+    drops in for recall. Driver collect bounded by k rows."""
+    rows = (
+        _unit(
+            corpus.filter(F.col(id_col) % sample_mod == 0),
+            [F.col(id_col)],
+            vec_col,
+            "__v",
+        )
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"only {len(rows)} sample vectors for k={k}")
+    d = len(rows[0]["__v"])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    bs = d // m
+    return [
+        [list(r["__v"][b * bs : (b + 1) * bs]) for r in rows]
+        for b in range(m)
+    ]
+
+
+def _pq_lit(codebook: list[list[list[float]]]) -> tuple:
+    """(flat literal array<array<double>>, m, k, block_size). The flat
+    layout is cb[b][j] at index b*k + j; a from_json literal constant-
+    folds to one ArrayData (F.lit on a nested list would build a
+    CreateArray re-materialized per evaluation)."""
+    import json
+
+    m, k, bs = len(codebook), len(codebook[0]), len(codebook[0][0])
+    flat = [cw for block in codebook for cw in block]
+    return (
+        F.from_json(F.lit(json.dumps(flat)), "array<array<double>>"),
+        m,
+        k,
+        bs,
+    )
+
+
+def _bound(expr: Column, fn) -> Column:
+    """Array-typed analog of vectors.with_bound_scalar: evaluate
+    ``expr`` once per row and hand it to ``fn`` as a lambda variable
+    (the one binding CollapseProject can never inline)."""
+    return F.get(F.transform(F.array(expr), fn), 0)
+
+
+def _pq_codes_expr(cb_lit: Column, m: int, k: int, bs: int) -> Column:
+    """codes array<int> over a materialized unit-vector attribute
+    ``__v`` — per block, the index of the L2-nearest codeword (ties to
+    the lowest code — deterministic)."""
+
+    def code_for(b: int) -> Column:
+        # closures, not default-arg lambdas (pyspark HOF arity trap)
+        blk = F.slice(F.col("__v"), b * bs + 1, bs)
+
+        def dists_of(bb: Column) -> Column:
+            from matdb_spark.functions.vectors import squared_l2
+
+            return F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda j: squared_l2(
+                    bb, F.element_at(cb_lit, (F.lit(b * k) + j + 1).cast("int"))
+                ),
+            )
+
+        return _bound(
+            blk,
+            lambda bb: _bound(
+                dists_of(bb),
+                lambda dd: (
+                    F.array_position(dd, F.array_min(dd)).cast("int") - 1
+                ),
+            ),
+        )
+
+    return F.array(*[code_for(b) for b in range(m)])
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — each unit vector compressed to m
+    codes. m bytes-worth of codes replace d floats: at 100 TB this is
+    the representation that makes billion-vector ANN fit in memory
+    (16× under int8, 32× under float32 at m=8, d=64). One
+    exchange-free scan; the codebook rides along as a constant-folded
+    literal."""
+    cb_lit, m, k, bs = _pq_lit(codebook)
+    u = _unit(corpus, [F.col(id_col)], vec_col, "__v")
+    return u.select(
+        id_col, _pq_codes_expr(cb_lit, m, k, bs).alias("codes")
+    )
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: (query_id, neighbor_id,
+    approx_sim, rank) where approx_sim = Σ_b ⟨query block b,
+    codeword[b][code_b]⟩ — the uncompressed query against compressed
+    corpus (ADC, the accurate PQ search mode). Queries broadcast; the
+    corpus side never ships vectors, only m-code rows; the final
+    per-query top-k is the WindowGroupLimit ranking window. Block
+    terms accumulate in index order — deterministic doubles on any
+    engine."""
+    cb_lit, m, kk, bs = _pq_lit(codebook)
+    q = _unit(queries, [F.col(id_col).alias(query_id_col)], vec_col, "__qv")
+    joined = (
+        codes_df.select(F.col(id_col).alias("neighbor_id"), "codes")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+    )
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, b: acc
+        + dot(
+            F.slice(F.col("__qv"), (b * bs + 1).cast("int"), bs),
+            F.element_at(
+                cb_lit,
+                (
+                    b * kk
+                    + F.element_at(F.col("codes"), (b + 1).cast("int"))
+                    + 1
+                ).cast("int"),
+            ),
+        ),
+    )
+    scored = joined.select(
+        query_id_col, "neighbor_id", score.alias("approx_sim")
+    ).filter(F.col("approx_sim").isNotNull())
+    return top_k_per_group(
+        scored,
+        [query_id_col],
+        [F.col("approx_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    )
+
+
+def pq_train_kmeans(
+    corpus: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 5,
+) -> list[list[list[float]]]:
+    """Lloyd-iteration PQ training (the real trainer of Jégou et al.):
+    starting from any codebook (e.g. pq_codebook_from_sample), each
+    iteration re-encodes the corpus and replaces every codeword with
+    the mean of its assigned block slices. Fully distributed: one
+    encode scan + ONE groupBy per iteration whose cardinality is
+    m × k (map-side combined — the shuffle carries codeword partials,
+    never vectors); the m·k·(d/m) floats collect to the driver each
+    round. Codes with no members keep their previous codeword."""
+    for _ in range(iters):
+        cb_lit, m, k, bs = _pq_lit(codebook)
+        u = _unit(corpus, [F.col(id_col)], vec_col, "__v")
+        # codes + slices from ONE scan (no self-join of derived plans)
+        both = u.select(
+            _pq_codes_expr(cb_lit, m, k, bs).alias("codes"), "__v"
+        )
+        exploded = both.select(
+            F.posexplode("codes").alias("b", "code"), F.col("__v")
+        ).select(
+            "b",
+            "code",
+            F.slice(
+                "__v", (F.col("b") * bs + 1).cast("int"), bs
+            ).alias("blk"),
+        )
+        agg = exploded.groupBy("b", "code").agg(
+            *[
+                F.avg(F.element_at("blk", i + 1)).alias(f"c{i}")
+                for i in range(bs)
+            ]
+        )
+        new = [[list(cw) for cw in block] for block in codebook]
+        for r in agg.collect():
+            new[r["b"]][r["code"]] = [float(r[f"c{i}"]) for i in range(bs)]
+        codebook = new
+    return codebook

@@ -191,3 +191,61 @@ def test_append_ivf_index_matches_full_build(spark):
     full = ivf_topk_indexed(spark, p_full, q, k=3, nprobe=2).collect()
     incr = ivf_topk_indexed(spark, p_incr, q, k=3, nprobe=2).collect()
     assert sorted(map(tuple, incr)) == sorted(map(tuple, full))
+
+
+def test_pq_encode_matches_python_oracle(spark):
+    import math
+
+    from matdb_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = S.pq_codebook_from_sample(emb, m=8, k=16, sample_mod=31)
+    assert len(cb) == 8 and len(cb[0]) == 16 and len(cb[0][0]) == 8
+    crows = {r["vec_id"]: list(r["codes"]) for r in S.pq_encode(emb, cb).collect()}
+    rows = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+
+    def enc(v):
+        n = math.sqrt(sum(float(x) * float(x) for x in v))
+        u = [float(x) / n for x in v]
+        out = []
+        for b in range(8):
+            blk = u[b * 8 : (b + 1) * 8]
+            d = [sum((x - y) * (x - y) for x, y in zip(blk, cb[b][j])) for j in range(16)]
+            out.append(d.index(min(d)))
+        return out
+
+    for vid in (0, 1, 7, 100, 499):
+        assert crows[vid] == enc(rows[vid])
+    # encode plan: exchange-free scan
+    plan = S.pq_encode(emb, cb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan, plan
+
+
+def test_pq_adc_scores_and_training_recall(spark):
+    import pyspark.sql.functions as F
+
+    from matdb_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cb = S.pq_codebook_from_sample(emb, m=8, k=16)
+    codes = S.pq_encode(emb, cb)
+    top = S.pq_adc_topk(codes, queries, cb, k=5)
+    rows = top.collect()
+    assert len(rows) == 50
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["approx_sim"])
+    assert all(sims == sorted(sims, reverse=True) for sims in per_q.values())
+
+    def recall(cbx):
+        c = S.pq_encode(emb, cbx)
+        t = S.pq_adc_topk(c, queries, cbx, k=5)
+        es = {(r["query_id"], r["neighbor_id"]) for r in S.cosine_topk(emb, queries, k=5).collect()}
+        ps = {(r["query_id"], r["neighbor_id"]) for r in t.collect()}
+        return len(es & ps) / len(es)
+
+    r0 = recall(cb)
+    cb2 = S.pq_train_kmeans(emb, cb, iters=3)
+    assert recall(cb2) >= r0  # Lloyd steps must not hurt recall here
