@@ -14,7 +14,7 @@ in SCALE.md §11. Two axes the small-SF gate never stresses:
              newest-folds must stay flat-cost as the table grows,
              then one oldest-fold collapses the rollups.
 
-Usage: PYTHONPATH=/root/repo python tools/scale_probe.py [volume|manytxn|stream|tiered|lshskew|ccdeep|autocompact|incdex|selection]
+Usage: PYTHONPATH=/root/repo python tools/scale_probe.py [volume|manytxn|stream|tiered|lshskew|ccdeep|autocompact|incdex|selection|pq]
 Scratch stores live under /root/repo/.scratch/ (gitignored).
 """
 
@@ -554,6 +554,50 @@ def probe_selection(spark):
     print("  selection probe done: plans exchange-free, linear scaling above")
 
 
+def probe_pq(spark):
+    """PQ encode linearity at 1M → 4M synthetic 64-dim vectors: the
+    claim is that encoding is ONE exchange-free scan (codebook as a
+    folded literal; m·k per-block L2s per row) and ADC probing ships
+    only code rows. Time must scale ~linearly and the encode plan
+    must stay exchange-free at both sizes."""
+    from matdb_spark.operators import similarity as S
+
+    def synth(n):
+        # deterministic pseudo-embeddings from id arithmetic
+        comps = [
+            (((F.col("id") * (j * 2 + 3)) % 1997) / 998.5 - 1.0)
+            for j in range(64)
+        ]
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*comps).alias("embedding"),
+        )
+
+    cb = S.pq_codebook_from_sample(synth(10_000), m=8, k=16, sample_mod=31)
+    for n in (1_000_000, 4_000_000):
+        corpus = synth(n)
+        codes = S.pq_encode(corpus, cb)
+        plan = codes._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan, plan
+        got = timed(
+            f"pq_encode {n} x 64-dim (exchange-free scan)",
+            lambda: tuple(
+                codes.agg(
+                    F.count(F.lit(1)),
+                    F.sum(F.element_at("codes", 1).cast("long")),
+                ).collect()[0]
+            ),
+        )
+        assert got[0] == n
+        queries = synth(10)
+        top = S.pq_adc_topk(codes, queries, cb, k=5)
+        timed(
+            f"pq_adc_topk 10 queries vs {n} code rows",
+            lambda: top.count(),
+        )
+    print("  pq probe done: encode exchange-free, linear scaling above")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "volume"
     spark = get_spark(app_name=f"scale_probe_{which}")
@@ -580,5 +624,7 @@ if __name__ == "__main__":
         probe_incremental_index(spark)
     elif which == "selection":
         probe_selection(spark)
+    elif which == "pq":
+        probe_pq(spark)
     else:
         raise SystemExit(f"unknown probe {which!r}")
