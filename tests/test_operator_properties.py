@@ -270,3 +270,124 @@ def test_dictionary_encode_incremental_matches_batch_order(spark, keys, split):
     assert [ids2[k] for k in new_keys] == list(
         range(len(first) + 1, len(second) + 1)
     ), "new keys not numbered in sorted order after the existing max"
+
+
+_chunk_texts = st.lists(
+    st.tuples(
+        st.integers(0, 10_000),
+        st.text(alphabet="ab c\t\n", max_size=60),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=_chunk_texts, chunk=st.integers(2, 8), overlap=st.integers(0, 3))
+def test_chunk_documents_matches_pure_python(spark, rows, chunk, overlap):
+    """Chunking cross-checked against a pure-Python model of the HF
+    stride convention: normalized tokens, starts every (chunk-overlap),
+    a trailing window wholly inside the previous chunk is dropped;
+    full coverage (every token appears in some chunk)."""
+    import re
+
+    from matdb_spark.operators.packing import chunk_documents
+
+    if overlap >= chunk:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(df, "doc_id", "text", chunk, overlap).collect()
+    }
+
+    exp = {}
+    step = chunk - overlap
+    for doc_id, text in rows:
+        toks = [t for t in re.sub(r"\s+", " ", text.lower()).strip().split(" ") if t]
+        n = len(toks)
+        if n == 0:
+            continue
+        covered = set()
+        for idx, s in enumerate(range(0, n, step)):
+            if s != 0 and not s + overlap < n:
+                continue
+            piece = toks[s : s + chunk]
+            exp[(doc_id, idx)] = (len(piece), " ".join(piece))
+            covered.update(range(s, min(s + chunk, n)))
+        assert covered == set(range(n))  # model self-check: full coverage
+    assert got == exp
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    corpus=st.lists(
+        st.tuples(st.integers(0, 10_000), st.text(alphabet="abc de", max_size=40)),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda t: t[0],
+    ),
+    target=st.lists(
+        st.tuples(st.integers(20_000, 30_000), st.text(alphabet="abc de", max_size=40)),
+        min_size=1,
+        max_size=5,
+        unique_by=lambda t: t[0],
+    ),
+    buckets=st.sampled_from([16, 64]),
+)
+def test_importance_weights_match_pure_python(spark, corpus, target, buckets):
+    """Selection weights are exact integers — the Spark result must
+    EQUAL a pure-Python replay (md5 buckets, micro-nat quantization)
+    on arbitrary text."""
+    import hashlib
+    import math
+    import re
+
+    from matdb_spark.operators import selection as S
+
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["weight_unats"])
+        for r in S.importance_weights(
+            cdf, tdf, "doc_id", "text", num_buckets=buckets
+        ).collect()
+    }
+
+    def grams(t):
+        toks = [x for x in re.sub(r"\s+", " ", t.lower()).strip().split(" ") if x]
+        return toks + [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % buckets
+
+    cc, tc = {}, {}
+    for rows, acc in ((corpus, cc), (target, tc)):
+        for _, t in rows:
+            for g in grams(t):
+                acc[bucket(g)] = acc.get(bucket(g), 0) + 1
+    const = math.log(sum(cc.values()) + buckets) - math.log(
+        sum(tc.values()) + buckets
+    )
+    lr = {
+        b: math.floor(
+            (math.log(tc.get(b, 0) + 1) - math.log(cc.get(b, 0) + 1) + const)
+            * 1e6
+            + 0.5
+        )
+        for b in range(buckets)
+    }
+    exp = {
+        d: (len(grams(t)), sum(lr[bucket(g)] for g in grams(t)))
+        for d, t in corpus
+    }
+    assert got == exp
