@@ -3350,6 +3350,41 @@ def q_similarity_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index (similarity.py write_ivfpq_index /
+    ivfpq_topk_indexed): cells give partition pruning, rows store only
+    m=8 PQ codes; the probe reads nprobe=2 `cell_id=` directories per
+    query and ADC-scores codes via per-query lookup tables. The oracle
+    replays cells (every-100th centroids) + encode (k=16 sample
+    codebook) + ADC relationally."""
+    from matdb_spark.operators.similarity import (
+        ivfpq_topk_indexed,
+        pq_codebook_from_sample,
+        write_ivfpq_index,
+    )
+    from matdb_spark.sources.formats import _build_once
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SCRATCH, f"fixture_ivfpq_{tag}")
+
+    def build(p: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cb = pq_codebook_from_sample(emb, m=8, k=16, sample_mod=31)
+        write_ivfpq_index(emb, _centroids(emb), cb, p)
+
+    _build_once(path, build)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    out = ivfpq_topk_indexed(spark, path, queries_df, k=5, nprobe=2)
+    scored = out.select(
+        "query_id", "neighbor_id", F.round("approx_sim", 6).alias("approx_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of: each purchase matched to the EARLIEST click at or
     after it (min_by on the mirrored predicate — locks the direction
@@ -3522,6 +3557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_documents": q_chunk_documents,
         "q_llm_pipeline": q_llm_pipeline,
         "q_similarity_pq": q_similarity_pq,
+        "q_similarity_ivfpq": q_similarity_ivfpq,
         "q_sample_per_source": q_sample_per_source,
         "q_curation_pipeline": q_curation_pipeline,
         "q_dedup_exact": q_dedup_exact,
@@ -3790,6 +3826,69 @@ def _pq_sql() -> str:
                    {blkdot} AS t
             FROM q, enc JOIN cw ON cw.code = enc.code
             WHERE enc.vec_id <> q.query_id),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   ROUND(list_sum(list(t ORDER BY b)), 6) AS approx_sim
+            FROM terms GROUP BY query_id, neighbor_id),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY approx_sim DESC, neighbor_id)
+                      AS rank
+            FROM scored)
+        SELECT query_id, neighbor_id, approx_sim, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5
+    """
+
+
+def _ivfpq_sql() -> str:
+    """Oracle for q_similarity_ivfpq: _ivf_sql's cell assignment and
+    probe composed with _pq_sql's encode and ADC — candidates are the
+    vectors assigned to each query's top-2 cells, scored on codes."""
+    m, k = 8, 16
+    blkdist = (
+        "list_sum(list_transform(range(1, 9), "
+        "i -> (e.v[gb.b * 8 + i] - cw.v[gb.b * 8 + i])"
+        " * (e.v[gb.b * 8 + i] - cw.v[gb.b * 8 + i])))"
+    )
+    blkdot = (
+        "list_sum(list_transform(range(1, 9), "
+        "i -> cand.qv[enc.b * 8 + i] * cw.v[enc.b * 8 + i]))"
+    )
+    return f"""
+        WITH {_UNIT_E},
+        c AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+        assign AS (
+            SELECT vec_id, cell_id FROM (
+                SELECT e.vec_id, c.cell_id,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {_dot('e.v', 'c.cv')} DESC, c.cell_id) AS rn
+                FROM e, c) WHERE rn = 1),
+        cwsrc AS (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS j
+                  FROM e WHERE vec_id % 31 = 0),
+        cw AS (SELECT j - 1 AS code, v FROM cwsrc WHERE j <= {k}),
+        gb AS (SELECT unnest(range(0, {m})) AS b),
+        enc AS (
+            SELECT vec_id, b, code FROM (
+                SELECT e.vec_id, gb.b, cw.code,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id, gb.b
+                                          ORDER BY {blkdist}, cw.code) AS rn
+                FROM e, gb, cw)
+            WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        probe AS (
+            SELECT query_id, cell_id, qv FROM (
+                SELECT q.query_id, c.cell_id, q.qv,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                          ORDER BY {_dot('q.qv', 'c.cv')} DESC, c.cell_id) AS rn
+                FROM q, c) WHERE rn <= 2),
+        cand AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id, p.qv
+            FROM probe p JOIN assign a ON a.cell_id = p.cell_id
+                                       AND a.vec_id <> p.query_id),
+        terms AS (
+            SELECT cand.query_id, cand.neighbor_id, enc.b, {blkdot} AS t
+            FROM cand JOIN enc ON enc.vec_id = cand.neighbor_id
+                      JOIN cw ON cw.code = enc.code),
         scored AS (
             SELECT query_id, neighbor_id,
                    ROUND(list_sum(list(t ORDER BY b)), 6) AS approx_sim
@@ -4720,6 +4819,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bigram_lm_score": _bigram_lm_sql(),
         "q_llm_pipeline": _llm_pipeline_sql(),
         "q_similarity_pq": _pq_sql(),
+        "q_similarity_ivfpq": _ivfpq_sql(),
         "q_chunk_documents": f"""
             WITH w AS (
                 SELECT doc_id,

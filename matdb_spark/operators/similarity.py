@@ -665,3 +665,142 @@ def pq_train_kmeans(
             new[r["b"]][r["code"]] = [float(r[f"c{i}"]) for i in range(bs)]
         codebook = new
     return codebook
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebook: list[list[list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the corpus as an IVF-PQ index — the two approximations
+    composed the way billion-scale ANN systems do: nearest-centroid
+    cells give PARTITION PRUNING (a probe reads only its cells'
+    `cell_id=` directories), and inside each cell rows store only the
+    m PQ codes, never vectors (m bytes-ish vs d floats of IO per
+    candidate). Centroids and the codebook are stored alongside under
+    `_centroids/` and `_codebook/` for self-contained reads."""
+    cb_lit, m, k, bs = _pq_lit(codebook)
+    cells = assign_cells(corpus, centroids, id_col, vec_col)
+    coded = cells.select(
+        F.col(id_col), F.col("cell_id"), F.col(vec_col).alias("__v")
+    ).select(
+        id_col, "cell_id", _pq_codes_expr(cb_lit, m, k, bs).alias("codes")
+    )
+    (
+        coded.repartition(F.col("cell_id"))
+        .write.mode("error")
+        .partitionBy("cell_id")
+        .parquet(path)
+    )
+    cents = _unit(centroids, [F.col("cell_id")], vec_col, vec_col)
+    cents.coalesce(1).write.mode("error").parquet(path + "/_centroids")
+    spark = corpus.sparkSession
+    cb_rows = [
+        (b, j, codebook[b][j])
+        for b in range(m)
+        for j in range(k)
+    ]
+    spark.createDataFrame(
+        cb_rows, "b int, code int, centroid array<double>"
+    ).coalesce(1).write.mode("error").parquet(path + "/_codebook")
+
+
+def read_pq_codebook(spark, path: str) -> list[list[list[float]]]:
+    """Codebook back from a `_codebook/` parquet (bounded m×k rows)."""
+    rows = spark.read.parquet(path).collect()
+    m = 1 + max(r["b"] for r in rows)
+    k = 1 + max(r["code"] for r in rows)
+    cb: list[list[list[float]]] = [[None] * k for _ in range(m)]
+    for r in rows:
+        cb[r["b"]][r["code"]] = list(r["centroid"])
+    return cb
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    codebook: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Top-k against a persisted IVF-PQ index: probe ``nprobe`` cells
+    per query, read ONLY those `cell_id=` partitions, ADC-score the
+    stored codes via the per-query lookup table. Everything bounded
+    rides the driver: centroid dots and cell choice (ncells × queries
+    python dots — sequential folds, bit-identical to the engines),
+    the LUT (|queries|·m·k doubles as one folded literal), and the
+    (query, cell) probe relation (broadcast). The index side ships
+    only code rows from probed partitions; the one shuffle is the
+    final per-query top-k window."""
+    if codebook is None:
+        codebook = read_pq_codebook(spark, path + "/_codebook")
+    m, kk = len(codebook), len(codebook[0])
+    bs = len(codebook[0][0])
+    import json
+
+    cents = spark.read.parquet(path + "/_centroids").collect()
+    q_rows = _unit(
+        queries, [F.col(id_col).alias("query_id")], vec_col, "__qv"
+    ).collect()
+
+    def pydot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    lut: list[float] = []
+    probe_rows = []
+    qi = 0
+    for r in q_rows:
+        qv = r["__qv"]
+        if qv is None:
+            continue
+        # nprobe nearest cells (ties to the lowest cell id)
+        sims = sorted(
+            ((-pydot(qv, c[vec_col]), c["cell_id"]) for c in cents)
+        )[:nprobe]
+        for _, cell in sims:
+            probe_rows.append((qi, r["query_id"], cell))
+        for b in range(m):
+            blk = qv[b * bs : (b + 1) * bs]
+            for j in range(kk):
+                lut.append(pydot(blk, codebook[b][j]))
+        qi += 1
+    lut_lit = F.from_json(F.lit(json.dumps(lut)), "array<double>")
+    qcell = spark.createDataFrame(
+        probe_rows, "__qi int, query_id long, cell_id long"
+    )
+    probed = sorted({c for _, _, c in probe_rows})
+    index = spark.read.parquet(path).filter(F.col("cell_id").isin(probed))
+    cand = index.withColumnRenamed(id_col, "neighbor_id").join(
+        F.broadcast(qcell), "cell_id"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, b: acc
+        + F.element_at(
+            lut_lit,
+            (
+                (F.col("__qi").cast("bigint") * m + b) * kk
+                + F.element_at(F.col("codes"), (b + 1).cast("int"))
+                + 1
+            ).cast("int"),
+        ),
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", score.alias("approx_sim")
+    ).filter(F.col("approx_sim").isNotNull())
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("approx_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    )

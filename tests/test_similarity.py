@@ -249,3 +249,67 @@ def test_pq_adc_scores_and_training_recall(spark):
     r0 = recall(cb)
     cb2 = S.pq_train_kmeans(emb, cb, iters=3)
     assert recall(cb2) >= r0  # Lloyd steps must not hurt recall here
+
+
+def test_ivfpq_matches_pq_adc_on_probed_cells(spark, tmp_path_factory):
+    """IVF-PQ composition: the persisted index must reproduce, for each
+    query, exactly the PQ-ADC scores of the candidates in its probed
+    cells — and the probe plan must prune to those cell partitions."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from matdb_spark.operators.similarity import (
+        assign_cells,
+        ivfpq_topk_indexed,
+        pq_adc_topk,
+        pq_codebook_from_sample,
+        pq_encode,
+        read_pq_codebook,
+        write_ivfpq_index,
+    )
+    from matdb_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    cb = pq_codebook_from_sample(emb, m=8, k=16)
+    path = os.path.join(str(tmp_path_factory.mktemp("ivfpq")), "index")
+    write_ivfpq_index(emb, cents, cb, path)
+    # codebook round-trips through the _codebook parquet exactly
+    assert read_pq_codebook(spark, path + "/_codebook") == cb
+
+    queries = emb.filter(F.col("vec_id") == 3)
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["approx_sim"]
+        for r in ivfpq_topk_indexed(spark, path, queries, k=5, nprobe=2).collect()
+    }
+    assert len(got) == 5
+
+    # reference: ADC over ONLY the probed cells' members, computed from
+    # the live (non-indexed) composition
+    cells = assign_cells(emb, cents)
+    member_cells = {
+        r["vec_id"]: r["cell_id"] for r in cells.select("vec_id", "cell_id").collect()
+    }
+    idx_rows = spark.read.parquet(path).select("vec_id", "cell_id").collect()
+    assert {r["vec_id"]: r["cell_id"] for r in idx_rows} == member_cells
+    codes = pq_encode(emb, cb)
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["approx_sim"]
+        for r in pq_adc_topk(codes, queries, cb, k=500).collect()
+    }
+    probed = {member_cells[n] for (_, n) in got}
+    ref = sorted(
+        ((q, n, s) for (q, n), s in full.items() if member_cells[n] in probed),
+        key=lambda t: (-t[2], t[1]),
+    )[:5]
+    assert {(q, n): s for q, n, s in ref} == got
+
+    # partition pruning reaches the scan
+    from matdb_spark.plans.inspect import partition_filters
+
+    out = ivfpq_topk_indexed(spark, path, queries, k=5, nprobe=2)
+    pf = " ".join(partition_filters(out))
+    assert "cell_id" in pf and ("IN" in pf or "isin" in pf.lower()), pf
