@@ -502,6 +502,7 @@ def admit_batch(
     shingle_n: int = 3,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     append: bool = True,
+    reject_identity: bool = True,
 ) -> DataFrame:
     """Admission-control dedup for a standing corpus: returns the
     subset of ``batch`` that is NOT a near-duplicate of anything
@@ -518,6 +519,17 @@ def admit_batch(
     and deterministic vs. chasing rejection chains, and exactly what a
     SQL oracle can replay). A missing/empty index admits everything
     intra-novel and creates the index.
+
+    ``reject_identity`` picks the replay contract. True (default, for
+    one-shot callers): a batch id already present in the index counts
+    as already admitted, so a replayed batch is a NO-OP — admits
+    nothing, appends nothing. False (what stream_admission needs): a
+    doc's identity match against its own index entry is ignored, so a
+    replayed batch RE-DERIVES the same admitted set — required when a
+    downstream commit is fenced separately (BatchReplayGuard) and a
+    crash between index append and commit must not lose the batch's
+    rows (the re-append only duplicates banding rows, which the probe
+    de-duplicates).
     """
     import os as _os
 
@@ -531,12 +543,8 @@ def admit_batch(
     nb = banded_minhash(batch, id_col, text_col, k, bands, shingle_n).localCheckpoint()
     intra = _pairs_from_banded(nb, max_bucket).select(F.col("id_b").alias("__rid"))
     if have_index:
-        # reject_identity: a batch id already in the index was already
-        # admitted — rejecting it makes a replayed batch a no-op
-        # (admits nothing, appends nothing) even without the
-        # stream-level BatchReplayGuard
         cross = _index_pairs_from_banded(
-            spark, path, nb, max_bucket, reject_identity=True
+            spark, path, nb, max_bucket, reject_identity=reject_identity
         ).select(F.col("new_id").alias("__rid"))
         rejected = intra.union(cross)
     else:

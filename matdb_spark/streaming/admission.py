@@ -52,13 +52,22 @@ def stream_admission(
     guard = BatchReplayGuard(db.path, source, "stream_admission") if db is not None else None
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
-        # Replay-idempotent by construction: if a crashed attempt
+        # reject_identity=False is load-bearing: if a crashed attempt
         # already appended this batch's banding rows, the replay's
-        # probe matches each document to ITSELF in the index — and
-        # self-pairs (new_id == corpus_id) are filtered — so the
-        # pairwise rejection rule re-derives the same admitted set.
+        # probe matches each document to ITSELF in the index — with
+        # identity matches ignored, the pairwise rejection rule
+        # RE-DERIVES the same admitted set, so the guarded db commit
+        # below still receives the batch's rows. (The one-shot default
+        # reject_identity=True would admit nothing on replay and lose
+        # the batch between index append and store commit.)
         admitted = admit_batch(
-            spark, index_path, batch_df, id_col, text_col, **lsh_kwargs
+            spark,
+            index_path,
+            batch_df,
+            id_col,
+            text_col,
+            reject_identity=False,
+            **lsh_kwargs,
         )
         if db is None:
             return

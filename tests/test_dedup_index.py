@@ -207,3 +207,36 @@ def test_stream_admission_end_to_end(spark, tmp_path_factory):
     got = sorted(r["doc_id"] for r in db.snapshot().collect())
     assert got == [1, 3], got  # 2 rejected as near-dup of 1
     assert _os.path.isdir(index)
+
+
+def test_admit_batch_replay_rederives_for_streaming(spark):
+    """The streaming crash contract (reject_identity=False): after a
+    crash between index append and store commit, the replayed batch
+    must RE-DERIVE the same admitted set (identity matches ignored),
+    so the guarded commit still receives the rows — unlike the
+    one-shot default, where a replay admits nothing."""
+    from matdb_spark.operators.dedup import admit_batch
+
+    path = os.path.join(SCRATCH, "admit_stream_replay_test")
+    shutil.rmtree(path, ignore_errors=True)
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    b1 = mk([
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "the quick brown fox jumps over the lazy dog near the rivers"),
+        (3, "completely different text about distributed columnar engines"),
+    ])
+    first = sorted(
+        r["doc_id"]
+        for r in admit_batch(
+            spark, path, b1, "doc_id", "text", reject_identity=False
+        ).collect()
+    )
+    assert first == [1, 3]
+    # crashed-attempt replay: index already holds the banding rows
+    replay = sorted(
+        r["doc_id"]
+        for r in admit_batch(
+            spark, path, b1, "doc_id", "text", reject_identity=False
+        ).collect()
+    )
+    assert replay == first  # same admitted set, not empty
