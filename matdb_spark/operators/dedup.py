@@ -447,23 +447,23 @@ def _index_pairs_from_banded(
         # single aggregation-buffer array and OOMs the very task the
         # cap exists to protect. countDistinct is two-phase (expand +
         # partial agg on (key, doc_id)) — uniform however skewed the
-        # bucket — and counting DISTINCT ids also keeps crash-replayed
-        # duplicate index appends from inflating a bucket past the cap
-        # (which would silently drop it and admit real near-dups).
+        # bucket. It runs over the UNION of both sides so a doc id
+        # present in batch AND index (a crash-replayed batch) counts
+        # ONCE: summing per-side counts would double it, pushing an
+        # under-cap bucket past the cap on replay and silently
+        # suppressing exactly the identity rejections reject_identity
+        # relies on (and with it, admitting real near-dups). Distinct
+        # ids also keep duplicate index rows from inflating buckets.
         # Cost: the cap pass is a second, column-pruned scan of the
         # index; both scans stay lazy (no pinned blocks, executor loss
         # recomputes) and broadcast-filtered (never shuffled in full).
-        c_cnt = (
-            idx.join(F.broadcast(keys), ["band", "key"], "leftsemi")
-            .groupBy("band", "key")
-            .agg(F.count_distinct("doc_id").alias("__cc"))
-        )
-        b_cnt = nb.groupBy("band", "key").agg(
-            F.count_distinct("doc_id").alias("__bc")
-        )
+        members = idx.join(
+            F.broadcast(keys), ["band", "key"], "leftsemi"
+        ).unionByName(nb.select("doc_id", "band", "key"))
         ok = (
-            c_cnt.join(b_cnt, ["band", "key"])
-            .filter(F.col("__cc") + F.col("__bc") <= F.lit(max_bucket))
+            members.groupBy("band", "key")
+            .agg(F.count_distinct("doc_id").alias("__n"))
+            .filter(F.col("__n") <= F.lit(max_bucket))
             .select("band", "key")
         )
     else:

@@ -175,14 +175,14 @@ def _log_ratio_list(
 ) -> list[int]:
     s_tot = sum(c.values()) + alpha * num_buckets
     t_tot = sum(t.values()) + alpha * num_buckets
-    const = math.log(s_tot) - math.log(t_tot)
+    ls, lt = math.log(s_tot), math.log(t_tot)
+    # left-to-right association on purpose — the SAME float op order
+    # as the DuckDB oracle's `ln(t+a) - ln(c+a) + ln(s) - ln(t)`
+    # expression; pre-summing ls-lt associates differently and can
+    # land 1 ulp away, flipping a quantized entry at a grid boundary
     return [
         math.floor(
-            (
-                math.log(t.get(b, 0) + alpha)
-                - math.log(c.get(b, 0) + alpha)
-                + const
-            )
+            (math.log(t.get(b, 0) + alpha) - math.log(c.get(b, 0) + alpha) + ls - lt)
             * UNIT
             + 0.5
         )

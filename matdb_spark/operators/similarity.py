@@ -452,12 +452,15 @@ def pq_codebook_from_sample(
             vec_col,
             "__v",
         )
+        # zero-norm vectors unit-normalize to NULL (the documented
+        # failed-encode case) — they cannot seed a codeword
+        .filter(F.col("__v").isNotNull())
         .orderBy(id_col)
         .limit(k)
         .collect()
     )
     if len(rows) < k:
-        raise ValueError(f"only {len(rows)} sample vectors for k={k}")
+        raise ValueError(f"only {len(rows)} usable sample vectors for k={k}")
     d = len(rows[0]["__v"])
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -543,6 +546,59 @@ def pq_encode(
     )
 
 
+def _pydot(a, b) -> float:
+    """Left-to-right IEEE fold — the same accumulation order as the
+    engines' sequential array folds, so driver-computed dots are
+    bit-identical to engine-computed ones."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def _adc_tables(q_rows, codebook, query_id_col: str):
+    """(flat LUT list, [(qi, query_id, unit_vector)]) for ADC scoring:
+    per usable query (zero-norm ones drop — no direction), the m×k
+    block-dot table laid out at index (qi*m + b)*k + j. ONE definition
+    shared by pq_adc_topk and ivfpq_topk_indexed so the LUT layout and
+    the score expression below can never diverge."""
+    m, k = len(codebook), len(codebook[0])
+    bs = len(codebook[0][0])
+    lut: list[float] = []
+    meta = []
+    qi = 0
+    for r in q_rows:
+        qv = r["__qv"]
+        if qv is None:
+            continue
+        meta.append((qi, r[query_id_col], qv))
+        for b in range(m):
+            blk = qv[b * bs : (b + 1) * bs]
+            for j in range(k):
+                lut.append(_pydot(blk, codebook[b][j]))
+        qi += 1
+    return lut, meta
+
+
+def _adc_score_expr(lut_lit: Column, m: int, k: int) -> Column:
+    """Σ_b LUT[(__qi*m + b)*k + codes[b]] — the ADC score over a
+    `__qi` (query index) column and a `codes` array column, terms
+    accumulating in block order."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, b: acc
+        + F.element_at(
+            lut_lit,
+            (
+                (F.col("__qi").cast("bigint") * m + b) * k
+                + F.element_at(F.col("codes"), (b + 1).cast("int"))
+                + 1
+            ).cast("int"),
+        ),
+    )
+
+
 def pq_adc_topk(
     codes_df: DataFrame,
     queries: DataFrame,
@@ -571,47 +627,21 @@ def pq_adc_topk(
     import json
 
     m, kk = len(codebook), len(codebook[0])
-    bs = len(codebook[0][0])
     spark = codes_df.sparkSession
     q_rows = _unit(
         queries, [F.col(id_col).alias(query_id_col)], vec_col, "__qv"
     ).collect()
-    lut: list[float] = []
-    q_meta = []
-    qi = 0
-    for r in q_rows:
-        qv = r["__qv"]
-        if qv is None:  # zero-norm query has no direction — drops out
-            continue
-        q_meta.append((qi, r[query_id_col]))
-        for b in range(m):
-            blk = qv[b * bs : (b + 1) * bs]
-            for j in range(kk):
-                s = 0.0
-                for x, y in zip(blk, codebook[b][j]):
-                    s += x * y
-                lut.append(s)
-        qi += 1
+    lut, q_meta = _adc_tables(q_rows, codebook, query_id_col)
     lut_lit = F.from_json(F.lit(json.dumps(lut)), "array<double>")
-    qdf = spark.createDataFrame(q_meta, f"__qi int, {query_id_col} long")
+    qdf = spark.createDataFrame(
+        [(qi, qid) for qi, qid, _ in q_meta], f"__qi int, {query_id_col} long"
+    )
     joined = (
         codes_df.select(F.col(id_col).alias("neighbor_id"), "codes")
         .crossJoin(F.broadcast(qdf))
         .filter(F.col("neighbor_id") != F.col(query_id_col))
     )
-    score = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, b: acc
-        + F.element_at(
-            lut_lit,
-            (
-                (F.col("__qi").cast("bigint") * m + b) * kk
-                + F.element_at(F.col("codes"), (b + 1).cast("int"))
-                + 1
-            ).cast("int"),
-        ),
-    )
+    score = _adc_score_expr(lut_lit, m, kk)
     scored = joined.select(
         query_id_col, "neighbor_id", score.alias("approx_sim")
     ).filter(F.col("approx_sim").isNotNull())
@@ -741,38 +771,21 @@ def ivfpq_topk_indexed(
     if codebook is None:
         codebook = read_pq_codebook(spark, path + "/_codebook")
     m, kk = len(codebook), len(codebook[0])
-    bs = len(codebook[0][0])
     import json
 
     cents = spark.read.parquet(path + "/_centroids").collect()
     q_rows = _unit(
         queries, [F.col(id_col).alias("query_id")], vec_col, "__qv"
     ).collect()
-
-    def pydot(a, b):
-        s = 0.0
-        for x, y in zip(a, b):
-            s += x * y
-        return s
-
-    lut: list[float] = []
+    lut, q_meta = _adc_tables(q_rows, codebook, "query_id")
     probe_rows = []
-    qi = 0
-    for r in q_rows:
-        qv = r["__qv"]
-        if qv is None:
-            continue
+    for qi, qid, qv in q_meta:
         # nprobe nearest cells (ties to the lowest cell id)
         sims = sorted(
-            ((-pydot(qv, c[vec_col]), c["cell_id"]) for c in cents)
+            ((-_pydot(qv, c[vec_col]), c["cell_id"]) for c in cents)
         )[:nprobe]
         for _, cell in sims:
-            probe_rows.append((qi, r["query_id"], cell))
-        for b in range(m):
-            blk = qv[b * bs : (b + 1) * bs]
-            for j in range(kk):
-                lut.append(pydot(blk, codebook[b][j]))
-        qi += 1
+            probe_rows.append((qi, qid, cell))
     lut_lit = F.from_json(F.lit(json.dumps(lut)), "array<double>")
     qcell = spark.createDataFrame(
         probe_rows, "__qi int, query_id long, cell_id long"
@@ -782,19 +795,7 @@ def ivfpq_topk_indexed(
     cand = index.withColumnRenamed(id_col, "neighbor_id").join(
         F.broadcast(qcell), "cell_id"
     ).filter(F.col("neighbor_id") != F.col("query_id"))
-    score = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, b: acc
-        + F.element_at(
-            lut_lit,
-            (
-                (F.col("__qi").cast("bigint") * m + b) * kk
-                + F.element_at(F.col("codes"), (b + 1).cast("int"))
-                + 1
-            ).cast("int"),
-        ),
-    )
+    score = _adc_score_expr(lut_lit, m, kk)
     scored = cand.select(
         "query_id", "neighbor_id", score.alias("approx_sim")
     ).filter(F.col("approx_sim").isNotNull())

@@ -52,14 +52,21 @@ def stream_admission(
     guard = BatchReplayGuard(db.path, source, "stream_admission") if db is not None else None
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        # Guard FIRST: a batch whose commit landed has necessarily
+        # already appended its banding rows (append precedes commit),
+        # so a post-commit replay can skip the whole admission pass —
+        # no wasted jobs, no duplicate banding rows in the index.
+        if guard is not None and guard.already_committed(batch_id):
+            return
         # reject_identity=False is load-bearing: if a crashed attempt
-        # already appended this batch's banding rows, the replay's
-        # probe matches each document to ITSELF in the index — with
-        # identity matches ignored, the pairwise rejection rule
-        # RE-DERIVES the same admitted set, so the guarded db commit
-        # below still receives the batch's rows. (The one-shot default
-        # reject_identity=True would admit nothing on replay and lose
-        # the batch between index append and store commit.)
+        # already appended this batch's banding rows (crash BETWEEN
+        # append and commit — the guard above can't see that case),
+        # the replay's probe matches each document to ITSELF in the
+        # index — with identity matches ignored, the pairwise
+        # rejection rule RE-DERIVES the same admitted set, so the db
+        # commit below still receives the batch's rows. (The one-shot
+        # default reject_identity=True would admit nothing on replay
+        # and lose the batch between index append and store commit.)
         admitted = admit_batch(
             spark,
             index_path,
@@ -71,8 +78,6 @@ def stream_admission(
         )
         if db is None:
             return
-        if guard.already_committed(batch_id):
-            return  # replayed batch; only the idempotent append re-ran
         rows = admitted.select(*db_columns) if db_columns else admitted
         with db.begin() as txn:
             txn.add_dataframe(rows)

@@ -375,12 +375,11 @@ def test_importance_weights_match_pure_python(spark, corpus, target, buckets):
         for _, t in rows:
             for g in grams(t):
                 acc[bucket(g)] = acc.get(bucket(g), 0) + 1
-    const = math.log(sum(cc.values()) + buckets) - math.log(
-        sum(tc.values()) + buckets
-    )
+    ls = math.log(sum(cc.values()) + buckets)
+    lt = math.log(sum(tc.values()) + buckets)
     lr = {
         b: math.floor(
-            (math.log(tc.get(b, 0) + 1) - math.log(cc.get(b, 0) + 1) + const)
+            (math.log(tc.get(b, 0) + 1) - math.log(cc.get(b, 0) + 1) + ls - lt)
             * 1e6
             + 0.5
         )

@@ -47,10 +47,10 @@ def _oracle_weights():
                 b = _bucket(g)
                 acc[b] = acc.get(b, 0) + 1
     s_tot, t_tot = sum(cc.values()) + B, sum(tc.values()) + B
-    const = math.log(s_tot) - math.log(t_tot)
+    ls, lt = math.log(s_tot), math.log(t_tot)
     lr = {
         b: math.floor(
-            (math.log(tc.get(b, 0) + 1) - math.log(cc.get(b, 0) + 1) + const)
+            (math.log(tc.get(b, 0) + 1) - math.log(cc.get(b, 0) + 1) + ls - lt)
             * 1e6
             + 0.5
         )
