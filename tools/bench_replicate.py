@@ -43,6 +43,8 @@ FAMILY_REPS = {
     "admission": "q_dedup_admission",
     "selection": "q_importance_weights",
     "multimodal_audio": "q_multimodal_audio",
+    "pipeline": "q_llm_pipeline",
+    "pq": "q_similarity_pq",
 }
 
 
