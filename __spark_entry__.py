@@ -1703,6 +1703,22 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training (operators/bpe.py): six
+    merges learned from the documents corpus — one corpus scan builds
+    the word-count relation, then each merge is a vocab-bounded pair
+    count + driver argmax + a two-pass simultaneous replace. The
+    oracle unrolls the six iterations as generated CTE stages with the
+    identical replace convention and tie order."""
+    from matdb_spark.operators.bpe import train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", num_merges=6, min_count=1)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count long"
+    )
+
+
 def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone: the full training-data curation pipeline composed
     end-to-end — quality gate (> 0.5) → exact-dedup keep-canonical →
@@ -3556,6 +3572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mixture_rebalance": q_mixture_rebalance,
         "q_chunk_documents": q_chunk_documents,
         "q_llm_pipeline": q_llm_pipeline,
+        "q_bpe_train": q_bpe_train,
         "q_similarity_pq": q_similarity_pq,
         "q_similarity_ivfpq": q_similarity_ivfpq,
         "q_sample_per_source": q_sample_per_source,
@@ -3901,6 +3918,53 @@ def _ivfpq_sql() -> str:
         SELECT query_id, neighbor_id, approx_sim, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 5
     """
+
+
+def _bpe_train_sql(num_merges: int = 6) -> str:
+    """Oracle for q_bpe_train: the merge loop unrolled as generated
+    CTE stages. Each stage counts weighted adjacent pairs, takes the
+    (count DESC, pair ASC) argmax, and rewrites the symbol strings
+    with the same two-pass padded replace as the operator."""
+    # every stage MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, and each stage references its predecessor through 4
+    # scalar subqueries + the main FROM — inlined, the evaluation tree
+    # grows 5^num_merges (measured: hangs at 6 merges; materialized,
+    # milliseconds)
+    parts = [
+        f"""w0 AS MATERIALIZED (
+            SELECT w, COUNT(*) AS cnt FROM (
+                SELECT u.w FROM (
+                    SELECT list_filter(string_split(coalesce({_NORM}, ''), ' '),
+                                       x -> x <> '') AS ws
+                    FROM documents), UNNEST(ws) AS u(w))
+            GROUP BY w)""",
+        """s0 AS MATERIALIZED (
+            SELECT cnt,
+                   array_to_string(regexp_extract_all(w, '.'), ' ') || ' </w>' AS s
+            FROM w0)""",
+    ]
+    finals = []
+    for i in range(num_merges):
+        parts.append(f"""p{i} AS MATERIALIZED (
+            SELECT pr, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+                SELECT cnt, a[j] || ' ' || a[j + 1] AS pr FROM (
+                    SELECT cnt, string_split(s, ' ') AS a FROM s{i}),
+                    UNNEST(range(1, len(a))) AS u(j))
+            GROUP BY pr)""")
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT pr, c FROM p{i} ORDER BY c DESC, pr LIMIT 1)"
+        )
+        pat = f"(SELECT ' ' || pr || ' ' FROM m{i})"
+        rep = f"(SELECT ' ' || replace(pr, ' ', '') || ' ' FROM m{i})"
+        parts.append(f"""s{i + 1} AS MATERIALIZED (
+            SELECT cnt,
+                   trim(replace(replace(' ' || s || ' ', {pat}, {rep}), {pat}, {rep})) AS s
+            FROM s{i})""")
+        finals.append(
+            f"SELECT {i} AS merge_rank, split_part(pr, ' ', 1) AS left,"
+            f" split_part(pr, ' ', 2) AS right, c AS pair_count FROM m{i}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
 
 
 def _llm_pipeline_sql() -> str:
@@ -4818,6 +4882,7 @@ def oracle_sql() -> dict[str, str]:
         "q_importance_resample": _importance_sql(resample=True),
         "q_bigram_lm_score": _bigram_lm_sql(),
         "q_llm_pipeline": _llm_pipeline_sql(),
+        "q_bpe_train": _bpe_train_sql(),
         "q_similarity_pq": _pq_sql(),
         "q_similarity_ivfpq": _ivfpq_sql(),
         "q_chunk_documents": f"""

@@ -3,6 +3,7 @@ from matdb_spark.operators.rangejoin import range_join
 from matdb_spark.operators.topk import top_k_per_group
 from matdb_spark.operators.sessionize import sessionize
 from matdb_spark.operators import (
+    bpe,
     dedup,
     index_maint,
     multimodal,
@@ -15,6 +16,7 @@ __all__ = [
     "range_join",
     "top_k_per_group",
     "sessionize",
+    "bpe",
     "dedup",
     "index_maint",
     "multimodal",
