@@ -1719,6 +1719,19 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE application: per-document token counts under the 6-merge
+    vocabulary learned by q_bpe_train — the budget number a packing /
+    mixture stage consumes. One exchange-free scan with the merges as
+    a chained replace expression; the oracle re-learns the merges and
+    applies the identical chain."""
+    from matdb_spark.operators.bpe import bpe_token_count, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", num_merges=6, min_count=1)
+    return bpe_token_count(docs, "doc_id", "text", merges)
+
+
 def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone: the full training-data curation pipeline composed
     end-to-end — quality gate (> 0.5) → exact-dedup keep-canonical →
@@ -3573,6 +3586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_documents": q_chunk_documents,
         "q_llm_pipeline": q_llm_pipeline,
         "q_bpe_train": q_bpe_train,
+        "q_bpe_tokenize": q_bpe_tokenize,
         "q_similarity_pq": q_similarity_pq,
         "q_similarity_ivfpq": q_similarity_ivfpq,
         "q_sample_per_source": q_sample_per_source,
@@ -3965,6 +3979,38 @@ def _bpe_train_sql(num_merges: int = 6) -> str:
             f" split_part(pr, ' ', 2) AS right, c AS pair_count FROM m{i}"
         )
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+def _bpe_tokenize_sql(num_merges: int = 6) -> str:
+    """Oracle for q_bpe_tokenize: the training stages of
+    _bpe_train_sql plus per-document application — the same chained
+    two-pass padded replaces, merges in rank order."""
+    train = _bpe_train_sql(num_merges)
+    # reuse the WITH stage list verbatim (everything before the final
+    # UNION ALL selects)
+    with_block = train[: train.index("\nSELECT 0 AS merge_rank")]
+    s = "' ' || sdoc || ' '"
+    for i in range(num_merges):
+        pat = f"(SELECT ' ' || pr || ' ' FROM m{i})"
+        rep = f"(SELECT ' ' || replace(pr, ' ', '') || ' ' FROM m{i})"
+        s = f"replace(replace({s}, {pat}, {rep}), {pat}, {rep})"
+    return f"""{with_block},
+        docsyms AS MATERIALIZED (
+            SELECT doc_id,
+                   array_to_string(
+                       list_transform(
+                           list_filter(string_split(coalesce({_NORM}, ''), ' '),
+                                       x -> x <> ''),
+                           w -> array_to_string(regexp_extract_all(w, '.'), ' ')
+                                || ' </w>'),
+                       ' ') AS sdoc
+            FROM documents),
+        applied AS (SELECT doc_id, trim({s}) AS s FROM docsyms)
+        SELECT doc_id,
+               CAST(CASE WHEN s = '' THEN 0 ELSE len(string_split(s, ' ')) END
+                    AS BIGINT) AS n_bpe_tokens
+        FROM applied
+    """
 
 
 def _llm_pipeline_sql() -> str:
@@ -4883,6 +4929,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bigram_lm_score": _bigram_lm_sql(),
         "q_llm_pipeline": _llm_pipeline_sql(),
         "q_bpe_train": _bpe_train_sql(),
+        "q_bpe_tokenize": _bpe_tokenize_sql(),
         "q_similarity_pq": _pq_sql(),
         "q_similarity_ivfpq": _ivfpq_sql(),
         "q_chunk_documents": f"""
