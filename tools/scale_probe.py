@@ -14,7 +14,7 @@ in SCALE.md §11. Two axes the small-SF gate never stresses:
              newest-folds must stay flat-cost as the table grows,
              then one oldest-fold collapses the rollups.
 
-Usage: PYTHONPATH=/root/repo python tools/scale_probe.py [volume|manytxn|stream|tiered|lshskew|ccdeep|autocompact|incdex|selection|pq]
+Usage: PYTHONPATH=/root/repo python tools/scale_probe.py [volume|manytxn|stream|tiered|lshskew|ccdeep|autocompact|incdex|selection|pq|bpe]
 Scratch stores live under /root/repo/.scratch/ (gitignored).
 """
 
@@ -598,6 +598,47 @@ def probe_pq(spark):
     print("  pq probe done: encode exchange-free, linear scaling above")
 
 
+def probe_bpe(spark):
+    """BPE trainer economics at 1M -> 4M docs: the claim is ONE
+    corpus-sized pass (word_counts) + vocab-bounded merge iterations.
+    Corpus-scan time may grow with rows; the 16-iteration merge loop
+    must stay FLAT because it runs over the (bounded) word-count
+    relation, never the corpus."""
+    import time as _t
+
+    from matdb_spark.operators import bpe
+
+    def synth(n):
+        # ~2k-word vocabulary of 6-9 char words, 12 words per doc
+        words = [
+            F.concat(
+                F.lit("w"),
+                ((F.col("id") * (j * 2 + 3)) % 1997).cast("string"),
+                F.lit("x" * (j % 4)),
+            )
+            for j in range(12)
+        ]
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"), F.concat_ws(" ", *words).alias("text")
+        )
+
+    for n in (1_000_000, 4_000_000):
+        corpus = synth(n)
+        wc = timed(
+            f"word_counts over {n} docs (the one corpus pass)",
+            lambda: bpe.word_counts(corpus, "text").count(),
+        )
+        t0 = _t.time()
+        merges = bpe.train_bpe(corpus, "text", num_merges=16, min_count=1)
+        el = _t.time() - t0
+        print(
+            f"  train_bpe 16 merges, {n} docs                  {el:7.2f} s   "
+            f"({el / 16:.2f} s/merge over {wc} vocab words; includes the corpus pass)"
+        )
+        assert len(merges) == 16
+    print("  bpe probe done: merge-loop cost tracks vocab, not corpus")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "volume"
     spark = get_spark(app_name=f"scale_probe_{which}")
@@ -626,5 +667,7 @@ if __name__ == "__main__":
         probe_selection(spark)
     elif which == "pq":
         probe_pq(spark)
+    elif which == "bpe":
+        probe_bpe(spark)
     else:
         raise SystemExit(f"unknown probe {which!r}")
