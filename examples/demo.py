@@ -163,6 +163,47 @@ def main() -> None:
     print(f"index maintenance: compacted {files[0]}->{files[1]} files, "
           f"purged {purged[0] - purged[1]} rows for 3 opted-out docs")
 
+    # 15. data selection: DSIR importance weights vs a target slice,
+    #     Gumbel-top-k resample, and a trained BPE vocabulary — the
+    #     curation stages between dedup and packing
+    from matdb_spark.operators import bpe, selection
+
+    target = corpus.filter(F.col("doc_id") % 10 == 0)
+    raw = corpus.filter(F.col("doc_id") % 10 != 0)
+    w = selection.importance_weights(raw, target, "doc_id", "text", num_buckets=256)
+    picked = selection.importance_resample(w, "doc_id", 10)
+    print("selection: top resampled docs:")
+    picked.select("doc_id", "weight_unats", "key_unats").show(3)
+    merges = bpe.train_bpe(corpus, "text", num_merges=4, min_count=1)
+    print("bpe merges:", [(l, r) for _, l, r, _ in merges])
+    counts = bpe.bpe_token_count(corpus, "doc_id", "text", merges)
+    print("bpe tokens, first docs:")
+    counts.orderBy("doc_id").show(3)
+
+    # 16. compressed ANN: PQ-encode a toy embedding corpus, persist an
+    #     IVF-PQ index, probe it (reads only the probed cells)
+    from matdb_spark.operators import similarity as sim
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[((F.col("id") * (j + 3)) % 97 / 48.5 - 1.0) for j in range(16)]).alias(
+            "embedding"
+        ),
+    )
+    cb = sim.pq_codebook_from_sample(emb, m=4, k=8, sample_mod=13)
+    cents = emb.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    ivfpq = path + "_ivfpq"
+    shutil.rmtree(ivfpq, ignore_errors=True)
+    sim.write_ivfpq_index(emb, cents, cb, ivfpq)
+    hits = sim.ivfpq_topk_indexed(
+        spark, ivfpq, emb.filter(F.col("vec_id") < 3), k=3, nprobe=2
+    )
+    print("ivf-pq probe:")
+    hits.show(3)
+
+    shutil.rmtree(ivfpq, ignore_errors=True)
     shutil.rmtree(idx, ignore_errors=True)
     shutil.rmtree(path + "_cells", ignore_errors=True)
     shutil.rmtree(path + "_bulk", ignore_errors=True)
