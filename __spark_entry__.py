@@ -3991,19 +3991,28 @@ def _bpe_tokenize_sql(num_merges: int = 6) -> str:
     with_block = train[: train.index("\nSELECT 0 AS merge_rank")]
     s = "' ' || sdoc || ' '"
     for i in range(num_merges):
-        pat = f"(SELECT ' ' || pr || ' ' FROM m{i})"
-        rep = f"(SELECT ' ' || replace(pr, ' ', '') || ' ' FROM m{i})"
+        # coalesce guards: when the corpus supports fewer than
+        # num_merges merges, m{i} is EMPTY and the scalar subqueries
+        # are NULL — replace(s, NULL, NULL) would NULL every
+        # document's symbol string. chr(1) never occurs in symbol
+        # strings, so the guarded replace is a no-op instead.
+        pat = f"coalesce((SELECT ' ' || pr || ' ' FROM m{i}), chr(1))"
+        rep = f"coalesce((SELECT ' ' || replace(pr, ' ', '') || ' ' FROM m{i}), '')"
         s = f"replace(replace({s}, {pat}, {rep}), {pat}, {rep})"
     return f"""{with_block},
         docsyms AS MATERIALIZED (
             SELECT doc_id,
-                   array_to_string(
+                   -- array_to_string of an EMPTY list is NULL in
+                   -- DuckDB; an empty/NULL document must yield '' so
+                   -- the final CASE maps it to 0 tokens like the
+                   -- Spark operator
+                   coalesce(array_to_string(
                        list_transform(
                            list_filter(string_split(coalesce({_NORM}, ''), ' '),
                                        x -> x <> ''),
                            w -> array_to_string(regexp_extract_all(w, '.'), ' ')
                                 || ' </w>'),
-                       ' ') AS sdoc
+                       ' '), '') AS sdoc
             FROM documents),
         applied AS (SELECT doc_id, trim({s}) AS s FROM docsyms)
         SELECT doc_id,

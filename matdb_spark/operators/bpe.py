@@ -111,9 +111,13 @@ def train_bpe(
     ``min_count`` (or no pairs remain).
 
     Scale: the corpus is scanned ONCE (word_counts); each iteration is
-    one |vocab|-bounded aggregation plus a 1-row driver argmax, with
-    the symbol relation localCheckpoint-ed per iteration to keep the
-    plan from growing by two replaces per merge."""
+    one |vocab|-bounded aggregation plus a 1-row driver argmax. The
+    symbol relation localCheckpoints every 4th merge, not every merge:
+    replaces are narrow expressions, so a few un-checkpointed levels
+    recompute cheaply, while checkpoint blocks are only released by
+    the driver's ContextCleaner (localCheckpoint has no explicit
+    unpersist) — the interval bounds the retained vocab-sized copies
+    to num_merges/4 instead of num_merges."""
     wc = word_counts(df, text_col)
     syms = wc.select("cnt", _symbol_string(F.col("w")).alias("s")).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
@@ -128,9 +132,9 @@ def train_bpe(
             break
         left, right = top[0]["pair"].split(" ", 1)
         merges.append((rank, left, right, int(top[0]["c"])))
-        syms = syms.select(
-            "cnt", merge_expr(F.col("s"), left, right).alias("s")
-        ).localCheckpoint()
+        syms = syms.select("cnt", merge_expr(F.col("s"), left, right).alias("s"))
+        if rank % 4 == 3:
+            syms = syms.localCheckpoint()
     return merges
 
 

@@ -609,7 +609,7 @@ def probe_bpe(spark):
     from matdb_spark.operators import bpe
 
     def synth(n):
-        # ~2k-word vocabulary of 6-9 char words, 12 words per doc
+        # ~8k-word vocabulary (1997 residues x 4 suffix variants), 12 words/doc
         words = [
             F.concat(
                 F.lit("w"),
