@@ -422,6 +422,27 @@ def pairs_against_index(
     return _index_pairs_from_banded(spark, path, nb, max_bucket)
 
 
+def _index_has_bands(spark, path: str) -> bool:
+    """True iff ``path`` holds a banding index (at least one `band=`
+    partition directory). Probed through the session's Hadoop
+    FileSystem, NOT os.path: the index may live on any scheme the
+    read side can reach (hdfs://, s3a://, ...), and a driver-local
+    os.path probe would return False there — which admit_batch would
+    translate into mode='overwrite', silently clobbering a standing
+    index. With the FS probe, an unreachable/unreadable path RAISES
+    instead of reading as absent, so detection failure can never
+    become a destructive overwrite."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    return any(
+        st.getPath().getName().startswith("band=")
+        for st in fs.listStatus(jpath)
+    )
+
+
 def _index_pairs_from_banded(
     spark,
     path: str,
@@ -531,11 +552,7 @@ def admit_batch(
     rows (the re-append only duplicates banding rows, which the probe
     de-duplicates).
     """
-    import os as _os
-
-    have_index = _os.path.isdir(path) and any(
-        f.startswith("band=") for f in _os.listdir(path)
-    )
+    have_index = _index_has_bands(spark, path)
     # ONE banding computation per batch: signatures are the batch's
     # dominant cost, and intra pairing, index probing, AND the final
     # index append all consume the same (doc_id, band, key) relation —
@@ -775,9 +792,15 @@ def _label_propagation_cc(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         "label", F.col("node")
     )
 
-    from pyspark.sql.types import NumericType
+    from pyspark.sql.types import IntegralType
 
-    numeric_ids = isinstance(pairs.schema["id_a"].dataType, NumericType)
+    # INTEGRAL ids only (long/int/short/byte): the decimal(38,0) cast
+    # is exact for those, so sum-unchanged ⟺ no label changed. A
+    # Float/Double id space can hold distinct labels that round to the
+    # same integer — the sum would stop moving before the labels do,
+    # declaring convergence with wrong cluster ids. Fractional,
+    # decimal, and string ids all use the changed-row join instead.
+    numeric_ids = isinstance(pairs.schema["id_a"].dataType, IntegralType)
 
     def _label_sum(df: DataFrame) -> tuple:
         # labels only ever DECREASE (every update is a least(...)), so

@@ -63,13 +63,21 @@ def compact_index(
     partition_col: str,
     cluster_cols: list[str],
     sidecars: tuple[str, ...] = ("_centroids",),
+    dedup_cols: list[str] | None = None,
 ) -> tuple[int, int]:
     """Rewrite the parquet index at ``path``: one pass through
     repartitionByRange over (partition, cluster) columns — so the
     rewrite itself is a single shuffle, no driver materialization —
     then an atomic directory swap. Sidecar directories (e.g. the IVF
     ``_centroids``) are carried over untouched. Returns (files_before,
-    files_after) for observability."""
+    files_after) for observability.
+
+    ``dedup_cols``: drop exact-duplicate rows on these columns during
+    the rewrite. Crash-replayed admission appends (a crash between
+    index append and streaming checkpoint — streaming/admission.py)
+    leave byte-identical banding rows behind; they are harmless to
+    probes (which count DISTINCT ids) but pure debris, and compaction
+    is exactly the maintenance pass that should reclaim them."""
 
     def _count_files(p: str) -> int:
         n = 0
@@ -79,7 +87,10 @@ def compact_index(
         return n
 
     before = _count_files(path)
-    _rewrite_and_swap(spark.read.parquet(path), path, partition_col, cluster_cols, sidecars)
+    df = spark.read.parquet(path)
+    if dedup_cols is not None:
+        df = df.dropDuplicates(dedup_cols)
+    _rewrite_and_swap(df, path, partition_col, cluster_cols, sidecars)
     return before, _count_files(path)
 
 
@@ -133,8 +144,17 @@ def purge_ivf_index(spark, path: str, ids) -> tuple[int, int]:
 def compact_minhash_index(spark, path: str) -> tuple[int, int]:
     """Collapse a MinHash banding index's append debris (layout:
     band=<n>/ partitions, rows clustered by key — identical to
-    write_minhash_index's)."""
-    return compact_index(spark, path, "band", ["key"], sidecars=())
+    write_minhash_index's). Also drops duplicate (doc_id, band, key)
+    rows — the debris a crash-replayed admission append leaves behind
+    — so maintenance, not a rebuild, is what reclaims them."""
+    return compact_index(
+        spark,
+        path,
+        "band",
+        ["key"],
+        sidecars=(),
+        dedup_cols=["doc_id", "band", "key"],
+    )
 
 
 def compact_ivf_index(spark, path: str) -> tuple[int, int]:

@@ -633,8 +633,18 @@ def pq_adc_topk(
     ).collect()
     lut, q_meta = _adc_tables(q_rows, codebook, query_id_col)
     lut_lit = F.from_json(F.lit(json.dumps(lut)), "array<double>")
+    # query id type from the INPUT schema (string/int ids work like
+    # connected_components), never a hardcoded 'long'
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     qdf = spark.createDataFrame(
-        [(qi, qid) for qi, qid, _ in q_meta], f"__qi int, {query_id_col} long"
+        [(qi, qid) for qi, qid, _ in q_meta],
+        StructType(
+            [
+                StructField("__qi", IntegerType(), False),
+                StructField(query_id_col, queries.schema[id_col].dataType),
+            ]
+        ),
     )
     joined = (
         codes_df.select(F.col(id_col).alias("neighbor_id"), "codes")
@@ -653,12 +663,46 @@ def pq_adc_topk(
     )
 
 
+def residuals(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell_id, residual) — each unit vector's residual against
+    its nearest unit centroid, the relation IVFADC quantizes. Feed to
+    ``pq_train_kmeans(..., normalize=False)`` to train a residual
+    codebook (residuals are NOT unit vectors — re-normalizing them
+    would distort exactly the magnitude structure PQ must learn)."""
+    cells = assign_cells(corpus, centroids, id_col, vec_col)
+    cents = _unit(centroids, [F.col("cell_id")], vec_col, "__cv")
+    return cells.join(F.broadcast(cents), "cell_id").select(
+        F.col(id_col),
+        F.col("cell_id"),
+        F.zip_with(F.col(vec_col), F.col("__cv"), lambda a, b: a - b).alias(
+            vec_col
+        ),
+    )
+
+
+def _vec_input(
+    df: DataFrame, id_exprs: list, vec_col: str, normalize: bool
+) -> DataFrame:
+    """Unit-normalized (the default contract) or raw-double vectors as
+    ``__v`` — residual relations pass normalize=False."""
+    if normalize:
+        return _unit(df, id_exprs, vec_col, "__v")
+    t = df.select(*id_exprs, as_double(F.col(vec_col)).alias("__v"))
+    return t.filter(F.col("__v").isNotNull())
+
+
 def pq_train_kmeans(
     corpus: DataFrame,
     codebook: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 5,
+    normalize: bool = True,
 ) -> list[list[list[float]]]:
     """Lloyd-iteration PQ training (the real trainer of Jégou et al.):
     starting from any codebook (e.g. pq_codebook_from_sample), each
@@ -667,10 +711,12 @@ def pq_train_kmeans(
     encode scan + ONE groupBy per iteration whose cardinality is
     m × k (map-side combined — the shuffle carries codeword partials,
     never vectors); the m·k·(d/m) floats collect to the driver each
-    round. Codes with no members keep their previous codeword."""
+    round. Codes with no members keep their previous codeword.
+    ``normalize=False`` trains on the arrays as-is (pass the
+    ``residuals`` relation here for IVFADC codebooks)."""
     for _ in range(iters):
         cb_lit, m, k, bs = _pq_lit(codebook)
-        u = _unit(corpus, [F.col(id_col)], vec_col, "__v")
+        u = _vec_input(corpus, [F.col(id_col)], vec_col, normalize)
         # codes + slices from ONE scan (no self-join of derived plans)
         both = u.select(
             _pq_codes_expr(cb_lit, m, k, bs).alias("codes"), "__v"
@@ -697,6 +743,86 @@ def pq_train_kmeans(
     return codebook
 
 
+def pq_quantization_error(
+    corpus: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> float:
+    """Mean squared quantization error of the codebook over the corpus
+    — Σ_b ‖block_b − codeword[b][code_b]‖² averaged over vectors, the
+    objective Lloyd iterations monotonically non-increase. One
+    exchange-free encode scan + a single global aggregate (driver gets
+    one double). The k-means monotonicity invariant on THIS number is
+    what the trainer gate (q_pq_train) asserts."""
+    from matdb_spark.functions.vectors import squared_l2
+
+    cb_lit, m, k, bs = _pq_lit(codebook)
+    u = _vec_input(corpus, [F.col(id_col)], vec_col, normalize)
+
+    # codes bound as a lambda VARIABLE (_bound): referenced m times
+    # below — projected as a column, CollapseProject would inline the
+    # full encode expression into every block term (m× recompute)
+    def err_given(codes: Column) -> Column:
+        def block_err(b: int) -> Column:
+            blk = F.slice(F.col("__v"), b * bs + 1, bs)
+            code = F.element_at(codes, b + 1)
+            cw = F.element_at(cb_lit, (F.lit(b * k) + code + 1).cast("int"))
+            return squared_l2(blk, cw)
+
+        return sum((block_err(b) for b in range(m)), F.lit(0.0))
+
+    per_row = u.select(
+        _bound(_pq_codes_expr(cb_lit, m, k, bs), err_given).alias("__e")
+    )
+    row = per_row.agg(F.avg("__e").alias("mse")).first()
+    return float(row["mse"])
+
+
+def pq_codebook_from_residual_sample(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    sample_mod: int = 31,
+) -> list[list[list[float]]]:
+    """Deterministic codebook over RESIDUALS y − centroid(cell(y)) —
+    the training input IVFADC (Jégou et al. 2011) quantizes. Same
+    sampling rule as pq_codebook_from_sample (k lowest-id vectors with
+    ``id % sample_mod == 0``), but each sample is the vector's residual
+    against its nearest unit centroid, so the codewords live in the
+    residual space the index stores. Driver collect bounded by k."""
+    sample = corpus.filter(F.col(id_col) % sample_mod == 0)
+    cells = assign_cells(sample, centroids, id_col, vec_col)
+    cents = _unit(centroids, [F.col("cell_id")], vec_col, "__cv")
+    rows = (
+        cells.join(F.broadcast(cents), "cell_id")
+        .select(
+            F.col(id_col),
+            F.zip_with(
+                F.col(vec_col), F.col("__cv"), lambda a, b: a - b
+            ).alias("__v"),
+        )
+        .filter(F.col("__v").isNotNull())
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"only {len(rows)} usable sample residuals for k={k}")
+    d = len(rows[0]["__v"])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    bs = d // m
+    return [
+        [list(r["__v"][b * bs : (b + 1) * bs]) for r in rows]
+        for b in range(m)
+    ]
+
+
 def write_ivfpq_index(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -704,6 +830,7 @@ def write_ivfpq_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = True,
 ) -> None:
     """Persist the corpus as an IVF-PQ index — the two approximations
     composed the way billion-scale ANN systems do: nearest-centroid
@@ -711,12 +838,38 @@ def write_ivfpq_index(
     `cell_id=` directories), and inside each cell rows store only the
     m PQ codes, never vectors (m bytes-ish vs d floats of IO per
     candidate). Centroids and the codebook are stored alongside under
-    `_centroids/` and `_codebook/` for self-contained reads."""
+    `_centroids/` and `_codebook/` for self-contained reads.
+
+    ``residual=True`` (default) is IVFADC proper (Jégou, Douze,
+    Schmid, TPAMI 2011): codes quantize the residual y − centroid(cell)
+    rather than y itself, so the m×k code budget spends its resolution
+    on the within-cell detail the coarse quantizer already removed —
+    same storage, better recall WHEN the data is clustered (measured:
+    recall@10 0.18 → 0.22 raw→residual on a 10-cluster synthetic at
+    m=8, k=16, nprobe=2 — tests/test_similarity.py; on the near-
+    uniform embeddings fixture, whose max pairwise cosine is ~0.5,
+    residual ≈ raw because cells remove no structure there). Pass a
+    residual-trained codebook (pq_codebook_from_residual_sample, or
+    pq_train_kmeans over the ``residuals`` relation with
+    normalize=False). ``residual=False`` keeps raw-vector encoding for
+    comparison. The flag is persisted with the codebook so probes
+    self-configure."""
     cb_lit, m, k, bs = _pq_lit(codebook)
     cells = assign_cells(corpus, centroids, id_col, vec_col)
-    coded = cells.select(
-        F.col(id_col), F.col("cell_id"), F.col(vec_col).alias("__v")
-    ).select(
+    if residual:
+        cents = _unit(centroids, [F.col("cell_id")], vec_col, "__cv")
+        enc_in = cells.join(F.broadcast(cents), "cell_id").select(
+            F.col(id_col),
+            F.col("cell_id"),
+            F.zip_with(
+                F.col(vec_col), F.col("__cv"), lambda a, b: a - b
+            ).alias("__v"),
+        )
+    else:
+        enc_in = cells.select(
+            F.col(id_col), F.col("cell_id"), F.col(vec_col).alias("__v")
+        )
+    coded = enc_in.select(
         id_col, "cell_id", _pq_codes_expr(cb_lit, m, k, bs).alias("codes")
     )
     (
@@ -725,28 +878,41 @@ def write_ivfpq_index(
         .partitionBy("cell_id")
         .parquet(path)
     )
-    cents = _unit(centroids, [F.col("cell_id")], vec_col, vec_col)
-    cents.coalesce(1).write.mode("error").parquet(path + "/_centroids")
+    cents_out = _unit(centroids, [F.col("cell_id")], vec_col, vec_col)
+    cents_out.coalesce(1).write.mode("error").parquet(path + "/_centroids")
     spark = corpus.sparkSession
     cb_rows = [
-        (b, j, codebook[b][j])
+        (b, j, codebook[b][j], bool(residual))
         for b in range(m)
         for j in range(k)
     ]
     spark.createDataFrame(
-        cb_rows, "b int, code int, centroid array<double>"
+        cb_rows, "b int, code int, centroid array<double>, residual boolean"
     ).coalesce(1).write.mode("error").parquet(path + "/_codebook")
 
 
 def read_pq_codebook(spark, path: str) -> list[list[list[float]]]:
     """Codebook back from a `_codebook/` parquet (bounded m×k rows)."""
-    rows = spark.read.parquet(path).collect()
+    cb, _ = read_pq_codebook_meta(spark, path)
+    return cb
+
+
+def read_pq_codebook_meta(
+    spark, path: str
+) -> tuple[list[list[list[float]]], bool]:
+    """(codebook, residual_flag) from a `_codebook/` parquet. Indexes
+    written before the residual flag existed read as residual=False
+    (they encoded raw vectors)."""
+    df = spark.read.parquet(path)
+    has_flag = "residual" in df.columns
+    rows = df.collect()
     m = 1 + max(r["b"] for r in rows)
     k = 1 + max(r["code"] for r in rows)
     cb: list[list[list[float]]] = [[None] * k for _ in range(m)]
     for r in rows:
         cb[r["b"]][r["code"]] = list(r["centroid"])
-    return cb
+    residual = bool(rows[0]["residual"]) if has_flag else False
+    return cb, residual
 
 
 def ivfpq_topk_indexed(
@@ -767,13 +933,25 @@ def ivfpq_topk_indexed(
     the LUT (|queries|·m·k doubles as one folded literal), and the
     (query, cell) probe relation (broadcast). The index side ships
     only code rows from probed partitions; the one shuffle is the
-    final per-query top-k window."""
+    final per-query top-k window.
+
+    Residual-encoded indexes (IVFADC — the write_ivfpq_index default,
+    detected from the persisted flag) score as
+    q·centroid(cell) + Σ_b LUT[b][code_b]: the decoded candidate is
+    centroid + residual-codeword, and both terms distribute over the
+    dot product. The per-(query, cell) offset q·centroid rides the
+    broadcast probe relation — the LUT shift of the IVFADC paper,
+    costing one extra double per probe row."""
     if codebook is None:
-        codebook = read_pq_codebook(spark, path + "/_codebook")
+        codebook, residual = read_pq_codebook_meta(spark, path + "/_codebook")
+    else:
+        _, residual = read_pq_codebook_meta(spark, path + "/_codebook")
     m, kk = len(codebook), len(codebook[0])
     import json
 
-    cents = spark.read.parquet(path + "/_centroids").collect()
+    cents_df = spark.read.parquet(path + "/_centroids")
+    cell_id_type = cents_df.schema["cell_id"].dataType
+    cents = cents_df.collect()
     q_rows = _unit(
         queries, [F.col(id_col).alias("query_id")], vec_col, "__qv"
     ).collect()
@@ -784,18 +962,41 @@ def ivfpq_topk_indexed(
         sims = sorted(
             ((-_pydot(qv, c[vec_col]), c["cell_id"]) for c in cents)
         )[:nprobe]
-        for _, cell in sims:
-            probe_rows.append((qi, qid, cell))
+        for negsim, cell in sims:
+            # residual scoring adds q·centroid(cell) — already computed
+            # for the probe choice, so it rides along for free
+            probe_rows.append((qi, qid, cell, -negsim))
     lut_lit = F.from_json(F.lit(json.dumps(lut)), "array<double>")
-    qcell = spark.createDataFrame(
-        probe_rows, "__qi int, query_id long, cell_id long"
+    # probe schema derived from the inputs (query ids from the query
+    # relation, cell ids from the index), never hardcoded 'long'
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
     )
-    probed = sorted({c for _, _, c in probe_rows})
+
+    qcell = spark.createDataFrame(
+        probe_rows,
+        StructType(
+            [
+                StructField("__qi", IntegerType(), False),
+                StructField("query_id", queries.schema[id_col].dataType),
+                StructField("cell_id", cell_id_type),
+                StructField("__off", DoubleType(), False),
+            ]
+        ),
+    )
+    probed = sorted({r[2] for r in probe_rows})
     index = spark.read.parquet(path).filter(F.col("cell_id").isin(probed))
     cand = index.withColumnRenamed(id_col, "neighbor_id").join(
         F.broadcast(qcell), "cell_id"
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     score = _adc_score_expr(lut_lit, m, kk)
+    if residual:
+        # (Σ terms) + offset — fold FIRST, offset added once at the
+        # end, matching the oracle's list_sum(...) + off association
+        score = score + F.col("__off")
     scored = cand.select(
         "query_id", "neighbor_id", score.alias("approx_sim")
     ).filter(F.col("approx_sim").isNotNull())

@@ -13,11 +13,11 @@ batch and appends its banding rows a second time. That is
 correctness-harmless because the probe counts DISTINCT doc ids per
 bucket and de-duplicates index rows before pairing (duplicate rows
 can neither inflate a bucket past the skew cap nor duplicate pairs);
-they only cost storage, reclaimed by
-`operators.index_maint.compact_minhash_index` during maintenance
-(compaction keeps duplicates — run a purge+re-append or rebuild to
-drop them). A store hooked via ``db`` gets the usual exactly-once
-treatment through the batch-id-stamped transaction path.
+they only cost storage until
+`operators.index_maint.compact_minhash_index` drops the duplicate
+(doc_id, band, key) rows during maintenance. A store hooked via
+``db`` gets the usual exactly-once treatment through the
+batch-id-stamped transaction path.
 """
 
 from __future__ import annotations
@@ -46,7 +46,20 @@ def stream_admission(
     everything admitted so far) are appended to the index and, if
     ``db`` is given, committed into the MVCC store exactly-once
     (replayed batch ids are recognized and skipped — only the
-    idempotent index append re-runs). Returns the StreamingQuery."""
+    idempotent index append re-runs). Returns the StreamingQuery.
+
+    Upstream redelivery caveat: ``reject_identity=False`` makes SPARK
+    checkpoint replays re-derive the admitted set, but a document the
+    SOURCE re-delivers with the same id in a LATER micro-batch (an
+    at-least-once upstream, not a checkpoint replay) matches only its
+    own index entry, so it is RE-admitted, its banding rows appended
+    again, and it is committed to the store again. The store stays
+    correct — the MVCC upsert is newest-wins on the key, so the
+    re-commit supersedes rather than duplicates — and the extra
+    banding rows are removed by ``compact_minhash_index``; but a
+    pipeline that must not re-admit (e.g. admission feeds a side
+    effect) should deduplicate ids upstream or key batches so
+    redelivery lands in the same batch id."""
     spark = stream_df.sparkSession
     source = source_name or checkpoint
     guard = BatchReplayGuard(db.path, source, "stream_admission") if db is not None else None

@@ -240,3 +240,38 @@ def test_admit_batch_replay_rederives_for_streaming(spark):
         ).collect()
     )
     assert replay == first  # same admitted set, not empty
+
+
+def test_compact_reclaims_replay_debris(spark):
+    """A crash between index append and streaming checkpoint replays
+    the batch and appends its banding rows a second time (the
+    documented crash window, streaming/admission.py). Compaction must
+    RECLAIM those duplicates — index row count back to the distinct
+    set — while leaving probe behavior unchanged."""
+    from matdb_spark.operators.dedup import admit_batch, pairs_against_index
+    from matdb_spark.operators.index_maint import compact_minhash_index
+
+    path = os.path.join(SCRATCH, "admit_compact_debris_test")
+    shutil.rmtree(path, ignore_errors=True)
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    b1 = mk([
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (3, "completely different text about distributed columnar engines"),
+    ])
+    admit_batch(spark, path, b1, "doc_id", "text", reject_identity=False)
+    # simulate the crash-window replay: same batch admitted again →
+    # byte-identical banding rows appended a second time
+    admit_batch(spark, path, b1, "doc_id", "text", reject_identity=False)
+    rows_with_debris = spark.read.parquet(path).count()
+    distinct_rows = (
+        spark.read.parquet(path).select("doc_id", "band", "key").distinct().count()
+    )
+    assert rows_with_debris == 2 * distinct_rows  # debris present
+    compact_minhash_index(spark, path)
+    assert spark.read.parquet(path).count() == distinct_rows
+    # probes still reject a near-dup of an admitted doc
+    probe = mk([
+        (9, "the quick brown fox jumps over the lazy dog near the rivers"),
+    ])
+    pairs = pairs_against_index(spark, path, probe, "doc_id", "text").collect()
+    assert {(r["new_id"], r["corpus_id"]) for r in pairs} == {(9, 1)}

@@ -276,7 +276,8 @@ def test_ivfpq_matches_pq_adc_on_probed_cells(spark, tmp_path_factory):
     )
     cb = pq_codebook_from_sample(emb, m=8, k=16)
     path = os.path.join(str(tmp_path_factory.mktemp("ivfpq")), "index")
-    write_ivfpq_index(emb, cents, cb, path)
+    # residual=False: this test's reference is raw pq_encode/pq_adc_topk
+    write_ivfpq_index(emb, cents, cb, path, residual=False)
     # codebook round-trips through the _codebook parquet exactly
     assert read_pq_codebook(spark, path + "/_codebook") == cb
 
