@@ -1,0 +1,141 @@
+"""ANN retrieval-quality gates (q_ann_recall / q_ann_recall_ivfpq).
+
+The recall gates' value is the FLOOR: these tests prove the floor has
+teeth (it fails under a degraded probe budget) and that the residual
+(IVFADC) encoding beats raw-vector codes where its premise holds —
+clustered data, where the coarse quantizer removes real structure.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _recall_hits(exact_pairs, approx_pairs):
+    return len(exact_pairs & approx_pairs)
+
+
+def test_recall_floor_has_teeth(spark):
+    """The q_ann_recall gate asserts mean recall@10 >= 0.5 at
+    nprobe=6. At nprobe=1 the same index falls BELOW the floor
+    (measured 46/100 at sf0.001) — i.e. the floor is a real
+    constraint on probe quality, not a tautology."""
+    from matdb_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    good = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, cents, k=10, nprobe=6).collect()
+    }
+    degraded = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, cents, k=10, nprobe=1).collect()
+    }
+    n = len(exact)
+    assert _recall_hits(exact, good) / n >= 0.5  # the gate's floor holds
+    assert _recall_hits(exact, degraded) / n < 0.5  # ...and can fail
+
+
+def test_gated_recall_frames_report_floor(spark):
+    """Both gated recall queries must emit one row per query with the
+    floor verdict TRUE at the gate parameters."""
+    import __spark_entry__ as E
+
+    for q in ("q_ann_recall", "q_ann_recall_ivfpq"):
+        rows = E.queries()[q](spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) == 10, q
+        assert all(r["mean_floor_met"] for r in rows), q
+        assert all(0 <= r["hits"] <= 10 for r in rows), q
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """600 vectors in 10 tight clusters — deterministic (seeded numpy)
+    data where the IVF cells capture real structure, so residuals are
+    the informative remainder IVFADC's premise is about."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(10, 64)
+    rows = []
+    for i in range(600):
+        v = centers[i % 10] + rng.randn(64) * 0.15
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_residual_beats_raw_on_clustered(spark, clustered, tmp_path_factory):
+    """At equal m/k/nprobe, residual (IVFADC) codes must retrieve at
+    least as well as raw-vector codes on clustered data (measured
+    22 vs 18 hits of 100 with the deterministic fixture)."""
+    import os
+
+    from matdb_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk_indexed,
+        pq_codebook_from_residual_sample,
+        pq_codebook_from_sample,
+        write_ivfpq_index,
+    )
+
+    emb = clustered
+    cents = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    base = str(tmp_path_factory.mktemp("ivfadc"))
+
+    def hits(path, cb, residual):
+        write_ivfpq_index(emb, cents, cb, path, residual=residual)
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivfpq_topk_indexed(
+                spark, path, queries, k=10, nprobe=2
+            ).collect()
+        }
+        return _recall_hits(exact, got)
+
+    raw_hits = hits(
+        os.path.join(base, "raw"),
+        pq_codebook_from_sample(emb, m=8, k=16, sample_mod=7),
+        residual=False,
+    )
+    res_hits = hits(
+        os.path.join(base, "res"),
+        pq_codebook_from_residual_sample(emb, cents, m=8, k=16, sample_mod=7),
+        residual=True,
+    )
+    assert res_hits >= raw_hits, (res_hits, raw_hits)
+    assert res_hits > 0
+
+
+def test_pq_train_invariants(spark):
+    """The trainer gate's two invariants, exercised directly: Lloyd
+    iterations never increase the quantization error, and three
+    iterations land strictly below the sample-codebook baseline."""
+    from matdb_spark.operators.similarity import (
+        pq_codebook_from_sample,
+        pq_quantization_error,
+        pq_train_kmeans,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_codebook_from_sample(emb, m=8, k=16, sample_mod=31)
+    errors = [pq_quantization_error(emb, cb)]
+    for _ in range(3):
+        cb = pq_train_kmeans(emb, cb, iters=1)
+        errors.append(pq_quantization_error(emb, cb))
+    for prev, cur in zip(errors, errors[1:]):
+        assert cur <= prev * (1.0 + 1e-9), errors
+    assert errors[-1] < errors[0], errors
