@@ -30,6 +30,16 @@ where greedy yields ``aa aa a``) — an explicitly chosen deterministic
 convention, not an accident: simultaneous replace is expressible as a
 pure column expression on any engine, while sequential greedy is not.
 
+Measured deviation bound (tests/test_bpe_greedy.py, which carries a
+pure-Python sequential-greedy reference): at 16 learned merges over
+the documents fixture the two conventions agree token-for-token on
+EVERY document — 0/500 diverge at sf0.001 (112,440 tokens) and 0/5000
+at sf0.1 (1,093,259 tokens), even though ~6.6% of words contain
+adjacent repeated characters. Divergence requires a LEARNED merge to
+hit a self-overlapping run (e.g. pair (a, a) over ``aaaaa``), where
+the conventions produce the same token COUNT but a different
+segmentation — pinned exactly by the same test file.
+
 Symbols are characters of the normalized word plus a ``</w>``
 end-of-word marker; symbols never contain spaces, so the
 space-joined symbol string is unambiguous.

@@ -56,11 +56,13 @@ DECODED_META_FIELDS = [
 
 def _decode_with_real_codec(payload: bytes) -> dict:
     """Real decode path, pure stdlib (``struct`` + ``zlib``): BMP
-    (uncompressed 24/32-bit), PNM (binary P5/P6), and PNG (8-bit depth,
+    (uncompressed 24/32-bit), PNM (binary P5/P6), PNG (8-bit depth,
     gray / RGB / palette / +alpha, non-interlaced — full IDAT inflate +
-    per-row unfilter, not just the IHDR header). Returns the same shape
-    as ``_fake_decode``: width/height/n_frames/brightness/checksum,
-    brightness = mean Rec.601 luma in [0, 1].
+    per-row unfilter, not just the IHDR header), and JPEG (SOF marker
+    walk — dimensions/components, no entropy decode). Returns the same
+    shape as ``_fake_decode``: width/height/n_frames/brightness/
+    checksum, brightness = mean Rec.601 luma in [0, 1] (NULL for the
+    metadata-only JPEG path).
 
     Unrecognized containers (e.g. the synthetic text payloads of the
     gate fixtures) and malformed files raise NotImplementedError so the
@@ -76,6 +78,8 @@ def _decode_with_real_codec(payload: bytes) -> dict:
             out = _decode_pnm(payload)
         elif payload[:8] == b"\x89PNG\r\n\x1a\n":
             out = _decode_png(payload)
+        elif payload[:2] == b"\xff\xd8":
+            out = _decode_jpeg(payload)  # metadata only; brightness NULL
     except NotImplementedError:
         raise
     except Exception as e:  # truncated/corrupt file -> deterministic fallback
@@ -259,6 +263,58 @@ def _decode_png(payload: bytes) -> dict:
     out = _dims_ok(width, height)
     out["brightness"] = round(luma / (width * height) / 255.0, 6)
     return out
+
+
+def _decode_jpeg(payload: bytes) -> dict:
+    """JPEG metadata decode: walk the marker stream to the SOF frame
+    header and read precision/height/width/components — the
+    metadata-at-scale path (filtering/resizing decisions, layout
+    planning) without an entropy decoder. ``brightness`` is NULL:
+    luma would require a full DCT pipeline, and a wrong number is
+    worse than an absent one. Accepts baseline through progressive
+    (SOF0–SOF15 minus the non-frame C4/C8/CC markers); a truncated
+    stream or a DNL-deferred height raises NotImplementedError like
+    every other malformed payload."""
+    import struct
+
+    pos = 2  # past SOI
+    n = len(payload)
+    while pos + 4 <= n:
+        # skip fill bytes (0xFF padding before a marker is legal)
+        if payload[pos] != 0xFF:
+            raise NotImplementedError("JPEG marker desync")
+        while pos < n and payload[pos] == 0xFF:
+            pos += 1
+        if pos >= n:
+            break
+        marker = payload[pos]
+        pos += 1
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers carry no length
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        if pos + 2 > n:
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        if seglen < 2 or pos + seglen > n:
+            raise NotImplementedError("truncated JPEG segment")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if seglen < 8:
+                raise NotImplementedError("short JPEG SOF")
+            _prec, height, width, ncomp = struct.unpack_from(
+                ">BHHB", payload, pos + 2
+            )
+            if height == 0:
+                raise NotImplementedError("JPEG DNL-deferred height")
+            if ncomp not in (1, 3, 4):
+                raise NotImplementedError(f"JPEG components={ncomp}")
+            out = _dims_ok(width, height)
+            out["brightness"] = None  # metadata-only: no pixel decode
+            return out
+        if marker == 0xDA:  # SOS without a preceding SOF
+            break
+        pos += seglen
+    raise NotImplementedError("JPEG without SOF header")
 
 
 def _fake_decode(payload: bytes) -> dict:

@@ -271,3 +271,60 @@ def test_wav_rms_half_tie_rounds_away(spark):
     rows = {r.doc_id: r for r in M.decode_audio_assets(df).collect()}
     assert rows[1].rms == 0.507813
     assert rows[2].sample_rate is None and rows[2].byte_len == 8
+
+
+def _jpeg(sof_marker=0xC0, width=32, height=16, ncomp=3, extras=True):
+    """Hand-assembled minimal JPEG marker stream: SOI, (APP0 + DQT +
+    fill bytes if extras), SOF, SOS header, EOI — the structure the
+    SOF walker must navigate."""
+    import struct
+
+    out = b"\xff\xd8"  # SOI
+    if extras:
+        out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)  # DQT
+        out += b"\xff"  # legal fill byte before the next marker
+    comp = b"".join(bytes([i + 1, 0x11, 0]) for i in range(ncomp))
+    out += bytes([0xFF, sof_marker]) + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp
+    ) + comp
+    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * ncomp)  # SOS (truncated scan ok)
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+def test_jpeg_sof_metadata_decode():
+    meta = M._decode_with_real_codec(_jpeg())
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (32, 16, 1)
+    assert meta["brightness"] is None  # metadata-only: no pixel decode
+    import hashlib
+
+    assert meta["checksum"] == hashlib.md5(_jpeg()).hexdigest()
+    # progressive (SOF2) and grayscale both parse
+    assert M._decode_with_real_codec(_jpeg(sof_marker=0xC2))["width"] == 32
+    assert M._decode_with_real_codec(_jpeg(ncomp=1))["height"] == 16
+    # bare stream without APP0/DQT parses too
+    assert M._decode_with_real_codec(_jpeg(extras=False))["width"] == 32
+
+
+def test_jpeg_malformed_falls_back_to_fake():
+    # truncated mid-segment, DHT-only (no SOF), and DNL-deferred height
+    # all degrade to the deterministic pseudo-decode
+    for bad in (
+        _jpeg()[:9],
+        b"\xff\xd8\xff\xc4\x00\x04\x00\x00\xff\xd9",
+        _jpeg(height=0),
+    ):
+        got = M._decode(bad)
+        assert got == M._fake_decode(bad)
+
+
+def test_jpeg_through_spark_pipeline(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(_jpeg())), (2, bytearray(b"not an image"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in M.decode_assets(df).collect()}
+    assert (rows[1].width, rows[1].height) == (32, 16)
+    assert rows[1].brightness is None
+    assert rows[2].width is not None  # fake fallback still populates
