@@ -3485,25 +3485,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_frame(spark, exact, approx, floor_hits=5.0)
 
 
-def q_ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of the residual IVF-PQ index (IVFADC; m=16 4-dim
-    blocks × k=64 codewords — 16 code-bytes standing in for 64
-    doubles) at nprobe=6 against exact cosine top-10, with a
-    mean-recall floor of 0.25. Measured mean recall 0.51 / 0.49 /
-    0.33 at sf0.001/0.01/0.1 — the compression is 32× so the bar is
-    candidate GENERATION quality (production IVFADC re-ranks the
-    survivors with exact vectors, which is cosine_topk on the
-    shortlist here)."""
+def _ensure_ivfpq_recall_fixture(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Residual IVF-PQ index at m=16 (4-dim blocks) × k=64 codewords —
+    shared by the ADC-ranked and refine-stage recall gates."""
     from matdb_spark.operators.similarity import (
-        cosine_topk,
-        ivfpq_topk_indexed,
         pq_codebook_from_residual_sample,
         write_ivfpq_index,
     )
     from matdb_spark.sources.formats import _build_once
-
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(SCRATCH, f"fixture_ivfpq_recall_{tag}")
 
     def build(p: str) -> None:
         emb_b = load_table(spark, sf_dir, "embeddings")
@@ -3513,6 +3502,22 @@ def q_ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_ivfpq_index(emb_b, _centroids(emb_b), cb, p, residual=True)
 
     _build_once(path, build)
+
+
+def q_ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the residual IVF-PQ index (IVFADC; m=16 4-dim
+    blocks × k=64 codewords — 16 code-bytes standing in for 64
+    doubles) at nprobe=6 against exact cosine top-10, with a
+    mean-recall floor of 0.25. Measured mean recall 0.51 / 0.49 /
+    0.33 at sf0.001/0.01/0.1 — the compression is 32× so the bar is
+    candidate GENERATION quality (production IVFADC re-ranks the
+    survivors with exact vectors, which is cosine_topk on the
+    shortlist here)."""
+    from matdb_spark.operators.similarity import cosine_topk, ivfpq_topk_indexed
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SCRATCH, f"fixture_ivfpq_recall_{tag}")
+    _ensure_ivfpq_recall_fixture(spark, sf_dir, path)
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     approx = ivfpq_topk_indexed(spark, path, queries_df, k=10, nprobe=6).select(
@@ -3520,6 +3525,30 @@ def q_ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = cosine_topk(emb, queries_df, k=10).select("query_id", "neighbor_id")
     return _recall_frame(spark, exact, approx, floor_hits=2.5)
+
+
+def q_ann_recall_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the full production IVFADC composition — ADC
+    shortlist of 100 from the residual IVF-PQ index, exact re-rank of
+    only those candidates (ivfpq_topk_refined; the corpus is touched
+    by a broadcast semi-join on the bounded shortlist ids) — floor
+    0.5. Measured mean recall 0.96 / 0.97 / 0.57, essentially the
+    IVF cell ceiling (1.0 / 1.0 / 0.6) at 32× vector compression in
+    the ranking pass: this is the number that makes the PQ index
+    USABLE, and the gate proves the refine stage earns it."""
+    from matdb_spark.operators.similarity import cosine_topk, ivfpq_topk_refined
+
+    # shares q_ann_recall_ivfpq's fixture — same index, refined probe
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SCRATCH, f"fixture_ivfpq_recall_{tag}")
+    _ensure_ivfpq_recall_fixture(spark, sf_dir, path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    approx = ivfpq_topk_refined(
+        spark, path, queries_df, emb, k=10, nprobe=6, shortlist=100
+    ).select("query_id", "neighbor_id")
+    exact = cosine_topk(emb, queries_df, k=10).select("query_id", "neighbor_id")
+    return _recall_frame(spark, exact, approx, floor_hits=5.0)
 
 
 def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3536,22 +3565,22 @@ def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-input shape to the oracle's expectation."""
     from matdb_spark.operators.similarity import (
         pq_codebook_from_sample,
-        pq_quantization_error,
-        pq_train_kmeans,
+        pq_train_kmeans_report,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n_vectors = emb.count()
-    cb = pq_codebook_from_sample(emb, m=8, k=16, sample_mod=31)
-    errors = [pq_quantization_error(emb, cb)]
-    for _ in range(3):
-        cb = pq_train_kmeans(emb, cb, iters=1)
-        errors.append(pq_quantization_error(emb, cb))
+    # m=4, k=8 keeps the gate's per-job codegen small (the encode
+    # expression is m·k codeword distances; at m=8, k=16 each job pays
+    # ~4 s of whole-stage compile for 2000 rows — measured 17.8 s vs
+    # 7.5 s for the whole gate). The index-scale parameters are
+    # exercised by the recall gates; THIS gate is about the trainer.
+    cb0 = pq_codebook_from_sample(emb, m=4, k=8, sample_mod=31)
+    _cb, errors, n_vectors = pq_train_kmeans_report(emb, cb0, iters=3)
     rows = [
         (
             i,
             int(n_vectors),
-            128,  # m*k codewords
+            32,  # m*k codewords
             bool(errors[i] <= errors[i - 1] * (1.0 + 1e-9)),
             bool(errors[3] < errors[0]),
         )
@@ -3762,6 +3791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_similarity_ivfpq": q_similarity_ivfpq,
         "q_ann_recall": q_ann_recall,
         "q_ann_recall_ivfpq": q_ann_recall_ivfpq,
+        "q_ann_recall_refined": q_ann_recall_refined,
         "q_pq_train": q_pq_train,
         "q_pack_bpe": q_pack_bpe,
         "q_sample_per_source": q_sample_per_source,
@@ -4212,6 +4242,28 @@ def _ann_recall_ivfpq_sql() -> str:
                                       ORDER BY raw_sim DESC, neighbor_id) AS rank
             FROM scored) WHERE rank <= 10),
         {_exact_topk_cte(10)},{_RECALL_TAIL.format(floor="2.5")}
+    """
+
+
+def _ann_recall_refined_sql() -> str:
+    """Oracle for q_ann_recall_refined: the same residual chain, ADC
+    shortlist of 100 per query, then exact re-rank of the shortlist on
+    the unit-vector dot (the refine stage, replayed relationally)."""
+    return f"""
+        WITH {_ivfpq_ctes(m=16, k=64, bs=4, sample_mod=7, nprobe=6, residual=True)},
+        sl AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY raw_sim DESC, neighbor_id) AS rank
+            FROM scored) WHERE rank <= 100),
+        ap AS (SELECT query_id, neighbor_id FROM (
+            SELECT sl.query_id, sl.neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY sl.query_id
+                                      ORDER BY {_dot('q.qv', 'n.v')} DESC, sl.neighbor_id)
+                       AS rank
+            FROM sl JOIN q ON q.query_id = sl.query_id
+                    JOIN e n ON n.vec_id = sl.neighbor_id) WHERE rank <= 10),
+        {_exact_topk_cte(10)},{_RECALL_TAIL.format(floor="5.0")}
     """
 
 
@@ -5224,6 +5276,7 @@ def oracle_sql() -> dict[str, str]:
         "q_similarity_ivfpq": _ivfpq_sql(),
         "q_ann_recall": _ann_recall_sql(),
         "q_ann_recall_ivfpq": _ann_recall_ivfpq_sql(),
+        "q_ann_recall_refined": _ann_recall_refined_sql(),
         # Invariant gate (docstring of q_pq_train): the per-iteration
         # errors are distributed double means no engine can replay
         # bit-exactly; what IS cross-engine checkable is the training
@@ -5233,7 +5286,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pq_train": """
             SELECT CAST(t.iter AS INT) AS iter,
                    (SELECT COUNT(*) FROM embeddings) AS n_vectors,
-                   CAST(128 AS BIGINT) AS n_codewords,
+                   CAST(32 AS BIGINT) AS n_codewords,
                    TRUE AS err_nonincreasing,
                    TRUE AS final_below_baseline
             FROM (VALUES (1), (2), (3)) AS t(iter)

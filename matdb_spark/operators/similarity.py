@@ -324,6 +324,57 @@ def ivf_topk_indexed(
     )
 
 
+def ivfpq_topk_refined(
+    spark,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebook: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist: int = 50,
+) -> DataFrame:
+    """IVF-PQ search with exact RE-RANKING — the production IVFADC
+    composition (Jégou et al. 2011 §V: ADC generates candidates, a
+    refinement stage rescores the shortlist from full vectors): the
+    index's ADC pass returns a per-query ``shortlist`` (cheap — code
+    rows only, probed partitions only), then ONLY those
+    queries × shortlist candidates are joined back to the corpus for
+    exact cosine, and the top ``k`` of the exact scores is returned.
+
+    Scale shape: the expensive side (the corpus) is touched by a
+    BROADCAST semi-join on the bounded shortlist ids — the full
+    vectors of at most queries × shortlist rows ever move, however
+    large the corpus. Recall approaches the IVF cell ceiling at the
+    same nprobe as ``shortlist`` grows (embeddings fixture, m=16,
+    k=64, nprobe=6, mean recall@10 at sf0.001/0.01/0.1: ADC ranking
+    alone 0.51/0.49/0.33 → refined@50 0.90/0.89/0.50 → refined@100
+    0.96/0.97/0.57, ceiling 1.0/1.0/0.6)."""
+    sl = ivfpq_topk_indexed(
+        spark,
+        path,
+        queries,
+        codebook=codebook,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=shortlist,
+        nprobe=nprobe,
+    ).select("query_id", "neighbor_id")
+    q = _unit(queries, [F.col(id_col).alias("query_id")], vec_col, "__qv")
+    c = _unit(corpus, [F.col(id_col).alias("neighbor_id")], vec_col, "__cv")
+    cand = c.join(F.broadcast(sl), "neighbor_id").join(
+        F.broadcast(q), "query_id"
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", dot(F.col("__qv"), F.col("__cv")).alias("cos_sim")
+    ).filter(F.col("cos_sim").isNotNull())
+    return top_k_per_group(
+        scored, ["query_id"], [F.col("cos_sim").desc(), F.col("neighbor_id").asc()], k
+    )
+
+
 def hyperplanes(n_planes: int, dim: int, seed: int = 0x5EED) -> list[list[float]]:
     """Deterministic pseudo-random hyperplane normals in [-1, 1],
     rounded to 6 decimals so the SAME literals embed exactly in both
@@ -715,32 +766,89 @@ def pq_train_kmeans(
     ``normalize=False`` trains on the arrays as-is (pass the
     ``residuals`` relation here for IVFADC codebooks)."""
     for _ in range(iters):
-        cb_lit, m, k, bs = _pq_lit(codebook)
-        u = _vec_input(corpus, [F.col(id_col)], vec_col, normalize)
-        # codes + slices from ONE scan (no self-join of derived plans)
-        both = u.select(
-            _pq_codes_expr(cb_lit, m, k, bs).alias("codes"), "__v"
+        codebook, _mse, _n = _pq_train_iter(
+            corpus, codebook, id_col, vec_col, normalize
         )
-        exploded = both.select(
-            F.posexplode("codes").alias("b", "code"), F.col("__v")
-        ).select(
-            "b",
-            "code",
-            F.slice(
-                "__v", (F.col("b") * bs + 1).cast("int"), bs
-            ).alias("blk"),
-        )
-        agg = exploded.groupBy("b", "code").agg(
-            *[
-                F.avg(F.element_at("blk", i + 1)).alias(f"c{i}")
-                for i in range(bs)
-            ]
-        )
-        new = [[list(cw) for cw in block] for block in codebook]
-        for r in agg.collect():
-            new[r["b"]][r["code"]] = [float(r[f"c{i}"]) for i in range(bs)]
-        codebook = new
     return codebook
+
+
+def _pq_train_iter(
+    corpus: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    normalize: bool,
+) -> tuple[list[list[list[float]]], float, int]:
+    """One Lloyd iteration as ONE Spark job: encode + per-(b, code)
+    block means, with the quantization error of the INPUT codebook
+    (under its own argmin assignment — exactly pq_quantization_error's
+    definition) folded into the same aggregation as a byproduct.
+    Returns (new_codebook, input_mse, n_vectors). The byproduct is
+    what keeps the trainer gate at iters+1 jobs instead of 2·iters+2
+    (measured 29.8 s → 9.6 s at sf0.1 — each extra job pays whole-
+    stage codegen for the m·k-codeword encode expression, dwarfing
+    the data at gate scale)."""
+    from matdb_spark.functions.vectors import squared_l2
+
+    cb_lit, m, k, bs = _pq_lit(codebook)
+    u = _vec_input(corpus, [F.col(id_col)], vec_col, normalize)
+    # codes + slices from ONE scan (no self-join of derived plans)
+    both = u.select(_pq_codes_expr(cb_lit, m, k, bs).alias("codes"), "__v")
+    exploded = both.select(
+        F.posexplode("codes").alias("b", "code"), F.col("__v")
+    ).select(
+        "b",
+        "code",
+        F.slice("__v", (F.col("b") * bs + 1).cast("int"), bs).alias("blk"),
+    )
+    blkerr = squared_l2(
+        F.col("blk"),
+        F.element_at(
+            cb_lit, (F.col("b") * k + F.col("code") + 1).cast("int")
+        ),
+    )
+    agg = exploded.groupBy("b", "code").agg(
+        *[F.avg(F.element_at("blk", i + 1)).alias(f"c{i}") for i in range(bs)],
+        F.sum(blkerr).alias("__errsum"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    new = [[list(cw) for cw in block] for block in codebook]
+    err_total = 0.0
+    n_blocks = 0
+    for r in agg.collect():
+        new[r["b"]][r["code"]] = [float(r[f"c{i}"]) for i in range(bs)]
+        err_total += float(r["__errsum"] or 0.0)
+        n_blocks += int(r["__cnt"])
+    n_vectors = n_blocks // m
+    mse = err_total / n_vectors if n_vectors else 0.0
+    return new, mse, n_vectors
+
+
+def pq_train_kmeans_report(
+    corpus: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 3,
+    normalize: bool = True,
+) -> tuple[list[list[list[float]]], list[float], int]:
+    """pq_train_kmeans plus the error trajectory: returns
+    (trained_codebook, [mse_0 .. mse_iters], n_vectors) where mse_i is
+    the mean quantization error of the codebook after i iterations
+    (mse_0 = the input codebook's). iters+1 jobs total — each
+    iteration reports its input's error for free and one final
+    pq_quantization_error scan prices the trained codebook."""
+    errors: list[float] = []
+    n_vectors = 0
+    for _ in range(iters):
+        codebook, mse, n_vectors = _pq_train_iter(
+            corpus, codebook, id_col, vec_col, normalize
+        )
+        errors.append(mse)
+    errors.append(
+        pq_quantization_error(corpus, codebook, id_col, vec_col, normalize)
+    )
+    return codebook, errors, n_vectors
 
 
 def pq_quantization_error(

@@ -48,7 +48,7 @@ def test_gated_recall_frames_report_floor(spark):
     floor verdict TRUE at the gate parameters."""
     import __spark_entry__ as E
 
-    for q in ("q_ann_recall", "q_ann_recall_ivfpq"):
+    for q in ("q_ann_recall", "q_ann_recall_ivfpq", "q_ann_recall_refined"):
         rows = E.queries()[q](spark, "/root/testdata/sf0.001").collect()
         assert len(rows) == 10, q
         assert all(r["mean_floor_met"] for r in rows), q
@@ -130,6 +130,8 @@ def test_pq_train_invariants(spark):
         pq_train_kmeans,
     )
 
+    from matdb_spark.operators.similarity import pq_train_kmeans_report
+
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     cb = pq_codebook_from_sample(emb, m=8, k=16, sample_mod=31)
     errors = [pq_quantization_error(emb, cb)]
@@ -139,3 +141,14 @@ def test_pq_train_invariants(spark):
     for prev, cur in zip(errors, errors[1:]):
         assert cur <= prev * (1.0 + 1e-9), errors
     assert errors[-1] < errors[0], errors
+
+    # the gate's one-job-per-iteration byproduct trajectory agrees
+    # with the standalone error scans (associativity noise only) and
+    # lands on the identical trained codebook
+    cb0 = pq_codebook_from_sample(emb, m=8, k=16, sample_mod=31)
+    cb_rep, rep_errors, n_vectors = pq_train_kmeans_report(emb, cb0, iters=3)
+    assert n_vectors == emb.count()
+    assert len(rep_errors) == 4
+    for a, b in zip(rep_errors, errors):
+        assert abs(a - b) <= 1e-9 * max(abs(a), abs(b)), (rep_errors, errors)
+    assert cb_rep == cb

@@ -45,17 +45,27 @@ FAMILY_REPS = {
     "multimodal_audio": "q_multimodal_audio",
     "pipeline": "q_llm_pipeline",
     "pq": "q_similarity_pq",
+    # round-4 single-shot movers (>1.2x vs r3, both mechanism-less)
+    # put under medians per the round-4 verdict's bench-hygiene item
+    "tfidf_topterms": "q_tfidf_topterms",
+    "supplier_count": "q16_supplier_count",
+    # round-5 additions: recall gates + BPE-budget packing
+    "ann_recall": "q_ann_recall_ivfpq",
+    "pack_bpe": "q_pack_bpe",
 }
 
 
 def main() -> None:
+    # usage: bench_replicate.py [N] [family1,family2,...]
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench_replicate")
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     qs = entrymod.queries()
     out = {}
-    for family, name in FAMILY_REPS.items():
+    reps = {f: q for f, q in FAMILY_REPS.items() if only is None or f in only}
+    for family, name in reps.items():
         fn = qs[name]
         times = []
         for _ in range(n):
