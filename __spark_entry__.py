@@ -3379,6 +3379,55 @@ def q_similarity_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def q_stream_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING embedding ingest into the persisted IVF index
+    (streaming/vectors.py stream_ivf_append): the index fixture seeds
+    from vec_id % 3 != 0, the remaining third arrives through a real
+    writeStream (file source, two micro-batches via maxFilesPerTrigger,
+    availableNow) and is appended cell-by-cell via foreachBatch.
+    Because streamed appends assign bit-identically to a full build,
+    the probe — and the oracle — is exactly q_similarity_ivf_indexed's
+    (_ivf_sql): the gate proves the STREAMING path lands vectors where
+    the batch path would."""
+    from matdb_spark.operators.similarity import ivf_topk_indexed, write_ivf_index
+    from matdb_spark.sources.formats import _build_once
+    from matdb_spark.streaming.vectors import stream_ivf_append
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SCRATCH, f"fixture_stream_ivf_{tag}")
+
+    def build(p: str) -> None:
+        emb_b = load_table(spark, sf_dir, "embeddings")
+        write_ivf_index(emb_b.filter(F.col("vec_id") % 3 != 0), _centroids(emb_b), p)
+        arriving = emb_b.filter(F.col("vec_id") % 3 == 0).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        src, ckpt = os.path.join(p, "_src"), os.path.join(p, "_ckpt")
+        half = arriving.filter(F.col("vec_id") % 2 == 0)
+        other = arriving.filter(F.col("vec_id") % 2 != 0)
+        half.coalesce(1).write.json(src)
+        other.coalesce(1).write.mode("append").json(src)
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = stream_ivf_append(stream, p, ckpt)
+        try:
+            if not q.awaitTermination(240):
+                raise TimeoutError("stream_ivf_append did not finish")
+        finally:
+            q.stop()
+
+    _build_once(path, build)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    out = ivf_topk_indexed(spark, path, queries_df, k=5, nprobe=2)
+    scored = out.select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed index (similarity.py write_ivfpq_index /
     ivfpq_topk_indexed), RESIDUAL-encoded (IVFADC — Jégou, Douze,
@@ -3792,6 +3841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_recall": q_ann_recall,
         "q_ann_recall_ivfpq": q_ann_recall_ivfpq,
         "q_ann_recall_refined": q_ann_recall_refined,
+        "q_stream_ivf_append": q_stream_ivf_append,
         "q_pq_train": q_pq_train,
         "q_pack_bpe": q_pack_bpe,
         "q_sample_per_source": q_sample_per_source,
@@ -4950,6 +5000,7 @@ def oracle_sql() -> dict[str, str]:
         "q_similarity_ivf": _ivf_sql(),
         "q_similarity_ivf_indexed": _ivf_sql(),
         "q_similarity_ivf_appended": _ivf_sql(),
+        "q_stream_ivf_append": _ivf_sql(),
         "q_embed_near_dup": _near_dup_sql(),
         "q_embed_quantize": """
             WITH s AS (

@@ -180,8 +180,11 @@ def main() -> None:
     print("bpe tokens, first docs:")
     counts.orderBy("doc_id").show(3)
 
-    # 16. compressed ANN: PQ-encode a toy embedding corpus, persist an
-    #     IVF-PQ index, probe it (reads only the probed cells)
+    # 16. compressed ANN: residual-encode (IVFADC) a toy embedding
+    #     corpus into a persisted IVF-PQ index, then probe it two ways
+    #     — ADC ranking (code rows only, probed cells only) and the
+    #     production composition with an exact re-rank of the ADC
+    #     shortlist
     from matdb_spark.operators import similarity as sim
 
     emb = spark.range(200).select(
@@ -190,18 +193,24 @@ def main() -> None:
             "embedding"
         ),
     )
-    cb = sim.pq_codebook_from_sample(emb, m=4, k=8, sample_mod=13)
     cents = emb.filter(F.col("vec_id") % 40 == 0).select(
         F.col("vec_id").alias("cell_id"), "embedding"
     )
+    cb = sim.pq_codebook_from_residual_sample(emb, cents, m=4, k=8, sample_mod=13)
     ivfpq = path + "_ivfpq"
     shutil.rmtree(ivfpq, ignore_errors=True)
-    sim.write_ivfpq_index(emb, cents, cb, ivfpq)
+    sim.write_ivfpq_index(emb, cents, cb, ivfpq)  # residual by default
     hits = sim.ivfpq_topk_indexed(
         spark, ivfpq, emb.filter(F.col("vec_id") < 3), k=3, nprobe=2
     )
-    print("ivf-pq probe:")
+    print("ivf-pq ADC probe (residual codes):")
     hits.show(3)
+    refined = sim.ivfpq_topk_refined(
+        spark, ivfpq, emb.filter(F.col("vec_id") < 3), emb,
+        k=3, nprobe=2, shortlist=20,
+    )
+    print("ivf-pq refined probe (ADC shortlist + exact re-rank):")
+    refined.show(3)
 
     shutil.rmtree(ivfpq, ignore_errors=True)
     shutil.rmtree(idx, ignore_errors=True)

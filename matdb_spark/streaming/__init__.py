@@ -20,6 +20,10 @@ Streaming primitives:
 - ``admission.stream_admission``: dedup-at-the-door for an arriving
   corpus — each micro-batch is admitted against the persisted MinHash
   index and optionally committed into the MVCC store exactly-once.
+- ``vectors.stream_ivf_append``: continuous embedding ingest into a
+  persisted IVF index (broadcast assignment + partitioned append per
+  micro-batch), with ``compact_stream_ivf_index`` as the maintenance
+  pass that reclaims crash-replay debris.
 """
 
 from matdb_spark.streaming.sources import events_stream
@@ -28,6 +32,7 @@ from matdb_spark.streaming.ingest import stream_into_database
 from matdb_spark.streaming.stateful import running_totals_with_state, sessionize_with_state
 from matdb_spark.streaming.admission import stream_admission
 from matdb_spark.streaming.joins import interval_join
+from matdb_spark.streaming.vectors import compact_stream_ivf_index, stream_ivf_append
 
 __all__ = [
     "events_stream",
@@ -38,5 +43,7 @@ __all__ = [
     "running_totals_with_state",
     "sessionize_with_state",
     "interval_join",
+    "stream_ivf_append",
+    "compact_stream_ivf_index",
     "stream_admission",
 ]

@@ -1,0 +1,73 @@
+"""Streaming embedding ingest into a persisted IVF index — the vector
+twin of streaming/admission.py's text-side admission: each micro-batch
+of (id, embedding) rows is assigned to its nearest STORED centroid and
+appended into that cell's partition directory (`append_ivf_index`), so
+a continuously arriving embedding corpus stays probe-able without ever
+rebuilding the index.
+
+Delivery semantics mirror admission's: the index append is NOT
+transactional with the streaming checkpoint. A crash between append
+and checkpoint write replays the batch and appends its cell rows a
+second time. Because the assignment is deterministic (stored unit
+centroids, `centroids_unit=True`), the replayed rows are byte-identical
+duplicates — they would surface the SAME neighbor twice in a top-k, so
+probes over an index that may carry replay debris should either run
+maintenance first or dedup ids (`ivf_topk_indexed` scores whatever
+rows exist; duplicates do not change WHICH vectors are near, only row
+multiplicity). `compact_ivf_index(..., dedup_cols=["vec_id",
+"cell_id"])` — wired here as `compact_stream_ivf_index` — reclaims the
+debris during offline maintenance, exactly like the MinHash path.
+"""
+
+from __future__ import annotations
+
+
+def stream_ivf_append(
+    stream_df,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+):
+    """Start a streaming query appending ``stream_df`` micro-batches
+    of embeddings into the persisted IVF index at ``index_path`` (must
+    already exist — centroids are read from its `_centroids/`
+    sidecar). Returns the StreamingQuery. One broadcast assignment +
+    one partitioned append per batch; no corpus-sized work ever."""
+    from matdb_spark.operators.similarity import append_ivf_index
+
+    spark = stream_df.sparkSession
+
+    def _append(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_ivf_index(spark, batch_df, index_path, id_col, vec_col)
+
+    return (
+        stream_df.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        if available_now
+        else stream_df.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def compact_stream_ivf_index(spark, path: str) -> tuple[int, int]:
+    """Offline maintenance for a stream-fed IVF index: collapse the
+    per-batch append debris AND drop the byte-identical duplicate rows
+    a crash-window replay leaves behind (dedup on (vec_id, cell_id) —
+    assignment is deterministic, so a replayed vector can only land in
+    the same cell). `_centroids` is preserved byte-for-byte."""
+    from matdb_spark.operators.index_maint import compact_index
+
+    return compact_index(
+        spark,
+        path,
+        "cell_id",
+        ["vec_id"],
+        dedup_cols=["vec_id", "cell_id"],
+    )

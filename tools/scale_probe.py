@@ -14,7 +14,7 @@ in SCALE.md §11. Two axes the small-SF gate never stresses:
              newest-folds must stay flat-cost as the table grows,
              then one oldest-fold collapses the rollups.
 
-Usage: PYTHONPATH=/root/repo python tools/scale_probe.py [volume|manytxn|stream|tiered|lshskew|ccdeep|autocompact|incdex|selection|pq|bpe]
+Usage: PYTHONPATH=/root/repo python tools/scale_probe.py [volume|manytxn|stream|tiered|lshskew|ccdeep|autocompact|incdex|selection|pq|ivfpq|bpe]
 Scratch stores live under /root/repo/.scratch/ (gitignored).
 """
 
@@ -598,6 +598,59 @@ def probe_pq(spark):
     print("  pq probe done: encode exchange-free, linear scaling above")
 
 
+def probe_ivfpq(spark):
+    """The persisted IVF-PQ path at 1M → 4M vectors: index build cost
+    (one assignment + residual encode + partitioned write), then the
+    two probe modes — ADC ranking and the exact-refine composition —
+    with the partition-pruning invariant asserted (a probe must read
+    only its nprobe cells' directories, so probe cost tracks the
+    PROBED fraction, not the corpus). 64 cells, m=8×k=16 residual
+    codes, 10 queries, nprobe=4 (1/16th of the corpus probed)."""
+    from matdb_spark.operators import similarity as S
+    from matdb_spark.plans.inspect import partition_filters
+
+    def synth(n):
+        comps = [
+            (((F.col("id") * (j * 2 + 3)) % 1997) / 998.5 - 1.0)
+            for j in range(64)
+        ]
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*comps).alias("embedding"),
+        )
+
+    for n in (1_000_000, 4_000_000):
+        corpus = synth(n)
+        cents = corpus.filter(F.col("vec_id") % (n // 64) == 0).select(
+            F.col("vec_id").alias("cell_id"), "embedding"
+        )
+        path = os.path.join(SCRATCH, f"probe_ivfpq_{n}")
+        shutil.rmtree(path, ignore_errors=True)
+        cb = S.pq_codebook_from_residual_sample(
+            corpus, cents, m=8, k=16, sample_mod=31
+        )
+        timed(
+            f"ivfpq build {n} x 64-dim (assign + residual encode + write)",
+            lambda: S.write_ivfpq_index(corpus, cents, cb, path, residual=True),
+        )
+        queries = synth(10)
+        top = S.ivfpq_topk_indexed(spark, path, queries, k=10, nprobe=4)
+        pf = " ".join(partition_filters(top))
+        assert "cell_id" in pf, pf  # pruning reaches the scan
+        timed(
+            f"ivfpq ADC probe 10 queries, nprobe=4/64 cells, {n} rows",
+            lambda: top.count(),
+        )
+        refined = S.ivfpq_topk_refined(
+            spark, path, queries, corpus, k=10, nprobe=4, shortlist=100
+        )
+        timed(
+            f"ivfpq refined probe (ADC shortlist 100 + exact re-rank)",
+            lambda: refined.count(),
+        )
+    print("  ivfpq probe done: pruned probes, build linear above")
+
+
 def probe_bpe(spark):
     """BPE trainer economics at 1M -> 4M docs: the claim is ONE
     corpus-sized pass (word_counts) + vocab-bounded merge iterations.
@@ -667,6 +720,8 @@ if __name__ == "__main__":
         probe_selection(spark)
     elif which == "pq":
         probe_pq(spark)
+    elif which == "ivfpq":
+        probe_ivfpq(spark)
     elif which == "bpe":
         probe_bpe(spark)
     else:
