@@ -3610,8 +3610,12 @@ def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     means are double sums whose accumulation order Spark does not fix
     across partitions, so no engine can replay them bit-exactly — the
     monotonicity of the objective is the property Lloyd guarantees
-    and the one a user relies on. n_vectors/n_codewords pin the
-    training-input shape to the oracle's expectation."""
+    and the one a user relies on. The gate is anchored to the actual
+    computation cross-engine through init_code_sum — the exact BIGINT
+    sum of every (vector, block) code assignment under the initial
+    sample codebook, which the oracle replays relationally (per-block
+    L2 argmin, ties to the lowest code) — plus n_vectors/n_codewords
+    pinning the training-input shape."""
     from matdb_spark.operators.similarity import (
         pq_codebook_from_sample,
         pq_train_kmeans_report,
@@ -3624,12 +3628,15 @@ def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 7.5 s for the whole gate). The index-scale parameters are
     # exercised by the recall gates; THIS gate is about the trainer.
     cb0 = pq_codebook_from_sample(emb, m=4, k=8, sample_mod=31)
-    _cb, errors, n_vectors = pq_train_kmeans_report(emb, cb0, iters=3)
+    _cb, errors, n_vectors, init_code_sum = pq_train_kmeans_report(
+        emb, cb0, iters=3
+    )
     rows = [
         (
             i,
             int(n_vectors),
             32,  # m*k codewords
+            int(init_code_sum),
             bool(errors[i] <= errors[i - 1] * (1.0 + 1e-9)),
             bool(errors[3] < errors[0]),
         )
@@ -3637,7 +3644,7 @@ def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows,
-        "iter int, n_vectors long, n_codewords long, "
+        "iter int, n_vectors long, n_codewords long, init_code_sum long, "
         "err_nonincreasing boolean, final_below_baseline boolean",
     )
 
@@ -4247,6 +4254,44 @@ _RECALL_TAIL = """
                (AVG(hits) OVER ()) >= {floor} AS mean_floor_met
         FROM hits
 """
+
+
+def _pq_train_sql() -> str:
+    """Oracle for q_pq_train: replays iteration 1's ENCODE exactly —
+    per-block L2 argmin against the m=4, k=8 sample codebook over
+    16-dim blocks, summed as one BIGINT — alongside the shape columns
+    and the monotonicity verdicts (TRUE whenever Lloyd behaves; see
+    the registration comment)."""
+    m, k, bs = 4, 8, 16
+    blkdist = (
+        f"list_sum(list_transform(range(1, {bs + 1}), "
+        f"i -> (e.v[gb.b * {bs} + i] - cw.v[gb.b * {bs} + i])"
+        f" * (e.v[gb.b * {bs} + i] - cw.v[gb.b * {bs} + i])))"
+    )
+    return f"""
+        WITH {_UNIT_E},
+        cwsrc AS (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS j
+                  FROM e WHERE vec_id % 31 = 0),
+        cw AS (SELECT j - 1 AS code, v FROM cwsrc WHERE j <= {k}),
+        gb AS (SELECT unnest(range(0, {m})) AS b),
+        enc AS (
+            SELECT vec_id, b, code FROM (
+                SELECT e.vec_id, gb.b, cw.code,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id, gb.b
+                                          ORDER BY {blkdist}, cw.code) AS rn
+                FROM e, gb, cw)
+            WHERE rn = 1),
+        s AS (SELECT CAST(SUM(code) AS BIGINT) AS init_code_sum,
+                     CAST(COUNT(*) / {m} AS BIGINT) AS n_vectors
+              FROM enc)
+        SELECT CAST(t.iter AS INT) AS iter,
+               s.n_vectors,
+               CAST({m * k} AS BIGINT) AS n_codewords,
+               s.init_code_sum,
+               TRUE AS err_nonincreasing,
+               TRUE AS final_below_baseline
+        FROM (VALUES (1), (2), (3)) AS t(iter), s
+    """
 
 
 def _ann_recall_sql() -> str:
@@ -5330,18 +5375,14 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_recall_refined": _ann_recall_refined_sql(),
         # Invariant gate (docstring of q_pq_train): the per-iteration
         # errors are distributed double means no engine can replay
-        # bit-exactly; what IS cross-engine checkable is the training
-        # input shape plus the k-means monotonicity verdicts, which
-        # hold whenever the trainer is correct and flip the gate red
-        # whenever an iteration increases the objective.
-        "q_pq_train": """
-            SELECT CAST(t.iter AS INT) AS iter,
-                   (SELECT COUNT(*) FROM embeddings) AS n_vectors,
-                   CAST(32 AS BIGINT) AS n_codewords,
-                   TRUE AS err_nonincreasing,
-                   TRUE AS final_below_baseline
-            FROM (VALUES (1), (2), (3)) AS t(iter)
-        """,
+        # bit-exactly; what IS cross-engine checkable is (a) the exact
+        # integer checksum of iteration 1's code assignments, replayed
+        # below by the same per-block L2 argmin the engine runs, (b)
+        # the training-input shape, and (c) the k-means monotonicity
+        # verdicts, which hold whenever the trainer is correct and
+        # flip the gate red whenever an iteration increases the
+        # objective.
+        "q_pq_train": _pq_train_sql(),
         "q_pack_bpe": f"""
             WITH btoks AS MATERIALIZED ({_bpe_tokenize_sql(16)}),
             t AS (

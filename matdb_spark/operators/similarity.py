@@ -766,7 +766,7 @@ def pq_train_kmeans(
     ``normalize=False`` trains on the arrays as-is (pass the
     ``residuals`` relation here for IVFADC codebooks)."""
     for _ in range(iters):
-        codebook, _mse, _n = _pq_train_iter(
+        codebook, _mse, _n, _cs = _pq_train_iter(
             corpus, codebook, id_col, vec_col, normalize
         )
     return codebook
@@ -778,16 +778,19 @@ def _pq_train_iter(
     id_col: str,
     vec_col: str,
     normalize: bool,
-) -> tuple[list[list[list[float]]], float, int]:
+) -> tuple[list[list[list[float]]], float, int, int]:
     """One Lloyd iteration as ONE Spark job: encode + per-(b, code)
     block means, with the quantization error of the INPUT codebook
     (under its own argmin assignment — exactly pq_quantization_error's
     definition) folded into the same aggregation as a byproduct.
-    Returns (new_codebook, input_mse, n_vectors). The byproduct is
-    what keeps the trainer gate at iters+1 jobs instead of 2·iters+2
-    (measured 29.8 s → 9.6 s at sf0.1 — each extra job pays whole-
-    stage codegen for the m·k-codeword encode expression, dwarfing
-    the data at gate scale)."""
+    Returns (new_codebook, input_mse, n_vectors, code_sum) where
+    code_sum = Σ over (vector, block) of the assigned code under the
+    INPUT codebook — an integer a SQL oracle can replay exactly, which
+    is how the trainer gate pins the encode itself cross-engine. The
+    byproduct design keeps the trainer gate at iters+1 jobs instead of
+    2·iters+2 (measured 29.8 s → 9.6 s at sf0.1 — each extra job pays
+    whole-stage codegen for the m·k-codeword encode expression,
+    dwarfing the data at gate scale)."""
     from matdb_spark.functions.vectors import squared_l2
 
     cb_lit, m, k, bs = _pq_lit(codebook)
@@ -815,13 +818,15 @@ def _pq_train_iter(
     new = [[list(cw) for cw in block] for block in codebook]
     err_total = 0.0
     n_blocks = 0
+    code_sum = 0
     for r in agg.collect():
         new[r["b"]][r["code"]] = [float(r[f"c{i}"]) for i in range(bs)]
         err_total += float(r["__errsum"] or 0.0)
         n_blocks += int(r["__cnt"])
+        code_sum += int(r["code"]) * int(r["__cnt"])
     n_vectors = n_blocks // m
     mse = err_total / n_vectors if n_vectors else 0.0
-    return new, mse, n_vectors
+    return new, mse, n_vectors, code_sum
 
 
 def pq_train_kmeans_report(
@@ -831,24 +836,29 @@ def pq_train_kmeans_report(
     vec_col: str = "embedding",
     iters: int = 3,
     normalize: bool = True,
-) -> tuple[list[list[list[float]]], list[float], int]:
+) -> tuple[list[list[list[float]]], list[float], int, int]:
     """pq_train_kmeans plus the error trajectory: returns
-    (trained_codebook, [mse_0 .. mse_iters], n_vectors) where mse_i is
-    the mean quantization error of the codebook after i iterations
-    (mse_0 = the input codebook's). iters+1 jobs total — each
-    iteration reports its input's error for free and one final
-    pq_quantization_error scan prices the trained codebook."""
+    (trained_codebook, [mse_0 .. mse_iters], n_vectors,
+    init_code_sum) where mse_i is the mean quantization error of the
+    codebook after i iterations (mse_0 = the input codebook's) and
+    init_code_sum is iteration 1's exact encode checksum (the value a
+    SQL oracle replays). iters+1 jobs total — each iteration reports
+    its input's error for free and one final pq_quantization_error
+    scan prices the trained codebook."""
     errors: list[float] = []
     n_vectors = 0
-    for _ in range(iters):
-        codebook, mse, n_vectors = _pq_train_iter(
+    init_code_sum = 0
+    for i in range(iters):
+        codebook, mse, n_vectors, code_sum = _pq_train_iter(
             corpus, codebook, id_col, vec_col, normalize
         )
         errors.append(mse)
+        if i == 0:
+            init_code_sum = code_sum
     errors.append(
         pq_quantization_error(corpus, codebook, id_col, vec_col, normalize)
     )
-    return codebook, errors, n_vectors
+    return codebook, errors, n_vectors, init_code_sum
 
 
 def pq_quantization_error(

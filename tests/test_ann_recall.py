@@ -146,8 +146,11 @@ def test_pq_train_invariants(spark):
     # with the standalone error scans (associativity noise only) and
     # lands on the identical trained codebook
     cb0 = pq_codebook_from_sample(emb, m=8, k=16, sample_mod=31)
-    cb_rep, rep_errors, n_vectors = pq_train_kmeans_report(emb, cb0, iters=3)
+    cb_rep, rep_errors, n_vectors, init_code_sum = pq_train_kmeans_report(
+        emb, cb0, iters=3
+    )
     assert n_vectors == emb.count()
+    assert init_code_sum > 0
     assert len(rep_errors) == 4
     for a, b in zip(rep_errors, errors):
         assert abs(a - b) <= 1e-9 * max(abs(a), abs(b)), (rep_errors, errors)
