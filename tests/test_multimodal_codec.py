@@ -328,3 +328,33 @@ def test_jpeg_through_spark_pipeline(spark):
     assert (rows[1].width, rows[1].height) == (32, 16)
     assert rows[1].brightness is None
     assert rows[2].width is not None  # fake fallback still populates
+
+
+def test_decode_total_on_arbitrary_bytes():
+    """_decode must be TOTAL: any byte string — including ones that
+    start with valid container magics and then lie about everything —
+    decodes to the deterministic pseudo-decode rather than raising.
+    At 100 TB one corrupt asset must degrade, not kill the job; this
+    fuzzes the whole dispatch with seeded adversarial prefixes."""
+    import random
+
+    rng = random.Random(0xC0DEC)
+    magics = [
+        b"",
+        b"BM",
+        b"P5", b"P6",
+        b"\x89PNG\r\n\x1a\n",
+        b"\xff\xd8",
+        b"\xff\xd8\xff\xe0",
+        b"RIFF",
+    ]
+    for trial in range(300):
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 64)))
+        payload = magics[trial % len(magics)] + body
+        got = M._decode(payload)  # must not raise
+        assert set(got) == {
+            "width", "height", "n_frames", "brightness", "checksum"
+        }
+        # a successful REAL decode reports positive dims; the fake
+        # fallback always does — either way the contract holds
+        assert got["width"] > 0 and got["height"] > 0

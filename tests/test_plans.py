@@ -334,3 +334,31 @@ def test_repetition_signals_no_global_window(spark):
     df = e.q_repetition_signals(spark, SF)
     plan = physical_plan(df)
     assert "SinglePartition" not in plan, plan
+
+
+def test_pack_bpe_single_shuffle_after_training(spark):
+    """q_pack_bpe's RETURNED plan (training already folded into the
+    merge literals) must match q_pack_documents' shape: the BPE token
+    count is an exchange-free scan expression, so the only exchange is
+    the hash-shard repartition feeding the per-shard prefix-sum
+    window."""
+    import __spark_entry__ as e
+
+    df = e.q_pack_bpe(spark, SF)
+    assert exchange_count(df) == 1, physical_plan(df)
+    plan = physical_plan(df)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_recall_gate_plans_stay_bounded(spark):
+    """The recall gates' exact side is the broadcast cosine_topk; the
+    per-query hits aggregation and the 10-row floor window must never
+    shuffle the corpus — the only corpus-sized work is the scored
+    candidate generation both search paths already do."""
+    import __spark_entry__ as e
+
+    df = e.q_ann_recall(spark, SF)
+    plan = physical_plan(df)
+    # the exact side broadcasts its (tiny) query relation
+    assert broadcast_join_count(df) >= 1, plan
