@@ -3649,6 +3649,43 @@ def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF centroid trainer on a gated path (same treatment as
+    q_pq_train): 3 spherical-k-means iterations from the k=8 lowest-id
+    seed (similarity.kmeans_centroids_report — one job per iteration,
+    objective and assignment checksum as byproducts of the training
+    aggregation). Anchored cross-engine by init_cell_sum — the exact
+    BIGINT sum of assigned cell ids under the initial seed, which the
+    oracle replays via the same max-dot/lowest-cell-tie rule — plus
+    the ascent invariants: the mean best-cosine objective never
+    decreases (both Lloyd steps are ascent moves; tolerance 1e-9 for
+    float association) and three iterations end strictly above the
+    seed's objective (measured 0.186→0.255 / 0.189→0.256 /
+    0.182→0.212 at the three SFs)."""
+    from matdb_spark.operators.similarity import kmeans_centroids_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _cents, objs, n_vectors, init_cell_sum = kmeans_centroids_report(
+        emb, k=8, iters=3
+    )
+    rows = [
+        (
+            i,
+            int(n_vectors),
+            8,
+            int(init_cell_sum),
+            bool(objs[i] >= objs[i - 1] * (1.0 - 1e-9)),
+            bool(objs[2] > objs[0]),
+        )
+        for i in (1, 2)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "iter int, n_vectors long, n_seed_cells long, init_cell_sum long, "
+        "obj_nondecreasing boolean, final_above_init boolean",
+    )
+
+
 def q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-aware sequence packing: the 16-merge BPE vocabulary
     is trained on the corpus, every document is counted in BPE tokens
@@ -3850,6 +3887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_recall_refined": q_ann_recall_refined,
         "q_stream_ivf_append": q_stream_ivf_append,
         "q_pq_train": q_pq_train,
+        "q_kmeans_train": q_kmeans_train,
         "q_pack_bpe": q_pack_bpe,
         "q_sample_per_source": q_sample_per_source,
         "q_curation_pipeline": q_curation_pipeline,
@@ -4291,6 +4329,36 @@ def _pq_train_sql() -> str:
                TRUE AS err_nonincreasing,
                TRUE AS final_below_baseline
         FROM (VALUES (1), (2), (3)) AS t(iter), s
+    """
+
+
+def _kmeans_train_sql() -> str:
+    """Oracle for q_kmeans_train: replays the INITIAL assignment
+    exactly (max dot against the k=8 lowest-id unit seeds, ties to
+    the lowest cell id) and sums the assigned cell ids; the ascent
+    verdicts are TRUE whenever spherical k-means behaves (see
+    q_pq_train's registration comment for the invariant-gate
+    rationale)."""
+    return f"""
+        WITH {_UNIT_E},
+        seed AS (SELECT vec_id AS cell_id, v AS cv FROM (
+            SELECT vec_id, v, ROW_NUMBER() OVER (ORDER BY vec_id) AS j FROM e)
+            WHERE j <= 8),
+        assign AS (SELECT vec_id, cell_id FROM (
+            SELECT e.vec_id, seed.cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {_dot('e.v', 'seed.cv')} DESC, seed.cell_id) AS rn
+            FROM e, seed) WHERE rn = 1),
+        s AS (SELECT CAST(SUM(cell_id) AS BIGINT) AS init_cell_sum,
+                     COUNT(*) AS n_vectors
+              FROM assign)
+        SELECT CAST(t.iter AS INT) AS iter,
+               s.n_vectors,
+               CAST(8 AS BIGINT) AS n_seed_cells,
+               s.init_cell_sum,
+               TRUE AS obj_nondecreasing,
+               TRUE AS final_above_init
+        FROM (VALUES (1), (2)) AS t(iter), s
     """
 
 
@@ -5383,6 +5451,7 @@ def oracle_sql() -> dict[str, str]:
         # flip the gate red whenever an iteration increases the
         # objective.
         "q_pq_train": _pq_train_sql(),
+        "q_kmeans_train": _kmeans_train_sql(),
         "q_pack_bpe": f"""
             WITH btoks AS MATERIALIZED ({_bpe_tokenize_sql(16)}),
             t AS (

@@ -175,6 +175,93 @@ def kmeans_centroids(
     return cents
 
 
+def kmeans_centroids_report(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[float], int, int]:
+    """kmeans_centroids with the spherical-k-means objective trajectory
+    — (centroids_df, [obj_0 .. obj_iters-1], n_vectors,
+    init_cell_sum), where obj_i is the mean best-cosine of the
+    assignment against the centroids entering iteration i (both Lloyd
+    steps are ascent moves on this number — assignment maximizes each
+    vector's term, and the normalized mean is the unit vector
+    maximizing a cell's summed dot) and init_cell_sum is the exact
+    BIGINT sum of assigned cell ids under the INITIAL seed (the k
+    lowest-id vectors) — the deterministic anchor a SQL oracle
+    replays.
+
+    ONE job per iteration: best-assignment (max_by) → posexplode →
+    per-(cell, position) means carrying per-cell counts and
+    similarity sums in the same aggregation; the k·d centroid floats
+    rebuild driver-side, so there are no executor-pinned checkpoint
+    chains at all (unlike the original kmeans_centroids loop)."""
+    spark = corpus.sparkSession
+    cents = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(id_col).alias("cell_id"), as_double(F.col(vec_col)).alias(vec_col))
+    )
+    objs: list[float] = []
+    init_cell_sum = 0
+    n_vectors = 0
+    for i in range(iters):
+        u = _unit(corpus, [F.col(id_col)], vec_col, "__v")
+        cu = _unit(cents, [F.col("cell_id")], vec_col, "__cv")
+        scored = u.crossJoin(F.broadcast(cu)).select(
+            id_col, "__v", "cell_id", dot(F.col("__v"), F.col("__cv")).alias("__sim")
+        )
+        payload = F.struct(F.col("cell_id"), F.col("__v"))
+        order = F.struct(F.col("__sim"), (-F.col("cell_id")).alias("__t"))
+        best = scored.groupBy(id_col).agg(
+            F.max_by(payload, order).alias("__b"),
+            F.max("__sim").alias("__bs"),
+        )
+        ex = best.select(
+            F.col("__b.cell_id").alias("cell_id"),
+            F.col("__bs"),
+            F.posexplode("__b.__v").alias("__pos", "__x"),
+        )
+        rows = (
+            ex.groupBy("cell_id", "__pos")
+            .agg(
+                F.avg("__x").alias("__m"),
+                F.count(F.lit(1)).alias("__c"),
+                F.sum("__bs").alias("__ss"),
+            )
+            .collect()
+        )
+        counts = {r["cell_id"]: int(r["__c"]) for r in rows if r["__pos"] == 0}
+        sim_sums = {r["cell_id"]: float(r["__ss"]) for r in rows if r["__pos"] == 0}
+        n_vectors = sum(counts.values())
+        objs.append(sum(sim_sums.values()) / n_vectors if n_vectors else 0.0)
+        if i == 0:
+            init_cell_sum = sum(c * n for c, n in counts.items())
+        d = 1 + max(r["__pos"] for r in rows)
+        means: dict = {}
+        for r in rows:
+            means.setdefault(r["cell_id"], [0.0] * d)[r["__pos"]] = float(r["__m"])
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            StructField,
+            StructType,
+        )
+
+        cents = spark.createDataFrame(
+            [(c, v) for c, v in sorted(means.items())],
+            StructType(
+                [
+                    StructField("cell_id", corpus.schema[id_col].dataType),
+                    StructField(vec_col, ArrayType(DoubleType())),
+                ]
+            ),
+        )
+    return cents, objs, n_vectors, init_cell_sum
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -120,6 +120,38 @@ def test_residual_beats_raw_on_clustered(spark, clustered, tmp_path_factory):
     assert res_hits > 0
 
 
+def test_kmeans_report_invariants(spark):
+    """The gated centroid trainer: objective (mean best-cosine) never
+    decreases, three iterations beat the seed, the assignment checksum
+    is reproducible, and the trained centroids agree with the original
+    kmeans_centroids loop (same assignment rule, same means — only
+    float association differs between the two aggregation paths)."""
+    from matdb_spark.operators.similarity import (
+        kmeans_centroids,
+        kmeans_centroids_report,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents, objs, n, cell_sum = kmeans_centroids_report(emb, k=4, iters=2)
+    assert n == emb.count()
+    assert cell_sum > 0
+    for prev, cur in zip(objs, objs[1:]):
+        assert cur >= prev * (1.0 - 1e-9), objs
+    # same run → identical checksum (determinism)
+    _, objs2, _, cell_sum2 = kmeans_centroids_report(emb, k=4, iters=2)
+    assert cell_sum2 == cell_sum and objs2 == objs
+    # agrees with the original loop's centroids up to association noise
+    ref = {
+        r["cell_id"]: list(r["embedding"])
+        for r in kmeans_centroids(emb, k=4, iters=2).collect()
+    }
+    got = {r["cell_id"]: list(r["embedding"]) for r in cents.collect()}
+    assert set(got) == set(ref)
+    for c in ref:
+        for a, b in zip(got[c], ref[c]):
+            assert abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+
+
 def test_pq_train_invariants(spark):
     """The trainer gate's two invariants, exercised directly: Lloyd
     iterations never increase the quantization error, and three
