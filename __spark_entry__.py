@@ -3467,6 +3467,56 @@ def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def q_similarity_ivfpq_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ: the index fixture is built from only
+    vec_id % 3 != 0, then the remaining third is ADMITTED via
+    append_ivfpq_index — assignment against the stored unit centroids,
+    residual encode with the stored codebook, one append, no rebuild.
+    Because both steps are deterministic given the sidecars, the
+    final index is bit-identical to q_similarity_ivfpq's full build,
+    so the probe shares its oracle (the q_similarity_ivf_appended
+    pattern, composed with PQ)."""
+    from matdb_spark.operators.similarity import (
+        append_ivfpq_index,
+        ivfpq_topk_indexed,
+        pq_codebook_from_residual_sample,
+        write_ivfpq_index,
+    )
+    from matdb_spark.sources.formats import _build_once
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SCRATCH, f"fixture_ivfpq_appended_{tag}")
+
+    def build(p: str) -> None:
+        emb_b = load_table(spark, sf_dir, "embeddings")
+        # codebook sampled from the FULL corpus (the oracle's rule);
+        # the initial write covers two thirds, the append admits the
+        # rest against the persisted sidecars
+        cb = pq_codebook_from_residual_sample(
+            emb_b, _centroids(emb_b), m=8, k=16, sample_mod=31
+        )
+        write_ivfpq_index(
+            emb_b.filter(F.col("vec_id") % 3 != 0),
+            _centroids(emb_b),
+            cb,
+            p,
+            residual=True,
+        )
+        append_ivfpq_index(spark, emb_b.filter(F.col("vec_id") % 3 == 0), p)
+
+    _build_once(path, build)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    out = ivfpq_topk_indexed(spark, path, queries_df, k=5, nprobe=2)
+    scored = out.select(
+        "query_id", "neighbor_id", F.round("approx_sim", 6).alias("approx_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 def _recall_frame(
     spark: SparkSession, exact: DataFrame, approx: DataFrame, floor_hits: float
 ) -> DataFrame:
@@ -3882,6 +3932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_tokenize": q_bpe_tokenize,
         "q_similarity_pq": q_similarity_pq,
         "q_similarity_ivfpq": q_similarity_ivfpq,
+        "q_similarity_ivfpq_appended": q_similarity_ivfpq_appended,
         "q_ann_recall": q_ann_recall,
         "q_ann_recall_ivfpq": q_ann_recall_ivfpq,
         "q_ann_recall_refined": q_ann_recall_refined,
@@ -5438,6 +5489,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_tokenize": _bpe_tokenize_sql(),
         "q_similarity_pq": _pq_sql(),
         "q_similarity_ivfpq": _ivfpq_sql(),
+        "q_similarity_ivfpq_appended": _ivfpq_sql(),
         "q_ann_recall": _ann_recall_sql(),
         "q_ann_recall_ivfpq": _ann_recall_ivfpq_sql(),
         "q_ann_recall_refined": _ann_recall_refined_sql(),

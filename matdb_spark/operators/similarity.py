@@ -1096,6 +1096,73 @@ def write_ivfpq_index(
     ).coalesce(1).write.mode("error").parquet(path + "/_codebook")
 
 
+def append_ivfpq_index(
+    spark,
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Admit a new embedding batch into a persisted IVF-PQ index:
+    assign each vector to its nearest STORED centroid, encode with the
+    STORED codebook (residuals against the stored centroids when the
+    index is residual-encoded — the flag rides the `_codebook`
+    sidecar), and append into the assigned cells' partitions. Because
+    assignment and encoding are deterministic given the sidecars, an
+    appended batch lands bit-identically to a from-scratch build with
+    the same centroids/codebook — which is what lets the incremental
+    gate share the full-build oracle. One broadcast assignment + one
+    exchange-free encode + one partitioned append per batch."""
+    codebook, residual = read_pq_codebook_meta(spark, path + "/_codebook")
+    cb_lit, m, k, bs = _pq_lit(codebook)
+    cents = spark.read.parquet(path + "/_centroids").select(
+        "cell_id", F.col(vec_col)
+    )
+    cells = assign_cells(
+        new_vecs, cents, id_col, vec_col, centroids_unit=True
+    )
+    if residual:
+        cu = cents.select("cell_id", F.col(vec_col).alias("__cv"))
+        enc_in = cells.join(F.broadcast(cu), "cell_id").select(
+            F.col(id_col),
+            F.col("cell_id"),
+            F.zip_with(
+                F.col(vec_col), F.col("__cv"), lambda a, b: a - b
+            ).alias("__v"),
+        )
+    else:
+        enc_in = cells.select(
+            F.col(id_col), F.col("cell_id"), F.col(vec_col).alias("__v")
+        )
+    coded = enc_in.select(
+        id_col, "cell_id", _pq_codes_expr(cb_lit, m, k, bs).alias("codes")
+    )
+    (
+        coded.repartition(F.col("cell_id"))
+        .write.mode("append")
+        .partitionBy("cell_id")
+        .parquet(path)
+    )
+
+
+def purge_ivfpq_index(spark, path: str, ids) -> tuple[int, int]:
+    """Deletion propagation for an IVF-PQ index: rewrite without the
+    given ids (the `_centroids`/`_codebook` sidecars are aggregates,
+    not per-document data, and are preserved). Same one-shuffle
+    rewrite + atomic swap as every other index purge."""
+    from matdb_spark.operators.index_maint import purge_index
+
+    return purge_index(
+        spark,
+        path,
+        ids,
+        "vec_id",
+        "cell_id",
+        ["vec_id"],
+        sidecars=("_centroids", "_codebook"),
+    )
+
+
 def read_pq_codebook(spark, path: str) -> list[list[list[float]]]:
     """Codebook back from a `_codebook/` parquet (bounded m×k rows)."""
     cb, _ = read_pq_codebook_meta(spark, path)

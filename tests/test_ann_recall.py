@@ -152,6 +152,48 @@ def test_kmeans_report_invariants(spark):
             assert abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
 
 
+def test_ivfpq_append_and_purge_lifecycle(spark, clustered, tmp_path_factory):
+    """The IVF-PQ standing-index lifecycle: an appended batch lands
+    bit-identically to a full build (same sidecars), and purge removes
+    vectors while preserving both sidecars."""
+    import os
+
+    from matdb_spark.operators.similarity import (
+        append_ivfpq_index,
+        pq_codebook_from_residual_sample,
+        purge_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = clustered
+    cents = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    cb = pq_codebook_from_residual_sample(emb, cents, m=8, k=16, sample_mod=7)
+    base = str(tmp_path_factory.mktemp("ivfpq_life"))
+    full, inc = os.path.join(base, "full"), os.path.join(base, "inc")
+    write_ivfpq_index(emb, cents, cb, full, residual=True)
+    write_ivfpq_index(
+        emb.filter(F.col("vec_id") % 3 != 0), cents, cb, inc, residual=True
+    )
+    append_ivfpq_index(spark, emb.filter(F.col("vec_id") % 3 == 0), inc)
+
+    def rows(p):
+        return {
+            (r["vec_id"], r["cell_id"], tuple(r["codes"]))
+            for r in spark.read.parquet(p).collect()
+        }
+
+    assert rows(inc) == rows(full)  # appends land bit-identically
+
+    before, after = purge_ivfpq_index(spark, inc, [0, 1, 2])
+    assert (before, after) == (600, 597)
+    assert spark.read.parquet(inc).filter(F.col("vec_id") < 3).count() == 0
+    # sidecars preserved byte-for-byte through the swap
+    assert spark.read.parquet(inc + "/_centroids").count() == 10
+    assert spark.read.parquet(inc + "/_codebook").count() == 8 * 16
+
+
 def test_pq_train_invariants(spark):
     """The trainer gate's two invariants, exercised directly: Lloyd
     iterations never increase the quantization error, and three
