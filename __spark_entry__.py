@@ -3699,6 +3699,61 @@ def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_loader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone #2 — the DATA-LOADER half of a training pipeline
+    (q_llm_pipeline is the curation half): 16-merge BPE vocabulary →
+    per-document BPE token budgets (one exchange-free scan) →
+    mixture rebalance to uniform per-source TOKEN shares (weights
+    from BPE token mass, stochastic-rounding duplication, broadcast
+    join + generate — no data shuffle) → sequence packing of the
+    rebalanced unit stream into 512-BPE-token training sequences over
+    8 hash shards (copies are distinct units via the doc:copy key;
+    ONE shuffle, the per-shard prefix-sum window). The output is the
+    loader manifest a trainer consumes: which unit starts where in
+    which pack. The budget relation is localCheckpointed once for its
+    two consumers (per-source mass + the rebalance join) — the
+    q_llm_pipeline shared-relation rule."""
+    from matdb_spark.operators import sampling
+    from matdb_spark.operators.bpe import bpe_segment_expr, train_bpe
+    from matdb_spark.operators.packing import pack_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", num_merges=16, min_count=1)
+    s = bpe_segment_expr(F.col("text"), merges)
+    n = F.when(s == "", F.lit(0)).otherwise(F.size(F.split(s, " ")))
+    base = docs.select(
+        "doc_id", "source", n.cast("long").alias("n_bpe_tokens")
+    ).localCheckpoint()
+    per = base.groupBy("source").agg(
+        F.sum("n_bpe_tokens").cast("long").alias("__tt")
+    )
+    tot = per.agg(
+        F.sum("__tt").cast("double").alias("__grand"),
+        F.count(F.lit(1)).alias("__nsrc"),
+    )
+    weights = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.when(
+            (F.col("__grand") > 0) & (F.col("__tt") > 0),
+            (F.lit(1.0) / F.col("__nsrc")) / (F.col("__tt") / F.col("__grand")),
+        ).alias("weight"),
+    )
+    reb = sampling.rebalance_mixture(base, weights, "source", "doc_id")
+    units = reb.withColumn(
+        "uid",
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("copy_idx").cast("string"),
+        ),
+    )
+    packed = pack_documents(units, "uid", "n_bpe_tokens", budget=512, n_shards=8)
+    return packed.select(
+        "doc_id", "copy_idx", "source", "n_bpe_tokens",
+        "shard", "start_tok", "pack_id", "pack_pos",
+    )
+
+
 def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF centroid trainer on a gated path (same treatment as
     q_pq_train): 3 spherical-k-means iterations from the k=8 lowest-id
@@ -3940,6 +3995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_train": q_pq_train,
         "q_kmeans_train": q_kmeans_train,
         "q_pack_bpe": q_pack_bpe,
+        "q_loader_pipeline": q_loader_pipeline,
         "q_sample_per_source": q_sample_per_source,
         "q_curation_pipeline": q_curation_pipeline,
         "q_dedup_exact": q_dedup_exact,
@@ -5504,6 +5560,48 @@ def oracle_sql() -> dict[str, str]:
         # objective.
         "q_pq_train": _pq_train_sql(),
         "q_kmeans_train": _kmeans_train_sql(),
+        "q_loader_pipeline": f"""
+            WITH btoks AS MATERIALIZED ({_bpe_tokenize_sql(16)}),
+            base AS (SELECT d.doc_id, d.source, b.n_bpe_tokens
+                     FROM documents d JOIN btoks b USING (doc_id)),
+            per AS (SELECT source, CAST(SUM(n_bpe_tokens) AS BIGINT) AS tt
+                    FROM base GROUP BY source),
+            tot AS (SELECT CAST(SUM(tt) AS DOUBLE) AS grand, COUNT(*) AS nsrc
+                    FROM per),
+            w AS (SELECT source,
+                         CASE WHEN grand > 0 AND tt > 0
+                              THEN (1.0 / nsrc) / (tt / grand) END AS weight
+                  FROM per, tot),
+            d2 AS (SELECT doc_id, base.source, n_bpe_tokens, weight,
+                          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                              / 281474976710656.0 AS u
+                   FROM base JOIN w USING (source) WHERE weight IS NOT NULL),
+            c AS (SELECT doc_id, source, n_bpe_tokens,
+                         CAST(floor(weight)
+                              + CASE WHEN u < weight - floor(weight) THEN 1 ELSE 0 END
+                              AS INT) AS copies
+                  FROM d2),
+            units AS (SELECT doc_id, source, n_bpe_tokens, CAST(ui.i AS INT) AS copy_idx
+                      FROM c, UNNEST(range(1, copies + 1)) AS ui(i)
+                      WHERE copies > 0),
+            t AS (SELECT doc_id, copy_idx, source, n_bpe_tokens,
+                         CAST(doc_id AS VARCHAR) || ':' || CAST(copy_idx AS VARCHAR) AS uid,
+                         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                              || CAST(copy_idx AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+                  FROM units),
+            s2 AS (SELECT doc_id, copy_idx, source, n_bpe_tokens,
+                          CAST(h % 8 AS INT) AS shard,
+                          COALESCE(SUM(n_bpe_tokens) OVER (
+                              PARTITION BY h % 8 ORDER BY h, uid
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                              AS start_tok
+                   FROM t)
+            SELECT doc_id, copy_idx, source, n_bpe_tokens, shard,
+                   CAST(start_tok AS BIGINT) AS start_tok,
+                   CAST(start_tok // 512 AS BIGINT) AS pack_id,
+                   CAST(start_tok % 512 AS BIGINT) AS pack_pos
+            FROM s2
+        """,
         "q_pack_bpe": f"""
             WITH btoks AS MATERIALIZED ({_bpe_tokenize_sql(16)}),
             t AS (
