@@ -362,3 +362,26 @@ def test_recall_gate_plans_stay_bounded(spark):
     plan = physical_plan(df)
     # the exact side broadcasts its (tiny) query relation
     assert broadcast_join_count(df) >= 1, plan
+
+
+def test_loader_pipeline_shape(spark):
+    """The loader capstone's returned plan (vocabulary already folded
+    into literals, budgets checkpointed): the per-source weight table
+    reaches the unit stream as a BROADCAST join, and the only
+    data-sized exchange is the pack window's shard repartition — the
+    rebalance generate adds none."""
+    import __spark_entry__ as e
+
+    df = e.q_loader_pipeline(spark, SF)
+    plan = physical_plan(df)
+    assert broadcast_join_count(df) >= 1, plan
+    # (a SinglePartition exchange DOES appear — the 1-row grand-total
+    # aggregate over the per-source relation, bounded by the source
+    # count; what must never be single-partition is the pack WINDOW)
+    assert "Generate" in plan and "Window" in plan
+    # the prefix-sum window must partition by shard (formatted plans
+    # put node arguments in their own "(n) Window" detail block)
+    window_blocks = [
+        b for b in plan.split("\n\n") if ") Window" in b or b.startswith("Window")
+    ]
+    assert window_blocks and all("shard" in b for b in window_blocks), plan
