@@ -71,6 +71,36 @@ def main() -> None:
     run_to_memory_sink(joined, "demo_join", f"{base}/ckpt_join", "append")
     print("click→purchase pairs:", spark.table("demo_join").count())
 
+    # 4. continuous embedding ingest into a persisted IVF index: seed
+    #    an index, then stream a batch of new vectors into its cells
+    from matdb_spark.operators.similarity import ivf_topk_indexed, write_ivf_index
+    from matdb_spark.streaming import stream_ivf_append
+
+    emb = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[((F.col("id") * (j + 3)) % 53 / 26.5 - 1.0) for j in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    cents = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    index = f"{base}/ivf_index"
+    write_ivf_index(emb, cents, index)
+    arriving = emb.select((F.col("vec_id") + 100).alias("vec_id"), "embedding")
+    arriving.coalesce(1).write.json(f"{base}/vec_src")
+    vec_stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).json(f"{base}/vec_src")
+    q = stream_ivf_append(vec_stream, index, f"{base}/ckpt_vec")
+    q.awaitTermination(120)
+    q.stop()
+    probe = ivf_topk_indexed(
+        spark, index, emb.filter(F.col("vec_id") == 5), k=3, nprobe=2
+    )
+    print("IVF probe over seed + streamed vectors:")
+    probe.show(3)
+
 
 if __name__ == "__main__":
     main()
