@@ -1588,6 +1588,27 @@ def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "copy_idx")
 
 
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture shares (sampling.
+    temperature_weights, T=2 — the mBERT/XLM-R multilingual knob):
+    per-source sampling share ∝ natural_share^(1/2), plus the
+    duplication weight rebalance_mixture would consume. Value-exact
+    cross-engine WITHOUT rounding: exact BIGINT masses, correctly-
+    rounded divisions and sqrt, and a denominator folded in source
+    order over one sorted bounded array (the oracle replays the same
+    fold as list_sum(... ORDER BY source))."""
+    from matdb_spark.functions.text import token_count
+    from matdb_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).cast("long").alias("total_tokens")
+    )
+    return sampling.temperature_weights(
+        per, "source", "total_tokens", temperature=2.0
+    )
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document: distinct-
     token ratio, top-token frequency fraction, duplicate-2-gram
@@ -3998,6 +4019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_importance_resample": q_importance_resample,
         "q_bigram_lm_score": q_bigram_lm_score,
         "q_mixture_rebalance": q_mixture_rebalance,
+        "q_mixture_temperature": q_mixture_temperature,
         "q_chunk_documents": q_chunk_documents,
         "q_llm_pipeline": q_llm_pipeline,
         "q_bpe_train": q_bpe_train,
@@ -5553,6 +5575,21 @@ def oracle_sql() -> dict[str, str]:
                         THEN (1.0 / nsrc) / (total_tokens / grand) END
                        AS weight
             FROM per, tot
+        """,
+        "q_mixture_temperature": f"""
+            WITH per AS (
+                SELECT source,
+                       CAST(SUM(len(regexp_extract_all(text, '{TOKEN_PATTERN}'))) AS BIGINT) AS m
+                FROM documents GROUP BY source),
+            g AS (SELECT CAST(SUM(m) AS BIGINT) AS grand FROM per),
+            d AS (SELECT list_sum(list(sqrt(m / grand) ORDER BY source)) AS denom
+                  FROM per, g)
+            SELECT source, m AS total_tokens,
+                   m / grand AS share,
+                   sqrt(m / grand) / denom AS temp_share,
+                   CASE WHEN m / grand > 0
+                        THEN (sqrt(m / grand) / denom) / (m / grand) END AS weight
+            FROM per, g, d
         """,
         "q_importance_weights": _importance_sql(resample=False),
         "q_importance_resample": _importance_sql(resample=True),

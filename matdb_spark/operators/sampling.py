@@ -112,6 +112,68 @@ def rebalance_mixture(
     )
 
 
+def temperature_weights(
+    per: DataFrame,
+    group_col: str,
+    mass_col: str,
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Temperature-flattened sampling shares — the standard
+    multilingual/multi-source mixture knob (mBERT/XLM-R style):
+    sampling share q_s ∝ p_s^(1/T), where p_s is the group's natural
+    token share. T=1 keeps natural shares, T→∞ approaches uniform;
+    T=2 is the common compromise. Returns (group, mass, share,
+    temp_share, weight) with ``weight = temp_share / share`` — the
+    per-example duplication factor to feed ``rebalance_mixture``.
+
+    Determinism design (value-exact cross-engine oracles): the input
+    is a bounded per-GROUP relation (sources/languages — bounded by
+    design), so it is gathered into ONE sorted array and every float
+    step is either a correctly-rounded IEEE op (division, sqrt) or a
+    fold in group order (the denominator Σ p^(1/T)) — the same
+    accumulation sequence any engine's ordered list-sum replays. The
+    grand total is an exact BIGINT sum first. At T=2 the exponent is
+    computed as sqrt (correctly rounded everywhere); other T use
+    pow, whose last-ulp behavior may differ across libm
+    implementations — round before comparing cross-engine there."""
+    texp = 1.0 / temperature
+
+    def tshare(share: Column) -> Column:
+        if temperature == 2.0:
+            return F.sqrt(share)
+        return F.pow(share, F.lit(texp))
+
+    arr = per.select(
+        F.struct(
+            F.col(group_col).alias("g"), F.col(mass_col).cast("long").alias("m")
+        ).alias("s")
+    ).agg(F.array_sort(F.collect_list("s")).alias("a"))
+    grand = F.aggregate(
+        "a", F.lit(0).cast("long"), lambda acc, s: acc + s["m"]
+    )
+    row = arr.select("a", grand.alias("__grand"))
+    denom = F.aggregate(
+        "a",
+        F.lit(0.0),
+        lambda acc, s: acc + tshare(s["m"] / F.col("__grand")),
+    )
+    row = row.select("a", "__grand", denom.alias("__denom"))
+    share = F.col("s.m") / F.col("__grand")
+    return (
+        row.select(F.explode("a").alias("s"), "__grand", "__denom")
+        .select(
+            F.col("s.g").alias(group_col),
+            F.col("s.m").alias(mass_col),
+            share.alias("share"),
+            (tshare(share) / F.col("__denom")).alias("temp_share"),
+        )
+        .withColumn(
+            "weight",
+            F.when(F.col("share") > 0, F.col("temp_share") / F.col("share")),
+        )
+    )
+
+
 def epoch_shuffle(
     df: DataFrame, id_col: str, seed: int, out_col: str = "shuffle_rank"
 ) -> DataFrame:

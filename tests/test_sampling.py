@@ -96,3 +96,28 @@ def test_rebalance_mixture_null_weight_drops_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_temperature_weights_properties(spark):
+    """T=2 flattens toward uniform (max natural share shrinks, min
+    grows), temp shares still sum to 1, and T=1 is the identity
+    (pow(x, 1.0) is exact)."""
+    import pyspark.sql.functions as F
+
+    from matdb_spark.operators.sampling import temperature_weights
+
+    per = spark.createDataFrame(
+        [("a", 800), ("b", 150), ("c", 50)], "source string, mass long"
+    )
+    rows = {r["source"]: r for r in temperature_weights(per, "source", "mass").collect()}
+    assert abs(sum(r["temp_share"] for r in rows.values()) - 1.0) < 1e-12
+    assert rows["a"]["temp_share"] < rows["a"]["share"]  # dominant shrinks
+    assert rows["c"]["temp_share"] > rows["c"]["share"]  # tail grows
+    assert rows["c"]["weight"] > 1.0 > rows["a"]["weight"]
+    ident = {
+        r["source"]: r
+        for r in temperature_weights(per, "source", "mass", temperature=1.0).collect()
+    }
+    for s in ident:
+        assert ident[s]["temp_share"] == ident[s]["share"]
+        assert ident[s]["weight"] == 1.0
