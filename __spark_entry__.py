@@ -1383,6 +1383,48 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=32, bands=8)
 
 
+def _lsh_recall_frame(docs: DataFrame, bands: int, floor: float) -> DataFrame:
+    """Candidate recall of MinHash-LSH against exact n-gram Jaccard
+    ground truth — shared by the gated query (bands=8) and the
+    teeth test (bands=1, which must FAIL the floor)."""
+    truth = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6
+    ).select("id_a", "id_b")
+    cand = dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=32, bands=bands)
+    hits = truth.join(cand, ["id_a", "id_b"])
+    t = truth.agg(F.count(F.lit(1)).alias("truth_pairs"))
+    c = cand.agg(F.count(F.lit(1)).alias("candidate_pairs"))
+    h = hits.agg(F.count(F.lit(1)).alias("hit_pairs"))
+    return (
+        t.crossJoin(c)
+        .crossJoin(h)
+        .select(
+            "truth_pairs",
+            "candidate_pairs",
+            "hit_pairs",
+            (F.col("hit_pairs") / F.col("truth_pairs")).alias("recall"),
+            (F.col("hit_pairs") >= F.col("truth_pairs") * F.lit(floor)).alias(
+                "recall_floor_met"
+            ),
+        )
+    )
+
+
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup QUALITY gate (the LSH analogue of the q_ann_recall
+    family): candidate recall of minhash_lsh_pairs (k=32, bands=8)
+    against exact n-gram Jaccard >= 0.6 ground truth, with a recall
+    floor of 0.8. Every other dedup oracle proves cross-engine
+    determinism of the SAME sketch; this one measures whether the
+    sketch SURFACES the true near-dup pairs. Measured recall is 1.0
+    at all three SFs (fixture near-dups sit at Jaccard 0.9+, where
+    the 8x4 banding's detection probability is ~1); the floor has
+    teeth because bands=1 (r=32) measures ~0.3 on the same fixture
+    and fails it (tests/test_dedup_quality.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _lsh_recall_frame(docs, bands=8, floor=0.8)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: a persisted corpus LSH index (doc_id % 10 !=
     0, built once) is PROBED by a new batch (doc_id % 10 = 0) — the
@@ -4040,6 +4082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "q_dedup_lsh_recall": q_dedup_lsh_recall,
         "q_dedup_incremental": q_dedup_incremental,
         "q_dedup_admission": q_dedup_admission,
         "q_dedup_clusters": q_dedup_clusters,
@@ -4209,6 +4252,39 @@ def _minhash_sql() -> str:
         "JOIN okbuckets USING (band, key)) "
         "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM cb a "
         "JOIN cb b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"
+    )
+
+
+def _lsh_recall_sql() -> str:
+    """Oracle for q_dedup_lsh_recall: BOTH legs replayed — the banded
+    MinHash candidates (same CTEs as q_dedup_minhash_lsh) and the
+    exact n-gram-Jaccard ground truth (same as q_dedup_ngram_jaccard,
+    15-hex shingle hash) — then the integer-exact hit counts and the
+    floor verdict. Recall is a ratio of cross-engine-identical
+    integers, so the division is bit-exact on both engines."""
+    return (
+        _banded_cte() + ", "
+        "okbuckets AS (SELECT band, key FROM bands GROUP BY band, key "
+        f"HAVING COUNT(*) <= {_LSH_MAX_BUCKET}), "
+        "cb AS (SELECT bands.doc_id, bands.band, bands.key FROM bands "
+        "JOIN okbuckets USING (band, key)), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM cb a "
+        "JOIN cb b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), "
+        "hj AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h "
+        "FROM sh), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM hj GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i "
+        "FROM hj a JOIN hj b ON a.h = b.h AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id), "
+        "truth AS (SELECT id_a, id_b FROM inter "
+        "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+        "WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.6), "
+        "counts AS (SELECT (SELECT COUNT(*) FROM truth) AS truth_pairs, "
+        "(SELECT COUNT(*) FROM cand) AS candidate_pairs, "
+        "(SELECT COUNT(*) FROM truth JOIN cand USING (id_a, id_b)) AS hit_pairs) "
+        "SELECT truth_pairs, candidate_pairs, hit_pairs, "
+        "CAST(hit_pairs AS DOUBLE) / CAST(truth_pairs AS DOUBLE) AS recall, "
+        "hit_pairs >= truth_pairs * 0.8 AS recall_floor_met FROM counts"
     )
 
 
@@ -5843,6 +5919,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_dedup_minhash_lsh": _minhash_sql(),
+        "q_dedup_lsh_recall": _lsh_recall_sql(),
         "q_dedup_incremental": _incremental_dedup_sql(),
         "q_dedup_admission": _admission_sql(),
         "q_dedup_clusters": _dedup_clusters_sql(),
