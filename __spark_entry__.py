@@ -1929,6 +1929,19 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023): coarse
+    k-means cells -> within-cell cosine pairs -> keep the lowest-id
+    member of each near-dup neighborhood. The per-row kept/dropped
+    verdict is what a curation pipeline consumes (q_embed_near_dup
+    stops at the raw pair list). Threshold 0.35 matches the near-dup
+    gate's fixture calibration (the synthetic corpus has no true
+    dups; max pairwise cosine is ~0.51)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.semantic_dedup(emb, _centroids(emb), threshold=0.35)
+    return out.select("vec_id", "cell_id", "kept")
+
+
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 symmetric quantization of the embedding column — the 4x
     storage/shuffle/scan reduction step applied before ANN passes at
@@ -4014,6 +4027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_funcs": q_array_funcs,
         "q_similarity_ivf": q_similarity_ivf,
         "q_embed_near_dup": q_embed_near_dup,
+        "q_semantic_dedup": q_semantic_dedup,
         "q_embed_quantize": q_embed_quantize,
         "q_set_intersect": q_set_intersect,
         "q_set_except": q_set_except,
@@ -5016,6 +5030,29 @@ def _near_dup_sql() -> str:
     """
 
 
+def _semantic_dedup_sql() -> str:
+    """Oracle for q_semantic_dedup: same assignment CTE as the
+    near-dup oracle, then the greedy keep rule — a vector is dropped
+    iff a lower-id cell-mate clears the threshold."""
+    return f"""
+        WITH {_UNIT_E},
+        c AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+        assign AS (
+            SELECT vec_id, cell_id, v FROM (
+                SELECT e.vec_id, c.cell_id, e.v,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_dot('e.v', 'c.cv')} DESC, c.cell_id) AS rn
+                FROM e, c) WHERE rn = 1),
+        drops AS (
+            SELECT DISTINCT b.vec_id AS drop_id
+            FROM assign a JOIN assign b
+              ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+            WHERE {_dot('a.v', 'b.v')} >= 0.35)
+        SELECT assign.vec_id, assign.cell_id,
+               drops.drop_id IS NULL AS kept
+        FROM assign LEFT JOIN drops ON assign.vec_id = drops.drop_id
+    """
+
+
 def _ann_lsh_sql() -> str:
     """DuckDB twin of q_ann_lsh: the SAME 12 hyperplane literals (from
     similarity.hyperplanes — 6-decimal values parse to identical
@@ -5337,6 +5374,7 @@ def oracle_sql() -> dict[str, str]:
         "q_similarity_ivf_appended": _ivf_sql(),
         "q_stream_ivf_append": _ivf_sql(),
         "q_embed_near_dup": _near_dup_sql(),
+        "q_semantic_dedup": _semantic_dedup_sql(),
         "q_embed_quantize": """
             WITH s AS (
                 SELECT vec_id, embedding,

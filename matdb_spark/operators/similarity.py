@@ -566,6 +566,60 @@ def cosine_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540): cluster embeddings with a
+    coarse quantizer, compare pairs only WITHIN a cluster, and keep
+    one representative per near-duplicate neighborhood.
+
+    Keep rule (deterministic, oracle-replayable): a document is
+    dropped iff some LOWER-id member of its cell is >= ``threshold``
+    cosine-similar — i.e. the lowest id in every neighborhood always
+    survives. On a similarity chain a–b–c where sim(a,b) and sim(b,c)
+    clear the threshold but sim(a,c) does not, both b and c are
+    dropped (c's witness b is itself dropped) — the standard greedy
+    transcription of SemDeDup's keep-one-per-epsilon-ball; exact
+    clique-cover is NP-hard and no pipeline runs it.
+
+    Returns (id, cell_id, kept) for EVERY corpus row. Scale shape:
+    pair generation never leaves a cell (the SemDeDup design point —
+    cells are capped by the clusterer, so per-cell pair cost is
+    bounded however large the corpus), the drop set is an id-keyed
+    aggregation, and the final flag join is id-keyed — no global
+    quadratic term anywhere.
+    """
+    cells = assign_cells(corpus, centroids, id_col, vec_col)
+    a = cells.select(
+        "cell_id", F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va")
+    )
+    b = cells.select(
+        "cell_id", F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb")
+    )
+    drops = (
+        a.join(b, "cell_id")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(dot(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("__idb").alias("__drop_id"))
+        .distinct()
+    )
+    return (
+        cells.select(id_col, "cell_id")
+        .join(drops, F.col(id_col) == F.col("__drop_id"), "left")
+        .select(
+            id_col,
+            "cell_id",
+            F.col("__drop_id").isNull().alias("kept"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ PQ
 def pq_codebook_from_sample(
     corpus: DataFrame,

@@ -314,3 +314,36 @@ def test_ivfpq_matches_pq_adc_on_probed_cells(spark, tmp_path_factory):
     out = ivfpq_topk_indexed(spark, path, queries, k=5, nprobe=2)
     pf = " ".join(partition_filters(out))
     assert "cell_id" in pf and ("IN" in pf or "isin" in pf.lower()), pf
+
+
+def test_semantic_dedup_chain_greedy(spark):
+    """SemDeDup keep rule on a similarity chain a-b-c inside one cell:
+    sim(a,b) and sim(b,c) clear the threshold, sim(a,c) does not ->
+    the lowest id survives and BOTH b and c are dropped (c's witness
+    is the already-dropped b — documented greedy behavior). An
+    isolated vector in another cell is always kept."""
+    import math
+
+    from matdb_spark.operators.similarity import semantic_dedup
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    # chain at ~0.95 pairwise (25 deg apart: cos 25 ~= 0.906; use 15
+    # deg: cos 15 = 0.966, cos 30 = 0.866 -- threshold 0.9 splits them)
+    rows = [
+        (1, vec(0.0)),
+        (2, vec(math.radians(15))),
+        (3, vec(math.radians(30))),
+        (9, [0.0, 0.0, 1.0, 0.0]),  # orthogonal -> its own cell
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, vec(math.radians(15))), (1, [0.0, 0.0, 1.0, 0.0])],
+        "cell_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(emb, cents, threshold=0.9).collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 9: True}
