@@ -1425,6 +1425,18 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_recall_frame(docs, bands=8, floor=0.8)
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (substring) dedup — C4's remove-all-but-one rule
+    applied to duplicated 10-word spans, the class document-level
+    dedup cannot see (shared boilerplate inside otherwise-distinct
+    pages). Emits per-doc word counts, removed-word counts, and the
+    reassembled clean text; the fixture's planted near-dups share
+    long verbatim runs, so every SF removes real spans (10,067
+    duplicated spans at sf0.1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_spans(docs, "doc_id", "text", n=10)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: a persisted corpus LSH index (doc_id % 10 !=
     0, built once) is PROBED by a new batch (doc_id % 10 = 0) — the
@@ -4097,6 +4109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "q_dedup_minhash_lsh": q_dedup_minhash_lsh,
         "q_dedup_lsh_recall": q_dedup_lsh_recall,
+        "q_dedup_spans": q_dedup_spans,
         "q_dedup_incremental": q_dedup_incremental,
         "q_dedup_admission": q_dedup_admission,
         "q_dedup_clusters": q_dedup_clusters,
@@ -4267,6 +4280,42 @@ def _minhash_sql() -> str:
         "SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM cb a "
         "JOIN cb b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"
     )
+
+
+def _dup_spans_sql() -> str:
+    """Oracle for q_dedup_spans: the C4 span-removal rule replayed —
+    occurrence relation, window keeper (first by (doc_id, pos)),
+    coverage expansion, ordered reassembly. Span hashes are the same
+    15-hex md5 longs as the Spark side."""
+    n = 10
+    return f"""
+        WITH words AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+        occ AS (
+            SELECT doc_id, i AS pos,
+                   CAST(('0x' || substr(md5(array_to_string(w[i:i+{n - 1}], ' ')), 1, 15)) AS BIGINT) AS h
+            FROM words, unnest(range(1, greatest(len(w) - {n - 2}, 1))) AS u(i)),
+        r AS (SELECT doc_id, pos, h,
+                     ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+                     COUNT(*) OVER (PARTITION BY h) AS c
+              FROM occ),
+        nonkeep AS (SELECT doc_id, pos FROM r WHERE c > 1 AND rn > 1),
+        cover AS (SELECT DISTINCT doc_id, pos + j AS p
+                  FROM nonkeep, unnest(range(0, {n})) AS v(j)),
+        posr AS (SELECT doc_id, u.i AS pos, w[i] AS word
+                 FROM words, unnest(range(1, len(w) + 1)) AS u(i)),
+        keptw AS (SELECT posr.doc_id, posr.pos, posr.word
+                  FROM posr LEFT JOIN cover
+                    ON posr.doc_id = cover.doc_id AND posr.pos = cover.p
+                  WHERE cover.p IS NULL),
+        rebuilt AS (SELECT doc_id, COUNT(*) AS nk,
+                           string_agg(word, ' ' ORDER BY pos) AS clean_text
+                    FROM keptw GROUP BY doc_id)
+        SELECT words.doc_id,
+               CAST(len(words.w) AS BIGINT) AS n_words,
+               CAST(len(words.w) - coalesce(rebuilt.nk, 0) AS BIGINT) AS n_removed,
+               coalesce(rebuilt.clean_text, '') AS clean_text
+        FROM words LEFT JOIN rebuilt ON words.doc_id = rebuilt.doc_id
+    """
 
 
 def _lsh_recall_sql() -> str:
@@ -5958,6 +6007,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_dedup_minhash_lsh": _minhash_sql(),
         "q_dedup_lsh_recall": _lsh_recall_sql(),
+        "q_dedup_spans": _dup_spans_sql(),
         "q_dedup_incremental": _incremental_dedup_sql(),
         "q_dedup_admission": _admission_sql(),
         "q_dedup_clusters": _dedup_clusters_sql(),

@@ -180,6 +180,115 @@ def ngram_jaccard_pairs(
     return out
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 10,
+) -> DataFrame:
+    """Span-level (substring) deduplication: remove every corpus-wide
+    DUPLICATED n-word span except its first occurrence — the
+    n-gram-window transcription of C4's "remove all but one of any
+    three-sentence span occurring more than once" (Raffel et al. 2020,
+    §2.2) and the practical approximation of suffix-array substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"). Document-level dedup misses this class
+    entirely: boilerplate shared across otherwise-distinct pages.
+
+    Rule: an occurrence of an n-word span is a KEEPER iff it is the
+    (doc, position)-lexicographic first among all occurrences of that
+    span. Every word position covered by a NON-keeper occurrence of a
+    duplicated span is removed; the surviving words are reassembled in
+    order. Overlapping duplicated spans compose naturally — a run of
+    L >= n duplicated words is covered by its L-n+1 windows.
+
+    Returns (id, n_words, n_removed, clean_text) for every input row.
+
+    Scale shape: the occurrence relation is ~total_words rows of
+    (id, pos, 60-bit hash); one groupBy(hash) finds duplicated spans
+    and their keepers, one hash-keyed join marks non-keeper
+    occurrences, and the rebuild is a groupBy(id). No pairwise term
+    anywhere — cost is linear in corpus words, the property that makes
+    span dedup runnable where suffix arrays are not.
+    """
+    words = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(normalize(F.col(text_col)), " ").alias("__w"),
+    )
+    # span start positions are 1-based; docs shorter than n emit none
+    # (sequence(1, size-n+1) would run DESCENDING for size < n — the
+    # when() guard is load-bearing, not cosmetic)
+    starts = F.when(
+        F.size("__w") >= n, F.sequence(F.lit(1), F.size("__w") - F.lit(n - 1))
+    )
+    occ = (
+        words.select("__id", "__w", F.explode(starts).alias("__pos"))
+        .select(
+            "__id",
+            "__pos",
+            hash64(F.array_join(F.slice("__w", F.col("__pos"), n), " ")).alias(
+                "__h"
+            ),
+        )
+    )
+    dups = (
+        occ.groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(
+                F.struct(F.col("__id").alias("d"), F.col("__pos").alias("p"))
+            ).alias("__keep"),
+        )
+        .filter(F.col("__c") > 1)
+        .select("__h", "__keep")
+    )
+    nonkeep = (
+        occ.join(dups, "__h")
+        .filter(
+            ~(
+                (F.col("__id") == F.col("__keep.d"))
+                & (F.col("__pos") == F.col("__keep.p"))
+            )
+        )
+        .select("__id", "__pos")
+    )
+    cover = nonkeep.select(
+        "__id",
+        F.explode(
+            F.sequence(F.col("__pos"), F.col("__pos") + F.lit(n - 1))
+        ).alias("__p"),
+    ).distinct()
+    positions = words.select(
+        "__id", F.posexplode("__w").alias("__i", "__word")
+    ).select("__id", (F.col("__i") + 1).alias("__pos"), "__word")
+    kept = positions.join(
+        cover,
+        (positions["__id"] == cover["__id"]) & (positions["__pos"] == cover["__p"]),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__nk"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__word"))),
+                lambda s: s["__word"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    # fully-scrubbed documents drop out of the rebuild groupBy; the
+    # left join restores them with an EMPTY clean_text
+    base = words.select("__id", F.size("__w").cast("long").alias("n_words"))
+    return base.join(rebuilt, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        "n_words",
+        (F.col("n_words") - F.coalesce(F.col("__nk"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
 # --------------------------------------------------------- MinHash+LSH
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 32, shingle_n: int = 3
