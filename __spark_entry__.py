@@ -1663,6 +1663,37 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule FILTER (Rae et al. 2021 Table A1): per-rule
+    boolean flags + composite verdict per document. Thresholds are the
+    paper's, except min_words=30 so the fixture's 25-60-word docs
+    split on the rule instead of uniformly failing it, and
+    min_stopword_hits=1 because the synthetic vocabulary carries only
+    ONE of the eight Gopher stopwords ('the') — at the paper's >=2
+    the flag would be constant-false; at 1 it splits ~23/77 at every
+    SF. Both knobs are parameters of the operator, not forks of it."""
+    from matdb_spark.functions.text import gopher_quality
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = gopher_quality(
+        docs, "doc_id", "text", min_words=30, min_stopword_hits=1
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_ratio", 6).alias("symbol_ratio"),
+        F.round("alpha_frac", 6).alias("alpha_frac"),
+        "stopword_hits",
+        "ok_word_count",
+        "ok_word_len",
+        "ok_symbols",
+        "ok_alpha",
+        "ok_stopwords",
+        "gopher_pass",
+    )
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document: distinct-
     token ratio, top-token frequency fraction, duplicate-2-gram
@@ -4083,6 +4114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_manifest": q_pack_manifest,
         "q_mixture_weights": q_mixture_weights,
         "q_repetition_signals": q_repetition_signals,
+        "q_gopher_rules": q_gopher_rules,
         "q_importance_weights": q_importance_weights,
         "q_importance_resample": q_importance_resample,
         "q_bigram_lm_score": q_bigram_lm_score,
@@ -5879,6 +5911,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, CAST(u.i AS INT) AS copy_idx
             FROM c, UNNEST(range(1, copies + 1)) AS u(i)
             WHERE copies > 0
+        """,
+        "q_gopher_rules": f"""
+            WITH words AS (SELECT doc_id, text, string_split({_NORM}, ' ') AS w
+                           FROM documents),
+            sig AS (SELECT doc_id,
+                CAST(len(w) AS BIGINT) AS n_words,
+                CAST(list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+                    / len(w) AS mean_word_len,
+                CAST(len(regexp_extract_all(text, '[#…]|\\.\\.\\.')) AS DOUBLE)
+                    / len(w) AS symbol_ratio,
+                CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                    / len(w) AS alpha_frac,
+                CAST(len(list_intersect(list_distinct(w),
+                    ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))
+                    AS BIGINT) AS stopword_hits
+                FROM words),
+            flags AS (SELECT *,
+                n_words BETWEEN 30 AND 100000 AS ok_word_count,
+                mean_word_len BETWEEN 3.0 AND 10.0 AS ok_word_len,
+                symbol_ratio <= 0.1 AS ok_symbols,
+                alpha_frac >= 0.8 AS ok_alpha,
+                stopword_hits >= 1 AS ok_stopwords
+                FROM sig)
+            SELECT doc_id, n_words,
+                   ROUND(mean_word_len, 6) AS mean_word_len,
+                   ROUND(symbol_ratio, 6) AS symbol_ratio,
+                   ROUND(alpha_frac, 6) AS alpha_frac,
+                   stopword_hits, ok_word_count, ok_word_len, ok_symbols,
+                   ok_alpha, ok_stopwords,
+                   ok_word_count AND ok_word_len AND ok_symbols AND ok_alpha
+                       AND ok_stopwords AS gopher_pass
+            FROM flags
         """,
         "q_repetition_signals": f"""
             WITH base AS (

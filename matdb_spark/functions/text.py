@@ -96,6 +96,92 @@ def hash64(col: Column) -> Column:
     return hash_hex(col, 15)
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+):
+    """Gopher quality-rule bundle (Rae et al. 2021, "Scaling Language
+    Models: ... Gopher", Table A1) as per-rule boolean flags plus the
+    composite verdict — the standard pre-training quality FILTER,
+    complementing the continuous quality_score and the repetition
+    signals (q_repetition_signals covers Table A1's duplicate-ngram
+    rows). Rules transcribed:
+
+    - word count in [min_words, max_words]
+    - mean word length in [min_mean_word_len, max_mean_word_len]
+    - symbol-to-word ratio (# and ellipsis) <= max_symbol_ratio
+    - fraction of words with an alphabetic char >= min_alpha_frac
+    - at least min_stopword_hits DISTINCT Gopher stopwords present
+
+    Exchange-free single-pass scan (plan-asserted in tests): every
+    signal is a built-in expression over the word array, which
+    materializes once per row as an attribute. All ratios are
+    int/int double divisions — bit-identical on any engine.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.split(normalize(F.col(text_col)), " ").alias("__w"),
+        F.regexp_count(F.col(text_col), F.lit(r"[#…]|\.\.\.")).alias(
+            "__sym"
+        ),
+    )
+    sig = words.select(
+        id_col,
+        F.size("__w").cast("long").alias("n_words"),
+        (
+            F.aggregate(
+                F.transform("__w", F.length),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x.cast("long"),
+            )
+            / F.size("__w")
+        ).alias("mean_word_len"),
+        (F.col("__sym") / F.size("__w")).alias("symbol_ratio"),
+        (
+            F.size(F.filter("__w", lambda x: x.rlike("[a-z]"))) / F.size("__w")
+        ).alias("alpha_frac"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct("__w"),
+                F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            )
+        )
+        .cast("long")
+        .alias("stopword_hits"),
+    )
+    flags = sig.select(
+        "*",
+        F.col("n_words").between(min_words, max_words).alias("ok_word_count"),
+        F.col("mean_word_len")
+        .between(min_mean_word_len, max_mean_word_len)
+        .alias("ok_word_len"),
+        (F.col("symbol_ratio") <= max_symbol_ratio).alias("ok_symbols"),
+        (F.col("alpha_frac") >= min_alpha_frac).alias("ok_alpha"),
+        (F.col("stopword_hits") >= min_stopword_hits).alias("ok_stopwords"),
+    )
+    return flags.select(
+        "*",
+        (
+            F.col("ok_word_count")
+            & F.col("ok_word_len")
+            & F.col("ok_symbols")
+            & F.col("ok_alpha")
+            & F.col("ok_stopwords")
+        ).alias("gopher_pass"),
+    )
+
+
 def winnowing_fingerprints(df, id_col: str, text_col: str, k: int = 8, w: int = 4):
     """(id, fp) — winnowing document fingerprints (MOSS-style): hash
     every k-char gram of the normalized text, slide a w-gram window,

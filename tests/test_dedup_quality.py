@@ -33,3 +33,30 @@ def test_recall_floor_has_teeth(spark):
     assert r["truth_pairs"] > 0
     assert r["hit_pairs"] < r["truth_pairs"]
     assert r["recall_floor_met"] is False
+
+
+def test_gopher_rule_edges(spark):
+    """Each rule flips on its documented boundary."""
+    from matdb_spark.functions.text import gopher_quality
+
+    rows = [
+        # 0: too short; 1: passes everything (50 words incl. 2 stopwords)
+        (0, "the of " + " ".join(["word"] * 10)),
+        (1, "the of " + " ".join(["word"] * 48)),
+        # 2: mean word length too long
+        (2, " ".join(["supercalifragilistic"] * 60)),
+        # 3: numeric words -> alpha_frac 0
+        (3, "the of " + " ".join(["12345"] * 48)),
+        # 4: only one stopword
+        (4, "the " + " ".join(["word"] * 49)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in gopher_quality(df, "doc_id", "text").collect()
+    }
+    assert got[0]["ok_word_count"] is False
+    assert got[1]["gopher_pass"] is True
+    assert got[2]["ok_word_len"] is False and got[2]["mean_word_len"] == 20.0
+    assert got[3]["ok_alpha"] is False
+    assert got[4]["stopword_hits"] == 1 and got[4]["ok_stopwords"] is False

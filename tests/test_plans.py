@@ -385,3 +385,14 @@ def test_loader_pipeline_shape(spark):
         b for b in plan.split("\n\n") if ") Window" in b or b.startswith("Window")
     ]
     assert window_blocks and all("shard" in b for b in window_blocks), plan
+
+
+def test_gopher_quality_is_exchange_free(spark):
+    """The Gopher rule bundle is a single-pass scan: every signal is
+    an expression over the one materialized word array — no shuffle
+    anywhere in the plan."""
+    from matdb_spark.functions.text import gopher_quality
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = gopher_quality(docs, "doc_id", "text")
+    assert exchange_count(out) == 0
