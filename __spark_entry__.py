@@ -3703,6 +3703,25 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_frame(spark, exact, approx, floor_hits=5.0)
 
 
+def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of multi-table OR-amplified hyperplane LSH (8 tables
+    x 3 planes, the Indyk-Motwani construction) against exact cosine
+    top-10, mean-recall floor 0.6. Measured mean recall 0.83 / 0.88 /
+    0.90 at sf0.001/0.01/0.1; a SINGLE table of the same 3 planes
+    measures 0.22-0.29 — the OR-amplification is what buys the
+    recall, and the teeth test asserts the single-table config fails
+    the floor (tests/test_ann_recall.py)."""
+    from matdb_spark.operators.similarity import cosine_topk, lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    approx = lsh_topk(
+        emb, queries_df, k=10, planes_per_table=3, tables=8, dim=64
+    ).select("query_id", "neighbor_id")
+    exact = cosine_topk(emb, queries_df, k=10).select("query_id", "neighbor_id")
+    return _recall_frame(spark, exact, approx, floor_hits=6.0)
+
+
 def _ensure_ivfpq_recall_fixture(spark: SparkSession, sf_dir: str, path: str) -> None:
     """Residual IVF-PQ index at m=16 (4-dim blocks) × k=64 codewords —
     shared by the ADC-ranked and refine-stage recall gates."""
@@ -4128,6 +4147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_similarity_ivfpq": q_similarity_ivfpq,
         "q_similarity_ivfpq_appended": q_similarity_ivfpq_appended,
         "q_ann_recall": q_ann_recall,
+        "q_ann_recall_lsh": q_ann_recall_lsh,
         "q_ann_recall_ivfpq": q_ann_recall_ivfpq,
         "q_ann_recall_refined": q_ann_recall_refined,
         "q_stream_ivf_append": q_stream_ivf_append,
@@ -4609,6 +4629,51 @@ _RECALL_TAIL = """
                (AVG(hits) OVER ()) >= {floor} AS mean_floor_met
         FROM hits
 """
+
+
+def _ann_recall_lsh_sql() -> str:
+    """Oracle for q_ann_recall_lsh: the 8x3 multi-table bucketing
+    replayed with the SAME 24 plane literals (6-decimal values parse
+    to identical doubles), OR-union of per-table collisions, exact
+    cosine re-rank, then the shared recall tail."""
+    b, L = 3, 8
+    planes = similarity.hyperplanes(b * L, 64)
+    plane_cols = ", ".join(
+        "CAST([" + ", ".join(repr(x) for x in plane) + "] AS DOUBLE[])" + f" AS p{i}"
+        for i, plane in enumerate(planes)
+    )
+
+    def bucket(prefix: str, t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {_dot(prefix, f'p{t * b + j}')} >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(b)
+        )
+
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS t, {bucket('v', t)} AS bk FROM e, pl"
+        for t in range(L)
+    )
+    qb = " UNION ALL ".join(
+        f"SELECT query_id, qv, {t} AS t, {bucket('qv', t)} AS bk FROM q, pl"
+        for t in range(L)
+    )
+    return f"""
+        WITH {_UNIT_E},
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        pl AS (SELECT {plane_cols}),
+        cb AS ({cb}),
+        qb AS ({qb}),
+        cand AS (SELECT DISTINCT qb.query_id, cb.vec_id AS neighbor_id
+                 FROM qb JOIN cb ON qb.t = cb.t AND qb.bk = cb.bk
+                 WHERE cb.vec_id <> qb.query_id),
+        ap AS (SELECT query_id, neighbor_id FROM (
+            SELECT cand.query_id, cand.neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                                      ORDER BY {_dot('q.qv', 'n.v')} DESC, cand.neighbor_id) AS rank
+            FROM cand JOIN e n ON n.vec_id = cand.neighbor_id
+                      JOIN q ON q.query_id = cand.query_id) WHERE rank <= 10),
+        {_exact_topk_cte(10)},{_RECALL_TAIL.format(floor="6.0")}
+    """
 
 
 def _pq_train_sql() -> str:
@@ -5796,6 +5861,7 @@ def oracle_sql() -> dict[str, str]:
         "q_similarity_ivfpq": _ivfpq_sql(),
         "q_similarity_ivfpq_appended": _ivfpq_sql(),
         "q_ann_recall": _ann_recall_sql(),
+        "q_ann_recall_lsh": _ann_recall_lsh_sql(),
         "q_ann_recall_ivfpq": _ann_recall_ivfpq_sql(),
         "q_ann_recall_refined": _ann_recall_refined_sql(),
         # Invariant gate (docstring of q_pq_train): the per-iteration

@@ -541,6 +541,81 @@ def hyperplane_near_dup_pairs(
     )
 
 
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes_per_table: int = 3,
+    tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0x5EED,
+) -> DataFrame:
+    """Multi-table (OR-amplified) hyperplane-LSH top-k — the classical
+    LSH ANN construction (Indyk & Motwani 1998; Charikar 2002 for the
+    cosine family): ``tables`` independent hash tables of
+    ``planes_per_table`` hyperplanes each; a corpus vector is a
+    candidate for a query iff they share a bucket in ANY table; the
+    candidates are exactly re-ranked by cosine. AND within a table
+    sharpens precision (collision prob s^b for sign-agreement rate
+    s), OR across tables recovers recall (1 - (1 - s^b)^L) — the
+    single-table q_ann_lsh path has no recall knob at all.
+
+    Scale shape: both sides replicate L-fold via one generator, and
+    ONE shuffle on (table, bucket) produces all candidates; the
+    re-rank joins vectors back by id. A production deployment keeps
+    the L bucket assignments as a persisted index (the write_*_index
+    pattern) instead of recomputing them per batch — the per-query
+    cost model is identical.
+
+    Returns (query_id, neighbor_id, cos_sim, rank), rank 1..k per
+    query, ties to the lower neighbor id.
+    """
+    b, L = planes_per_table, tables
+    planes = hyperplanes(b * L, dim, seed)
+
+    def tabled(df: DataFrame, out_id: str) -> DataFrame:
+        u = _unit(df, [F.col(id_col).alias(out_id)], vec_col, "__v")
+        per_table = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    hyperplane_bucket(
+                        F.col("__v"), planes[t * b : (t + 1) * b]
+                    ).alias("bk"),
+                )
+                for t in range(L)
+            ]
+        )
+        return u.select(out_id, "__v", F.explode(per_table).alias("__tb")).select(
+            out_id, "__v", F.col("__tb.t").alias("__t"), F.col("__tb.bk").alias("__bk")
+        )
+
+    cq = tabled(queries, "query_id").withColumnRenamed("__v", "__qv")
+    cc = tabled(corpus, "neighbor_id")
+    cand = (
+        cq.join(cc, ["__t", "__bk"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("__qv"), F.col("__v")).alias("__cos"),
+        )
+        # the same pair surfaces from every table it collides in; the
+        # cosine is identical each time, so max() is a deterministic
+        # dedup that needs no second pass over the vectors
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("__cos").alias("cos_sim"))
+    )
+    return top_k_per_group(
+        cand,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -692,6 +692,93 @@ def probe_bpe(spark):
     print("  bpe probe done: merge-loop cost tracks vocab, not corpus")
 
 
+def probe_spans(spark):
+    """Span-dedup economics at 1M → 4M docs: remove_duplicate_spans'
+    cost model is linear in corpus WORDS — the occurrence relation is
+    ~words rows of (id, pos, hash), duplicated-span detection is one
+    groupBy(hash), and the rebuild is one groupBy(id). Every 10th doc
+    is a verbatim copy of its predecessor (plant), so duplicated
+    spans exist at scale and the removal term is exercised, not
+    short-circuited."""
+    from matdb_spark.operators.dedup import remove_duplicate_spans
+
+    def synth(n):
+        # 16-word docs; id%10==0 copies doc id-1's text verbatim
+        base = F.when(
+            (F.col("id") % 10 == 0) & (F.col("id") > 0), F.col("id") - 1
+        ).otherwise(F.col("id"))
+        words = [
+            F.concat(
+                F.lit(f"w{j}_"), ((base * (j * 2 + 3)) % 9973).cast("string")
+            )
+            for j in range(16)
+        ]
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"), F.concat_ws(" ", *words).alias("text")
+        )
+
+    for n in (1_000_000, 4_000_000):
+        out = remove_duplicate_spans(synth(n), "doc_id", "text", n=10)
+        total, removed = timed(
+            f"span dedup end-to-end, {n} docs x16 words",
+            lambda: tuple(
+                out.agg(F.count(F.lit(1)), F.sum("n_removed")).collect()[0]
+            ),
+        )
+        assert total == n
+        # every planted copy loses all 16 words (its 7 windows cover
+        # them); originals keep theirs
+        expected = 16 * (n // 10 - (1 if n % 10 == 0 else 0))
+        print(f"    removed words {removed} (planted-copy floor {expected})")
+        assert removed >= expected
+    print("  spans probe done: cost linear in corpus words")
+
+
+def probe_semdedup(spark):
+    """SemDeDup economics: within-cell pair cost is bounded by cell
+    OCCUPANCY, so doubling the corpus at constant occupancy (cells
+    scaled with n) doubles pair work — the linear-at-fixed-occupancy
+    claim of the SemDeDup design. The nearest-centroid assign term is
+    n x cells dots (the part production replaces with a blocked
+    matmul / ANN assign); it is timed separately here so the pair
+    term's linearity is visible on its own."""
+    from matdb_spark.operators.similarity import assign_cells, semantic_dedup
+
+    d = 16
+
+    def synth(n, tag):
+        comps = [
+            ((F.col("id") * (j * 7 + 5)) % 1997 / 998.5 - 1.0).alias(f"c{j}")
+            for j in range(d)
+        ]
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"), F.array(*comps).alias("embedding")
+        )
+
+    for n, cells in ((125_000, 512), (250_000, 1024)):
+        corpus = synth(n, "c")
+        cents = corpus.filter(F.col("vec_id") % (n // cells) == 0).select(
+            F.col("vec_id").alias("cell_id"), "embedding"
+        )
+        assigned = assign_cells(corpus, cents)
+        timed(
+            f"assign {n} vecs x {cells} cells (n*k dots)",
+            lambda: assigned.count(),
+        )
+        out = semantic_dedup(corpus, cents, threshold=0.999)
+        total, kept = timed(
+            f"semantic_dedup end-to-end, {n} vecs, ~{n // cells}/cell",
+            lambda: tuple(
+                out.agg(
+                    F.count(F.lit(1)), F.sum(F.col("kept").cast("long"))
+                ).collect()[0]
+            ),
+        )
+        assert total == n
+        print(f"    kept {kept}/{total}")
+    print("  semdedup probe done: pair term linear at fixed occupancy")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "volume"
     spark = get_spark(app_name=f"scale_probe_{which}")
@@ -724,5 +811,9 @@ if __name__ == "__main__":
         probe_ivfpq(spark)
     elif which == "bpe":
         probe_bpe(spark)
+    elif which == "spans":
+        probe_spans(spark)
+    elif which == "semdedup":
+        probe_semdedup(spark)
     else:
         raise SystemExit(f"unknown probe {which!r}")
