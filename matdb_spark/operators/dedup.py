@@ -253,7 +253,7 @@ def remove_duplicate_spans(
         .select("__id", "__pos")
     )
     cover = nonkeep.select(
-        "__id",
+        F.col("__id").alias("__cid"),
         F.explode(
             F.sequence(F.col("__pos"), F.col("__pos") + F.lit(n - 1))
         ).alias("__p"),
@@ -263,7 +263,7 @@ def remove_duplicate_spans(
     ).select("__id", (F.col("__i") + 1).alias("__pos"), "__word")
     kept = positions.join(
         cover,
-        (positions["__id"] == cover["__id"]) & (positions["__pos"] == cover["__p"]),
+        (F.col("__id") == F.col("__cid")) & (F.col("__pos") == F.col("__p")),
         "left_anti",
     )
     rebuilt = kept.groupBy("__id").agg(

@@ -52,6 +52,14 @@ FAMILY_REPS = {
     # round-5 additions: recall gates + BPE-budget packing
     "ann_recall": "q_ann_recall_ivfpq",
     "pack_bpe": "q_pack_bpe",
+    # round-5 late additions: the quality-gate family (LSH ANN recall
+    # is the suite's 4th-slowest single shot — two legs by
+    # construction: 8-table candidates + exact baseline) and the new
+    # dedup tiers
+    "ann_recall_lsh": "q_ann_recall_lsh",
+    "dedup_spans": "q_dedup_spans",
+    "dedup_lsh_recall": "q_dedup_lsh_recall",
+    "semantic_dedup": "q_semantic_dedup",
 }
 
 
