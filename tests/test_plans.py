@@ -396,3 +396,43 @@ def test_gopher_quality_is_exchange_free(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = gopher_quality(docs, "doc_id", "text")
     assert exchange_count(out) == 0
+
+
+def test_span_dedup_shuffle_budget(spark):
+    """remove_duplicate_spans: three exchanges — span-hash groupBy,
+    coverage distinct, per-doc rebuild (the non-keeper join
+    broadcasts at fixture scale; at corpus scale it shares the
+    span-hash key). No pairwise term anywhere."""
+    from matdb_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = remove_duplicate_spans(docs, "doc_id", "text", n=10)
+    assert exchange_count(out) == 3
+
+
+def test_semantic_dedup_exchanges_are_keyed(spark):
+    """semantic_dedup: six exchanges, every one keyed by cell_id or
+    the doc id (assign max_by agg; cell self-join sides; drop-set
+    distinct; flag join) — the budget is fixed, not data-shaped, and
+    nothing shuffles pairs."""
+    from matdb_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    out = semantic_dedup(emb, cents, threshold=0.35)
+    assert exchange_count(out) == 6
+
+
+def test_lsh_topk_shuffle_budget(spark):
+    """lsh_topk: the L-fold table replication is a generator, not a
+    union of L scans — only the candidate-dedup aggregation and the
+    per-query rank window shuffle (the (table, bucket) join
+    broadcasts its query side)."""
+    from matdb_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = lsh_topk(emb, q, k=10, planes_per_table=3, tables=8, dim=64)
+    assert exchange_count(out) == 2
