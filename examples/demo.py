@@ -212,6 +212,29 @@ def main() -> None:
     print("ivf-pq refined probe (ADC shortlist + exact re-rank):")
     refined.show(3)
 
+    # 17. quality filtering + the two dedup tiers document-level
+    #     dedup can't see: the Gopher rule bundle, C4-style
+    #     duplicated-span removal, and SemDeDup over the same cells
+    from matdb_spark.functions.text import gopher_quality
+    from matdb_spark.operators.dedup import remove_duplicate_spans
+
+    flags = gopher_quality(corpus, "doc_id", "text", min_words=10,
+                           min_stopword_hits=0)
+    n_pass = flags.filter("gopher_pass").count()
+    print(f"gopher rules: {n_pass}/{corpus.count()} docs pass")
+    spans = remove_duplicate_spans(corpus, "doc_id", "text", n=10)
+    print("span dedup (duplicated 10-word spans removed):")
+    spans.filter("n_removed > 0").orderBy("doc_id").show(3)
+    sem = sim.semantic_dedup(emb, cents, threshold=0.999)
+    print("semantic dedup: kept",
+          sem.filter("kept").count(), "/", sem.count(), "embeddings")
+    lsh_hits = sim.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 2), k=3,
+        planes_per_table=3, tables=8, dim=16,
+    )
+    print("multi-table LSH top-3:")
+    lsh_hits.show(6)
+
     shutil.rmtree(ivfpq, ignore_errors=True)
     shutil.rmtree(idx, ignore_errors=True)
     shutil.rmtree(path + "_cells", ignore_errors=True)
