@@ -3722,6 +3722,37 @@ def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_frame(spark, exact, approx, floor_hits=6.0)
 
 
+def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 against the PERSISTED multi-table LSH index (built once
+    per SF: table=/bucket= partitioned unit vectors + a _params
+    sidecar recording the hash family) — must equal the live
+    lsh_topk at the same parameters, which is exactly what the oracle
+    replays. Completes the index lifecycle story: every ANN family
+    here (IVF, IVF-PQ, LSH) has both a live and a persisted form,
+    and the probe reads only the partitions its queries hash to
+    (partition pruning plan-asserted in tests/test_similarity.py)."""
+    from matdb_spark.operators.similarity import lsh_topk_indexed, write_lsh_index
+    from matdb_spark.sources.formats import _build_once
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SCRATCH, f"fixture_lsh_index_{tag}")
+
+    def build(p: str) -> None:
+        emb_b = load_table(spark, sf_dir, "embeddings")
+        write_lsh_index(emb_b, p, planes_per_table=3, tables=8, dim=64)
+
+    _build_once(path, build)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    out = lsh_topk_indexed(spark, path, queries_df, k=10)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def _ensure_ivfpq_recall_fixture(spark: SparkSession, sf_dir: str, path: str) -> None:
     """Residual IVF-PQ index at m=16 (4-dim blocks) × k=64 codewords —
     shared by the ADC-ranked and refine-stage recall gates."""
@@ -4148,6 +4179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_similarity_ivfpq_appended": q_similarity_ivfpq_appended,
         "q_ann_recall": q_ann_recall,
         "q_ann_recall_lsh": q_ann_recall_lsh,
+        "q_ann_lsh_indexed": q_ann_lsh_indexed,
         "q_ann_recall_ivfpq": q_ann_recall_ivfpq,
         "q_ann_recall_refined": q_ann_recall_refined,
         "q_stream_ivf_append": q_stream_ivf_append,
@@ -4631,11 +4663,12 @@ _RECALL_TAIL = """
 """
 
 
-def _ann_recall_lsh_sql() -> str:
-    """Oracle for q_ann_recall_lsh: the 8x3 multi-table bucketing
-    replayed with the SAME 24 plane literals (6-decimal values parse
-    to identical doubles), OR-union of per-table collisions, exact
-    cosine re-rank, then the shared recall tail."""
+def _lsh_cand_ctes() -> str:
+    """Shared CTE prefix for the multi-table LSH oracles: unit
+    vectors, queries, the 24 plane literals (6-decimal values parse
+    to identical doubles in both engines), per-table bucketings of
+    both sides, and the OR-union candidate set — ends at
+    ``cand(query_id, neighbor_id)``."""
     b, L = 3, 8
     planes = similarity.hyperplanes(b * L, 64)
     plane_cols = ", ".join(
@@ -4657,15 +4690,22 @@ def _ann_recall_lsh_sql() -> str:
         f"SELECT query_id, qv, {t} AS t, {bucket('qv', t)} AS bk FROM q, pl"
         for t in range(L)
     )
-    return f"""
-        WITH {_UNIT_E},
+    return f"""{_UNIT_E},
         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
         pl AS (SELECT {plane_cols}),
         cb AS ({cb}),
         qb AS ({qb}),
         cand AS (SELECT DISTINCT qb.query_id, cb.vec_id AS neighbor_id
                  FROM qb JOIN cb ON qb.t = cb.t AND qb.bk = cb.bk
-                 WHERE cb.vec_id <> qb.query_id),
+                 WHERE cb.vec_id <> qb.query_id)"""
+
+
+def _ann_recall_lsh_sql() -> str:
+    """Oracle for q_ann_recall_lsh: the 8x3 multi-table bucketing
+    replayed, OR-union of per-table collisions, exact cosine re-rank,
+    then the shared recall tail."""
+    return f"""
+        WITH {_lsh_cand_ctes()},
         ap AS (SELECT query_id, neighbor_id FROM (
             SELECT cand.query_id, cand.neighbor_id,
                    ROW_NUMBER() OVER (PARTITION BY cand.query_id
@@ -4673,6 +4713,26 @@ def _ann_recall_lsh_sql() -> str:
             FROM cand JOIN e n ON n.vec_id = cand.neighbor_id
                       JOIN q ON q.query_id = cand.query_id) WHERE rank <= 10),
         {_exact_topk_cte(10)},{_RECALL_TAIL.format(floor="6.0")}
+    """
+
+
+def _ann_lsh_indexed_sql() -> str:
+    """Oracle for q_ann_lsh_indexed: the persisted index probe must
+    equal the LIVE multi-table computation (same planes, same
+    candidates, same exact re-rank) — so the oracle IS that live
+    computation, emitting the top-10 rows."""
+    return f"""
+        WITH {_lsh_cand_ctes()},
+        scored AS (SELECT cand.query_id, cand.neighbor_id,
+                          {_dot('q.qv', 'n.v')} AS cos
+                   FROM cand JOIN e n ON n.vec_id = cand.neighbor_id
+                             JOIN q ON q.query_id = cand.query_id)
+        SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim,
+               CAST(rn AS BIGINT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, neighbor_id) AS rn
+              FROM scored)
+        WHERE rn <= 10
     """
 
 
@@ -5862,6 +5922,7 @@ def oracle_sql() -> dict[str, str]:
         "q_similarity_ivfpq_appended": _ivfpq_sql(),
         "q_ann_recall": _ann_recall_sql(),
         "q_ann_recall_lsh": _ann_recall_lsh_sql(),
+        "q_ann_lsh_indexed": _ann_lsh_indexed_sql(),
         "q_ann_recall_ivfpq": _ann_recall_ivfpq_sql(),
         "q_ann_recall_refined": _ann_recall_refined_sql(),
         # Invariant gate (docstring of q_pq_train): the per-iteration

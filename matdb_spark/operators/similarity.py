@@ -574,28 +574,12 @@ def lsh_topk(
     """
     b, L = planes_per_table, tables
     planes = hyperplanes(b * L, dim, seed)
-
-    def tabled(df: DataFrame, out_id: str) -> DataFrame:
-        u = _unit(df, [F.col(id_col).alias(out_id)], vec_col, "__v")
-        per_table = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    hyperplane_bucket(
-                        F.col("__v"), planes[t * b : (t + 1) * b]
-                    ).alias("bk"),
-                )
-                for t in range(L)
-            ]
-        )
-        return u.select(out_id, "__v", F.explode(per_table).alias("__tb")).select(
-            out_id, "__v", F.col("__tb.t").alias("__t"), F.col("__tb.bk").alias("__bk")
-        )
-
-    cq = tabled(queries, "query_id").withColumnRenamed("__v", "__qv")
-    cc = tabled(corpus, "neighbor_id")
+    cq = _lsh_tabled(
+        queries, "query_id", planes, b, L, id_col, vec_col
+    ).withColumnRenamed("__v", "__qv")
+    cc = _lsh_tabled(corpus, "neighbor_id", planes, b, L, id_col, vec_col)
     cand = (
-        cq.join(cc, ["__t", "__bk"])
+        cq.join(cc, ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -610,6 +594,172 @@ def lsh_topk(
     )
     return top_k_per_group(
         cand,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    ).select("query_id", "neighbor_id", "cos_sim", "rank")
+
+
+def _lsh_tabled(
+    df: DataFrame,
+    out_id: str,
+    planes: list[list[float]],
+    b: int,
+    L: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, unit vec, table, bucket) — each input row replicated once
+    per table through ONE generator; shared by the live top-k, the
+    index writer, and the index appender so all three bucket
+    bit-identically."""
+    u = _unit(df, [F.col(id_col).alias(out_id)], vec_col, "__v")
+    per_table = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                hyperplane_bucket(F.col("__v"), planes[t * b : (t + 1) * b]).alias(
+                    "bk"
+                ),
+            )
+            for t in range(L)
+        ]
+    )
+    return u.select(out_id, "__v", F.explode(per_table).alias("__tb")).select(
+        out_id,
+        "__v",
+        F.col("__tb.t").alias("table"),
+        F.col("__tb.bk").alias("bucket"),
+    )
+
+
+def write_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    planes_per_table: int = 3,
+    tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0x5EED,
+) -> None:
+    """Persist the multi-table LSH bucket assignments: unit vectors
+    partitioned by `table=<t>/bucket=<b>/` directories — a probe reads
+    ONLY the (table, bucket) pairs its queries hash to, exactly like
+    the IVF index prunes `cell_id=` cells. The hash family is
+    recorded in a `_params` sidecar as (planes_per_table, tables,
+    dim, seed): `hyperplanes` is a deterministic function of those,
+    so appends re-derive the IDENTICAL planes instead of shipping
+    plane literals."""
+    b, L = planes_per_table, tables
+    planes = hyperplanes(b * L, dim, seed)
+    rows = _lsh_tabled(corpus, id_col, planes, b, L, id_col, vec_col)
+    (
+        rows.withColumnRenamed("__v", vec_col)
+        .repartition(F.col("table"), F.col("bucket"))
+        .write.mode("error")
+        .partitionBy("table", "bucket")
+        .parquet(path)
+    )
+    params = rows.sparkSession.createDataFrame(
+        [(b, L, dim, seed)],
+        "planes_per_table int, tables int, dim int, seed long",
+    )
+    params.coalesce(1).write.mode("error").parquet(path + "/_params")
+
+
+def _lsh_params(spark, path: str) -> tuple[int, int, int, int]:
+    p = spark.read.parquet(path + "/_params").collect()[0]
+    return (
+        int(p["planes_per_table"]),
+        int(p["tables"]),
+        int(p["dim"]),
+        int(p["seed"]),
+    )
+
+
+def append_lsh_index(
+    spark,
+    new_vecs: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Admit a new embedding batch into a persisted LSH index: bucket
+    it under the STORED hash family (re-derived from the `_params`
+    sidecar — bit-identical planes) and append into the matching
+    (table, bucket) partitions. A batch costs its own L bucketings
+    plus one append; the corpus is never re-hashed. Unlike IVF cells,
+    LSH buckets never drift — the hash family is data-independent —
+    so there is no rebuild-on-recall-degradation caveat here."""
+    b, L, dim, seed = _lsh_params(spark, path)
+    planes = hyperplanes(b * L, dim, seed)
+    rows = _lsh_tabled(new_vecs, id_col, planes, b, L, id_col, vec_col)
+    (
+        rows.withColumnRenamed("__v", vec_col)
+        .repartition(F.col("table"), F.col("bucket"))
+        .write.mode("append")
+        .partitionBy("table", "bucket")
+        .parquet(path)
+    )
+
+
+def lsh_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Top-k against a persisted multi-table LSH index: hash each
+    query under the stored family, read ONLY the hashed
+    `table=/bucket=` partitions (pruned before any IO), dedup
+    candidates across tables, exact-rank by cosine. Produces the same
+    result as the live ``lsh_topk`` at the same parameters.
+
+    The query-side bucket relation is bounded by |queries| × tables
+    rows, so — like ``ivf_topk_indexed``'s probe — it is COLLECTED
+    once and rebuilt as a lineage-free local DataFrame serving both
+    the driver-side partition filter and the candidate join."""
+    import functools
+    import operator
+
+    b, L, dim, seed = _lsh_params(spark, path)
+    planes = hyperplanes(b * L, dim, seed)
+    qrows_df = _lsh_tabled(
+        queries, "query_id", planes, b, L, id_col, vec_col
+    ).withColumnRenamed("__v", "__qv")
+    q_rows = qrows_df.collect()
+    q_schema = qrows_df.schema
+    probed = sorted({(r["table"], r["bucket"]) for r in q_rows})
+    probe = spark.createDataFrame(q_rows, q_schema)
+    pred = functools.reduce(
+        operator.or_,
+        [
+            (F.col("table") == t) & (F.col("bucket") == bk)
+            for t, bk in probed
+        ],
+    )
+    index = spark.read.parquet(path).filter(pred)
+    cand = probe.join(
+        index.withColumnRenamed(id_col, "neighbor_id"), ["table", "bucket"]
+    )
+    if not include_self:
+        cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("__qv"), F.col(vec_col)).alias("__cos"),
+        )
+        .filter(F.col("__cos").isNotNull())
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("__cos").alias("cos_sim"))
+    )
+    return top_k_per_group(
+        scored,
         ["query_id"],
         [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
         k,

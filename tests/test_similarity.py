@@ -347,3 +347,47 @@ def test_semantic_dedup_chain_greedy(spark):
         for r in semantic_dedup(emb, cents, threshold=0.9).collect()
     }
     assert got == {1: True, 2: False, 3: False, 9: True}
+
+
+def test_lsh_index_lifecycle(spark, tmp_path):
+    """write -> probe == live; append -> appended vectors surface
+    under the STORED hash family; probe plan prunes (table, bucket)
+    partitions."""
+    import pyspark.sql.functions as F
+
+    from matdb_spark.operators.similarity import (
+        append_lsh_index,
+        lsh_topk,
+        lsh_topk_indexed,
+        write_lsh_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") % 7 != 0)
+    rest = emb.filter(F.col("vec_id") % 7 == 0)
+    path = str(tmp_path / "lsh_index")
+    write_lsh_index(first, path, planes_per_table=3, tables=8, dim=64)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    def key(df):
+        return {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cos_sim"], 9))
+            for r in df.collect()
+        }
+
+    got = key(lsh_topk_indexed(spark, path, queries, k=5))
+    live = key(lsh_topk(first, queries, k=5, planes_per_table=3, tables=8, dim=64))
+    assert got == live
+
+    # append the held-out batch: the index now equals a full build
+    append_lsh_index(spark, rest, path)
+    got_all = key(lsh_topk_indexed(spark, path, queries, k=5))
+    live_all = key(lsh_topk(emb, queries, k=5, planes_per_table=3, tables=8, dim=64))
+    assert got_all == live_all
+    assert got_all != got  # the append changed at least one top-5
+
+    # partition pruning reaches the scan
+    from matdb_spark.plans.inspect import partition_filters
+
+    pf = " ".join(partition_filters(lsh_topk_indexed(spark, path, queries, k=5)))
+    assert "table" in pf and "bucket" in pf, pf
