@@ -1694,6 +1694,36 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus data card: doc/unique counts, token volume,
+    micro-quantized quality mass (exact integer sums — double
+    summation is order-sensitive across engines, integers are not),
+    Gopher-rule pass rate at the gated calibration, and the language
+    profile with a deterministic top-language mode. The summary a
+    curation pipeline publishes with a training mix."""
+    from matdb_spark.functions.text import corpus_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus_report(
+        docs,
+        "doc_id",
+        "text",
+        gopher_kwargs={"min_words": 30, "min_stopword_hits": 1},
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        F.round("dup_rate", 6).alias("dup_rate"),
+        "total_ws_tokens",
+        "sum_quality_micro",
+        F.round("mean_quality", 6).alias("mean_quality"),
+        F.round("gopher_pass_rate", 6).alias("gopher_pass_rate"),
+        "n_langs",
+        "top_lang",
+    )
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document: distinct-
     token ratio, top-token frequency fraction, duplicate-2-gram
@@ -4165,6 +4195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mixture_weights": q_mixture_weights,
         "q_repetition_signals": q_repetition_signals,
         "q_gopher_rules": q_gopher_rules,
+        "q_corpus_report": q_corpus_report,
         "q_importance_weights": q_importance_weights,
         "q_importance_resample": q_importance_resample,
         "q_bigram_lm_score": q_bigram_lm_score,
@@ -6038,6 +6069,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, CAST(u.i AS INT) AS copy_idx
             FROM c, UNNEST(range(1, copies + 1)) AS u(i)
             WHERE copies > 0
+        """,
+        "q_corpus_report": f"""
+            WITH words AS (SELECT doc_id, source, lang, text,
+                                  string_split({_NORM}, ' ') AS w
+                           FROM documents),
+            d AS (SELECT doc_id, source, lang,
+                md5({_NORM}) AS fp,
+                CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt,
+                CAST(floor((
+                    least(1.0, CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 100.0) * 0.4
+                    + (1.0 - least(1.0, CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS DOUBLE) / greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0))) * 0.4
+                    + least(1.0, CAST(len(regexp_extract_all(lower(text), '{LANG_STOPWORDS["en"]}')) AS DOUBLE) / greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0) * 5.0) * 0.2
+                    ) * 1000000 + 0.5) AS BIGINT) AS qm,
+                (CAST(len(w) AS BIGINT) BETWEEN 30 AND 100000)
+                    AND (CAST(list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len(w) BETWEEN 3.0 AND 10.0)
+                    AND (CAST(len(regexp_extract_all(text, '[#…]|\\.\\.\\.')) AS DOUBLE) / len(w) <= 0.1)
+                    AND (CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w) >= 0.8)
+                    AND (len(list_intersect(list_distinct(w),
+                        ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) >= 1)
+                    AS gp
+                FROM words),
+            agg AS (SELECT source, COUNT(*) AS n_docs,
+                           COUNT(DISTINCT fp) AS n_unique,
+                           CAST(SUM(nt) AS BIGINT) AS total_ws_tokens,
+                           CAST(SUM(qm) AS BIGINT) AS sum_quality_micro,
+                           CAST(SUM(CASE WHEN gp THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
+                           COUNT(DISTINCT lang) AS n_langs
+                    FROM d GROUP BY source),
+            top AS (SELECT source, lang AS top_lang FROM (
+                SELECT source, lang,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY COUNT(*) DESC, lang) AS rn
+                FROM d GROUP BY source, lang) WHERE rn = 1)
+            SELECT agg.source, n_docs, n_unique,
+                   ROUND(1.0 - n_unique / n_docs, 6) AS dup_rate,
+                   total_ws_tokens, sum_quality_micro,
+                   ROUND(sum_quality_micro / n_docs / 1000000.0, 6) AS mean_quality,
+                   ROUND(n_gopher_pass / n_docs, 6) AS gopher_pass_rate,
+                   n_langs, top_lang
+            FROM agg JOIN top ON agg.source = top.source
         """,
         "q_gopher_rules": f"""
             WITH words AS (SELECT doc_id, text, string_split({_NORM}, ' ') AS w

@@ -9,7 +9,7 @@ regex (Spark) and RE2 (DuckDB oracle): ``\\S``, classes, ``\\b``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, Window as W, functions as F
 
 # languages for the n-gram/stopword language-ID heuristic
 LANG_STOPWORDS = {
@@ -179,6 +179,84 @@ def gopher_quality(
             & F.col("ok_alpha")
             & F.col("ok_stopwords")
         ).alias("gopher_pass"),
+    )
+
+
+def corpus_report(
+    df,
+    id_col: str,
+    text_col: str,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    gopher_kwargs: dict | None = None,
+):
+    """Per-source corpus data card — the summary a curation pipeline
+    publishes with a training mix (Datasheets/Data-Cards practice;
+    the per-source stats Gopher/Llama papers table): document and
+    exact-duplicate counts, token volume, quality mass, Gopher-rule
+    pass rate, and the language profile.
+
+    Cross-engine exactness: per-doc quality is quantized to integer
+    MICRO-units (floor(q·1e6 + 0.5)) BEFORE the sum — double
+    summation is order-sensitive, integer summation is not (the
+    micro-nat convention of operators/selection). mean_quality and
+    the rates are ratios of exact integers. top_lang is the
+    deterministic mode (count desc, lang asc).
+
+    One aggregation over the corpus plus a tiny per-(source, lang)
+    count relation — both map-side partial, keyed by source; no
+    per-document output, so the report is broadcastable however
+    large the corpus.
+    """
+    flags = gopher_quality(df, id_col, text_col, **(gopher_kwargs or {}))
+    per_doc = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("__lang"),
+        fingerprint(F.col(text_col)).alias("__fp"),
+        whitespace_token_count(F.col(text_col)).cast("long").alias("__nt"),
+        F.floor(quality_score(F.col(text_col)) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("__qm"),
+    ).join(
+        flags.select(F.col(id_col).alias("__id"), "gopher_pass"), "__id"
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("__fp").alias("n_unique"),
+        F.sum("__nt").alias("total_ws_tokens"),
+        F.sum("__qm").alias("sum_quality_micro"),
+        F.sum(F.col("gopher_pass").cast("long")).alias("n_gopher_pass"),
+        F.countDistinct("__lang").alias("n_langs"),
+    )
+    lang_counts = per_doc.groupBy("source", "__lang").agg(
+        F.count(F.lit(1)).alias("__lc")
+    )
+    top = (
+        lang_counts.withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(
+                    F.col("__lc").desc(), F.col("__lang").asc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("source", F.col("__lang").alias("top_lang"))
+    )
+    return agg.join(top, "source").select(
+        "source",
+        "n_docs",
+        "n_unique",
+        (F.lit(1.0) - F.col("n_unique") / F.col("n_docs")).alias("dup_rate"),
+        "total_ws_tokens",
+        "sum_quality_micro",
+        (F.col("sum_quality_micro") / F.col("n_docs") / F.lit(1e6)).alias(
+            "mean_quality"
+        ),
+        (F.col("n_gopher_pass") / F.col("n_docs")).alias("gopher_pass_rate"),
+        "n_langs",
+        "top_lang",
     )
 
 
