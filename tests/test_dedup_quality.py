@@ -60,3 +60,33 @@ def test_gopher_rule_edges(spark):
     assert got[2]["ok_word_len"] is False and got[2]["mean_word_len"] == 20.0
     assert got[3]["ok_alpha"] is False
     assert got[4]["stopword_hits"] == 1 and got[4]["ok_stopwords"] is False
+
+
+def test_corpus_report_values_and_mode_tiebreak(spark):
+    """Exact counts on a hand-built corpus: dup_rate from fingerprint
+    identity, integer quality mass, and the deterministic top-lang
+    mode (tie broken to the lexicographically smaller lang)."""
+    from matdb_spark.functions.text import corpus_report
+
+    rows = [
+        (1, "web", "en", "alpha beta gamma"),
+        (2, "web", "de", "alpha beta gamma"),   # exact dup of 1
+        (3, "web", "de", "delta epsilon"),
+        (4, "books", "fr", "zeta eta theta iota"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, lang string, text string")
+    got = {
+        r["source"]: r
+        for r in corpus_report(
+            df, "doc_id", "text", gopher_kwargs={"min_words": 2, "min_stopword_hits": 0}
+        ).collect()
+    }
+    web = got["web"]
+    assert web["n_docs"] == 3 and web["n_unique"] == 2
+    assert abs(web["dup_rate"] - (1 - 2 / 3)) < 1e-9
+    assert web["total_ws_tokens"] == 8
+    # en=1, de=2 -> de wins on count; a 1-1 tie would break to 'de' too
+    assert web["top_lang"] == "de" and web["n_langs"] == 2
+    books = got["books"]
+    assert books["n_docs"] == 1 and books["dup_rate"] == 0.0
+    assert books["gopher_pass_rate"] == 1.0
