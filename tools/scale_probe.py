@@ -779,6 +779,51 @@ def probe_semdedup(spark):
     print("  semdedup probe done: pair term linear at fixed occupancy")
 
 
+def probe_lsh_index(spark):
+    """Persisted multi-table LSH economics at 1M 16-dim vectors
+    (8 tables x 6 planes = 64 buckets/table): build once, then a
+    10-query probe must cost its own bucketings + the hashed
+    partitions' rows — NOT a corpus re-hash. The live lsh_topk
+    re-buckets all 1M vectors per call; the indexed probe reads
+    ~|corpus|/64 rows per (query, table) via partition pruning."""
+    from matdb_spark.operators.similarity import (
+        lsh_topk,
+        lsh_topk_indexed,
+        write_lsh_index,
+    )
+    from matdb_spark.plans.inspect import partition_filters
+
+    d, n = 16, 1_000_000
+    comps = [
+        ((F.col("id") * (j * 7 + 5)) % 1997 / 998.5 - 1.0).alias(f"c{j}")
+        for j in range(d)
+    ]
+    corpus = spark.range(n).select(
+        F.col("id").alias("vec_id"), F.array(*comps).alias("embedding")
+    )
+    path = os.path.join(SCRATCH, "probe_lsh_index")
+    shutil.rmtree(path, ignore_errors=True)
+    timed(
+        f"write_lsh_index {n} vecs (8 tables x 6 planes)",
+        lambda: write_lsh_index(
+            corpus, path, planes_per_table=6, tables=8, dim=d
+        ),
+    )
+    queries = corpus.filter(F.col("vec_id") < 10)
+    out = lsh_topk_indexed(spark, path, queries, k=10)
+    pf = " ".join(partition_filters(out))
+    assert "table" in pf and "bucket" in pf, pf
+    timed("indexed probe, 10 queries", lambda: out.count())
+    timed(
+        "live lsh_topk (re-hashes the corpus)",
+        lambda: lsh_topk(
+            corpus, queries, k=10, planes_per_table=6, tables=8, dim=d
+        ).count(),
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    print("  lshidx probe done: probe cost tracks hashed partitions, not corpus")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "volume"
     spark = get_spark(app_name=f"scale_probe_{which}")
@@ -815,5 +860,7 @@ if __name__ == "__main__":
         probe_spans(spark)
     elif which == "semdedup":
         probe_semdedup(spark)
+    elif which == "lshidx":
+        probe_lsh_index(spark)
     else:
         raise SystemExit(f"unknown probe {which!r}")
