@@ -390,3 +390,129 @@ def test_importance_weights_match_pure_python(spark, corpus, target, buckets):
         for d, t in corpus
     }
     assert got == exp
+
+
+# --------------------------------------------------- span dedup model
+def _py_remove_spans(docs: dict[int, list[str]], n: int):
+    """Pure-Python C4 span-removal model: keeper = (doc, pos)-first
+    occurrence of each duplicated n-gram; every position covered by a
+    non-keeper occurrence of a duplicated span is removed."""
+    occ: dict[tuple, list[tuple[int, int]]] = {}
+    for d in sorted(docs):
+        w = docs[d]
+        for i in range(len(w) - n + 1):
+            occ.setdefault(tuple(w[i : i + n]), []).append((d, i))
+    removed: dict[int, set[int]] = {d: set() for d in docs}
+    for span, occs in occ.items():
+        if len(occs) < 2:
+            continue
+        keeper = min(occs)
+        for d, i in occs:
+            if (d, i) != keeper:
+                removed[d].update(range(i, i + n))
+    return {
+        d: (
+            len(docs[d]),
+            len(removed[d]),
+            " ".join(w for j, w in enumerate(docs[d]) if j not in removed[d]),
+        )
+        for d in docs
+    }
+
+
+_span_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(docs=_span_docs)
+def test_remove_duplicate_spans_matches_python_model(spark, docs):
+    from matdb_spark.operators.dedup import remove_duplicate_spans
+
+    n = 3
+    corpus = {i: w for i, w in enumerate(docs)}
+    rows = [(i, " ".join(w)) for i, w in corpus.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_removed"], r["clean_text"])
+        for r in remove_duplicate_spans(df, "doc_id", "text", n=n).collect()
+    }
+    # the engine's normalize() maps an empty doc to [''] (one empty
+    # word) — mirror that in the model
+    model = _py_remove_spans(
+        {i: (w if w else [""]) for i, w in corpus.items()}, n
+    )
+    assert got == model
+
+
+# ------------------------------------------------ semantic dedup model
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    vecs=st.lists(
+        st.tuples(st.integers(-3, 3), st.integers(-3, 3)),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_semantic_dedup_matches_python_model(spark, vecs):
+    import math
+
+    from matdb_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, [float(x), float(y)]) for i, (x, y) in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell_id long, embedding array<double>"
+    )
+    thr = 0.9
+
+    def unit(v):
+        nrm = math.hypot(*v)
+        return None if nrm == 0 else (v[0] / nrm, v[1] / nrm)
+
+    # model: assign to the nearest centroid (ties -> lower cell id),
+    # drop iff a LOWER-id cell-mate clears the threshold; zero-norm
+    # vectors have NULL units -> null sims -> never assigned a real
+    # best cell deterministically? they fall to cell of rn=1 by
+    # (sim desc nulls last, cell asc) — mirror: cell 0.
+    cell = {}
+    for i, v in rows:
+        u = unit(v[:])
+        if u is None:
+            cell[i] = 0
+        else:
+            s0, s1 = u[0], u[1]
+            cell[i] = 0 if s0 >= s1 else 1
+    kept = {}
+    for i, v in rows:
+        u = unit(v)
+        drop = False
+        for j, w in rows:
+            if j >= i or cell[j] != cell[i]:
+                continue
+            uw = unit(w)
+            if u is None or uw is None:
+                continue
+            if u[0] * uw[0] + u[1] * uw[1] >= thr:
+                drop = True
+        kept[i] = not drop
+    got = {
+        r["vec_id"]: (r["cell_id"], r["kept"])
+        for r in semantic_dedup(df, cents, threshold=thr).collect()
+    }
+    assert {i: k for i, (c, k) in got.items()} == kept
+    # cell assignment must match wherever the vector has a direction
+    for i, v in rows:
+        if unit(v) is not None:
+            assert got[i][0] == cell[i], (i, v, got[i], cell[i])
