@@ -28,22 +28,25 @@ import shutil
 def _rewrite_and_swap(
     df,
     path: str,
-    partition_col: str,
+    partition_col,
     cluster_cols: list[str],
     sidecars: tuple[str, ...],
 ) -> None:
     """One-shuffle rewrite of ``df`` into ``path``'s layout, then the
     atomic directory swap (tmp write -> rename old to bak -> rename
     tmp live -> drop bak). Shared by compaction and purge so the swap
-    protocol has exactly one implementation."""
+    protocol has exactly one implementation. ``partition_col`` is one
+    column name or a list (multi-level layouts like the LSH index's
+    table=/bucket=)."""
+    pcols = [partition_col] if isinstance(partition_col, str) else list(partition_col)
     tmp = path + ".__compact_tmp"
     bak = path + ".__compact_bak"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(bak, ignore_errors=True)
     (
-        df.repartitionByRange(partition_col, *cluster_cols)
-        .sortWithinPartitions(partition_col, *cluster_cols)
-        .write.partitionBy(partition_col)
+        df.repartitionByRange(*pcols, *cluster_cols)
+        .sortWithinPartitions(*pcols, *cluster_cols)
+        .write.partitionBy(*pcols)
         .parquet(tmp)
     )
     for sc in sidecars:

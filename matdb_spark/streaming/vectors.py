@@ -56,6 +56,58 @@ def stream_ivf_append(
     )
 
 
+def stream_lsh_append(
+    stream_df,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+):
+    """Streaming twin for the persisted multi-table LSH index: each
+    micro-batch is bucketed under the STORED hash family (`_params`
+    sidecar — bit-identical planes) and appended into its (table,
+    bucket) partitions. Same delivery semantics as stream_ivf_append:
+    the append is not transactional with the checkpoint, a
+    crash-window replay appends byte-identical duplicate rows, and
+    `compact_stream_lsh_index` reclaims them offline. Unlike IVF
+    cells the hash family never drifts, so there is no rebuild
+    trigger to watch."""
+    from matdb_spark.operators.similarity import append_lsh_index
+
+    spark = stream_df.sparkSession
+
+    def _append(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_lsh_index(spark, batch_df, index_path, id_col, vec_col)
+
+    writer = stream_df.writeStream.foreachBatch(_append).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_stream_lsh_index(spark, path: str) -> tuple[int, int]:
+    """Offline maintenance for a stream-fed LSH index: collapse
+    per-batch append debris and drop crash-replay duplicate rows
+    (dedup on (vec_id, table, bucket) — bucketing is deterministic,
+    so a replayed vector can only land in the same partitions). The
+    `_params` sidecar is preserved byte-for-byte."""
+    from matdb_spark.operators.index_maint import compact_index
+
+    return compact_index(
+        spark,
+        path,
+        ["table", "bucket"],
+        ["vec_id"],
+        sidecars=("_params",),
+        dedup_cols=["vec_id", "table", "bucket"],
+    )
+
+
 def compact_stream_ivf_index(spark, path: str) -> tuple[int, int]:
     """Offline maintenance for a stream-fed IVF index: collapse the
     per-batch append debris AND drop the byte-identical duplicate rows
