@@ -101,6 +101,27 @@ def main() -> None:
     print("IVF probe over seed + streamed vectors:")
     probe.show(3)
 
+    # 5. the same continuous-ingest lifecycle for the multi-table LSH
+    #    index: batches bucket under the STORED hash family
+    from matdb_spark.operators.similarity import lsh_topk_indexed, write_lsh_index
+    from matdb_spark.streaming import stream_lsh_append
+
+    lsh_index = f"{base}/lsh_index"
+    write_lsh_index(emb, lsh_index, planes_per_table=3, tables=4, dim=8)
+    q = stream_lsh_append(
+        spark.readStream.schema("vec_id long, embedding array<double>").json(
+            f"{base}/vec_src"
+        ),
+        lsh_index,
+        f"{base}/ckpt_lsh",
+    )
+    q.awaitTermination(120)
+    q.stop()
+    print("LSH probe over seed + streamed vectors:")
+    lsh_topk_indexed(
+        spark, lsh_index, emb.filter(F.col("vec_id") == 5), k=3
+    ).show(3)
+
 
 if __name__ == "__main__":
     main()

@@ -24,6 +24,9 @@ Streaming primitives:
   persisted IVF index (broadcast assignment + partitioned append per
   micro-batch), with ``compact_stream_ivf_index`` as the maintenance
   pass that reclaims crash-replay debris.
+- ``vectors.stream_lsh_append``: the same lifecycle for the
+  multi-table LSH index (stored-hash-family bucketing per batch),
+  with ``compact_stream_lsh_index`` maintenance.
 """
 
 from matdb_spark.streaming.sources import events_stream
@@ -32,7 +35,12 @@ from matdb_spark.streaming.ingest import stream_into_database
 from matdb_spark.streaming.stateful import running_totals_with_state, sessionize_with_state
 from matdb_spark.streaming.admission import stream_admission
 from matdb_spark.streaming.joins import interval_join
-from matdb_spark.streaming.vectors import compact_stream_ivf_index, stream_ivf_append
+from matdb_spark.streaming.vectors import (
+    compact_stream_ivf_index,
+    compact_stream_lsh_index,
+    stream_ivf_append,
+    stream_lsh_append,
+)
 
 __all__ = [
     "events_stream",
@@ -45,5 +53,7 @@ __all__ = [
     "interval_join",
     "stream_ivf_append",
     "compact_stream_ivf_index",
+    "stream_lsh_append",
+    "compact_stream_lsh_index",
     "stream_admission",
 ]
