@@ -2120,6 +2120,22 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_audio_assets(wav, "doc_id")
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio FEATURE EXTRACTION (the deterministic
+    mel-filterbank stand-in): synthesize the WAV container per doc,
+    then emit per-64-sample-frame energy/peak/rms. The oracle
+    recomputes every frame from the text codepoints through the same
+    integer pipeline — a decoder that mis-frames, drops the partial
+    tail frame, or fakes the reductions cannot pass. Integer-exact
+    except rms_micro, which is floor-quantized after a correctly-
+    rounded IEEE sqrt on both engines."""
+    from matdb_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wav = mm.attach_audio_payload(docs, "text")
+    return mm.audio_frame_features(wav, "doc_id", frame_len=64)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode + resize pipeline over binary payloads (the
     codec itself is a deterministic md5-keyed stub — see
@@ -4234,6 +4250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_similarity_topk": q_similarity_topk,
         "q_multimodal_meta": q_multimodal_meta,
         "q_multimodal_audio": q_multimodal_audio,
+        "q_multimodal_features": q_multimodal_features,
         "q_multimodal_decode": q_multimodal_decode,
         "q_multimodal_frames": q_multimodal_frames,
         "q02_min_cost_supplier": q02_min_cost_supplier,
@@ -6297,6 +6314,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN a.n IS NULL THEN 0.0
                         ELSE round(sqrt(a.msq) / 32768.0, 6) END AS rms
             FROM docs d LEFT JOIN agg a USING (doc_id)
+        """,
+        "q_multimodal_features": """
+            WITH docs AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+            ch AS (SELECT doc_id, u.i AS pos,
+                          CAST((unicode(substr(text, CAST(i AS INT), 1)) % 128) * 256 AS BIGINT) AS s
+                   FROM docs, unnest(range(1, length(text) + 1)) AS u(i))
+            SELECT doc_id,
+                   CAST((pos - 1) // 64 AS BIGINT) AS frame_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n_samples,
+                   CAST(SUM(s * s) AS BIGINT) AS energy,
+                   CAST(MAX(s) AS INT) AS peak,
+                   CAST(floor(sqrt(CAST(SUM(s * s) AS BIGINT) / COUNT(*))
+                              / 32768.0 * 1000000.0 + 0.5) AS BIGINT) AS rms_micro
+            FROM ch GROUP BY doc_id, (pos - 1) // 64
         """,
         "q_multimodal_decode": """
             WITH d AS (

@@ -361,15 +361,11 @@ def synth_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
-def _decode_wav(payload: bytes) -> dict:
-    """Real RIFF/WAVE parse, pure stdlib: walk chunks (word-aligned,
-    unknown chunks skipped), require PCM (format tag 1), decode the
-    data chunk's int16 frames. Returns channels / sample_rate /
-    n_samples (per channel) / duration_sec / rms (root-mean-square of
-    the normalized [-1, 1) signal). Malformed chunk structure raises
-    NotImplementedError (the degrade-don't-kill contract shared with
-    the image codec)."""
-    import math
+def _wav_pcm(payload: bytes):
+    """Shared RIFF/WAVE chunk walk (word-aligned, unknown chunks
+    skipped): returns (channels, rate, data bytes) for 16-bit PCM, or
+    raises NotImplementedError on anything malformed — the single
+    parser behind the stats decode and the frame-feature extractor."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -390,6 +386,21 @@ def _decode_wav(payload: bytes) -> dict:
     tag, channels, rate, _byte_rate, _block, bits = fmt
     if tag != 1 or bits != 16 or channels < 1 or rate < 1:
         raise NotImplementedError(f"unsupported WAV (tag={tag}, bits={bits})")
+    return channels, rate, data
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """Real RIFF/WAVE parse, pure stdlib: walk chunks (word-aligned,
+    unknown chunks skipped), require PCM (format tag 1), decode the
+    data chunk's int16 frames. Returns channels / sample_rate /
+    n_samples (per channel) / duration_sec / rms (root-mean-square of
+    the normalized [-1, 1) signal). Malformed chunk structure raises
+    NotImplementedError (the degrade-don't-kill contract shared with
+    the image codec)."""
+    import math
+    import struct
+
+    channels, rate, data = _wav_pcm(payload)
     n_frames = len(data) // (2 * channels)
     total = len(data) // 2
     sq = 0
@@ -482,6 +493,81 @@ def decode_audio_assets(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(decode_batches, out_schema)
+
+
+def audio_frame_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_len: int = 64,
+) -> DataFrame:
+    """Frame-level audio feature extraction (the brief's
+    feature-extract step, the deterministic stand-in for a mel
+    filterbank): split the mono PCM stream into non-overlapping
+    ``frame_len``-sample frames (last frame may be partial) and emit
+    per-frame (n_samples, energy, peak, rms_micro). energy and peak
+    are exact integers; rms_micro = floor(sqrt(energy/n)/32768*1e6
+    + 0.5) — IEEE sqrt is correctly rounded on every engine, and the
+    half-away floor-quantization makes it cross-engine exact.
+
+    mapInPandas, one Arrow batch in → one frame-rows batch out, no
+    shuffle; numpy does the per-frame reductions, so cost is a
+    vectorized pass over the samples. Multi-channel and malformed
+    payloads degrade to ZERO rows for that asset (degrade-don't-kill;
+    frames of half-frames from mixed channels would be garbage, not
+    features)."""
+    import math
+
+    import numpy as np
+
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("frame_idx", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("energy", LongType()),
+            StructField("peak", IntegerType()),
+            StructField("rms_micro", LongType()),
+        ]
+    )
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, ns, en, pk, rm = [], [], [], [], [], []
+            for id_, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    channels, _rate, data = _wav_pcm(bytes(p))
+                    if channels != 1:
+                        raise NotImplementedError("frame features are mono-only")
+                except (NotImplementedError, TypeError):
+                    continue
+                s = np.frombuffer(data[: (len(data) // 2) * 2], dtype="<i2")
+                for i in range(0, len(s), frame_len):
+                    fr = s[i : i + frame_len].astype(np.int64)
+                    n = int(fr.size)
+                    e = int((fr * fr).sum())
+                    ids.append(id_)
+                    fidx.append(i // frame_len)
+                    ns.append(n)
+                    en.append(e)
+                    pk.append(int(np.abs(fr).max()))
+                    rm.append(
+                        int(math.floor(math.sqrt(e / n) / 32768.0 * 1e6 + 0.5))
+                    )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype)
+                    if ids
+                    else pd.Series([], dtype=pdf[id_col].dtype),
+                    "frame_idx": pd.Series(fidx, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "energy": pd.Series(en, dtype="int64"),
+                    "peak": pd.Series(pk, dtype="int32"),
+                    "rms_micro": pd.Series(rm, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(frame_batches, out_schema)
 
 
 def attach_payload(df: DataFrame, text_col: str = "text", modality: str = "image") -> DataFrame:

@@ -358,3 +358,31 @@ def test_decode_total_on_arbitrary_bytes():
         # a successful REAL decode reports positive dims; the fake
         # fallback always does — either way the contract holds
         assert got["width"] > 0 and got["height"] > 0
+
+
+def test_audio_frame_features_framing_and_degradation(spark):
+    """Partial tail frame kept with its true n_samples; malformed and
+    multi-channel payloads emit ZERO rows instead of failing; exact
+    integer energy/peak on a hand-computed signal."""
+    import struct
+
+    from matdb_spark.operators.multimodal import audio_frame_features, synth_wav
+
+    # 5 samples, frame_len=4 -> frames of 4 and 1
+    wav = synth_wav([100, -200, 300, -400, 500], sample_rate=8000)
+    # stereo container (tag ok, channels=2) -> degraded, zero rows
+    stereo = bytearray(synth_wav([1, 2, 3, 4]))
+    fmt_off = stereo.find(b"fmt ") + 8
+    struct.pack_into("<H", stereo, fmt_off + 2, 2)
+    rows = [(1, bytes(wav)), (2, b"garbage"), (3, bytes(stereo))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in audio_frame_features(df, "doc_id", frame_len=4).collect()
+    }
+    assert set(got) == {(1, 0), (1, 1)}
+    f0, f1 = got[(1, 0)], got[(1, 1)]
+    assert f0["n_samples"] == 4 and f1["n_samples"] == 1
+    assert f0["energy"] == 100**2 + 200**2 + 300**2 + 400**2
+    assert f0["peak"] == 400  # |-400|: peak is on the absolute value
+    assert f1["energy"] == 500**2 and f1["peak"] == 500
