@@ -386,3 +386,25 @@ def test_audio_frame_features_framing_and_degradation(spark):
     assert f0["energy"] == 100**2 + 200**2 + 300**2 + 400**2
     assert f0["peak"] == 400  # |-400|: peak is on the absolute value
     assert f1["energy"] == 500**2 and f1["peak"] == 500
+
+
+def test_frame_features_total_on_arbitrary_bytes(spark):
+    """audio_frame_features must be TOTAL at the task level: a batch
+    of adversarial payloads (lying RIFF headers, truncated chunks,
+    random bytes, NULLs) yields frame rows only for the decodable
+    assets and never fails the task."""
+    import random
+
+    from matdb_spark.operators.multimodal import audio_frame_features, synth_wav
+
+    rng = random.Random(0xFEA7)
+    rows = [(0, bytes(synth_wav([1, 2, 3, 4, 5])))]  # one good asset
+    for i in range(1, 60):
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 64)))
+        prefix = [b"", b"RIFF", b"RIFF\x00\x00\x00\x00WAVE", b"fmt "][i % 4]
+        rows.append((i, prefix + body))
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = audio_frame_features(df, "doc_id", frame_len=4).collect()
+    assert {r["doc_id"] for r in got} == {0}
+    assert sorted(r["frame_idx"] for r in got) == [0, 1]
