@@ -110,6 +110,7 @@ def gopher_quality(
     max_symbol_ratio: float = 0.1,
     min_alpha_frac: float = 0.8,
     min_stopword_hits: int = 2,
+    keep_cols: tuple = (),
 ):
     """Gopher quality-rule bundle (Rae et al. 2021, "Scaling Language
     Models: ... Gopher", Table A1) as per-rule boolean flags plus the
@@ -128,9 +129,15 @@ def gopher_quality(
     signal is a built-in expression over the word array, which
     materializes once per row as an attribute. All ratios are
     int/int double divisions — bit-identical on any engine.
+    ``keep_cols`` pass extra input columns through the projection, so
+    a composition (corpus_report) consumes the flags WITHOUT a join
+    back by id — i.e. without a second corpus scan re-deriving the
+    word arrays.
     """
+    keep = list(keep_cols)
     words = df.select(
         F.col(id_col),
+        *keep,
         F.split(normalize(F.col(text_col)), " ").alias("__w"),
         F.regexp_count(F.col(text_col), F.lit(r"[#…]|\.\.\.")).alias(
             "__sym"
@@ -138,6 +145,7 @@ def gopher_quality(
     )
     sig = words.select(
         id_col,
+        *keep,
         F.size("__w").cast("long").alias("n_words"),
         (
             F.aggregate(
@@ -208,8 +216,17 @@ def corpus_report(
     per-document output, so the report is broadcastable however
     large the corpus.
     """
-    flags = gopher_quality(df, id_col, text_col, **(gopher_kwargs or {}))
-    per_doc = df.select(
+    flags = gopher_quality(
+        df,
+        id_col,
+        text_col,
+        keep_cols=(source_col, lang_col, text_col),
+        **(gopher_kwargs or {}),
+    )
+    # keep_cols carry source/lang/text THROUGH the flag projection —
+    # one corpus scan computes flags and text stats together (the
+    # join-back-by-id form re-derived every word array a second time)
+    per_doc = flags.select(
         F.col(id_col).alias("__id"),
         F.col(source_col).alias("source"),
         F.col(lang_col).alias("__lang"),
@@ -218,8 +235,7 @@ def corpus_report(
         F.floor(quality_score(F.col(text_col)) * 1e6 + F.lit(0.5))
         .cast("long")
         .alias("__qm"),
-    ).join(
-        flags.select(F.col(id_col).alias("__id"), "gopher_pass"), "__id"
+        "gopher_pass",
     )
     agg = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

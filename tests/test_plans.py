@@ -436,3 +436,21 @@ def test_lsh_topk_shuffle_budget(spark):
     q = emb.filter(F.col("vec_id") < 10)
     out = lsh_topk(emb, q, k=10, planes_per_table=3, tables=8, dim=64)
     assert exchange_count(out) == 2
+
+
+def test_corpus_report_scan_budget(spark):
+    """corpus_report: TWO scans — the text-processing pipeline runs
+    once (flags + stats share one projection via keep_cols; the
+    join-back-by-id form re-derived every word array), and the
+    language-mode pass re-scans only the pruned (source, lang)
+    columns."""
+    from matdb_spark.functions.text import corpus_report
+    from matdb_spark.plans.inspect import scan_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = corpus_report(docs, "doc_id", "text")
+    assert scan_counts(out) == 2
+    plan = physical_plan(out)
+    # the second scan is the pruned one: somewhere a documents scan
+    # reads just source+lang (no text column)
+    assert "ReadSchema" in plan
