@@ -100,3 +100,26 @@ def test_banded_sketch_gates_have_teeth(spark):
         F.max("x").alias("hi"),
     ).first()
     assert abs(row2["good"] - row2["exact"]) <= 0.02 * (row2["hi"] - row2["lo"])
+
+
+def test_plan_budget_covers_every_query():
+    """PLAN_BUDGET.json (tools/plan_budget.py) must stay in lockstep
+    with queries(): every gated query has a recorded plan-shape
+    budget with the enforced keys. The expensive live --check runs
+    per round as a tool; this contract keeps the snapshot from
+    silently going stale when queries are added."""
+    import json
+    import os
+
+    import __spark_entry__ as entrymod
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_BUDGET.json")
+    with open(path) as f:
+        budget = json.load(f)
+    qs = set(entrymod.queries())
+    assert set(budget) == qs, (
+        f"missing budgets: {sorted(qs - set(budget))}; "
+        f"stale budgets: {sorted(set(budget) - qs)} — run tools/plan_budget.py --update"
+    )
+    for name, s in budget.items():
+        assert {"exchanges", "scans", "broadcast_joins", "shuffle_joins"} <= set(s), name
