@@ -1,6 +1,6 @@
 """Deduplication operators for large-scale text corpora.
 
-Four tiers, each a different cost/recall point; all deterministic and
+Five tiers, each a different cost/recall point; all deterministic and
 UDF-free (built-in functions only) so they codegen and scale:
 
 - **exact**: hash-groupBy on a normalized-text fingerprint. One
@@ -13,12 +13,18 @@ UDF-free (built-in functions only) so they codegen and scale:
   signatures → bucket join. Near-dup recall at linear cost — the
   100 TB path. Hashing is (a·x + b) mod p over a 28-bit md5-derived
   shingle id (see the overflow note below — a wider id would overflow
-  the int64 product on engines that raise instead of wrap).
+  the int64 product on engines that raise instead of wrap). Candidate
+  recall vs exact Jaccard ground truth is GATED with a floor
+  (q_dedup_lsh_recall) — the sketch is measured, not assumed.
 - **SimHash**: 60-bit bitwise-majority fingerprint (15 hex digits —
   the widest md5 prefix that stays exact in every engine's int64);
   hamming-close pairs via band buckets. Cheapest near-dup signal.
+- **span removal**: C4's remove-all-but-one rule on duplicated n-word
+  spans (`remove_duplicate_spans`) — the SUBSTRING tier that
+  document-level dedup cannot see; linear in corpus words.
 
-(Embedding-cosine near-dup lives in operators/similarity.py.)
+(Embedding-cosine near-dup and SemDeDup semantic dedup live in
+operators/similarity.py.)
 """
 
 from __future__ import annotations
