@@ -1497,6 +1497,25 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup VERDICT a pipeline consumes: LSH pairs -> connected
+    components -> ONE canonical per cluster by (quality desc, id asc)
+    -> every document flagged kept/dropped. Quality is the standard
+    score micro-quantized to integers so the argmax is deterministic
+    on any engine; singletons are their own canonical."""
+    from matdb_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=32, bands=8)
+    scored = docs.select(
+        "doc_id",
+        F.floor(quality_score(F.col("text")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("qm"),
+    )
+    return dedup.resolve_clusters(scored, pairs, "doc_id", "qm")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash64(docs, "doc_id", "text")
@@ -4244,6 +4263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_incremental": q_dedup_incremental,
         "q_dedup_admission": q_dedup_admission,
         "q_dedup_clusters": q_dedup_clusters,
+        "q_dedup_canonical": q_dedup_canonical,
         "q_dedup_simhash": q_dedup_simhash,
         "q_decontaminate": q_decontaminate,
         "q_global_rownum": q_global_rownum,
@@ -5211,6 +5231,39 @@ def _dedup_clusters_sql() -> str:
         + "reach AS (SELECT s AS node, s AS r FROM edges "
         + "UNION SELECT e.s AS node, r.r FROM edges e JOIN reach r ON e.d = r.node) "
         + "SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node"
+    )
+
+
+def _dedup_canonical_sql() -> str:
+    """Oracle for q_dedup_canonical: the clusters CTE chain (recursive
+    reachability over the replayed MinHash pairs) extended with the
+    micro-quantized quality argmax and the per-document verdict."""
+    qm = (
+        "CAST(floor(("
+        "least(1.0, CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 100.0) * 0.4"
+        f" + (1.0 - least(1.0, CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS DOUBLE)"
+        " / greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0))) * 0.4"
+        f" + least(1.0, CAST(len(regexp_extract_all(lower(text), '{LANG_STOPWORDS['en']}')) AS DOUBLE)"
+        " / greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0) * 5.0) * 0.2"
+        ") * 1000000 + 0.5) AS BIGINT)"
+    )
+    clusters = _dedup_clusters_sql()
+    head, final = clusters.rsplit("SELECT node AS doc_id", 1)
+    assert final.endswith("GROUP BY node")
+    return (
+        head.rstrip()
+        + ", cl AS (SELECT node AS doc_id"
+        + final
+        + f"), q AS (SELECT doc_id, {qm} AS qm FROM documents), "
+        + "withc AS (SELECT q.doc_id, q.qm, "
+        + "COALESCE(cl.cluster_id, q.doc_id) AS cluster_id "
+        + "FROM q LEFT JOIN cl USING (doc_id)), "
+        + "canon AS (SELECT cluster_id, doc_id AS canonical_id FROM ("
+        + "SELECT cluster_id, doc_id, ROW_NUMBER() OVER (PARTITION BY cluster_id "
+        + "ORDER BY qm DESC, doc_id ASC) AS rn FROM withc) WHERE rn = 1) "
+        + "SELECT withc.doc_id, withc.cluster_id, canon.canonical_id, "
+        + "withc.doc_id = canon.canonical_id AS kept "
+        + "FROM withc JOIN canon USING (cluster_id)"
     )
 
 
@@ -6290,6 +6343,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_incremental": _incremental_dedup_sql(),
         "q_dedup_admission": _admission_sql(),
         "q_dedup_clusters": _dedup_clusters_sql(),
+        "q_dedup_canonical": _dedup_canonical_sql(),
         "q_dedup_simhash": _simhash_sql(),
         "q_similarity_topk": _cosine_sql(),
         "q_multimodal_meta": """

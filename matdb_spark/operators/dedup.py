@@ -1003,6 +1003,59 @@ def _label_propagation_cc(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
 
 
 # ------------------------------------------------------------- SimHash
+def resolve_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Per-document dedup VERDICT — the step after pair mining and
+    clustering that a curation pipeline actually consumes: cluster the
+    near-dup pairs into components, keep exactly ONE canonical member
+    per cluster (highest ``quality_col``, ties to the lowest id), and
+    return every input document as (id, cluster_id, canonical_id,
+    kept). Documents in no pair are their own singleton cluster and
+    always kept.
+
+    ``quality_col`` should be integer-quantized upstream (the
+    micro-unit convention) if cross-engine determinism matters —
+    argmax over raw doubles ties unpredictably.
+
+    Scale shape: components come from ``connected_components`` (the
+    size-aware contraction); the canonical pick is one
+    ``max_by`` aggregation over cluster_id (map-side partial, no
+    ranking window), and the verdict join is id/cluster keyed. The
+    corpus itself is scanned once.
+    """
+    cl = connected_components(pairs)
+    base = df.select(F.col(id_col), F.col(quality_col).alias("__q"))
+    withc = base.join(
+        cl.withColumnRenamed("doc_id", "__cid"),
+        F.col(id_col) == F.col("__cid"),
+        "left",
+    ).select(
+        id_col,
+        "__q",
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+    )
+    # canonical = argmax (quality, then LOWEST id): max_by on the
+    # (quality, -id) struct — one hash aggregation, no window
+    canon = withc.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col("__q"), (-F.col(id_col)).alias("__n"))
+        ).alias("canonical_id")
+    )
+    return (
+        withc.join(canon, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            "canonical_id",
+            (F.col(id_col) == F.col("canonical_id")).alias("kept"),
+        )
+    )
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash: long) 60-bit SimHash over whitespace tokens of the
     normalized text: per bit, sign of Σ±1 across token hashes.

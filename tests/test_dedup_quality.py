@@ -90,3 +90,28 @@ def test_corpus_report_values_and_mode_tiebreak(spark):
     books = got["books"]
     assert books["n_docs"] == 1 and books["dup_rate"] == 0.0
     assert books["gopher_pass_rate"] == 1.0
+
+
+def test_resolve_clusters_verdict(spark):
+    """Canonical pick = highest quality, ties to the lowest id;
+    singletons keep themselves; exactly one kept per cluster."""
+    from matdb_spark.operators.dedup import resolve_clusters
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 1)],
+        "doc_id long, qm long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["canonical_id"], r["kept"])
+        for r in resolve_clusters(docs, pairs, "doc_id", "qm").collect()
+    }
+    # cluster {1,2,3,4}: quality 30 tie between 2 and 3 -> 2 wins
+    assert got[1] == (1, 2, False)
+    assert got[2] == (1, 2, True)
+    assert got[3] == (1, 2, False)
+    assert got[4] == (1, 2, False)
+    # singleton
+    assert got[9] == (9, 9, True)
