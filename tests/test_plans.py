@@ -180,6 +180,7 @@ def test_gate_queries_stay_jvm_side(spark):
         "q_multimodal_decode",
         "q_multimodal_frames",
         "q_multimodal_audio",  # WAV synth + decode are mapInPandas by design
+        "q_multimodal_features",  # WAV synth + frame reductions — mapInPandas by design
         "q_stream_stateful_sessions",
         "q_groupmap_rank",
         "q_udtf_split",
