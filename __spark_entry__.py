@@ -1521,6 +1521,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(docs, "doc_id", "text")
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hamming search over the 60-bit SimHash (Manku et al.
+    2007): 4 x 15-bit blocks bucket the candidates (pigeonhole —
+    any pair within hamming 3 ALWAYS shares an untouched block),
+    exact bit_count(xor) verifies. Completes the SimHash tier from
+    fingerprint-only to usable pairs, same skew cap as MinHash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(
+        docs, "doc_id", "text", bands=4, max_hamming=3
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: flag corpus documents sharing >= 3
     distinct 3-word shingles with a benchmark slice (here the
@@ -4265,6 +4277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": q_dedup_clusters,
         "q_dedup_canonical": q_dedup_canonical,
         "q_dedup_simhash": q_dedup_simhash,
+        "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
         "q_decontaminate": q_decontaminate,
         "q_global_rownum": q_global_rownum,
         "q_similarity_topk": q_similarity_topk,
@@ -5232,6 +5245,30 @@ def _dedup_clusters_sql() -> str:
         + "UNION SELECT e.s AS node, r.r FROM edges e JOIN reach r ON e.d = r.node) "
         + "SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node"
     )
+
+
+def _simhash_pairs_sql() -> str:
+    """Oracle for q_dedup_simhash_pairs: the SimHash fingerprint CTE
+    (same ±1 bit votes), 4x15-bit banding with the shared bucket cap,
+    exact bit_count(xor) hamming verify at radius 3."""
+    return f"""
+        WITH fp AS ({_simhash_sql()}),
+        banded AS (SELECT doc_id, b AS band,
+                          (simhash >> (CAST(b AS INT) * 15)) & 32767 AS key
+                   FROM fp, unnest(range(0, 4)) AS u(b)),
+        ok AS (SELECT band, key FROM banded GROUP BY band, key
+               HAVING COUNT(*) <= {_LSH_MAX_BUCKET}),
+        cb AS (SELECT banded.doc_id, banded.band, banded.key
+               FROM banded JOIN ok USING (band, key)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM cb a JOIN cb b
+                   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT) AS hamming
+        FROM cand JOIN fp fa ON fa.doc_id = cand.id_a
+                  JOIN fp fb ON fb.doc_id = cand.id_b
+        WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3
+    """
 
 
 def _dedup_canonical_sql() -> str:
@@ -6345,6 +6382,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_clusters": _dedup_clusters_sql(),
         "q_dedup_canonical": _dedup_canonical_sql(),
         "q_dedup_simhash": _simhash_sql(),
+        "q_dedup_simhash_pairs": _simhash_pairs_sql(),
         "q_similarity_topk": _cosine_sql(),
         "q_multimodal_meta": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -1104,6 +1104,66 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands: int = 6,
+    max_hamming: int = 6,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """(id_a, id_b, hamming) near-dup pairs from the 60-bit SimHash —
+    the banded hamming search of Manku, Jarlin & Sarma 2007
+    ("Detecting Near-Duplicates for Web Crawling", WWW): split the
+    fingerprint into ``bands`` equal bit-blocks, bucket on each
+    block's value, emit co-bucketed pairs, verify by EXACT hamming
+    distance (bit_count of xor — one instruction per pair) and keep
+    distance <= ``max_hamming``.
+
+    Pigeonhole guarantee: any pair with hamming < ``bands`` shares at
+    least one untouched block, so it ALWAYS surfaces — recall is
+    structural below that radius, probabilistic above. Cost shape is
+    minhash_lsh_pairs': one fingerprint scan, one bucket shuffle,
+    in-bucket pair streaming with the same ``max_bucket`` skew cap,
+    then an id-keyed fingerprint join for the verify. No quadratic
+    term outside a bucket.
+    """
+    width = 60 // bands
+    fp = simhash64(df, id_col, text_col)
+    mask = (1 << width) - 1
+    banded = fp.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bk"),
+    ).select("doc_id", F.col("__bk.band").alias("band"), F.col("__bk.key").alias("key"))
+    cand = _pairs_from_banded(banded, max_bucket)
+    a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__fa"))
+    b = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__fb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def benchmark_overlap(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -115,3 +115,25 @@ def test_resolve_clusters_verdict(spark):
     assert got[4] == (1, 2, False)
     # singleton
     assert got[9] == (9, 9, True)
+
+
+def test_simhash_pairs_pigeonhole_and_verify(spark):
+    """Within-radius pairs always surface (pigeonhole over the bands);
+    the exact hamming verify drops far pairs a bucket collision might
+    admit. Built on hand-made docs: near-identical texts differ in a
+    couple of tokens -> tiny hamming; disjoint vocab -> large."""
+    from matdb_spark.operators.dedup import simhash_pairs
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        (1, base),
+        (2, base + " extra"),               # near-dup of 1
+        (3, " ".join(f"zzz{i}" for i in range(40))),  # far from both
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(df, "doc_id", "text", bands=4, max_hamming=6).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] <= 6
+    assert (1, 3) not in got and (2, 3) not in got

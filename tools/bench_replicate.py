@@ -60,6 +60,7 @@ FAMILY_REPS = {
     "dedup_spans": "q_dedup_spans",
     "dedup_lsh_recall": "q_dedup_lsh_recall",
     "semantic_dedup": "q_semantic_dedup",
+    "dedup_canonical": "q_dedup_canonical",
 }
 
 
