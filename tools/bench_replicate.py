@@ -61,6 +61,7 @@ FAMILY_REPS = {
     "dedup_lsh_recall": "q_dedup_lsh_recall",
     "semantic_dedup": "q_semantic_dedup",
     "dedup_canonical": "q_dedup_canonical",
+    "simhash_pairs": "q_dedup_simhash_pairs",
 }
 
 
