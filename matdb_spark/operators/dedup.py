@@ -1038,11 +1038,14 @@ def resolve_clusters(
         "__q",
         F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
     )
-    # canonical = argmax (quality, then LOWEST id): max_by on the
-    # (quality, -id) struct — one hash aggregation, no window
+    # canonical = argmax (quality, then LOWEST id): min_by on the
+    # (-quality, id) struct — one hash aggregation, no window. The
+    # negation sits on the quality side (documented numeric), so id_col
+    # may be ANY orderable type (string doc ids included); negating the
+    # id instead would NULL-out / ANSI-error on strings.
     canon = withc.groupBy("cluster_id").agg(
-        F.max_by(
-            F.col(id_col), F.struct(F.col("__q"), (-F.col(id_col)).alias("__n"))
+        F.min_by(
+            F.col(id_col), F.struct((-F.col("__q")).alias("__nq"), F.col(id_col))
         ).alias("canonical_id")
     )
     return (
@@ -1127,21 +1130,32 @@ def simhash_pairs(
     in-bucket pair streaming with the same ``max_bucket`` skew cap,
     then an id-keyed fingerprint join for the verify. No quadratic
     term outside a bucket.
+
+    When ``bands`` does not divide 60, the remainder bits fold into the
+    LAST band (so every fingerprint bit participates in exactly one
+    band key — no silently-coarser buckets for e.g. bands=7).
     """
+    if not 1 <= bands <= 60:
+        raise ValueError(f"bands must be in [1, 60], got {bands}")
     width = 60 // bands
+    rem = 60 % bands
     fp = simhash64(df, id_col, text_col)
-    mask = (1 << width) - 1
+
+    def _band_key(b: int):
+        # last band absorbs the 60 % bands leftover high bits
+        w = width + (rem if b == bands - 1 else 0)
+        return (
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << w) - 1))
+            .alias("key")
+        )
+
     banded = fp.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("key"),
-                    )
+                    F.struct(F.lit(b).alias("band"), _band_key(b))
                     for b in range(bands)
                 ]
             )

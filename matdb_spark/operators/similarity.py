@@ -722,26 +722,49 @@ def lsh_topk_indexed(
     The query-side bucket relation is bounded by |queries| × tables
     rows, so — like ``ivf_topk_indexed``'s probe — it is COLLECTED
     once and rebuilt as a lineage-free local DataFrame serving both
-    the driver-side partition filter and the candidate join."""
-    import functools
-    import operator
-
+    the driver-side partition filter and the candidate join. The
+    partition predicate groups probed buckets per table — ``tables``
+    branches of ``(table = t AND bucket IN (...))`` — so the Catalyst
+    expression tree is bounded by the index's table count (a small
+    index constant), not |queries| × tables, and each branch is a
+    partition-prunable In on the partition columns."""
     b, L, dim, seed = _lsh_params(spark, path)
     planes = hyperplanes(b * L, dim, seed)
     qrows_df = _lsh_tabled(
         queries, "query_id", planes, b, L, id_col, vec_col
     ).withColumnRenamed("__v", "__qv")
-    q_rows = qrows_df.collect()
+    # zero-norm queries have a NULL unit vector / bucket: they can match
+    # nothing, so drop them before building the partition predicate
+    q_rows = [r for r in qrows_df.collect() if r["bucket"] is not None]
     q_schema = qrows_df.schema
     probed = sorted({(r["table"], r["bucket"]) for r in q_rows})
+    if not probed:
+        # empty query set (or all-zero-norm queries, whose bucket rows
+        # are dropped): the answer is structurally empty — return it
+        # with the contract schema (id types taken from the actual
+        # query/index relations) instead of crashing the reduce
+        from pyspark.sql.types import StructField, StructType, DoubleType, IntegerType
+
+        nbr_type = spark.read.parquet(path).schema[id_col].dataType
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("query_id", q_schema["query_id"].dataType),
+                    StructField("neighbor_id", nbr_type),
+                    StructField("cos_sim", DoubleType()),
+                    StructField("rank", IntegerType()),
+                ]
+            ),
+        )
     probe = spark.createDataFrame(q_rows, q_schema)
-    pred = functools.reduce(
-        operator.or_,
-        [
-            (F.col("table") == t) & (F.col("bucket") == bk)
-            for t, bk in probed
-        ],
-    )
+    by_table: dict = {}
+    for t, bk in probed:
+        by_table.setdefault(t, []).append(bk)
+    pred = None
+    for t, bks in sorted(by_table.items()):
+        branch = (F.col("table") == t) & F.col("bucket").isin(bks)
+        pred = branch if pred is None else (pred | branch)
     index = spark.read.parquet(path).filter(pred)
     cand = probe.join(
         index.withColumnRenamed(id_col, "neighbor_id"), ["table", "bucket"]
