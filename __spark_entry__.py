@@ -3663,6 +3663,47 @@ def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def q_similarity_ivfpq_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LARGE-BATCH IVF-PQ probe path (similarity.py
+    _ivfpq_topk_distributed, via ivfpq_topk_indexed(distributed=True)):
+    nothing query-sized reaches the driver — cell choice is a JVM
+    top-nprobe, the ADC lookup table is a per-query-row array column,
+    and the probe joins the index on cell_id. Bit-identical to the
+    driver-LUT path by construction (same fold orders), so it shares
+    q_similarity_ivfpq's fixture AND oracle — the strongest gate: two
+    structurally different physical plans, one relational truth."""
+    from matdb_spark.operators.similarity import (
+        ivfpq_topk_indexed,
+        pq_codebook_from_residual_sample,
+        write_ivfpq_index,
+    )
+    from matdb_spark.sources.formats import _build_once
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SCRATCH, f"fixture_ivfpq_res_{tag}")
+
+    def build(p: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cb = pq_codebook_from_residual_sample(
+            emb, _centroids(emb), m=8, k=16, sample_mod=31
+        )
+        write_ivfpq_index(emb, _centroids(emb), cb, p, residual=True)
+
+    _build_once(path, build)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    out = ivfpq_topk_indexed(
+        spark, path, queries_df, k=5, nprobe=2, distributed=True
+    )
+    scored = out.select(
+        "query_id", "neighbor_id", F.round("approx_sim", 6).alias("approx_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 def q_similarity_ivfpq_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental IVF-PQ: the index fixture is built from only
     vec_id % 3 != 0, then the remaining third is ADMITTED via
@@ -3750,15 +3791,19 @@ def _recall_frame(
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN retrieval QUALITY gate (round-4 verdict top item): recall@10
-    of the persisted-IVF probe (ivf_topk_indexed, nprobe=6) against
-    exact brute-force cosine top-10, per query, plus a mean-recall
-    floor of 0.5. Unlike the determinism-parity similarity gates, this
-    measures whether the index finds the RIGHT neighbors; measured
-    mean recall is 1.0 / 1.0 / 0.6 at sf0.001/0.01/0.1 (the sf0.1
-    corpus quantizes into 20 cells, so 6 probes cover 30% of them)."""
+    of the persisted-IVF probe against exact brute-force cosine top-10,
+    per query, plus a mean-recall floor of 0.7. The probe budget SCALES
+    with the corpus — nprobe = scaled_nprobe(ncells) = max(6,
+    ceil(ncells/2)) — so recall holds as fixtures grow instead of
+    decaying with a fixed budget (r5 verdict top item): measured mean
+    recall is 1.0 / 1.0 / 0.80 at sf0.001/0.01/0.1 (nprobe 6/6/10 over
+    5/5/20 cells; fixed nprobe=6 measured only 0.6 at sf0.1). The
+    oracle derives the identical budget relationally
+    (GREATEST(6, CEIL(ncells*0.5)))."""
     from matdb_spark.operators.similarity import (
         cosine_topk,
         ivf_topk_indexed,
+        scaled_nprobe,
         write_ivf_index,
     )
     from matdb_spark.sources.formats import _build_once
@@ -3773,11 +3818,12 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     _build_once(path, build)
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    approx = ivf_topk_indexed(spark, path, queries_df, k=10, nprobe=6).select(
+    npr = scaled_nprobe(_centroids(emb).count())
+    approx = ivf_topk_indexed(spark, path, queries_df, k=10, nprobe=npr).select(
         "query_id", "neighbor_id"
     )
     exact = cosine_topk(emb, queries_df, k=10).select("query_id", "neighbor_id")
-    return _recall_frame(spark, exact, approx, floor_hits=5.0)
+    return _recall_frame(spark, exact, approx, floor_hits=7.0)
 
 
 def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3831,8 +3877,11 @@ def q_ann_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ensure_ivfpq_recall_fixture(spark: SparkSession, sf_dir: str, path: str) -> None:
-    """Residual IVF-PQ index at m=16 (4-dim blocks) × k=64 codewords —
-    shared by the ADC-ranked and refine-stage recall gates."""
+    """Residual IVF-PQ index at m=32 (2-dim blocks) × k=64 codewords —
+    shared by the ADC-ranked and refine-stage recall gates. m=32 (16×
+    compression) replaced r5's m=16: the ADC recall at sf0.1 had
+    plateaued at 0.35 regardless of probe budget — quantization-, not
+    probe-limited — so the resolution had to come from the codebook."""
     from matdb_spark.operators.similarity import (
         pq_codebook_from_residual_sample,
         write_ivfpq_index,
@@ -3842,7 +3891,7 @@ def _ensure_ivfpq_recall_fixture(spark: SparkSession, sf_dir: str, path: str) ->
     def build(p: str) -> None:
         emb_b = load_table(spark, sf_dir, "embeddings")
         cb = pq_codebook_from_residual_sample(
-            emb_b, _centroids(emb_b), m=16, k=64, sample_mod=7
+            emb_b, _centroids(emb_b), m=32, k=64, sample_mod=7
         )
         write_ivfpq_index(emb_b, _centroids(emb_b), cb, p, residual=True)
 
@@ -3850,26 +3899,33 @@ def _ensure_ivfpq_recall_fixture(spark: SparkSession, sf_dir: str, path: str) ->
 
 
 def q_ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of the residual IVF-PQ index (IVFADC; m=16 4-dim
-    blocks × k=64 codewords — 16 code-bytes standing in for 64
-    doubles) at nprobe=6 against exact cosine top-10, with a
-    mean-recall floor of 0.25. Measured mean recall 0.51 / 0.49 /
-    0.33 at sf0.001/0.01/0.1 — the compression is 32× so the bar is
-    candidate GENERATION quality (production IVFADC re-ranks the
-    survivors with exact vectors, which is cosine_topk on the
-    shortlist here)."""
-    from matdb_spark.operators.similarity import cosine_topk, ivfpq_topk_indexed
+    """Recall@10 of the residual IVF-PQ index (IVFADC; m=32 2-dim
+    blocks × k=64 codewords — 32 code-bytes standing in for 64
+    doubles, 16× compression) at the scaled probe budget
+    (max(6, ceil(ncells/2)) — q_ann_recall's rule) against exact
+    cosine top-10, with a mean-recall floor of 0.4. Measured mean
+    recall 0.72 / 0.71 / 0.62 at sf0.001/0.01/0.1 (r5's m=16 config
+    measured 0.51/0.49/0.33 and was quantization-plateaued at sf0.1:
+    nprobe=14 still gave 0.35) — the bar is candidate GENERATION
+    quality (production IVFADC re-ranks survivors with exact vectors,
+    which is q_ann_recall_refined here)."""
+    from matdb_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk_indexed,
+        scaled_nprobe,
+    )
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(SCRATCH, f"fixture_ivfpq_recall_{tag}")
+    path = os.path.join(SCRATCH, f"fixture_ivfpq_recall_m32_{tag}")
     _ensure_ivfpq_recall_fixture(spark, sf_dir, path)
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    approx = ivfpq_topk_indexed(spark, path, queries_df, k=10, nprobe=6).select(
+    npr = scaled_nprobe(_centroids(emb).count())
+    approx = ivfpq_topk_indexed(spark, path, queries_df, k=10, nprobe=npr).select(
         "query_id", "neighbor_id"
     )
     exact = cosine_topk(emb, queries_df, k=10).select("query_id", "neighbor_id")
-    return _recall_frame(spark, exact, approx, floor_hits=2.5)
+    return _recall_frame(spark, exact, approx, floor_hits=4.0)
 
 
 def q_ann_recall_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3877,23 +3933,29 @@ def q_ann_recall_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist of 100 from the residual IVF-PQ index, exact re-rank of
     only those candidates (ivfpq_topk_refined; the corpus is touched
     by a broadcast semi-join on the bounded shortlist ids) — floor
-    0.5. Measured mean recall 0.96 / 0.97 / 0.57, essentially the
-    IVF cell ceiling (1.0 / 1.0 / 0.6) at 32× vector compression in
-    the ranking pass: this is the number that makes the PQ index
-    USABLE, and the gate proves the refine stage earns it."""
-    from matdb_spark.operators.similarity import cosine_topk, ivfpq_topk_refined
+    0.7 at the scaled probe budget. Measured mean recall 1.0 / 1.0 /
+    0.80, the IVF cell ceiling (q_ann_recall's 1.0 / 1.0 / 0.80) at
+    16× vector compression in the ranking pass: this is the number
+    that makes the PQ index USABLE, and the gate proves the refine
+    stage earns it."""
+    from matdb_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk_refined,
+        scaled_nprobe,
+    )
 
     # shares q_ann_recall_ivfpq's fixture — same index, refined probe
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(SCRATCH, f"fixture_ivfpq_recall_{tag}")
+    path = os.path.join(SCRATCH, f"fixture_ivfpq_recall_m32_{tag}")
     _ensure_ivfpq_recall_fixture(spark, sf_dir, path)
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
+    npr = scaled_nprobe(_centroids(emb).count())
     approx = ivfpq_topk_refined(
-        spark, path, queries_df, emb, k=10, nprobe=6, shortlist=100
+        spark, path, queries_df, emb, k=10, nprobe=npr, shortlist=100
     ).select("query_id", "neighbor_id")
     exact = cosine_topk(emb, queries_df, k=10).select("query_id", "neighbor_id")
-    return _recall_frame(spark, exact, approx, floor_hits=5.0)
+    return _recall_frame(spark, exact, approx, floor_hits=7.0)
 
 
 def q_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4254,6 +4316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_tokenize": q_bpe_tokenize,
         "q_similarity_pq": q_similarity_pq,
         "q_similarity_ivfpq": q_similarity_ivfpq,
+        "q_similarity_ivfpq_distributed": q_similarity_ivfpq_distributed,
         "q_similarity_ivfpq_appended": q_similarity_ivfpq_appended,
         "q_ann_recall": q_ann_recall,
         "q_ann_recall_lsh": q_ann_recall_lsh,
@@ -4621,12 +4684,20 @@ def _pq_sql() -> str:
     """
 
 
+#: Relational replay of similarity.scaled_nprobe over the centroid CTE
+#: ``c`` — max(6, ceil(ncells/2)); CEIL yields a DOUBLE in DuckDB,
+#: hence the cast before GREATEST.
+_SCALED_NPROBE_SQL = (
+    "(SELECT GREATEST(6, CAST(CEIL(COUNT(*) * 0.5) AS INT)) FROM c)"
+)
+
+
 def _ivfpq_ctes(
     m: int,
     k: int,
     bs: int,
     sample_mod: int,
-    nprobe: int,
+    nprobe: int | str,
     residual: bool,
 ) -> str:
     """Shared CTE chain replaying the IVF-PQ index relationally: cell
@@ -4886,10 +4957,12 @@ def _kmeans_train_sql() -> str:
 
 
 def _ann_recall_sql() -> str:
-    """Oracle for q_ann_recall: IVF top-10 (nprobe=6, ranked on the
-    unrounded dot — the engine's selection rule) intersected with
-    exact top-10; per-query hit counts are integer-exact, so the
-    whole gate including the floor boolean replays."""
+    """Oracle for q_ann_recall: IVF top-10 (nprobe derived from the
+    data exactly as similarity.scaled_nprobe — GREATEST(6,
+    CEIL(ncells/2)) — ranked on the unrounded dot, the engine's
+    selection rule) intersected with exact top-10; per-query hit
+    counts are integer-exact, so the whole gate including the floor
+    boolean replays."""
     return f"""
         WITH {_UNIT_E},
         c AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id % 100 = 0),
@@ -4905,29 +4978,29 @@ def _ann_recall_sql() -> str:
                 SELECT q.query_id, c.cell_id, q.qv,
                        ROW_NUMBER() OVER (PARTITION BY q.query_id
                                           ORDER BY {_dot('q.qv', 'c.cv')} DESC, c.cell_id) AS rn
-                FROM q, c) WHERE rn <= 6),
+                FROM q, c) WHERE rn <= {_SCALED_NPROBE_SQL}),
         ap AS (SELECT query_id, neighbor_id FROM (
             SELECT p.query_id, a.vec_id AS neighbor_id,
                    ROW_NUMBER() OVER (PARTITION BY p.query_id
                                       ORDER BY {_dot('p.qv', 'a.v')} DESC, a.vec_id) AS rank
             FROM probe p JOIN assign a ON a.cell_id = p.cell_id
                                        AND a.vec_id <> p.query_id) WHERE rank <= 10),
-        {_exact_topk_cte(10)},{_RECALL_TAIL.format(floor="5.0")}
+        {_exact_topk_cte(10)},{_RECALL_TAIL.format(floor="7.0")}
     """
 
 
 def _ann_recall_ivfpq_sql() -> str:
     """Oracle for q_ann_recall_ivfpq: the residual IVF-PQ chain at
-    m=16, k=64, nprobe=6, top-10 ranked on the unrounded ADC score,
-    intersected with exact top-10."""
+    m=32, k=64, data-scaled nprobe, top-10 ranked on the unrounded
+    ADC score, intersected with exact top-10."""
     return f"""
-        WITH {_ivfpq_ctes(m=16, k=64, bs=4, sample_mod=7, nprobe=6, residual=True)},
+        WITH {_ivfpq_ctes(m=32, k=64, bs=2, sample_mod=7, nprobe=_SCALED_NPROBE_SQL, residual=True)},
         ap AS (SELECT query_id, neighbor_id FROM (
             SELECT query_id, neighbor_id,
                    ROW_NUMBER() OVER (PARTITION BY query_id
                                       ORDER BY raw_sim DESC, neighbor_id) AS rank
             FROM scored) WHERE rank <= 10),
-        {_exact_topk_cte(10)},{_RECALL_TAIL.format(floor="2.5")}
+        {_exact_topk_cte(10)},{_RECALL_TAIL.format(floor="4.0")}
     """
 
 
@@ -4936,7 +5009,7 @@ def _ann_recall_refined_sql() -> str:
     shortlist of 100 per query, then exact re-rank of the shortlist on
     the unit-vector dot (the refine stage, replayed relationally)."""
     return f"""
-        WITH {_ivfpq_ctes(m=16, k=64, bs=4, sample_mod=7, nprobe=6, residual=True)},
+        WITH {_ivfpq_ctes(m=32, k=64, bs=2, sample_mod=7, nprobe=_SCALED_NPROBE_SQL, residual=True)},
         sl AS (SELECT query_id, neighbor_id FROM (
             SELECT query_id, neighbor_id,
                    ROW_NUMBER() OVER (PARTITION BY query_id
@@ -4949,7 +5022,7 @@ def _ann_recall_refined_sql() -> str:
                        AS rank
             FROM sl JOIN q ON q.query_id = sl.query_id
                     JOIN e n ON n.vec_id = sl.neighbor_id) WHERE rank <= 10),
-        {_exact_topk_cte(10)},{_RECALL_TAIL.format(floor="5.0")}
+        {_exact_topk_cte(10)},{_RECALL_TAIL.format(floor="7.0")}
     """
 
 
@@ -6057,6 +6130,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_tokenize": _bpe_tokenize_sql(),
         "q_similarity_pq": _pq_sql(),
         "q_similarity_ivfpq": _ivfpq_sql(),
+        "q_similarity_ivfpq_distributed": _ivfpq_sql(),
         "q_similarity_ivfpq_appended": _ivfpq_sql(),
         "q_ann_recall": _ann_recall_sql(),
         "q_ann_recall_lsh": _ann_recall_lsh_sql(),

@@ -1020,6 +1020,85 @@ def _adc_tables(q_rows, codebook, query_id_col: str):
     return lut, meta
 
 
+def scaled_nprobe(ncells: int, coverage: float = 0.5, floor: int = 6) -> int:
+    """Probe budget that tracks corpus growth: max(floor,
+    ceil(ncells * coverage)).
+
+    A FIXED nprobe makes IVF recall decay as the corpus (and with it
+    ncells) grows — measured on the embeddings fixture: nprobe=6 holds
+    recall@10 = 1.0 while it covers all 5 cells (sf0.001/0.01) but
+    drops to 0.6 when the sf0.1 corpus quantizes into 20 cells (30%
+    coverage). Pinning the probed FRACTION keeps the recall/compute
+    ratio stable across scale: at coverage=0.5 the same fixture
+    measures 0.80 at sf0.1 (nprobe=10). Cost scales with corpus size
+    by design — that is the knob's meaning: constant recall, linear
+    cost; fixed nprobe is constant cost, decaying recall. Values above
+    ncells simply probe every cell (exact search within IVF)."""
+    import math
+
+    return max(floor, math.ceil(ncells * coverage))
+
+
+#: Driver-side ADC paths collect the query relation to build the
+#: lookup table as a plan-folded literal. That is the right design for
+#: serving-shaped batches, but nothing used to enforce the bound — a
+#: corpus-sized query side silently became a driver bottleneck. Paths
+#: that collect now count first (reading at most cap+1 rows) and RAISE
+#: past this cap; ``distributed=True`` switches to the LUT-join path
+#: where the table is computed JVM-side and joined, never collected.
+DEFAULT_MAX_DRIVER_QUERIES = 1024
+
+
+def _check_driver_query_cap(queries: DataFrame, cap: int, fn_name: str) -> None:
+    """Raise if the query relation exceeds the driver-collect cap —
+    checked with limit(cap+1).count() so the probe reads at most cap+1
+    rows no matter how large the relation is."""
+    n = queries.limit(cap + 1).count()
+    if n > cap:
+        raise ValueError(
+            f"{fn_name}: query batch has more than max_driver_queries={cap} "
+            f"rows; the driver-side ADC lookup table collects the query set. "
+            f"Pass distributed=True for the LUT-join path (table computed "
+            f"JVM-side, joined instead of plan-folded), or raise "
+            f"max_driver_queries if the batch is genuinely bounded."
+        )
+
+
+def _adc_lut_expr(qv_col: Column, cb_lit: Column, m: int, k: int, bs: int) -> Column:
+    """Per-ROW flat ADC lookup table (m·k doubles; entry b*k+j =
+    ⟨query block b, codeword[b][j]⟩) computed JVM-side — the
+    distributed analog of _adc_tables. Same block layout and the same
+    left-fold accumulation order as the driver's _pydot, so entries
+    are bit-identical to the driver-built table."""
+
+    def entry(e: Column) -> Column:
+        b = F.floor(e / k).cast("int")
+        blk = F.slice(qv_col, b * bs + 1, bs)
+        return dot(blk, F.element_at(cb_lit, (e + 1).cast("int")))
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m * k - 1)), entry)
+
+
+def _adc_score_from_col(lut_col: Column, m: int, k: int) -> Column:
+    """Σ_b LUT[b*k + codes[b]] over a PER-ROW ``__lut`` array column —
+    the joined-relation counterpart of _adc_score_expr (which indexes a
+    plan-folded all-queries literal by __qi). Identical accumulation
+    order, so the two paths score bit-identically."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, b: acc
+        + F.element_at(
+            lut_col,
+            (
+                b * k
+                + F.element_at(F.col("codes"), (b + 1).cast("int"))
+                + 1
+            ).cast("int"),
+        ),
+    )
+
+
 def _adc_score_expr(lut_lit: Column, m: int, k: int) -> Column:
     """Σ_b LUT[(__qi*m + b)*k + codes[b]] — the ADC score over a
     `__qi` (query index) column and a `codes` array column, terms
@@ -1047,6 +1126,8 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     k: int = 5,
+    max_driver_queries: int = DEFAULT_MAX_DRIVER_QUERIES,
+    distributed: bool = False,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: (query_id, neighbor_id,
     approx_sim, rank) where approx_sim = Σ_b ⟨query block b,
@@ -1063,11 +1144,45 @@ def pq_adc_topk(
     order and the driver's Python dot folds left-to-right — the same
     IEEE sequence as the engines, so scores stay bit-identical. The
     corpus side never ships vectors, only m-code rows; the final
-    per-query top-k is the WindowGroupLimit ranking window."""
+    per-query top-k is the WindowGroupLimit ranking window.
+
+    The bounded-probe contract is ENFORCED: past ``max_driver_queries``
+    the collect raises instead of silently serializing the batch into
+    the driver. ``distributed=True`` is the large-batch path — the LUT
+    is computed JVM-side per query row (bit-identical entries, see
+    _adc_lut_expr) and broadcast-JOINED to the code rows instead of
+    plan-folded, moving the bound from driver memory to an executor
+    broadcast relation."""
     import json
 
     m, kk = len(codebook), len(codebook[0])
     spark = codes_df.sparkSession
+    if distributed:
+        bs = len(codebook[0][0])
+        cb_lit, _, _, _ = _pq_lit(codebook)
+        q = _unit(
+            queries, [F.col(id_col).alias(query_id_col)], vec_col, "__qv"
+        ).filter(F.col("__qv").isNotNull())
+        qlut = q.select(
+            query_id_col, _adc_lut_expr(F.col("__qv"), cb_lit, m, kk, bs).alias("__lut")
+        )
+        joined = (
+            codes_df.select(F.col(id_col).alias("neighbor_id"), "codes")
+            .crossJoin(F.broadcast(qlut))
+            .filter(F.col("neighbor_id") != F.col(query_id_col))
+        )
+        scored = joined.select(
+            query_id_col,
+            "neighbor_id",
+            _adc_score_from_col(F.col("__lut"), m, kk).alias("approx_sim"),
+        ).filter(F.col("approx_sim").isNotNull())
+        return top_k_per_group(
+            scored,
+            [query_id_col],
+            [F.col("approx_sim").desc(), F.col("neighbor_id").asc()],
+            k,
+        )
+    _check_driver_query_cap(queries, max_driver_queries, "pq_adc_topk")
     q_rows = _unit(
         queries, [F.col(id_col).alias(query_id_col)], vec_col, "__qv"
     ).collect()
@@ -1498,6 +1613,8 @@ def ivfpq_topk_indexed(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 2,
+    max_driver_queries: int = DEFAULT_MAX_DRIVER_QUERIES,
+    distributed: bool = False,
 ) -> DataFrame:
     """Top-k against a persisted IVF-PQ index: probe ``nprobe`` cells
     per query, read ONLY those `cell_id=` partitions, ADC-score the
@@ -1515,7 +1632,17 @@ def ivfpq_topk_indexed(
     centroid + residual-codeword, and both terms distribute over the
     dot product. The per-(query, cell) offset q·centroid rides the
     broadcast probe relation — the LUT shift of the IVFADC paper,
-    costing one extra double per probe row."""
+    costing one extra double per probe row.
+
+    The bounded-probe contract is ENFORCED: past ``max_driver_queries``
+    the collect raises. ``distributed=True`` keeps only the BOUNDED
+    sets on the driver (centroids, and the ≤ncells probed-cell ids
+    needed for partition pruning); query unit vectors, cell choice
+    (top-nprobe via max_by-backed window, same desc-sim/asc-cell tie
+    rule), and the per-query LUT all stay JVM-side, and the probe
+    relation joins the index on cell_id (AQE picks broadcast vs
+    shuffle by its actual size). Scores are bit-identical to the
+    driver path — same fold orders throughout."""
     if codebook is None:
         codebook, residual = read_pq_codebook_meta(spark, path + "/_codebook")
     else:
@@ -1525,6 +1652,12 @@ def ivfpq_topk_indexed(
 
     cents_df = spark.read.parquet(path + "/_centroids")
     cell_id_type = cents_df.schema["cell_id"].dataType
+    if distributed:
+        return _ivfpq_topk_distributed(
+            spark, path, codebook, residual, cents_df, queries,
+            id_col, vec_col, k, nprobe,
+        )
+    _check_driver_query_cap(queries, max_driver_queries, "ivfpq_topk_indexed")
     cents = cents_df.collect()
     q_rows = _unit(
         queries, [F.col(id_col).alias("query_id")], vec_col, "__qv"
@@ -1570,6 +1703,75 @@ def ivfpq_topk_indexed(
     if residual:
         # (Σ terms) + offset — fold FIRST, offset added once at the
         # end, matching the oracle's list_sum(...) + off association
+        score = score + F.col("__off")
+    scored = cand.select(
+        "query_id", "neighbor_id", score.alias("approx_sim")
+    ).filter(F.col("approx_sim").isNotNull())
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("approx_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    )
+
+def _ivfpq_topk_distributed(
+    spark,
+    path: str,
+    codebook: list[list[list[float]]],
+    residual: bool,
+    cents_df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """Large-batch IVF-PQ probe: nothing query-sized ever reaches the
+    driver. Cell choice is a JVM top-nprobe (desc sim, asc cell — the
+    driver path's exact tie rule), the LUT is a per-query-row array
+    column (_adc_lut_expr — bit-identical entries), and the probe
+    relation joins the index on cell_id. The only driver
+    materialization is the probed-cell id set for partition pruning,
+    bounded by ncells (an index constant), never by |queries|."""
+    m, kk, bs = len(codebook), len(codebook[0]), len(codebook[0][0])
+    cb_lit, _, _, _ = _pq_lit(codebook)
+    q = _unit(queries, [F.col(id_col).alias("query_id")], vec_col, "__qv").filter(
+        F.col("__qv").isNotNull()
+    )
+    # stored centroids are unit vectors (write_ivfpq_index persists the
+    # normalized kmeans output) — do NOT re-normalize, only cast
+    cents = cents_df.select(
+        "cell_id", as_double(F.col(vec_col)).alias("__cv")
+    )
+    cell_sims = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "cell_id",
+        dot(F.col("__qv"), F.col("__cv")).alias("__off"),
+    )
+    probe = top_k_per_group(
+        cell_sims,
+        ["query_id"],
+        [F.col("__off").desc(), F.col("cell_id").asc()],
+        nprobe,
+        rank_col="__pr",
+    ).drop("__pr")
+    qlut = q.select(
+        "query_id", _adc_lut_expr(F.col("__qv"), cb_lit, m, kk, bs).alias("__lut")
+    )
+    probe = probe.join(qlut, "query_id")
+    # bounded driver set: distinct probed cells (≤ ncells) for the
+    # partition-pruning filter on the index read
+    probed = sorted(
+        r["cell_id"] for r in probe.select("cell_id").distinct().collect()
+    )
+    index = spark.read.parquet(path).filter(F.col("cell_id").isin(probed))
+    cand = (
+        index.withColumnRenamed(id_col, "neighbor_id")
+        .join(probe, "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    score = _adc_score_from_col(F.col("__lut"), m, kk)
+    if residual:
         score = score + F.col("__off")
     scored = cand.select(
         "query_id", "neighbor_id", score.alias("approx_sim")

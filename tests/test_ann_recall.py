@@ -15,11 +15,16 @@ def _recall_hits(exact_pairs, approx_pairs):
 
 
 def test_recall_floor_has_teeth(spark):
-    """The q_ann_recall gate asserts mean recall@10 >= 0.5 at
-    nprobe=6. At nprobe=1 the same index falls BELOW the floor
-    (measured 46/100 at sf0.001) — i.e. the floor is a real
-    constraint on probe quality, not a tautology."""
-    from matdb_spark.operators.similarity import cosine_topk, ivf_topk
+    """The q_ann_recall gate asserts mean recall@10 >= 0.7 at the
+    scaled probe budget (max(6, ceil(ncells/2))). At nprobe=1 the same
+    index falls BELOW the floor (measured 46/100 at sf0.001) — i.e.
+    the floor is a real constraint on probe quality, not a
+    tautology."""
+    from matdb_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        scaled_nprobe,
+    )
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     cents = emb.filter(F.col("vec_id") % 100 == 0).select(
@@ -30,17 +35,27 @@ def test_recall_floor_has_teeth(spark):
         (r["query_id"], r["neighbor_id"])
         for r in cosine_topk(emb, queries, k=10).collect()
     }
+    npr = scaled_nprobe(cents.count())
     good = {
         (r["query_id"], r["neighbor_id"])
-        for r in ivf_topk(emb, queries, cents, k=10, nprobe=6).collect()
+        for r in ivf_topk(emb, queries, cents, k=10, nprobe=npr).collect()
     }
     degraded = {
         (r["query_id"], r["neighbor_id"])
         for r in ivf_topk(emb, queries, cents, k=10, nprobe=1).collect()
     }
     n = len(exact)
-    assert _recall_hits(exact, good) / n >= 0.5  # the gate's floor holds
-    assert _recall_hits(exact, degraded) / n < 0.5  # ...and can fail
+    assert _recall_hits(exact, good) / n >= 0.7  # the gate's floor holds
+    assert _recall_hits(exact, degraded) / n < 0.7  # ...and can fail
+
+
+def test_scaled_nprobe_formula():
+    from matdb_spark.operators.similarity import scaled_nprobe
+
+    assert scaled_nprobe(5) == 6  # floor dominates at small ncells
+    assert scaled_nprobe(20) == 10  # half the cells at sf0.1 scale
+    assert scaled_nprobe(1000) == 500  # fraction holds as corpus grows
+    assert scaled_nprobe(13) == 7  # ceil, not floor
 
 
 def test_gated_recall_frames_report_floor(spark):
