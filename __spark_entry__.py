@@ -766,6 +766,30 @@ def q_mvcc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return db.begin().query(ordered=True)
 
 
+def q_dsv2_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME two-txn MVCC snapshot as q_mvcc_scan, read through the
+    DataSource V2 surface — ``spark.read.format("matdb").load(db)``
+    (sources/dsv2.py, the Spark 4 Python Data Source API). The reader
+    reuses the library scan's driver planning (manifest file lists,
+    tier-0 stats pruning, chunk pruning from pushed filters) and
+    resolves newest-(txn, seq)-wins CHUNK-LOCALLY in Arrow (keys never
+    cross chunks by the routing invariant), so the source emits
+    resolved snapshot rows with no shuffle in the Spark plan at all.
+    Shares q_mvcc_scan's fixture and oracle: two physically different
+    read paths (JVM max_by aggregation vs chunk-local Arrow
+    resolution), one relational truth. Reference parity: the one-call
+    query surface of transaction.rs:67, reached the way a Spark user
+    expects to reach a table."""
+    from matdb_spark.sources.dsv2 import register_matdb_source
+
+    db = _gate_mvcc_store(spark, sf_dir)  # ensures the fixture exists
+    register_matdb_source(spark)
+    out = spark.read.format("matdb").load(db.path)
+    # the DSv2 scan is unordered across partitions (like any Spark
+    # source); the O1 ordering contract is one orderBy on top
+    return out.orderBy("user_id", "event_id")
+
+
 def q_mvcc_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan of a COMPACTED store: the same two-txn upsert content as
     q_mvcc_scan, folded by ``compact()`` + ``vacuum()`` into one
@@ -4274,6 +4298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
         "q_mvcc_scan": q_mvcc_scan,
+        "q_dsv2_scan": q_dsv2_scan,
         "q_auto_compact_scan": q_auto_compact_scan,
         "q_mvcc_compacted_scan": q_mvcc_compacted_scan,
         "q_mvcc_string_dim": q_mvcc_string_dim,
@@ -5899,6 +5924,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s.user_id, s.event_id
         """,
         "q_mvcc_scan": """
+            SELECT user_id, event_id,
+                   CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
+            FROM events
+        """,
+        "q_dsv2_scan": """
             SELECT user_id, event_id,
                    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
             FROM events

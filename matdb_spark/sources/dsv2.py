@@ -1,0 +1,342 @@
+"""DataSource V2 surface: ``spark.read.format("matdb")``.
+
+The last step from "library over Spark" to "Spark-native engine"
+(round-5 verdict item 4): the MVCC snapshot as a first-class Spark
+source, so any Spark user — SQL, DataFrame, other languages through
+the session catalog — reads a matdb store with one call:
+
+    from matdb_spark.sources.dsv2 import register_matdb_source
+    register_matdb_source(spark)
+    df = spark.read.format("matdb").load("/path/to/db")          # now
+    df = spark.read.format("matdb").option("as_of", 3).load(p)   # time travel
+
+Built on the Spark 4 Python Data Source API. The DRIVER side reuses
+the exact planning tiers of the library scan (scan.py scan_dataframe):
+manifest-resolved file lists (no listing job), tier-0 txn-stats
+pruning, chunk pruning from pushed-down dimension filters, and
+version-rank overrides for minor compactions. The EXECUTOR side is
+one Arrow pipeline per CHUNK: every version of a key lives in the
+same chunk by construction (chunk = f(key), schema.rs:28-38's routing
+invariant), so newest-(txn, seq)-wins resolution is chunk-local and
+the source needs NO shuffle at all — Spark receives already-resolved
+snapshot rows as Arrow record batches.
+
+Semantics and bounds, stated plainly:
+- Committed state only (a snapshot of the store as of the horizon) —
+  read-your-own-writes overlays are a Transaction concept and stay on
+  the library path (transaction.py query()).
+- Row-level resolution only (the default query() mode, which supports
+  tombstone deletes); ``cell_merge`` stays on the library path.
+- Rows are emitted in key order WITHIN a chunk; Spark scans give no
+  cross-partition order (add .orderBy for the O1 global contract).
+- Pushed filters are used for PRUNING only (manifest tier-0 + chunk
+  directories) and are all returned to Spark for re-application —
+  value-column filters must not run before version resolution, and
+  double-applying dim filters is free correctness.
+- A store with no chunked dimension degrades to one input partition
+  (resolution must then be global); the library path is preferred
+  there. Compacted stores (manifest ``unique_keys``) skip resolution
+  and parallelize per FILE instead of per chunk.
+
+Scale: partitions = chunks, the same granularity the write side sizes
+to "one healthy parquet partition" (SCALE.md §12) — 100 TB stores
+carry tens of thousands of chunks, saturating any executor fleet; the
+per-task state is one chunk's rows, which is exactly the bound the
+chunk_size knob already enforces for the JVM path.
+
+Reference parity: this is the reference's one-call query surface
+(transaction.rs:67 query() → scan.rs merge scan) exposed the way a
+Spark user expects to reach a table.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from matdb_spark import manifest
+from matdb_spark.schema import SEQ_COL, Schema
+from matdb_spark.scan import _chunk_ranges, _select_manifest_files
+
+SCHEMA_FILENAME = "schema.json"
+
+_ARROW_TYPES = {
+    "long": "int64",
+    "int": "int32",
+    "double": "float64",
+    "float": "float32",
+    "string": "string",
+    "timestamp": "timestamp[us, tz=UTC]",
+    "date": "date32[day]",
+    "boolean": "bool",
+    "binary": "binary",
+    "decimal(20,0)": "decimal128(20, 0)",
+}
+
+
+def _arrow_type(name: str):
+    import pyarrow as pa
+
+    mapping = {
+        "long": pa.int64(),
+        "int": pa.int32(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "string": pa.string(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "date": pa.date32(),
+        "boolean": pa.bool_(),
+        "binary": pa.binary(),
+        "decimal(20,0)": pa.decimal128(20, 0),
+    }
+    return mapping[name]
+
+
+@dataclass
+class ChunkPartition(InputPartition):
+    """One scan task: the (path, effective_txn) pairs of a single chunk
+    — or of a single file when the store is provably duplicate-free."""
+
+    files: list = field(default_factory=list)  # [(abs_path, effective_txn)]
+    dedup_free: bool = False
+
+
+def register_matdb_source(spark) -> None:
+    """Register the ``matdb`` format with a session (idempotent).
+    Python-source filter pushdown ships behind a conf flag in Spark 4
+    and a reader that implements pushFilters REQUIRES it on — enable
+    it with the registration."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(MatdbDataSource)
+
+
+class MatdbDataSource(DataSource):
+    """``format("matdb")``: options are ``path`` (the database
+    directory; also the ``load(path)`` positional) and optional
+    ``as_of`` (txn id — the time-travel horizon, database.py begin)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "matdb"
+
+    def _db_path(self) -> str:
+        p = self.options.get("path")
+        if not p:
+            raise ValueError(
+                "matdb source requires a database path: "
+                "spark.read.format('matdb').load('/path/to/db')"
+            )
+        return os.path.abspath(p)
+
+    def schema(self):
+        sch = Schema.load(os.path.join(self._db_path(), SCHEMA_FILENAME))
+        return sch.spark_schema()
+
+    def reader(self, schema) -> "MatdbSnapshotReader":
+        as_of = self.options.get("as_of")
+        return MatdbSnapshotReader(
+            self._db_path(), int(as_of) if as_of is not None else None
+        )
+
+
+class MatdbSnapshotReader(DataSourceReader):
+    def __init__(self, db_path: str, as_of: int | None):
+        self.db_path = db_path
+        self.as_of = as_of
+        self.schema_obj = Schema.load(os.path.join(db_path, SCHEMA_FILENAME))
+        self.bounds: dict[str, tuple] = {}
+
+    # ---- filter pushdown (pruning only) ------------------------------
+    def pushFilters(self, filters):
+        """Fold dimension-range filters into ``bounds`` for the same
+        driver-side pruning the library path applies (tier-0 manifest
+        stats + chunk directories), then hand EVERY filter back to
+        Spark: dim filters are merely re-checked (free), and value
+        filters MUST run after version resolution — pre-resolution
+        value filtering would change which version wins."""
+        dims = {d.name: d for d in self.schema_obj.dimensions}
+
+        def tighten(name: str, lo=None, hi=None) -> None:
+            clo, chi = self.bounds.get(name, (None, None))
+            if lo is not None:
+                clo = lo if clo is None else max(clo, lo)
+            if hi is not None:
+                chi = hi if chi is None else min(chi, hi)
+            self.bounds[name] = (clo, chi)
+
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr and len(attr) == 1 else None
+            if col not in dims:
+                continue
+            integral = dims[col].type in ("long", "int")
+            if isinstance(f, EqualTo):
+                tighten(col, f.value, f.value)
+            elif isinstance(f, GreaterThanOrEqual):
+                tighten(col, lo=f.value)
+            elif isinstance(f, LessThanOrEqual):
+                tighten(col, hi=f.value)
+            elif isinstance(f, GreaterThan) and integral:
+                tighten(col, lo=f.value + 1)
+            elif isinstance(f, LessThan) and integral:
+                tighten(col, hi=f.value - 1)
+            elif isinstance(f, In) and f.values:
+                try:
+                    tighten(col, lo=min(f.values), hi=max(f.values))
+                except TypeError:
+                    pass
+        return filters  # Spark re-applies everything (see docstring)
+
+    # ---- driver-side planning ----------------------------------------
+    def partitions(self):
+        horizon = self._horizon()
+        visible = manifest.visible_txn_ids(self.db_path, horizon)
+        if self.bounds:
+            from matdb_spark.stats import txn_intersects
+
+            visible = [
+                t
+                for t in visible
+                if txn_intersects(
+                    manifest.read_manifest_cached(self.db_path, t).get("stats"),
+                    self.bounds,
+                )
+            ]
+        dedup_free = len(visible) == 1 and bool(
+            manifest.read_manifest_cached(self.db_path, visible[0]).get(
+                "unique_keys"
+            )
+        )
+        rank = {}
+        for t in visible:
+            vr = manifest.read_manifest_cached(self.db_path, t).get("version_rank")
+            if vr is not None and int(vr) != int(t):
+                rank[int(t)] = int(vr)
+        cranges = _chunk_ranges(self.schema_obj, self.bounds)
+        files: list[tuple[str, int]] = []  # (abs path, effective txn)
+        for t in visible:
+            tdir = manifest.txn_data_dir(self.db_path, t)
+            fl = manifest.read_manifest_cached(self.db_path, t).get("files")
+            if fl is None:  # legacy/capped manifest: walk the txn dir
+                fl = [
+                    os.path.relpath(os.path.join(r, f), tdir)
+                    for r, _, fs in os.walk(tdir)
+                    for f in fs
+                    if f.endswith(".parquet")
+                ]
+            eff = rank.get(t, t)
+            files.extend(
+                (os.path.join(tdir, rel), eff)
+                for rel in _select_manifest_files(fl, cranges)
+            )
+        if not files:
+            return [ChunkPartition(files=[], dedup_free=dedup_free)]
+        if dedup_free:
+            # no resolution needed: maximum parallelism, one task/file
+            return [ChunkPartition(files=[fe], dedup_free=True) for fe in files]
+        groups: dict[tuple, list] = {}
+        for path, eff in files:
+            key = tuple(
+                sorted(
+                    p
+                    for p in path.split(os.sep)
+                    if p.startswith("__chunk_") and "=" in p
+                )
+            )
+            groups.setdefault(key, []).append((path, eff))
+        return [ChunkPartition(files=g, dedup_free=False) for g in groups.values()]
+
+    def _horizon(self) -> int:
+        committed = manifest.committed_txn_ids(self.db_path)
+        current = max(committed, default=0) + 1
+        if self.as_of is None:
+            return current
+        if self.as_of >= current:
+            raise ValueError(
+                f"as_of={self.as_of} is in the future (next txn {current})"
+            )
+        gone = manifest.missing_history(self.db_path, self.as_of)
+        if gone:
+            raise ValueError(
+                f"time-travel snapshot as_of={self.as_of} is unreadable: "
+                f"txns {gone} were vacuumed after a later compaction"
+            )
+        return self.as_of + 1
+
+    # ---- executor-side read ------------------------------------------
+    def read(self, partition: ChunkPartition):
+        """One chunk's resolution as a pure-Arrow pipeline: read each
+        file (missing evolved value columns materialize as typed
+        nulls), stamp its effective txn, sort by (dims, txn, seq),
+        keep the LAST row per key (== max_by((txn, seq)) of the JVM
+        path), drop all-null-value rows (block.rs:277-279: unset cells
+        never appear), and emit batches."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+
+        sch = self.schema_obj
+        dims, vals = sch.dim_names, sch.value_names
+        out_fields = [
+            pa.field(d.name, _arrow_type(d.type), nullable=False)
+            for d in sch.dimensions
+        ] + [pa.field(v.name, _arrow_type(v.type)) for v in sch.values]
+        out_schema = pa.schema(out_fields)
+        if not partition.files:
+            yield from pa.table(
+                {f.name: pa.array([], f.type) for f in out_fields}
+            ).to_batches()
+            return
+        file_schema = pa.schema(
+            [pa.field(d.name, _arrow_type(d.type)) for d in sch.dimensions]
+            + [pa.field(v.name, _arrow_type(v.type)) for v in sch.values]
+            + [pa.field(SEQ_COL, pa.int64())]
+        )
+        tables = []
+        for path, eff in partition.files:
+            t = ds.dataset(path, schema=file_schema, format="parquet").to_table(
+                columns=dims + vals + ([] if partition.dedup_free else [SEQ_COL])
+            )
+            if not partition.dedup_free:
+                t = t.append_column(
+                    "__txn", pa.array([eff] * len(t), pa.int64())
+                )
+            tables.append(t)
+        t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+        if not partition.dedup_free and len(t):
+            t = t.sort_by(
+                [(d, "ascending") for d in dims]
+                + [("__txn", "ascending"), (SEQ_COL, "ascending")]
+            )
+            # winner = last row of each key group after the sort
+            if len(t) > 1:
+                neq = np.zeros(len(t) - 1, dtype=bool)
+                for d in dims:
+                    a = t[d].to_numpy(zero_copy_only=False)
+                    neq |= a[:-1] != a[1:]
+                mask = np.append(neq, True)
+            else:
+                mask = np.array([True])
+            t = t.filter(pa.array(mask)).select(dims + vals)
+        else:
+            t = t.select(dims + vals)
+        if vals and len(t):
+            import pyarrow.compute as pc
+
+            any_set = pc.is_valid(t[vals[0]])
+            for v in vals[1:]:
+                any_set = pc.or_(any_set, pc.is_valid(t[v]))
+            t = t.filter(any_set)
+        yield from t.cast(out_schema).to_batches()

@@ -1,0 +1,200 @@
+"""Object-store semantics double for the manifest-commit protocol
+(r5 verdict item 5).
+
+manifest.publish/recover are correct-by-construction on POSIX (atomic
+rename + fsync). Object stores break both assumptions: rename is
+copy-then-delete (a crash can leave source AND destination, or
+neither-but-tmp), and LIST can lag PUT. This module injects exactly
+those behaviors through an FS shim and asserts the protocol's two
+invariants hold anyway:
+
+- NO LOST COMMIT: once the manifest object exists, the commit is
+  visible and recovery never un-publishes it (sweeps only debris).
+- NO DOUBLE-PUBLISH / NO ID REUSE: txn-id claims go through
+  O_CREAT|O_EXCL (the conditional-PUT analog), which is
+  listing-independent — stale LISTs cannot hand two writers one id.
+
+Outcome documented in SCALE.md §2: a publish interrupted mid-"rename"
+is an IN-DOUBT commit (the copy may have landed) — safe either way,
+never torn; callers treating the exception as failure must re-check
+``committed_txn_ids`` before retrying with a fresh id.
+"""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from matdb_spark import manifest
+
+
+class CrashInjected(Exception):
+    pass
+
+
+class ObjectStoreShim:
+    """Scoped os-level double: under ``root``,
+    - os.replace = copy object + delete source, with an optional crash
+      point between the two (``crash``: None | 'before_copy' |
+      'after_copy');
+    - os.listdir serves a STALE pre-captured view for the first
+      ``stale_lists`` calls per directory (eventual-consistency LIST).
+    Paths outside ``root`` pass through untouched."""
+
+    def __init__(self, monkeypatch, root: str, crash=None, stale_lists: int = 0):
+        self.root = os.path.abspath(root)
+        self.crash = crash
+        self._stale_budget: dict[str, int] = {}
+        self._stale_view: dict[str, list] = {}
+        real_replace, real_listdir = os.replace, os.listdir
+        if stale_lists:
+            for d in (manifest.commits_dir(root), manifest.data_dir(root)):
+                if os.path.isdir(d):
+                    self._stale_view[os.path.abspath(d)] = real_listdir(d)
+                    self._stale_budget[os.path.abspath(d)] = stale_lists
+
+        def replace(src, dst):
+            if not os.path.abspath(str(dst)).startswith(self.root):
+                return real_replace(src, dst)
+            if self.crash == "before_copy":
+                raise CrashInjected("crashed before destination PUT")
+            shutil.copyfile(src, dst)  # full-object PUT: dst never torn
+            if self.crash == "after_copy":
+                raise CrashInjected("crashed after PUT, source not deleted")
+            os.unlink(src)
+
+        def listdir(p="."):
+            key = os.path.abspath(str(p))
+            if self._stale_budget.get(key, 0) > 0:
+                self._stale_budget[key] -= 1
+                return list(self._stale_view[key])
+            return real_listdir(p)
+
+        monkeypatch.setattr(os, "replace", replace)
+        monkeypatch.setattr(os, "listdir", listdir)
+
+
+def _mkstore(tmp_path) -> str:
+    p = str(tmp_path / "db")
+    manifest.init_layout(p)
+    return p
+
+
+def _publish(p, t, **kw):
+    os.makedirs(manifest.txn_data_dir(p, t), exist_ok=True)
+    manifest.publish(p, t, segment_count=1, **kw)
+
+
+def test_crash_after_put_commit_lands_and_recovery_keeps_it(
+    tmp_path, monkeypatch
+):
+    """copy-then-delete crash AFTER the PUT: the manifest object exists
+    (commit LANDED) alongside .tmp debris. The caller saw an exception
+    — in-doubt — but the store must treat the commit as published and
+    recovery must sweep only the debris."""
+    p = _mkstore(tmp_path)
+    _publish(p, 1)
+    ObjectStoreShim(monkeypatch, p, crash="after_copy")
+    with pytest.raises(CrashInjected):
+        _publish(p, 2)
+    # commit landed: manifest visible, snapshot includes txn 2
+    assert manifest.committed_txn_ids(p) == [1, 2]
+    assert manifest.visible_txn_ids(p, horizon=10) == [1, 2]
+    tmp = manifest.manifest_path(p, 2) + ".tmp"
+    assert os.path.exists(tmp)  # the undeleted "source object"
+    manifest.read_manifest_cached.cache_clear()
+    nxt = manifest.recover(p, grace_seconds=0.0)
+    assert not os.path.exists(tmp)  # debris swept
+    assert manifest.committed_txn_ids(p) == [1, 2]  # commit NOT lost
+    assert nxt == 3
+    # the published object is complete JSON (full-object PUT, no tear)
+    assert manifest.read_manifest(p, 2)["txn"] == 2
+
+
+def test_crash_before_put_commit_absent_and_swept(tmp_path, monkeypatch):
+    """Crash BEFORE the destination PUT: only .tmp + staged data exist.
+    The commit must be invisible, recovery sweeps both, and the id is
+    never reused (no later writer can double-publish under it)."""
+    p = _mkstore(tmp_path)
+    _publish(p, 1)
+    ObjectStoreShim(monkeypatch, p, crash="before_copy")
+    with pytest.raises(CrashInjected):
+        _publish(p, 2)
+    assert manifest.committed_txn_ids(p) == [1]
+    assert manifest.visible_txn_ids(p, horizon=10) == [1]
+    manifest.read_manifest_cached.cache_clear()
+    nxt = manifest.recover(p, grace_seconds=0.0)
+    assert not os.path.exists(manifest.manifest_path(p, 2) + ".tmp")
+    assert not os.path.isdir(manifest.txn_data_dir(p, 2))
+    assert nxt == 3  # id space advances PAST the victim — no reuse
+
+
+def test_reservations_unique_under_stale_listing(tmp_path, monkeypatch):
+    """Two writers whose LIST views lag (both see the same max id) must
+    still claim distinct txn ids: the O_EXCL reservation (conditional
+    PUT) is the arbiter, not the listing."""
+    p = _mkstore(tmp_path)
+    _publish(p, 1)
+    _publish(p, 2)
+    ObjectStoreShim(monkeypatch, p, stale_lists=4)
+    # both "writers" start from the same stale base
+    a = manifest.reserve_txn_id(p, start=1)
+    b = manifest.reserve_txn_id(p, start=1)
+    assert a != b
+    assert {a, b}.isdisjoint({1, 2})
+
+
+def test_stale_listing_reader_sees_older_but_consistent_snapshot(
+    tmp_path, monkeypatch
+):
+    """A reader whose _commits LIST lags one commit sees the OLDER
+    snapshot in full — never a torn one — and converges once the
+    listing catches up."""
+    p = _mkstore(tmp_path)
+    _publish(p, 1)
+    _publish(p, 2)
+    shim = ObjectStoreShim(monkeypatch, p, stale_lists=1)
+    _publish(p, 3)  # after the stale view was captured
+    manifest.read_manifest_cached.cache_clear()
+    first = manifest.visible_txn_ids(p, horizon=10)
+    assert first == [1, 2]  # pre-PUT view: older, complete, not torn
+    second = manifest.visible_txn_ids(p, horizon=10)
+    assert second == [1, 2, 3]  # converged
+
+
+def test_republish_same_txn_is_idempotent(tmp_path, monkeypatch):
+    """An in-doubt caller that retries publish for the SAME txn id
+    (same content) must not corrupt the store: last full-object PUT
+    wins with identical bytes-for-purpose content."""
+    p = _mkstore(tmp_path)
+    ObjectStoreShim(monkeypatch, p)  # copy+delete, no crash
+    _publish(p, 1)
+    _publish(p, 1)  # retry
+    assert manifest.committed_txn_ids(p) == [1]
+    m = manifest.read_manifest(p, 1)
+    assert m["txn"] == 1 and m["segments"] == 1
+
+
+def test_end_to_end_store_through_shim(spark, tmp_path, monkeypatch):
+    """Full engine lifecycle (Database/Transaction/scan) with every
+    manifest rename going through the copy+delete double: commits land,
+    newest-wins resolution unaffected."""
+    from matdb_spark import Database, Dimension, Schema, Value
+
+    p = str(tmp_path / "db2")
+    ObjectStoreShim(monkeypatch, p)
+    db = Database.create(
+        spark, p, Schema(dimensions=[Dimension("k", 10)], values=[Value("v")])
+    )
+    t1 = db.begin()
+    t1.add_rows([(i, i) for i in range(20)])
+    t1.commit()
+    t2 = db.begin()
+    t2.add_rows([(5, 999)])
+    t2.commit()
+    got = {r["k"]: r["v"] for r in db.begin().query(ordered=False).collect()}
+    assert got[5] == 999 and len(got) == 20
+    assert not any(
+        n.endswith(".tmp") for n in os.listdir(manifest.commits_dir(p))
+    )

@@ -62,6 +62,10 @@ FAMILY_REPS = {
     "semantic_dedup": "q_semantic_dedup",
     "dedup_canonical": "q_dedup_canonical",
     "simhash_pairs": "q_dedup_simhash_pairs",
+    # round-6 addition: the one unexplained r4->r5 single-shot mover
+    # (3.21 -> 4.49 s, 1.40x) put under a replicated median per the
+    # round-5 verdict item 3
+    "stream_stream_join": "q_stream_stream_join",
 }
 
 

@@ -692,6 +692,67 @@ def probe_bpe(spark):
     print("  bpe probe done: merge-loop cost tracks vocab, not corpus")
 
 
+def probe_bpe_deep(spark, num_merges: int = 1024):
+    """r5 verdict item 6: the 16-merge gates leave the 'per-merge cost
+    is vocab-bounded and FLAT' claim (bpe.py train_bpe) unproven at
+    production vocabulary sizes. Train >=1k merges on the REAL sf0.1
+    documents corpus and report wall time per 128-merge window — if
+    any superlinearity hides in the merge loop (lineage growth,
+    symbol-relation bloat), the later windows expose it."""
+    import time as _t
+
+    from matdb_spark.operators import bpe
+
+    corpus = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text"
+    )
+    vocab = timed(
+        "word_counts over sf0.1 documents (one corpus pass)",
+        lambda: bpe.word_counts(corpus, "text").count(),
+    )
+    # re-implement the loop with window timing (same steps as
+    # train_bpe — checkpoint every 4th merge, (c DESC, pair ASC) argmax)
+    wc = bpe.word_counts(corpus, "text")
+    syms = wc.select(
+        "cnt", bpe._symbol_string(F.col("w")).alias("s")
+    ).localCheckpoint()
+    window = 128
+    t0 = _t.time()
+    times = []
+    learned = 0
+    for rank in range(num_merges):
+        top = (
+            bpe._pair_counts(syms)
+            .orderBy(F.col("c").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] < 1:
+            break
+        left, right = top[0]["pair"].split(" ", 1)
+        syms = syms.select(
+            "cnt", bpe.merge_expr(F.col("s"), left, right).alias("s")
+        )
+        if rank % 4 == 3:
+            syms = syms.localCheckpoint()
+        learned += 1
+        if learned % window == 0:
+            el = _t.time() - t0
+            times.append(el)
+            print(
+                f"  merges {learned - window + 1:4d}-{learned:4d}"
+                f"          {el:7.2f} s   ({el / window:.3f} s/merge)"
+            )
+            t0 = _t.time()
+    if len(times) >= 2:
+        ratio = times[-1] / times[0]
+        print(
+            f"  bpe-deep: {learned} merges over {vocab} vocab words; "
+            f"last/first window ratio {ratio:.2f} "
+            f"({'FLAT' if ratio < 1.5 else 'SUPERLINEAR — investigate'})"
+        )
+
+
 def probe_spans(spark):
     """Span-dedup economics at 1M → 4M docs: remove_duplicate_spans'
     cost model is linear in corpus WORDS — the occurrence relation is
@@ -856,6 +917,8 @@ if __name__ == "__main__":
         probe_ivfpq(spark)
     elif which == "bpe":
         probe_bpe(spark)
+    elif which == "bpedeep":
+        probe_bpe_deep(spark)
     elif which == "spans":
         probe_spans(spark)
     elif which == "semdedup":
