@@ -1494,19 +1494,29 @@ def q_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scratch per call — the query IS the three-step lifecycle."""
     import shutil
 
-    from matdb_spark.operators.dedup import admit_batch
+    from matdb_spark.operators.dedup import admit_batch, banded_minhash
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(SCRATCH, f"admission_index_{tag}")
     shutil.rmtree(path, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # ONE banding job for the whole corpus (signatures are a pure
+    # function of the text — admission-independent), each batch filters
+    # its slice: the r5 audit found per-batch banding jobs were ~half
+    # the lifecycle's wall time. Same math, same oracle.
+    all_banded = banded_minhash(docs, "doc_id", "text", 32, 8, 3).localCheckpoint()
     out = None
     for b in range(3):
         # admit_batch returns a MATERIALIZED frame (checkpointed
         # before the index mutates), so unioning the lazy selects
         # across batches is safe
         admitted = admit_batch(
-            spark, path, docs.filter(F.col("doc_id") % 3 == b), "doc_id", "text"
+            spark,
+            path,
+            docs.filter(F.col("doc_id") % 3 == b),
+            "doc_id",
+            "text",
+            banded=all_banded.filter(F.col("doc_id") % 3 == b),
         ).select("doc_id", F.lit(b).cast("int").alias("admitted_in_batch"))
         out = admitted if out is None else out.union(admitted)
     return out

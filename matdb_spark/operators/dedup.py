@@ -471,10 +471,23 @@ def write_minhash_index(
     )
 
 
-def _write_banded(banded: DataFrame, path: str, mode: str) -> None:
-    (
+def _write_banded(
+    banded: DataFrame, path: str, mode: str, cluster: bool = True
+) -> None:
+    """``cluster=True`` (corpus builds): range-repartition on (band,
+    key) so each band's files are globally key-sorted — best zstd
+    locality and key-predicate prunability, at the cost of a range-
+    boundary sampling job. ``cluster=False`` (admission appends of
+    batch-sized slices): hash-repartition on band only, keys still
+    sorted WITHIN files — same probe cost (the probe broadcast-filters
+    every row group either way), no sampling job per append."""
+    part = (
         banded.repartitionByRange("band", "key")
-        .sortWithinPartitions("band", "key")
+        if cluster
+        else banded.repartition("band")
+    )
+    (
+        part.sortWithinPartitions("band", "key")
         .write.partitionBy("band")
         .mode(mode)
         .parquet(path)
@@ -627,6 +640,76 @@ def _index_pairs_from_banded(
     return pairs.distinct()
 
 
+def _admission_rejected_ids(
+    spark,
+    path: str,
+    nb: DataFrame,
+    max_bucket: int | None,
+    reject_identity: bool,
+    have_index: bool,
+) -> DataFrame:
+    """``__rid`` — the batch ids admission rejects, as ONE bucket
+    aggregation (r5 verdict item 7; replaces intra-pairs + cross-pairs
+    + union + distinct — the pair LISTS were never needed, only the
+    per-document verdict). Per (band, key) bucket the aggregate carries
+    everything both rejection rules read:
+
+    - intra (smaller-id batchmate): batch id > min(batch ids in
+      bucket), under the batch-side cap (``__nb <= max_bucket`` —
+      _pairs_from_banded's rule);
+    - cross (previously-admitted co-occupant): any corpus member
+      exists — identity included when ``reject_identity`` (replayed
+      batches become no-ops), else a corpus member OTHER than self —
+      under the union-distinct cap (``__nu <= max_bucket`` —
+      _index_pairs_from_banded's rule, where a doc present on both
+      sides counts once).
+
+    Cost shape: the index is scanned ONCE (column-pruned, broadcast
+    semi-filtered to the batch's keys — never shuffled in full), one
+    hash aggregation over bucket rows, one join of the batch banding
+    against the bucket verdict relation. The previous form scanned the
+    index twice (cap pass + member pass) and ran four more shuffles
+    (two collect_list aggs, a pair join, a union-distinct)."""
+    bm = nb.select("band", "key", "doc_id", F.lit(0).alias("__src"))
+    if have_index:
+        keys = nb.select("band", "key").distinct()
+        idx = (
+            spark.read.parquet(path)
+            .select("band", "key", "doc_id")
+            .join(F.broadcast(keys), ["band", "key"], "leftsemi")
+            .select("band", "key", "doc_id", F.lit(1).alias("__src"))
+        )
+        members = bm.unionByName(idx)
+    else:
+        members = bm
+    batch_id = F.when(F.col("__src") == 0, F.col("doc_id"))
+    corpus_id = F.when(F.col("__src") == 1, F.col("doc_id"))
+    g = members.groupBy("band", "key").agg(
+        F.count_distinct("doc_id").alias("__nu"),
+        F.count_distinct(batch_id).alias("__nb"),
+        F.min(batch_id).alias("__mn0"),
+        F.count_distinct(corpus_id).alias("__c1"),
+        F.min(corpus_id).alias("__cmin"),
+    )
+    under = (lambda c: F.lit(True)) if max_bucket is None else (
+        lambda c: c <= F.lit(max_bucket)
+    )
+    intra = under(F.col("__nb")) & (F.col("doc_id") > F.col("__mn0"))
+    if reject_identity:
+        near_corpus = F.col("__c1") > 0
+    else:
+        near_corpus = (F.col("__c1") >= 2) | (
+            (F.col("__c1") == 1) & (F.col("__cmin") != F.col("doc_id"))
+        )
+    cross = under(F.col("__nu")) & near_corpus
+    return (
+        nb.join(g, ["band", "key"])
+        .filter(intra | cross)
+        .select(F.col("doc_id").alias("__rid"))
+        .distinct()
+    )
+
+
 def admit_batch(
     spark,
     path: str,
@@ -639,6 +722,7 @@ def admit_batch(
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     append: bool = True,
     reject_identity: bool = True,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Admission-control dedup for a standing corpus: returns the
     subset of ``batch`` that is NOT a near-duplicate of anything
@@ -666,45 +750,67 @@ def admit_batch(
     crash between index append and commit must not lose the batch's
     rows (the re-append only duplicates banding rows, which the probe
     de-duplicates).
+
+    ``banded`` lets the caller bring the batch's OWN (doc_id, band,
+    key) relation — computed with banded_minhash under the SAME
+    (k, bands, shingle_n) and already materialized (checkpointed/
+    cached). Signatures are the dominant per-batch cost; a pipeline
+    that splits one arriving corpus into several admission batches can
+    then hash it in ONE Spark job and filter per batch instead of
+    paying one shingle+shuffle job per batch (the r5 q_dedup_admission
+    audit: 3 banding jobs were ~half the lifecycle's wall time).
     """
     have_index = _index_has_bands(spark, path)
-    # ONE banding computation per batch: signatures are the batch's
-    # dominant cost, and intra pairing, index probing, AND the final
-    # index append all consume the same (doc_id, band, key) relation —
-    # materialize it once instead of re-shingling per consumer
-    nb = banded_minhash(batch, id_col, text_col, k, bands, shingle_n).localCheckpoint()
-    intra = _pairs_from_banded(nb, max_bucket).select(F.col("id_b").alias("__rid"))
-    if have_index:
-        cross = _index_pairs_from_banded(
-            spark, path, nb, max_bucket, reject_identity=reject_identity
-        ).select(F.col("new_id").alias("__rid"))
-        rejected = intra.union(cross)
+    if banded is not None:
+        # caller-materialized relation; must match `batch`'s rows and
+        # the hash parameters — admission math is identical from here
+        nb = banded
     else:
-        rejected = intra
-    admitted = batch.join(
-        rejected.distinct(),
-        batch[id_col] == F.col("__rid"),
-        "left_anti",
+        # ONE banding computation per batch: signatures are the batch's
+        # dominant cost, and intra pairing, index probing, AND the
+        # final index append all consume the same (doc_id, band, key)
+        # relation — materialize it once instead of re-shingling per
+        # consumer
+        nb = banded_minhash(
+            batch, id_col, text_col, k, bands, shingle_n
+        ).localCheckpoint()
+    rejected = _admission_rejected_ids(
+        spark, path, nb, max_bucket, reject_identity, have_index
     )
-    # Materialize BEFORE mutating the index: the append below writes
-    # into the directory the lazy plan reads, so an unmaterialized
-    # return would re-run the whole admission pipeline on the caller's
-    # first action — against a directory that now contains this
-    # batch's own rows (correct only by a self-match subtlety, and
-    # twice the cost). localCheckpoint is the right materialization
-    # here: admission results are consumed promptly by a pipeline
-    # step, not held open by a long-lived query service.
-    admitted = admitted.localCheckpoint()
+    # Materialize the admitted ID SET before mutating the index: the
+    # pairs plan reads the index directory the append below writes
+    # into, so the index-dependent part of the decision must be pinned
+    # first. Checkpointing only the ids (not the full batch rows) is
+    # the cheap sufficient form — the returned frame is then
+    # batch ⋉ admitted_ids, whose lineage touches ONLY the caller's
+    # batch source and the checkpointed id set, never the index — so
+    # it stays lazy, correct under the mutation, and free of a
+    # text-column materialization the caller may never read (the r5
+    # admission audit: checkpointing full document rows per batch was
+    # a measurable slice of the lifecycle).
+    adm_ids = (
+        batch.select(F.col(id_col))
+        .join(rejected, F.col(id_col) == F.col("__rid"), "left_anti")
+        .localCheckpoint()
+    )
     if append:
         # survivors' banding rows come from the already-materialized
-        # relation — no re-shingling of the admitted text
+        # relation — no re-shingling of the admitted text. Appends skip
+        # the range-clustered layout (its boundary-SAMPLING job per
+        # write is pure overhead for a batch-sized slice; the probe
+        # reads every row group regardless — _write_banded docstring)
         adm_banded = nb.join(
-            admitted.select(F.col(id_col).alias("doc_id")).distinct(),
+            adm_ids.select(F.col(id_col).alias("doc_id")),
             "doc_id",
             "leftsemi",
         )
-        _write_banded(adm_banded, path, "append" if have_index else "overwrite")
-    return admitted
+        _write_banded(
+            adm_banded,
+            path,
+            "append" if have_index else "overwrite",
+            cluster=not have_index,
+        )
+    return batch.join(adm_ids, [id_col], "leftsemi")
 
 
 # -------------------------------------------------- cluster resolution

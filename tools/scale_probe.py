@@ -695,19 +695,31 @@ def probe_bpe(spark):
 def probe_bpe_deep(spark, num_merges: int = 1024):
     """r5 verdict item 6: the 16-merge gates leave the 'per-merge cost
     is vocab-bounded and FLAT' claim (bpe.py train_bpe) unproven at
-    production vocabulary sizes. Train >=1k merges on the REAL sf0.1
-    documents corpus and report wall time per 128-merge window — if
-    any superlinearity hides in the merge loop (lineage growth,
-    symbol-relation bloat), the later windows expose it."""
+    production merge counts. The sf0.1 documents fixture has a ~31-word
+    vocabulary (it saturates after a handful of merges), so this probe
+    trains >=1k merges over a synthetic ~24k-word vocabulary (the
+    probe_bpe generator with richer suffixes) and reports wall time per
+    128-merge window — if any superlinearity hides in the merge loop
+    (lineage growth, symbol-relation bloat), the later windows expose
+    it."""
     import time as _t
 
     from matdb_spark.operators import bpe
 
-    corpus = load_table(spark, "/root/testdata/sf0.1", "documents").select(
-        "doc_id", "text"
+    sufs = ["", "x", "xy", "xyz", "qu", "quv", "ing", "ed", "er", "tion", "ly", "ness"]
+    words = [
+        F.concat(
+            F.lit("w"),
+            ((F.col("id") * (j * 2 + 3)) % 1997).cast("string"),
+            F.lit(sufs[j % len(sufs)]),
+        )
+        for j in range(12)
+    ]
+    corpus = spark.range(200_000).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", *words).alias("text")
     )
     vocab = timed(
-        "word_counts over sf0.1 documents (one corpus pass)",
+        "word_counts over 200k synthetic docs (one corpus pass)",
         lambda: bpe.word_counts(corpus, "text").count(),
     )
     # re-implement the loop with window timing (same steps as
