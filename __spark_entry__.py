@@ -790,6 +790,39 @@ def q_dsv2_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "event_id")
 
 
+def q_dsv2_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-txn upsert content written through the DataSource V2
+    WRITER — ``df.write.format("matdb").mode("append").save(db)``
+    twice (sources/dsv2.py MatdbBatchWriter: driver-reserved txn id,
+    task-side chunk-routed parquet with canonical types and within-file
+    key sort, manifest published from the successful tasks' commit
+    messages) — then scanned back through the library path. Same
+    oracle as q_mvcc_scan: the write surface changed, the store's
+    logical content must not."""
+    from matdb_spark import Database
+    from matdb_spark.sources.dsv2 import register_matdb_source
+    from matdb_spark.sources.formats import _build_once
+
+    register_matdb_source(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    db_path = os.path.join(SCRATCH, f"gate_dsv2_write_{tag}")
+
+    def build(p: str) -> None:
+        from matdb_spark import Database as _DB
+
+        _DB.create(spark, p, _gate_mvcc_schema())
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "value"
+        )
+        ev.write.format("matdb").mode("append").save(p)
+        ev.filter(F.col("event_id") % 10 == 0).withColumn(
+            "value", F.col("value") + 1000
+        ).write.format("matdb").mode("append").save(p)
+
+    _build_once(db_path, build, version=_MVCC_BUILD_VERSION)
+    return Database.open(spark, db_path).begin().query(ordered=True)
+
+
 def q_mvcc_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan of a COMPACTED store: the same two-txn upsert content as
     q_mvcc_scan, folded by ``compact()`` + ``vacuum()`` into one
@@ -4309,6 +4342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": q_range_join,
         "q_mvcc_scan": q_mvcc_scan,
         "q_dsv2_scan": q_dsv2_scan,
+        "q_dsv2_write_roundtrip": q_dsv2_write_roundtrip,
         "q_auto_compact_scan": q_auto_compact_scan,
         "q_mvcc_compacted_scan": q_mvcc_compacted_scan,
         "q_mvcc_string_dim": q_mvcc_string_dim,
@@ -5939,6 +5973,11 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "q_dsv2_scan": """
+            SELECT user_id, event_id,
+                   CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
+            FROM events
+        """,
+        "q_dsv2_write_roundtrip": """
             SELECT user_id, event_id,
                    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
             FROM events

@@ -525,6 +525,16 @@ def recover(db_path: str, grace_seconds: float = DEFAULT_RECOVERY_GRACE) -> int:
         d = txn_data_dir(db_path, t)
         if _stale(d):
             discard_txn_data(db_path, t)
+    # Stream-writer staging debris (sources/dsv2.py STREAM_STAGING_DIR):
+    # task outputs a crashed micro-batch never moved into a txn dir.
+    # Invisible to every reader (only manifests grant visibility), so
+    # sweeping is GC under the same staleness grace.
+    staging = os.path.join(data_dir(db_path), "_stream_staging")
+    if os.path.isdir(staging):
+        for name in os.listdir(staging):
+            p = os.path.join(staging, name)
+            if _stale(p):
+                shutil.rmtree(p, ignore_errors=True)
     # Next id counts past *every* id ever seen, including just-deleted
     # orphans (reference: database.rs:116-124 max_seen includes .tmp).
     all_ids = committed | staged

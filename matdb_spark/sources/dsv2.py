@@ -1,14 +1,18 @@
-"""DataSource V2 surface: ``spark.read.format("matdb")``.
+"""DataSource V2 surface: the ``matdb`` format, read AND write.
 
 The last step from "library over Spark" to "Spark-native engine"
-(round-5 verdict item 4): the MVCC snapshot as a first-class Spark
-source, so any Spark user — SQL, DataFrame, other languages through
-the session catalog — reads a matdb store with one call:
+(round-5 verdict item 4): the MVCC store as a first-class Spark
+source/sink, so any Spark user — SQL, DataFrame, other languages
+through the session catalog — reaches a matdb store with one call:
 
     from matdb_spark.sources.dsv2 import register_matdb_source
     register_matdb_source(spark)
-    df = spark.read.format("matdb").load("/path/to/db")          # now
+    df = spark.read.format("matdb").load("/path/to/db")          # snapshot
     df = spark.read.format("matdb").option("as_of", 3).load(p)   # time travel
+    df.write.format("matdb").mode("append").save(p)              # one txn
+    df.write.format("matdb").mode("overwrite").save(p)           # supersede
+    s.writeStream.format("matdb").option(                        # exactly-once
+        "checkpointLocation", ck).start(p)                       # per-batch txn
 
 Built on the Spark 4 Python Data Source API. The DRIVER side reuses
 the exact planning tiers of the library scan (scan.py scan_dataframe):
@@ -57,6 +61,8 @@ from dataclasses import dataclass, field
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -64,6 +70,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 from matdb_spark import manifest
@@ -148,6 +155,38 @@ class MatdbDataSource(DataSource):
         as_of = self.options.get("as_of")
         return MatdbSnapshotReader(
             self._db_path(), int(as_of) if as_of is not None else None
+        )
+
+    def writer(self, schema, overwrite: bool) -> "MatdbBatchWriter":
+        db_path = self._db_path()
+        expected = set(
+            Schema.load(os.path.join(db_path, SCHEMA_FILENAME)).column_names
+        )
+        got = set(schema.fieldNames())
+        if got != expected:
+            raise ValueError(
+                f"matdb write schema mismatch: store columns "
+                f"{sorted(expected)}, DataFrame columns {sorted(got)}"
+            )
+        return MatdbBatchWriter(db_path, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "MatdbStreamWriter":
+        if overwrite:
+            raise ValueError(
+                "matdb streaming sink supports append output mode only"
+            )
+        db_path = self._db_path()
+        expected = set(
+            Schema.load(os.path.join(db_path, SCHEMA_FILENAME)).column_names
+        )
+        got = set(schema.fieldNames())
+        if got != expected:
+            raise ValueError(
+                f"matdb write schema mismatch: store columns "
+                f"{sorted(expected)}, DataFrame columns {sorted(got)}"
+            )
+        return MatdbStreamWriter(
+            db_path, self.options.get("source") or "matdb-dsv2-stream"
         )
 
 
@@ -340,3 +379,270 @@ class MatdbSnapshotReader(DataSourceReader):
                 any_set = pc.or_(any_set, pc.is_valid(t[v]))
             t = t.filter(any_set)
         yield from t.cast(out_schema).to_batches()
+
+
+# ------------------------------------------------------------- writer
+class _MatdbCommitMessage(WriterCommitMessage):
+    """Per-task result: files this attempt wrote (relative to the txn
+    data dir — or to ``base`` when staged), row count, and
+    per-integral-dim [min, max]."""
+
+    def __init__(self, files, rows, dims_minmax, base=None):
+        self.files = files
+        self.rows = rows
+        self.dims_minmax = dims_minmax
+        self.base = base  # staging root (stream writer); None = in-place
+
+
+def _write_segment_files(iterator, schema_obj, base_dir):
+    """Task-side segment write shared by the batch and stream writers:
+    route rows to chunks (the exact _chunked floor arithmetic), sort by
+    key within each file, stamp the shared write sequence, write zstd
+    parquet with CANONICAL column types under
+    ``base_dir/seg=0/__chunk_*/part-<uuid>.parquet``. Returns
+    (relative files, row count, per-integral-dim [min, max])."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from matdb_spark.scan import _floor_div
+
+    sch = schema_obj
+    dims, vals = sch.dim_names, sch.value_names
+    cols = dims + vals
+    chunked = sch.chunked_dims
+    by_chunk: dict[tuple, list] = {}
+    for row in iterator:
+        parts = []
+        for d in chunked:
+            v = row[d.name]
+            if v is None:
+                raise ValueError(
+                    f"null dimension {d.name!r}: dimension values are "
+                    f"the key and must be non-null"
+                )
+            parts.append((d.chunk_col, _floor_div(v, d.chunk_size)))
+        for d in sch.dimensions:
+            if not d.chunk_size and row[d.name] is None:
+                raise ValueError(f"null dimension {d.name!r}")
+        by_chunk.setdefault(tuple(parts), []).append(
+            tuple(row[c] for c in cols)
+        )
+    files, total, mm = [], 0, {}
+    arrow_fields = [
+        pa.field(d.name, _arrow_type(d.type), nullable=False)
+        for d in sch.dimensions
+    ] + [pa.field(v.name, _arrow_type(v.type)) for v in sch.values]
+    arrow_fields.append(pa.field(SEQ_COL, pa.int64(), nullable=False))
+    out_schema = pa.schema(arrow_fields)
+    stat_dims = [
+        (i, d.name)
+        for i, d in enumerate(sch.dimensions)
+        if d.type in ("long", "int")
+    ]
+    for key, rows in by_chunk.items():
+        rows.sort(key=lambda r: tuple(r[: len(dims)]))
+        arrays = [
+            pa.array([r[i] for r in rows], type=f.type)
+            for i, f in enumerate(arrow_fields[:-1])
+        ]
+        arrays.append(pa.array([1] * len(rows), type=pa.int64()))
+        table = pa.Table.from_arrays(arrays, schema=out_schema)
+        rel_dir = "/".join(["seg=0"] + [f"{c}={int(v)}" for c, v in key])
+        os.makedirs(os.path.join(base_dir, rel_dir), exist_ok=True)
+        rel = f"{rel_dir}/part-{uuid.uuid4().hex}.parquet"
+        pq.write_table(table, os.path.join(base_dir, rel), compression="zstd")
+        files.append(rel)
+        total += len(rows)
+        for i, name in stat_dims:
+            vsd = [r[i] for r in rows]
+            lo, hi = min(vsd), max(vsd)
+            cur = mm.get(name)
+            mm[name] = (
+                [lo, hi] if cur is None else [min(cur[0], lo), max(cur[1], hi)]
+            )
+    return files, total, mm
+
+
+def _merge_messages(messages, schema_obj):
+    """(sorted rel files or (base, rel) pairs, stats-or-None) from the
+    successful tasks' commit messages — the library's stats rule:
+    attach stats only when every stat-typed dim saw rows (partial
+    stats must read as 'cannot prune')."""
+    files = []
+    rows = 0
+    dims_mm: dict[str, list] = {}
+    stat_names = {
+        d.name for d in schema_obj.dimensions if d.type in ("long", "int")
+    }
+    for m in messages:
+        if m is None:
+            continue
+        if m.base is None:
+            files.extend(m.files)
+        else:
+            files.extend((m.base, f) for f in m.files)
+        rows += m.rows
+        for name, (lo, hi) in m.dims_minmax.items():
+            cur = dims_mm.get(name)
+            dims_mm[name] = (
+                [lo, hi] if cur is None else [min(cur[0], lo), max(cur[1], hi)]
+            )
+    stats = (
+        {"rows": rows, "dims": dims_mm}
+        if rows and set(dims_mm) == stat_names
+        else None
+    )
+    return files, stats
+
+
+class MatdbBatchWriter(DataSourceWriter):
+    """``df.write.format("matdb").mode("append"|"overwrite").save(db)``
+    — one atomic MVCC transaction per save.
+
+    The txn id is reserved on the DRIVER (O_CREAT|O_EXCL — the same
+    claim the library's allocate_txn_id makes, so a concurrent library
+    writer can never collide with a DSv2 writer). Each task writes
+    its rows as parquet under ``data/txn=<t>/seg=0/__chunk_*/`` with
+    uuid file names — chunk routing, within-file key sort, canonical
+    column types, and the shared write sequence all exactly as
+    transaction.py's _write_segment lays them down. ``commit``
+    publishes ONE manifest whose file list comes from the successful
+    task attempts' commit messages — a speculative or retried task's
+    orphan files are never listed, hence never visible (the
+    manifest-resolved read path ignores them; a later compaction's
+    vacuum removes the directory wholesale). ``abort`` discards the
+    staged directory and the reservation.
+
+    ``mode("overwrite")`` publishes with ``replaces`` = every txn
+    committed when the writer was created — the table atomically
+    becomes exactly the written rows, using the same supersede
+    mechanism compaction uses (readers switch atomically; history
+    remains time-travelable until vacuum).
+
+    Duplicate keys WITHIN one save share the single write sequence and
+    resolve arbitrarily — the add_dataframe single-call contract
+    (transaction.py:111). Null dimension values raise loudly: a null
+    key cannot be chunk-routed and the engine's key contract is
+    non-null dims."""
+
+    def __init__(self, db_path: str, overwrite: bool):
+        self.db_path = db_path
+        self.schema_obj = Schema.load(os.path.join(db_path, SCHEMA_FILENAME))
+        self.overwrite = overwrite
+        self.txn_id = manifest.reserve_txn_id(db_path, start=1)
+        self.replaces = (
+            manifest.committed_txn_ids(db_path) if overwrite else None
+        )
+
+    def write(self, iterator):
+        tdir = manifest.txn_data_dir(self.db_path, self.txn_id)
+        files, rows, mm = _write_segment_files(iterator, self.schema_obj, tdir)
+        return _MatdbCommitMessage(files, rows, mm)
+
+    def commit(self, messages):
+        files, stats = _merge_messages(messages, self.schema_obj)
+        payload: dict = {"files": sorted(files)}
+        if stats is not None:
+            payload["stats"] = stats
+        manifest.publish(
+            self.db_path,
+            self.txn_id,
+            segment_count=1,
+            replaces=self.replaces or None,
+            extra=payload,
+        )
+        manifest.release_txn_reservation(self.db_path, self.txn_id)
+
+    def abort(self, messages):
+        manifest.discard_txn_data(self.db_path, self.txn_id)
+        manifest.release_txn_reservation(self.db_path, self.txn_id)
+
+
+#: staging area for the stream writer's task outputs; swept by
+#: manifest.recover() with the same staleness grace as txn debris
+STREAM_STAGING_DIR = "_stream_staging"
+
+
+class MatdbStreamWriter(DataSourceStreamWriter):
+    """``df.writeStream.format("matdb").option("checkpointLocation",
+    ...).start(db)`` — one MVCC transaction per micro-batch,
+    exactly-once end-to-end.
+
+    Tasks don't know the batch's txn id (the Python stream-writer API
+    creates one writer for the query's lifetime), so they STAGE their
+    chunk-routed parquet under ``data/_stream_staging/<task-uuid>/``
+    and the driver's per-batch ``commit`` reserves a txn id, MOVES the
+    staged files into ``data/txn=<t>/`` (same-FS renames; on an object
+    store these are copies, still safe — visibility comes only from
+    the manifest), and publishes stamped with ``(stream_source,
+    batch_id)``. A replayed batch (crash between manifest publish and
+    checkpoint advance) is recognized exactly as the library sink does
+    (manifest.max_committed_batch_id — stamps survive compaction via
+    the carried ``stream_batch_ids``) and commits nothing. Crash
+    debris in the staging area is invisible to every reader and swept
+    by ``recover()`` once stale.
+
+    ``option("source", name)`` identifies the logical stream in
+    manifests; set it when more than one stream writes the same store.
+    For compaction scheduling under standing ingest, the library sink
+    (streaming/ingest.stream_into_database) remains the full-featured
+    path — this surface is the format-string form of the same
+    protocol."""
+
+    def __init__(self, db_path: str, source: str):
+        self.db_path = db_path
+        self.schema_obj = Schema.load(os.path.join(db_path, SCHEMA_FILENAME))
+        self.source = source
+        self._last_committed: int | None = None
+
+    def write(self, iterator):
+        import uuid
+
+        base = os.path.join(
+            manifest.data_dir(self.db_path), STREAM_STAGING_DIR, uuid.uuid4().hex
+        )
+        files, rows, mm = _write_segment_files(iterator, self.schema_obj, base)
+        return _MatdbCommitMessage(files, rows, mm, base=base)
+
+    def _staging_roots(self, messages):
+        return {m.base for m in messages if m is not None and m.base}
+
+    def commit(self, messages, batchId):
+        import shutil as _sh
+
+        if self._last_committed is None:
+            prev = manifest.max_committed_batch_id(self.db_path, self.source)
+            self._last_committed = -1 if prev is None else prev
+        if int(batchId) <= self._last_committed:
+            for root in self._staging_roots(messages):
+                _sh.rmtree(root, ignore_errors=True)
+            return  # replayed batch: already committed, a no-op
+        files, stats = _merge_messages(messages, self.schema_obj)
+        txn = manifest.reserve_txn_id(self.db_path, start=1)
+        tdir = manifest.txn_data_dir(self.db_path, txn)
+        rels = []
+        for base, rel in files:
+            dst = os.path.join(tdir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(os.path.join(base, rel), dst)
+            rels.append(rel)
+        payload: dict = {
+            "files": sorted(rels),
+            "stream_source": self.source,
+            "batch_id": int(batchId),
+        }
+        if stats is not None:
+            payload["stats"] = stats
+        manifest.publish(self.db_path, txn, segment_count=1, extra=payload)
+        manifest.release_txn_reservation(self.db_path, txn)
+        self._last_committed = int(batchId)
+        for root in self._staging_roots(messages):
+            _sh.rmtree(root, ignore_errors=True)
+
+    def abort(self, messages, batchId):
+        import shutil as _sh
+
+        for root in self._staging_roots(messages):
+            _sh.rmtree(root, ignore_errors=True)

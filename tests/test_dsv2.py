@@ -170,3 +170,228 @@ def test_dsv2_sql_over_catalog_view(spark, dsv2_db):
     spark.read.format("matdb").load(p).createOrReplaceTempView("dsv2_t")
     n = spark.sql("SELECT count(*) AS n FROM dsv2_t WHERE k >= 20").collect()[0]["n"]
     assert n == 30
+
+
+# ---------------------------------------------------------------- writer
+@pytest.fixture()
+def writer_db(spark, tmp_path_factory):
+    register_matdb_source(spark)
+    p = str(tmp_path_factory.mktemp("dsv2w") / "db")
+    schema = Schema(
+        dimensions=[Dimension("k", 10), Dimension("j", 0)],
+        values=[Value("v", type="double"), Value("w")],
+    )
+    Database.create(spark, p, schema)
+    return p
+
+
+def _df1(spark):
+    return spark.range(50).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("j"),
+        F.col("id").cast("double").alias("v"),
+        (F.col("id") * 10).alias("w"),
+    )
+
+
+def test_dsv2_write_append_upsert(spark, writer_db):
+    p = writer_db
+    _df1(spark).write.format("matdb").mode("append").save(p)
+    spark.range(0, 50, 5).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).alias("j"),
+        (F.col("id") + 1000.0).alias("v"),
+        F.lit(None).cast("long").alias("w"),
+    ).write.format("matdb").mode("append").save(p)
+    snap = {
+        r["k"]: (r["v"], r["w"])
+        for r in Database.open(spark, p).begin().query(ordered=False).collect()
+    }
+    assert len(snap) == 50
+    assert snap[5] == (1005.0, None)  # upsert won
+    assert snap[7] == (7.0, 70)  # untouched key unchanged
+    # DSv2 read of a DSv2-written store matches the library scan
+    got = _key(spark.read.format("matdb").load(p))
+    lib = _key(Database.open(spark, p).begin().query(ordered=False))
+    assert got == lib
+
+
+def test_dsv2_write_matches_library_write(spark, writer_db, tmp_path_factory):
+    """The same rows written through the DSv2 writer and through
+    Transaction.add_dataframe must scan identically."""
+    p = writer_db
+    _df1(spark).write.format("matdb").mode("append").save(p)
+    p2 = str(tmp_path_factory.mktemp("dsv2w2") / "db")
+    schema = Schema(
+        dimensions=[Dimension("k", 10), Dimension("j", 0)],
+        values=[Value("v", type="double"), Value("w")],
+    )
+    db2 = Database.create(spark, p2, schema)
+    t = db2.begin()
+    t.add_dataframe(_df1(spark))
+    t.commit()
+    a = _key(Database.open(spark, p).begin().query(ordered=False))
+    b = _key(db2.begin().query(ordered=False))
+    assert a == b
+
+
+def test_dsv2_write_overwrite_supersedes(spark, writer_db):
+    p = writer_db
+    _df1(spark).write.format("matdb").mode("append").save(p)
+    spark.range(5).select(
+        F.col("id").alias("k"),
+        F.lit(0).cast("long").alias("j"),
+        F.lit(1.5).alias("v"),
+        F.lit(7).cast("long").alias("w"),
+    ).write.format("matdb").mode("overwrite").save(p)
+    db = Database.open(spark, p)
+    assert db.begin().query(ordered=False).count() == 5
+    # pre-overwrite history remains time-travelable until vacuum
+    assert db.begin(as_of=1).query(ordered=False).count() == 50
+
+
+def test_dsv2_write_schema_mismatch_raises(spark, writer_db):
+    with pytest.raises(Exception, match="schema mismatch"):
+        spark.range(5).select(
+            F.col("id").alias("k"), F.col("id").alias("wrong")
+        ).write.format("matdb").mode("append").save(writer_db)
+
+
+def test_dsv2_write_null_dim_raises(spark, writer_db):
+    bad = spark.range(3).select(
+        F.when(F.col("id") == 1, None).otherwise(F.col("id")).alias("k"),
+        F.lit(0).cast("long").alias("j"),
+        F.lit(1.0).alias("v"),
+        F.lit(1).cast("long").alias("w"),
+    )
+    with pytest.raises(Exception, match="null dimension"):
+        bad.write.format("matdb").mode("append").save(writer_db)
+
+
+def test_dsv2_write_manifest_has_files_and_stats(spark, writer_db):
+    from matdb_spark import manifest
+
+    p = writer_db
+    _df1(spark).write.format("matdb").mode("append").save(p)
+    t = manifest.committed_txn_ids(p)[-1]
+    m = manifest.read_manifest(p, t)
+    assert m["files"], m
+    assert all(f.startswith("seg=0/") for f in m["files"])
+    assert m["stats"]["rows"] == 50
+    assert m["stats"]["dims"]["k"] == [0, 49]
+    # no leftover reservation
+    import os as _os
+
+    assert not any(
+        n.endswith(".reserve") for n in _os.listdir(manifest.commits_dir(p))
+    )
+
+
+def test_dsv2_writer_abort_cleans_up(spark, writer_db):
+    from matdb_spark import manifest
+    from matdb_spark.sources.dsv2 import MatdbBatchWriter
+
+    p = writer_db
+    w = MatdbBatchWriter(p, overwrite=False)
+    t = w.txn_id
+    import os as _os
+
+    _os.makedirs(manifest.txn_data_dir(p, t), exist_ok=True)
+    w.abort([])
+    assert not _os.path.isdir(manifest.txn_data_dir(p, t))
+    assert t not in manifest.committed_txn_ids(p)
+    assert not any(
+        n.endswith(".reserve") for n in _os.listdir(manifest.commits_dir(p))
+    )
+
+
+# ---------------------------------------------------------- stream writer
+def test_dsv2_stream_writer_exactly_once(spark, tmp_path_factory):
+    """writeStream.format('matdb'): one txn per micro-batch, stamped
+    (stream_source, batch_id); a checkpoint-wiped replay re-delivers
+    the files but commits nothing; staging area ends empty."""
+    import shutil
+
+    from matdb_spark import manifest
+
+    register_matdb_source(spark)
+    base = tmp_path_factory.mktemp("dsv2stream")
+    p, ck, src = str(base / "db"), str(base / "ck"), str(base / "src")
+    schema = Schema(
+        dimensions=[Dimension("k", 10)], values=[Value("v", type="double")]
+    )
+    Database.create(spark, p, schema)
+    spark.range(20).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run():
+        q = (
+            spark.readStream.schema("k long, v double")
+            .parquet(src)
+            .writeStream.format("matdb")
+            .option("checkpointLocation", ck)
+            .option("source", "t_once")
+            .trigger(availableNow=True)
+            .start(p)
+        )
+        q.awaitTermination(120)
+
+    run()
+    db = Database.open(spark, p)
+    assert db.begin().query(ordered=False).count() == 20
+    spark.range(20, 35).select(
+        F.col("id").alias("k"), (F.col("id") + 0.5).alias("v")
+    ).coalesce(1).write.mode("append").parquet(src)
+    run()
+    db = Database.open(spark, p)
+    assert db.begin().query(ordered=False).count() == 35
+    assert manifest.max_committed_batch_id(p, "t_once") == 1
+    txns_before = manifest.committed_txn_ids(p)
+    # wipe the checkpoint: Spark re-delivers everything as batch 0 —
+    # suppression must commit nothing new
+    shutil.rmtree(ck)
+    run()
+    db = Database.open(spark, p)
+    assert db.begin().query(ordered=False).count() == 35
+    assert manifest.committed_txn_ids(p) == txns_before
+    staging = os.path.join(manifest.data_dir(p), "_stream_staging")
+    assert not (os.path.isdir(staging) and os.listdir(staging))
+
+
+def test_dsv2_stream_writer_rejects_non_append(spark, tmp_path_factory):
+    register_matdb_source(spark)
+    base = tmp_path_factory.mktemp("dsv2sc")
+    p, src = str(base / "db"), str(base / "src")
+    Database.create(
+        spark, p, Schema(dimensions=[Dimension("k", 10)], values=[Value("v")])
+    )
+    spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("v")).write.parquet(src)
+    with pytest.raises(Exception, match="append"):
+        (
+            spark.readStream.schema("k long, v long")
+            .parquet(src)
+            .groupBy("k")
+            .count()
+            .writeStream.format("matdb")
+            .outputMode("complete")
+            .option("checkpointLocation", str(base / "ck"))
+            .start(p)
+        ).awaitTermination(60)
+
+
+def test_recover_sweeps_stale_stream_staging(tmp_path):
+    from matdb_spark import manifest
+
+    p = str(tmp_path / "db")
+    manifest.init_layout(p)
+    staging = os.path.join(manifest.data_dir(p), "_stream_staging", "deadbeef")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-x.parquet"), "w") as f:
+        f.write("junk")
+    manifest.recover(p, grace_seconds=0.0)
+    assert not os.path.isdir(staging)
+    # fresh debris survives the default grace (live writer protection)
+    os.makedirs(staging)
+    manifest.recover(p)  # default grace
+    assert os.path.isdir(staging)
