@@ -13,6 +13,14 @@ through the session catalog — reaches a matdb store with one call:
     df.write.format("matdb").mode("overwrite").save(p)           # supersede
     s.writeStream.format("matdb").option(                        # exactly-once
         "checkpointLocation", ck).start(p)                       # per-batch txn
+    spark.readStream.format("matdb").option(                     # CDC stream
+        "feed", "changes").load(p)                               # source
+
+Composition: the CDC source feeding the matdb sink replicates a store
+end-to-end through the format alone — exactly-once (checkpointed
+cursors on the read side, (stream_source, batch_id) manifest stamps
+on the write side), deletes included (tombstones ride as
+all-null-value rows, which IS the engine's delete).
 
 Built on the Spark 4 Python Data Source API. The DRIVER side reuses
 the exact planning tiers of the library scan (scan.py scan_dataframe):
@@ -61,6 +69,7 @@ from dataclasses import dataclass, field
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
@@ -148,13 +157,44 @@ class MatdbDataSource(DataSource):
         return os.path.abspath(p)
 
     def schema(self):
+        from pyspark.sql import types as T
+
         sch = Schema.load(os.path.join(self._db_path(), SCHEMA_FILENAME))
-        return sch.spark_schema()
+        base = sch.spark_schema()
+        if self.options.get("feed") == "changes":
+            # CDC stream form: snapshot columns + the change tag and
+            # the writing commit (database.py changes())
+            return T.StructType(
+                list(base.fields)
+                + [
+                    T.StructField("change_type", T.StringType(), False),
+                    T.StructField("__txn", T.LongType(), False),
+                ]
+            )
+        return base
 
     def reader(self, schema) -> "MatdbSnapshotReader":
+        if self.options.get("feed") == "changes":
+            raise ValueError(
+                "the matdb change feed is a STREAMING source — use "
+                "spark.readStream.format('matdb').option('feed', "
+                "'changes'); for a bounded window use the library's "
+                "Database.changes(since, until)"
+            )
         as_of = self.options.get("as_of")
         return MatdbSnapshotReader(
             self._db_path(), int(as_of) if as_of is not None else None
+        )
+
+    def streamReader(self, schema) -> "MatdbChangesStreamReader":
+        if self.options.get("feed") != "changes":
+            raise ValueError(
+                "matdb streaming read requires .option('feed', 'changes') "
+                "(the CDC source); the snapshot is a batch read"
+            )
+        since = self.options.get("since")
+        return MatdbChangesStreamReader(
+            self._db_path(), int(since) if since is not None else None
         )
 
     def writer(self, schema, overwrite: bool) -> "MatdbBatchWriter":
@@ -646,3 +686,151 @@ class MatdbStreamWriter(DataSourceStreamWriter):
 
         for root in self._staging_roots(messages):
             _sh.rmtree(root, ignore_errors=True)
+
+
+# ------------------------------------------------------- CDC stream source
+class MatdbChangesStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("matdb").option("feed", "changes")
+    .load(db)`` — the change feed (database.py changes/follow_changes)
+    as a Structured Streaming SOURCE.
+
+    Offsets are manifest cursors: ``latestOffset`` is the store's
+    ``safe_feed_head`` — the low-watermark below which no in-flight
+    txn can still publish, the exact rule follow_changes polls with —
+    so out-of-order manifest arrival under concurrent writers can
+    never skip a commit. Each micro-batch covers the commit window
+    ``(start, end]`` and emits its NET effect: for every key written
+    in the window, the newest (txn, seq) version, tagged
+    ``change_type`` 'upsert'/'delete' (all-null tombstone) and
+    ``__txn``. Compaction commits (``replaces`` manifests) are
+    rewrites of old content, not new writes — excluded, like
+    changes(include_compactions=False).
+
+    The window resolution is chunk-local (the snapshot reader's
+    argument: a key's versions share a chunk), so partitions = the
+    window's chunks and the source shuffles nothing. Reading costs
+    the WINDOW's segments only — file lists come from the window
+    manifests, never a directory listing of the table.
+
+    ``option("since", N)`` starts the cursor at commit N (0 = replay
+    the full history); default is the head at query start — the
+    subscribe-from-now contract of follow_changes."""
+
+    def __init__(self, db_path: str, since: int | None):
+        self.db_path = db_path
+        self.schema_obj = Schema.load(os.path.join(db_path, SCHEMA_FILENAME))
+        self._initial = (
+            manifest.safe_feed_head(db_path) if since is None else int(since)
+        )
+
+    def initialOffset(self) -> dict:
+        return {"cursor": self._initial}
+
+    def latestOffset(self) -> dict:
+        return {"cursor": manifest.safe_feed_head(self.db_path)}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["cursor"]), int(end["cursor"])
+        window = []
+        for t in manifest.committed_txn_ids(self.db_path):
+            if not (lo < t <= hi):
+                continue
+            if manifest.read_manifest_cached(self.db_path, t).get("replaces"):
+                continue  # compaction rewrite, not a logical change
+            window.append(t)
+        files: list[tuple[str, int]] = []
+        for t in window:
+            tdir = manifest.txn_data_dir(self.db_path, t)
+            fl = manifest.read_manifest_cached(self.db_path, t).get("files")
+            if fl is None:
+                fl = [
+                    os.path.relpath(os.path.join(r, f), tdir)
+                    for r, _, fs in os.walk(tdir)
+                    for f in fs
+                    if f.endswith(".parquet")
+                ]
+            files.extend((os.path.join(tdir, rel), t) for rel in fl)
+        if not files:
+            return [ChunkPartition(files=[], dedup_free=False)]
+        groups: dict[tuple, list] = {}
+        for path, eff in files:
+            key = tuple(
+                sorted(
+                    p
+                    for p in path.split(os.sep)
+                    if p.startswith("__chunk_") and "=" in p
+                )
+            )
+            groups.setdefault(key, []).append((path, eff))
+        return [ChunkPartition(files=g, dedup_free=False) for g in groups.values()]
+
+    def read(self, partition: ChunkPartition):
+        """Window-net-effect rows for one chunk: newest (txn, seq) per
+        key over the WINDOW segments only, tombstones kept and tagged
+        'delete' (a scan drops them; a feed must deliver them)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
+
+        sch = self.schema_obj
+        dims, vals = sch.dim_names, sch.value_names
+        out_fields = (
+            [
+                pa.field(d.name, _arrow_type(d.type), nullable=False)
+                for d in sch.dimensions
+            ]
+            + [pa.field(v.name, _arrow_type(v.type)) for v in sch.values]
+            + [pa.field("change_type", pa.string(), nullable=False),
+               pa.field("__txn", pa.int64(), nullable=False)]
+        )
+        out_schema = pa.schema(out_fields)
+        if not partition.files:
+            yield from pa.table(
+                {f.name: pa.array([], f.type) for f in out_fields}
+            ).to_batches()
+            return
+        file_schema = pa.schema(
+            [pa.field(d.name, _arrow_type(d.type)) for d in sch.dimensions]
+            + [pa.field(v.name, _arrow_type(v.type)) for v in sch.values]
+            + [pa.field(SEQ_COL, pa.int64())]
+        )
+        tables = []
+        for path, eff in partition.files:
+            t = ds.dataset(path, schema=file_schema, format="parquet").to_table(
+                columns=dims + vals + [SEQ_COL]
+            )
+            t = t.append_column("__txn", pa.array([eff] * len(t), pa.int64()))
+            tables.append(t)
+        t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+        if len(t):
+            t = t.sort_by(
+                [(d, "ascending") for d in dims]
+                + [("__txn", "ascending"), (SEQ_COL, "ascending")]
+            )
+            if len(t) > 1:
+                neq = np.zeros(len(t) - 1, dtype=bool)
+                for d in dims:
+                    a = t[d].to_numpy(zero_copy_only=False)
+                    neq |= a[:-1] != a[1:]
+                mask = np.append(neq, True)
+            else:
+                mask = np.array([True])
+            t = t.filter(pa.array(mask))
+        t = t.select(dims + vals + ["__txn"])
+        if vals and len(t):
+            any_set = pc.is_valid(t[vals[0]])
+            for v in vals[1:]:
+                any_set = pc.or_(any_set, pc.is_valid(t[v]))
+            ctype = pc.if_else(any_set, pa.scalar("upsert"), pa.scalar("delete"))
+        else:
+            ctype = pa.array(["upsert"] * len(t), pa.string())
+        t = t.append_column("change_type", ctype)
+        t = t.select(dims + vals + ["change_type", "__txn"])
+        yield from t.cast(out_schema).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # cursor durability is the checkpoint's job
+
+    def stop(self) -> None:
+        pass

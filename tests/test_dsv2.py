@@ -395,3 +395,108 @@ def test_recover_sweeps_stale_stream_staging(tmp_path):
     os.makedirs(staging)
     manifest.recover(p)  # default grace
     assert os.path.isdir(staging)
+
+
+# ------------------------------------------------------------- CDC source
+def test_dsv2_cdc_source_matches_changes(spark, tmp_path_factory):
+    """readStream.format('matdb').option('feed','changes'): net-effect
+    rows with change_type/__txn tags, equal to Database.changes over
+    the same window; a restarted query picks up only new commits."""
+    base = tmp_path_factory.mktemp("dsv2cdc")
+    p, ck, out = str(base / "db"), str(base / "ck"), str(base / "out")
+    register_matdb_source(spark)
+    schema = Schema(
+        dimensions=[Dimension("k", 10)], values=[Value("v", type="double")]
+    )
+    db = Database.create(spark, p, schema)
+    t1 = db.begin(); t1.add_rows([(i, float(i)) for i in range(10)]); t1.commit()
+    t2 = db.begin(); t2.add_rows([(3, 333.0), (4, 444.0)]); t2.commit()
+    t3 = db.begin(); t3.delete_row([5]); t3.commit()
+
+    def run():
+        q = (
+            spark.readStream.format("matdb")
+            .option("feed", "changes")
+            .option("since", 0)
+            .load(p)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    rows = {
+        r["k"]: (r["v"], r["change_type"], r["__txn"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(rows) == 10
+    assert rows[3] == (333.0, "upsert", 2)
+    assert rows[5] == (None, "delete", 3)
+    t4 = db.begin(); t4.add_rows([(7, 777.0)]); t4.commit()
+    run()
+    allr = [tuple(r) for r in spark.read.parquet(out).collect()]
+    assert len(allr) == 11  # exactly the one new commit was delivered
+    lib = {
+        r["k"]: (r["v"], r["change_type"], r["__txn"])
+        for r in db.changes(0, 4).collect()
+    }
+    got = dict(rows)
+    got[7] = (777.0, "upsert", 4)
+    assert lib == got
+
+
+def test_dsv2_cdc_batch_read_raises(spark, tmp_path_factory):
+    register_matdb_source(spark)
+    p = str(tmp_path_factory.mktemp("dsv2cdcb") / "db")
+    Database.create(
+        spark, p, Schema(dimensions=[Dimension("k", 10)], values=[Value("v")])
+    )
+    with pytest.raises(Exception, match="STREAMING source"):
+        spark.read.format("matdb").option("feed", "changes").load(p).collect()
+
+
+def test_dsv2_cdc_store_replication(spark, tmp_path_factory):
+    """Store-to-store replication through the format alone: CDC source
+    feeding the matdb sink. Tombstones ride as all-null-value rows —
+    which IS the engine's delete — so the replica's snapshot equals
+    the source's snapshot, deletes included, exactly-once end to end."""
+    base = tmp_path_factory.mktemp("dsv2repl")
+    src, dst, ck = str(base / "src"), str(base / "dst"), str(base / "ck")
+    register_matdb_source(spark)
+    schema = Schema(
+        dimensions=[Dimension("k", 10)], values=[Value("v", type="double")]
+    )
+    db = Database.create(spark, src, schema)
+    Database.create(spark, dst, schema)
+    t1 = db.begin(); t1.add_rows([(i, float(i)) for i in range(20)]); t1.commit()
+    t2 = db.begin(); t2.add_rows([(4, 44.0)]); t2.commit()
+    t3 = db.begin(); t3.delete_row([9]); t3.commit()
+
+    def replicate():
+        q = (
+            spark.readStream.format("matdb")
+            .option("feed", "changes")
+            .option("since", 0)
+            .load(src)
+            .select("k", "v")  # drop the tags: all-null v = tombstone
+            .writeStream.format("matdb")
+            .option("checkpointLocation", ck)
+            .option("source", "repl")
+            .trigger(availableNow=True)
+            .start(dst)
+        )
+        q.awaitTermination(120)
+
+    replicate()
+    a = _key(Database.open(spark, src).begin().query(ordered=False))
+    b = _key(Database.open(spark, dst).begin().query(ordered=False))
+    assert a == b and len(a) == 19
+    # keep replicating new commits
+    t4 = db.begin(); t4.add_rows([(2, 222.0)]); t4.commit()
+    replicate()
+    a2 = _key(Database.open(spark, src).begin().query(ordered=False))
+    b2 = _key(Database.open(spark, dst).begin().query(ordered=False))
+    assert a2 == b2
