@@ -362,6 +362,7 @@ def ivf_topk_indexed(
     k: int = 10,
     nprobe: int = 2,
     include_self: bool = False,
+    max_driver_queries: int | None = None,
 ) -> DataFrame:
     """Top-k against a persisted IVF index: probe cells per query, read
     ONLY those `cell_id=` partitions (the filter on the partition
@@ -377,7 +378,18 @@ def ivf_topk_indexed(
     unpersisting here would race the returned lazy plan) or
     ``localCheckpoint`` (truncates lineage onto unreplicated executor
     blocks, so losing one executor would permanently fail the returned
-    plan instead of recomputing)."""
+    plan instead of recomputing).
+
+    ``max_driver_queries`` (default: the module cap) enforces the
+    bounded-batch contract — past it the collect RAISES instead of
+    silently serializing a corpus-sized query side into the driver
+    (corpus-×-corpus search belongs on cosine_near_dup_pairs /
+    semantic_dedup, which bucket by cell instead of probing)."""
+    _check_driver_query_cap(
+        queries,
+        DEFAULT_MAX_DRIVER_QUERIES if max_driver_queries is None else max_driver_queries,
+        "ivf_topk_indexed",
+    )
     cents = spark.read.parquet(path + "/_centroids").select(
         "cell_id", F.col(vec_col).alias("__cv")
     )
@@ -712,12 +724,15 @@ def lsh_topk_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     include_self: bool = False,
+    max_driver_queries: int | None = None,
 ) -> DataFrame:
     """Top-k against a persisted multi-table LSH index: hash each
     query under the stored family, read ONLY the hashed
     `table=/bucket=` partitions (pruned before any IO), dedup
     candidates across tables, exact-rank by cosine. Produces the same
     result as the live ``lsh_topk`` at the same parameters.
+    ``max_driver_queries`` enforces the bounded-batch contract on the
+    probe collect (see ivf_topk_indexed).
 
     The query-side bucket relation is bounded by |queries| × tables
     rows, so — like ``ivf_topk_indexed``'s probe — it is COLLECTED
@@ -728,6 +743,11 @@ def lsh_topk_indexed(
     expression tree is bounded by the index's table count (a small
     index constant), not |queries| × tables, and each branch is a
     partition-prunable In on the partition columns."""
+    _check_driver_query_cap(
+        queries,
+        DEFAULT_MAX_DRIVER_QUERIES if max_driver_queries is None else max_driver_queries,
+        "lsh_topk_indexed",
+    )
     b, L, dim, seed = _lsh_params(spark, path)
     planes = hyperplanes(b * L, dim, seed)
     qrows_df = _lsh_tabled(

@@ -101,3 +101,29 @@ def test_ivfpq_distributed_prunes_partitions(spark, emb, ivfpq_paths):
     out = ivfpq_topk_indexed(spark, raw, queries, k=5, nprobe=2, distributed=True)
     pf = " ".join(partition_filters(out))
     assert "cell_id" in pf and ("IN" in pf or "isin" in pf.lower()), pf
+
+
+def test_ivf_and_lsh_indexed_over_cap_raise(spark, emb, tmp_path_factory):
+    from matdb_spark.operators.similarity import (
+        ivf_topk_indexed,
+        lsh_topk_indexed,
+        write_ivf_index,
+        write_lsh_index,
+    )
+
+    cents = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    base = str(tmp_path_factory.mktemp("annbound"))
+    ivf = os.path.join(base, "ivf")
+    lsh = os.path.join(base, "lsh")
+    write_ivf_index(emb, cents, ivf)
+    write_lsh_index(emb, lsh, planes_per_table=3, tables=4, dim=64)
+    queries = emb.filter(F.col("vec_id") < 10)
+    with pytest.raises(ValueError, match="max_driver_queries"):
+        ivf_topk_indexed(spark, ivf, queries, k=5, max_driver_queries=3)
+    with pytest.raises(ValueError, match="max_driver_queries"):
+        lsh_topk_indexed(spark, lsh, queries, k=5, max_driver_queries=3)
+    # within the cap both answer
+    assert ivf_topk_indexed(spark, ivf, queries, k=5).count() > 0
+    assert lsh_topk_indexed(spark, lsh, queries, k=5).count() > 0
