@@ -385,11 +385,7 @@ def ivf_topk_indexed(
     silently serializing a corpus-sized query side into the driver
     (corpus-×-corpus search belongs on cosine_near_dup_pairs /
     semantic_dedup, which bucket by cell instead of probing)."""
-    _check_driver_query_cap(
-        queries,
-        DEFAULT_MAX_DRIVER_QUERIES if max_driver_queries is None else max_driver_queries,
-        "ivf_topk_indexed",
-    )
+    cap = DEFAULT_MAX_DRIVER_QUERIES if max_driver_queries is None else max_driver_queries
     cents = spark.read.parquet(path + "/_centroids").select(
         "cell_id", F.col(vec_col).alias("__cv")
     )
@@ -406,8 +402,10 @@ def ivf_topk_indexed(
     # window) for BOTH consumers: the partition filter below needs the
     # cell ids driver-side regardless, and rebuilding the (queries ×
     # nprobe)-row probe as a local DataFrame gives the join a
-    # lineage-free, executor-loss-proof input — see the docstring
-    probe_rows = probe.collect()
+    # lineage-free, executor-loss-proof input — see the docstring.
+    # The bounded-batch cap rides this same collect (≤ cap × nprobe
+    # probe rows) — no extra counting job.
+    probe_rows = _collect_capped(probe, cap * nprobe, cap, "ivf_topk_indexed")
     probe_schema = probe.schema
     probed_cells = sorted({r["cell_id"] for r in probe_rows})
     probe = spark.createDataFrame(probe_rows, probe_schema)
@@ -743,19 +741,21 @@ def lsh_topk_indexed(
     expression tree is bounded by the index's table count (a small
     index constant), not |queries| × tables, and each branch is a
     partition-prunable In on the partition columns."""
-    _check_driver_query_cap(
-        queries,
-        DEFAULT_MAX_DRIVER_QUERIES if max_driver_queries is None else max_driver_queries,
-        "lsh_topk_indexed",
-    )
+    cap = DEFAULT_MAX_DRIVER_QUERIES if max_driver_queries is None else max_driver_queries
     b, L, dim, seed = _lsh_params(spark, path)
     planes = hyperplanes(b * L, dim, seed)
     qrows_df = _lsh_tabled(
         queries, "query_id", planes, b, L, id_col, vec_col
     ).withColumnRenamed("__v", "__qv")
     # zero-norm queries have a NULL unit vector / bucket: they can match
-    # nothing, so drop them before building the partition predicate
-    q_rows = [r for r in qrows_df.collect() if r["bucket"] is not None]
+    # nothing, so drop them before building the partition predicate.
+    # The bounded-batch cap rides the collect itself (≤ cap × tables
+    # banding rows) — no extra counting job.
+    q_rows = [
+        r
+        for r in _collect_capped(qrows_df, cap * L, cap, "lsh_topk_indexed")
+        if r["bucket"] is not None
+    ]
     q_schema = qrows_df.schema
     probed = sorted({(r["table"], r["bucket"]) for r in q_rows})
     if not probed:
@@ -1069,19 +1069,25 @@ def scaled_nprobe(ncells: int, coverage: float = 0.5, floor: int = 6) -> int:
 DEFAULT_MAX_DRIVER_QUERIES = 1024
 
 
-def _check_driver_query_cap(queries: DataFrame, cap: int, fn_name: str) -> None:
-    """Raise if the query relation exceeds the driver-collect cap —
-    checked with limit(cap+1).count() so the probe reads at most cap+1
-    rows no matter how large the relation is."""
-    n = queries.limit(cap + 1).count()
-    if n > cap:
+def _collect_capped(df: DataFrame, cap_rows: int, cap_queries: int, fn_name: str):
+    """Collect a driver-side probe relation under the bounded-batch
+    contract: the collect itself is limit(cap_rows + 1), so at most
+    cap_rows + 1 rows ever reach the driver AND no extra counting job
+    runs — the cap rides the collect every probe already pays. Raises
+    past the cap with guidance instead of silently serializing a
+    corpus-sized query side."""
+    rows = df.limit(cap_rows + 1).collect()
+    if len(rows) > cap_rows:
         raise ValueError(
-            f"{fn_name}: query batch has more than max_driver_queries={cap} "
-            f"rows; the driver-side ADC lookup table collects the query set. "
-            f"Pass distributed=True for the LUT-join path (table computed "
-            f"JVM-side, joined instead of plan-folded), or raise "
-            f"max_driver_queries if the batch is genuinely bounded."
+            f"{fn_name}: query batch exceeds max_driver_queries="
+            f"{cap_queries}; this probe collects the query set on the "
+            f"driver. Use the distributed path where one exists "
+            f"(distributed=True on the ADC probes), a cell-bucketed "
+            f"operator (cosine_near_dup_pairs / semantic_dedup) for "
+            f"corpus-x-corpus search, or raise max_driver_queries if "
+            f"the batch is genuinely bounded."
         )
+    return rows
 
 
 def _adc_lut_expr(qv_col: Column, cb_lit: Column, m: int, k: int, bs: int) -> Column:
@@ -1202,10 +1208,13 @@ def pq_adc_topk(
             [F.col("approx_sim").desc(), F.col("neighbor_id").asc()],
             k,
         )
-    _check_driver_query_cap(queries, max_driver_queries, "pq_adc_topk")
-    q_rows = _unit(
-        queries, [F.col(id_col).alias(query_id_col)], vec_col, "__qv"
-    ).collect()
+    # the bounded-batch cap rides the collect itself — no counting job
+    q_rows = _collect_capped(
+        _unit(queries, [F.col(id_col).alias(query_id_col)], vec_col, "__qv"),
+        max_driver_queries,
+        max_driver_queries,
+        "pq_adc_topk",
+    )
     lut, q_meta = _adc_tables(q_rows, codebook, query_id_col)
     lut_lit = F.from_json(F.lit(json.dumps(lut)), "array<double>")
     # query id type from the INPUT schema (string/int ids work like
@@ -1677,11 +1686,14 @@ def ivfpq_topk_indexed(
             spark, path, codebook, residual, cents_df, queries,
             id_col, vec_col, k, nprobe,
         )
-    _check_driver_query_cap(queries, max_driver_queries, "ivfpq_topk_indexed")
     cents = cents_df.collect()
-    q_rows = _unit(
-        queries, [F.col(id_col).alias("query_id")], vec_col, "__qv"
-    ).collect()
+    # the bounded-batch cap rides the collect itself — no counting job
+    q_rows = _collect_capped(
+        _unit(queries, [F.col(id_col).alias("query_id")], vec_col, "__qv"),
+        max_driver_queries,
+        max_driver_queries,
+        "ivfpq_topk_indexed",
+    )
     lut, q_meta = _adc_tables(q_rows, codebook, "query_id")
     probe_rows = []
     for qi, qid, qv in q_meta:

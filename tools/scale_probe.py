@@ -765,6 +765,51 @@ def probe_bpe_deep(spark, num_merges: int = 1024):
         )
 
 
+def probe_dsv2(spark):
+    """DataSource V2 economics: the Python-source snapshot read and the
+    DSv2 writer against the library paths, at 100k and 1M rows. The
+    honest framing to validate: DSv2 is the INTEROPERABILITY surface
+    (format string, catalog, other languages); the library path is the
+    bulk path (JVM scan + max_by). The probe quantifies the gap and
+    checks both stay linear-ish."""
+    from matdb_spark.sources.dsv2 import register_matdb_source
+
+    register_matdb_source(spark)
+    for n in (100_000, 1_000_000):
+        path = os.path.join(SCRATCH, f"probe_dsv2_{n}")
+        shutil.rmtree(path, ignore_errors=True)
+        schema = Schema(
+            dimensions=[Dimension("k", max(1, n // 64))],
+            values=[Value("v", type="double")],
+        )
+        Database.create(spark, path, schema)
+        df = spark.range(n).select(
+            F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+        )
+        up = spark.range(0, n, 10).select(
+            F.col("id").alias("k"), (F.col("id") + 1.5).alias("v")
+        )
+        timed(f"dsv2 WRITE {n} rows (1 txn)", lambda: df.write.format("matdb").mode("append").save(path))
+        timed(f"dsv2 WRITE upsert {n // 10} rows", lambda: up.write.format("matdb").mode("append").save(path))
+        db = Database.open(spark, path)
+        timed(
+            f"library scan {n} rows (JVM max_by)",
+            lambda: db.begin().query(ordered=False).count(),
+        )
+        timed(
+            f"dsv2 scan {n} rows (chunk-local Arrow)",
+            lambda: spark.read.format("matdb").load(path).count(),
+        )
+        timed(
+            f"dsv2 pruned read (1 of 64 chunks)",
+            lambda: spark.read.format("matdb")
+            .load(path)
+            .filter(F.col("k") < n // 64)
+            .count(),
+        )
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def probe_spans(spark):
     """Span-dedup economics at 1M → 4M docs: remove_duplicate_spans'
     cost model is linear in corpus WORDS — the occurrence relation is
@@ -931,6 +976,8 @@ if __name__ == "__main__":
         probe_bpe(spark)
     elif which == "bpedeep":
         probe_bpe_deep(spark)
+    elif which == "dsv2":
+        probe_dsv2(spark)
     elif which == "spans":
         probe_spans(spark)
     elif which == "semdedup":
