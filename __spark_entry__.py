@@ -823,6 +823,41 @@ def q_dsv2_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Database.open(spark, db_path).begin().query(ordered=True)
 
 
+def q_dsv2_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC STREAM SOURCE (sources/dsv2.py MatdbChangesStreamReader)
+    over the shared two-txn store: a REAL
+    ``readStream.format("matdb").option("feed", "changes")`` execution
+    (availableNow, memory sink) replaying the full history window.
+    Net effect: every key's newest version tagged change_type/__txn —
+    for this store, value+1000 rows carry __txn 2 (the upsert wave)
+    and the rest __txn 1, all 'upsert' (no tombstones here; deletes
+    are gated by the dedup/engine tests). The oracle states exactly
+    that CASE expression."""
+    from matdb_spark.sources.dsv2 import register_matdb_source
+
+    db = _gate_mvcc_store(spark, sf_dir)
+    register_matdb_source(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    name = f"dsv2_cdc_{tag}"
+    ckpt = os.path.join(SCRATCH, f"ckpt_{name}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        spark.readStream.format("matdb")
+        .option("feed", "changes")
+        .option("since", 0)
+        .load(db.path)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id", "event_id", "value", "change_type", F.col("__txn").alias("txn")
+    )
+
+
 def q_mvcc_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan of a COMPACTED store: the same two-txn upsert content as
     q_mvcc_scan, folded by ``compact()`` + ``vacuum()`` into one
@@ -4343,6 +4378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mvcc_scan": q_mvcc_scan,
         "q_dsv2_scan": q_dsv2_scan,
         "q_dsv2_write_roundtrip": q_dsv2_write_roundtrip,
+        "q_dsv2_cdc": q_dsv2_cdc,
         "q_auto_compact_scan": q_auto_compact_scan,
         "q_mvcc_compacted_scan": q_mvcc_compacted_scan,
         "q_mvcc_string_dim": q_mvcc_string_dim,
@@ -5980,6 +6016,13 @@ def oracle_sql() -> dict[str, str]:
         "q_dsv2_write_roundtrip": """
             SELECT user_id, event_id,
                    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
+            FROM events
+        """,
+        "q_dsv2_cdc": """
+            SELECT user_id, event_id,
+                   CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value,
+                   'upsert' AS change_type,
+                   CASE WHEN event_id % 10 = 0 THEN 2 ELSE 1 END AS txn
             FROM events
         """,
         "q_mvcc_compacted_scan": """

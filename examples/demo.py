@@ -18,6 +18,10 @@ def main() -> None:
     spark = get_spark(app_name="matdb_spark_demo", cpus=8)
     path = "/tmp/matdb_spark_demo"
     shutil.rmtree(path, ignore_errors=True)
+    # derived paths too — an interrupted previous run leaves them, and
+    # the export below writes with mode("error")
+    for suffix in ("_cells", "_bulk", "_auto", "_export", "_cdc_ck"):
+        shutil.rmtree(path + suffix, ignore_errors=True)
 
     # 1. create: schema = dimensions (key) + values, chunk sizes route
     #    rows into prunable partitions (reference: schema.json)
@@ -235,6 +239,37 @@ def main() -> None:
     print("multi-table LSH top-3:")
     lsh_hits.show(6)
 
+    # 12. the matdb Spark FORMAT (DataSource V2): snapshot read, time
+    #     travel, a write that commits one MVCC txn, and the CDC stream
+    from matdb_spark.sources.dsv2 import register_matdb_source
+
+    register_matdb_source(spark)
+    fmt = spark.read.format("matdb").load(path)
+    print("format('matdb') snapshot rows:", fmt.count())
+    # time travel to the newest commit still readable after the
+    # earlier compact+vacuum (vacuumed horizons RAISE, same as begin())
+    from matdb_spark import manifest as _mf
+
+    head = max(_mf.committed_txn_ids(path))
+    print(f"format('matdb') as_of={head} rows:",
+          spark.read.format("matdb").option("as_of", head).load(path).count())
+    spark.range(3).selectExpr(
+        "id + 90000 as time", "CAST(99 AS LONG) as sensor_id", "id as value"
+    ).write.format("matdb").mode("append").save(path)
+    print("after format write:", spark.read.format("matdb").load(path).count())
+    ck = path + "_cdc_ck"
+    shutil.rmtree(ck, ignore_errors=True)
+    cdc = (
+        spark.readStream.format("matdb").option("feed", "changes")
+        .option("since", 0).load(path)
+        .writeStream.format("memory").queryName("demo_cdc")
+        .option("checkpointLocation", ck).trigger(availableNow=True).start()
+    )
+    cdc.awaitTermination(120)
+    print("CDC stream net-effect rows (full history):",
+          spark.table("demo_cdc").count())
+
+    shutil.rmtree(ck, ignore_errors=True)
     shutil.rmtree(ivfpq, ignore_errors=True)
     shutil.rmtree(idx, ignore_errors=True)
     shutil.rmtree(path + "_cells", ignore_errors=True)
