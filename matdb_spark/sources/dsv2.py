@@ -208,7 +208,10 @@ class MatdbDataSource(DataSource):
                 f"matdb write schema mismatch: store columns "
                 f"{sorted(expected)}, DataFrame columns {sorted(got)}"
             )
-        return MatdbBatchWriter(db_path, overwrite)
+        fr = self.options.get("flush_rows")
+        return MatdbBatchWriter(
+            db_path, overwrite, flush_rows=int(fr) if fr is not None else None
+        )
 
     def streamWriter(self, schema, overwrite: bool) -> "MatdbStreamWriter":
         if overwrite:
@@ -225,8 +228,11 @@ class MatdbDataSource(DataSource):
                 f"matdb write schema mismatch: store columns "
                 f"{sorted(expected)}, DataFrame columns {sorted(got)}"
             )
+        fr = self.options.get("flush_rows")
         return MatdbStreamWriter(
-            db_path, self.options.get("source") or "matdb-dsv2-stream"
+            db_path,
+            self.options.get("source") or "matdb-dsv2-stream",
+            flush_rows=int(fr) if fr is not None else None,
         )
 
 
@@ -434,12 +440,24 @@ class _MatdbCommitMessage(WriterCommitMessage):
         self.base = base  # staging root (stream writer); None = in-place
 
 
-def _write_segment_files(iterator, schema_obj, base_dir):
+#: Per-chunk buffer bound of the task-side writer: a chunk's buffered
+#: rows flush to their own parquet file at this size, so a task's
+#: Python-object footprint stays O(flush_rows × touched chunks) no
+#: matter how large its input partition is (at 100 TB, input splits
+#: are maxPartitionBytes-sized — buffering a whole split as Python
+#: tuples would be several GB). Each flushed file is individually
+#: key-sorted, which is all the row-group-stats contract needs; the
+#: library writer also emits several files per chunk.
+DEFAULT_FLUSH_ROWS = 262_144
+
+
+def _write_segment_files(iterator, schema_obj, base_dir, flush_rows=None):
     """Task-side segment write shared by the batch and stream writers:
     route rows to chunks (the exact _chunked floor arithmetic), sort by
     key within each file, stamp the shared write sequence, write zstd
     parquet with CANONICAL column types under
-    ``base_dir/seg=0/__chunk_*/part-<uuid>.parquet``. Returns
+    ``base_dir/seg=0/__chunk_*/part-<uuid>.parquet``. Per-chunk buffers
+    flush incrementally at ``flush_rows`` (memory bound). Returns
     (relative files, row count, per-integral-dim [min, max])."""
     import uuid
 
@@ -448,28 +466,12 @@ def _write_segment_files(iterator, schema_obj, base_dir):
 
     from matdb_spark.scan import _floor_div
 
+    if flush_rows is None:
+        flush_rows = DEFAULT_FLUSH_ROWS
     sch = schema_obj
     dims, vals = sch.dim_names, sch.value_names
     cols = dims + vals
     chunked = sch.chunked_dims
-    by_chunk: dict[tuple, list] = {}
-    for row in iterator:
-        parts = []
-        for d in chunked:
-            v = row[d.name]
-            if v is None:
-                raise ValueError(
-                    f"null dimension {d.name!r}: dimension values are "
-                    f"the key and must be non-null"
-                )
-            parts.append((d.chunk_col, _floor_div(v, d.chunk_size)))
-        for d in sch.dimensions:
-            if not d.chunk_size and row[d.name] is None:
-                raise ValueError(f"null dimension {d.name!r}")
-        by_chunk.setdefault(tuple(parts), []).append(
-            tuple(row[c] for c in cols)
-        )
-    files, total, mm = [], 0, {}
     arrow_fields = [
         pa.field(d.name, _arrow_type(d.type), nullable=False)
         for d in sch.dimensions
@@ -481,7 +483,11 @@ def _write_segment_files(iterator, schema_obj, base_dir):
         for i, d in enumerate(sch.dimensions)
         if d.type in ("long", "int")
     ]
-    for key, rows in by_chunk.items():
+    files, mm = [], {}
+    total = 0
+
+    def flush(key: tuple, rows: list) -> None:
+        nonlocal total
         rows.sort(key=lambda r: tuple(r[: len(dims)]))
         arrays = [
             pa.array([r[i] for r in rows], type=f.type)
@@ -502,6 +508,30 @@ def _write_segment_files(iterator, schema_obj, base_dir):
             mm[name] = (
                 [lo, hi] if cur is None else [min(cur[0], lo), max(cur[1], hi)]
             )
+
+    by_chunk: dict[tuple, list] = {}
+    for row in iterator:
+        parts = []
+        for d in chunked:
+            v = row[d.name]
+            if v is None:
+                raise ValueError(
+                    f"null dimension {d.name!r}: dimension values are "
+                    f"the key and must be non-null"
+                )
+            parts.append((d.chunk_col, _floor_div(v, d.chunk_size)))
+        for d in sch.dimensions:
+            if not d.chunk_size and row[d.name] is None:
+                raise ValueError(f"null dimension {d.name!r}")
+        key = tuple(parts)
+        bucket = by_chunk.setdefault(key, [])
+        bucket.append(tuple(row[c] for c in cols))
+        if len(bucket) >= flush_rows:
+            flush(key, bucket)
+            by_chunk[key] = []
+    for key, rows in by_chunk.items():
+        if rows:
+            flush(key, rows)
     return files, total, mm
 
 
@@ -567,10 +597,12 @@ class MatdbBatchWriter(DataSourceWriter):
     key cannot be chunk-routed and the engine's key contract is
     non-null dims."""
 
-    def __init__(self, db_path: str, overwrite: bool):
+    def __init__(self, db_path: str, overwrite: bool, flush_rows: int | None = None):
         self.db_path = db_path
         self.schema_obj = Schema.load(os.path.join(db_path, SCHEMA_FILENAME))
         self.overwrite = overwrite
+        # carried as writer state so it survives the pickle to workers
+        self.flush_rows = flush_rows
         self.txn_id = manifest.reserve_txn_id(db_path, start=1)
         self.replaces = (
             manifest.committed_txn_ids(db_path) if overwrite else None
@@ -578,7 +610,9 @@ class MatdbBatchWriter(DataSourceWriter):
 
     def write(self, iterator):
         tdir = manifest.txn_data_dir(self.db_path, self.txn_id)
-        files, rows, mm = _write_segment_files(iterator, self.schema_obj, tdir)
+        files, rows, mm = _write_segment_files(
+            iterator, self.schema_obj, tdir, flush_rows=self.flush_rows
+        )
         return _MatdbCommitMessage(files, rows, mm)
 
     def commit(self, messages):
@@ -631,10 +665,11 @@ class MatdbStreamWriter(DataSourceStreamWriter):
     path — this surface is the format-string form of the same
     protocol."""
 
-    def __init__(self, db_path: str, source: str):
+    def __init__(self, db_path: str, source: str, flush_rows: int | None = None):
         self.db_path = db_path
         self.schema_obj = Schema.load(os.path.join(db_path, SCHEMA_FILENAME))
         self.source = source
+        self.flush_rows = flush_rows
         self._last_committed: int | None = None
 
     def write(self, iterator):
@@ -643,7 +678,9 @@ class MatdbStreamWriter(DataSourceStreamWriter):
         base = os.path.join(
             manifest.data_dir(self.db_path), STREAM_STAGING_DIR, uuid.uuid4().hex
         )
-        files, rows, mm = _write_segment_files(iterator, self.schema_obj, base)
+        files, rows, mm = _write_segment_files(
+            iterator, self.schema_obj, base, flush_rows=self.flush_rows
+        )
         return _MatdbCommitMessage(files, rows, mm, base=base)
 
     def _staging_roots(self, messages):

@@ -500,3 +500,35 @@ def test_dsv2_cdc_store_replication(spark, tmp_path_factory):
     a2 = _key(Database.open(spark, src).begin().query(ordered=False))
     b2 = _key(Database.open(spark, dst).begin().query(ordered=False))
     assert a2 == b2
+
+
+def test_dsv2_writer_incremental_flush(spark, tmp_path_factory):
+    """The task-side writer's per-chunk buffer bound: with a tiny
+    flush_rows the same write lands as MULTIPLE key-sorted files per
+    chunk, and the scan result is identical to the unbounded form."""
+    register_matdb_source(spark)
+    p = str(tmp_path_factory.mktemp("dsv2flush") / "db")
+    schema = Schema(
+        dimensions=[Dimension("k", 1000)], values=[Value("v", type="double")]
+    )
+    Database.create(spark, p, schema)
+    df = spark.range(1000).coalesce(1).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    df.write.format("matdb").mode("append").option("flush_rows", 64).save(p)
+    from matdb_spark import manifest
+
+    t = manifest.committed_txn_ids(p)[-1]
+    m = manifest.read_manifest(p, t)
+    assert len(m["files"]) >= 1000 // 64  # many flushed files, one chunk set
+    assert m["stats"]["rows"] == 1000 and m["stats"]["dims"]["k"] == [0, 999]
+    got = _key(spark.read.format("matdb").load(p))
+    lib = _key(Database.open(spark, p).begin().query(ordered=False))
+    assert got == lib and len(got) == 1000
+    # each flushed file is key-sorted within itself
+    import pyarrow.parquet as pq_
+
+    tdir = manifest.txn_data_dir(p, t)
+    for rel in m["files"][:3]:
+        ks = pq_.read_table(os.path.join(tdir, rel), columns=["k"])["k"].to_pylist()
+        assert ks == sorted(ks)
