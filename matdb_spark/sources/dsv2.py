@@ -152,8 +152,21 @@ class MatdbDataSource(DataSource):
         if not p:
             raise ValueError(
                 "matdb source requires a database path: "
-                "spark.read.format('matdb').load('/path/to/db')"
+                "spark.read.format('matdb').load('/path/to/db'). "
+                "Note a catalog table (CREATE TABLE ... USING matdb) "
+                "cannot work yet: Spark 4.1's Python Data Source API "
+                "does not forward table OPTIONS/LOCATION to the reader "
+                "(probed: reader-time options arrive empty) — register "
+                "a view instead: spark.read.format('matdb').load(p)"
+                ".createOrReplaceTempView(name)"
             )
+        # the session catalog hands CREATE TABLE ... USING matdb
+        # locations over as file: URIs; the manifest layer is plain-os
+        if p.startswith("file:"):
+            from urllib.parse import urlparse
+
+            parsed = urlparse(p)
+            p = parsed.path or p[len("file:"):]
         return os.path.abspath(p)
 
     def schema(self):
