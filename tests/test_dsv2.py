@@ -532,3 +532,54 @@ def test_dsv2_writer_incremental_flush(spark, tmp_path_factory):
     for rel in m["files"][:3]:
         ks = pq_.read_table(os.path.join(tdir, rel), columns=["k"])["k"].to_pylist()
         assert ks == sorted(ks)
+
+
+def test_dsv2_string_dim_store(spark, tmp_path_factory):
+    """String-typed dims flow through the format path: chunkless
+    string key + chunked long key, resolution ties on the string
+    compare (numpy object arrays in the reader)."""
+    register_matdb_source(spark)
+    p = str(tmp_path_factory.mktemp("dsv2str") / "db")
+    schema = Schema(
+        dimensions=[Dimension("name", 0, type="string"), Dimension("k", 10)],
+        values=[Value("v", type="double")],
+    )
+    db = Database.create(spark, p, schema)
+    t1 = db.begin()
+    t1.add_rows([(f"s{i % 5}", i, float(i)) for i in range(30)])
+    t1.commit()
+    t2 = db.begin()
+    t2.add_rows([("s0", 0, 999.0)])
+    t2.commit()
+    got = _key(spark.read.format("matdb").load(p))
+    lib = _key(db.begin().query(ordered=False))
+    assert got == lib and ("s0", 0, 999.0) in got
+
+
+def test_dsv2_decimal_chunked_dim_store(spark, tmp_path_factory):
+    """decimal(20,0) chunked dims (the u64 escape hatch): chunk-dir
+    parsing, pruning bounds, and Arrow decimal128 round-trip through
+    the format reader AND writer."""
+    import decimal
+
+    register_matdb_source(spark)
+    p = str(tmp_path_factory.mktemp("dsv2dec") / "db")
+    schema = Schema(
+        dimensions=[Dimension("k", 10, type="decimal(20,0)")],
+        values=[Value("v")],
+    )
+    db = Database.create(spark, p, schema)
+    t1 = db.begin()
+    t1.add_rows([(decimal.Decimal(i), i) for i in range(40)])
+    t1.commit()
+    got = {int(r["k"]): r["v"] for r in spark.read.format("matdb").load(p).collect()}
+    assert len(got) == 40 and got[7] == 7
+    # write through the format too
+    spark.createDataFrame(
+        [(decimal.Decimal(5), 555)], "k decimal(20,0), v long"
+    ).write.format("matdb").mode("append").save(p)
+    lib = {int(r["k"]): r["v"] for r in
+           Database.open(spark, p).begin().query(ordered=False).collect()}
+    assert lib[5] == 555 and len(lib) == 40
+    got2 = {int(r["k"]): r["v"] for r in spark.read.format("matdb").load(p).collect()}
+    assert got2 == lib
