@@ -4325,6 +4325,209 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-6 curation additions: PII scrub, line dedup, splits, SQ8
+# ---------------------------------------------------------------------------
+
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    """The documents fixture carries no PII, so the gate would be
+    constant-zero; inject deterministic synthetic PII from doc_id
+    (the attach_payload trick from the multimodal gates) — 1/5 of the
+    docs get an email, 1/5 an IPv4, 1/5 a phone, 1/5 an SSN shape,
+    1/5 stay clean. The oracle replays the identical construction."""
+    did = F.col("doc_id")
+    frag = (
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            did % 5 == 1,
+            F.concat(
+                F.lit(" server 10."),
+                (did % 200 + 1).cast("string"),
+                F.lit(".0."),
+                (did % 250 + 1).cast("string"),
+                F.lit(" up"),
+            ),
+        )
+        .when(
+            did % 5 == 2,
+            F.concat(
+                F.lit(" call 555-"),
+                (did % 900 + 100).cast("string"),
+                F.lit("-"),
+                (did % 9000 + 1000).cast("string"),
+            ),
+        )
+        .when(
+            did % 5 == 3,
+            F.concat(F.lit(" ssn 123-45-"), (did % 9000 + 1000).cast("string")),
+        )
+        .otherwise(F.lit(""))
+    )
+    return docs.select("doc_id", F.concat(F.col("text"), frag).alias("text"))
+
+
+def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII profile (counts per type + composite flag) —
+    the detection half of the standard pre-training scrub stage
+    (Dolma §2.3 / FineWeb). Pure regexp_count projection: zero
+    shuffles, pipelines with the scan at any scale."""
+    from matdb_spark.functions.pii import pii_stats
+
+    docs = _pii_augmented(load_table(spark, sf_dir, "documents"))
+    return pii_stats(docs, "doc_id", "text")
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-placeholder PII redaction over the same injected corpus:
+    (doc_id, n_redacted, clean_text). Sequential regexp_replace in
+    PII_PATTERNS order — the oracle replays the same pipeline
+    stage-by-stage, so placement AND count must both match. (Distinct
+    from q_pii_redact, the earlier generic wordlist fingerprint gate:
+    this one is the typed email/SSN/phone/IP scrub and returns the
+    full redacted text.)"""
+    from matdb_spark.functions.pii import redact_pii
+
+    docs = _pii_augmented(load_table(spark, sf_dir, "documents"))
+    return redact_pii(docs, "doc_id", "text")
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style corpus-wide LINE dedup: multi-line pages are
+    built deterministically (content line + shared boilerplate lines +
+    a per-source footer + an every-7th-doc banner), then every line
+    occurring >= 2 times corpus-wide is dropped from all pages. The
+    boilerplate vanishes, unique content survives, and documents whose
+    content line itself is duplicated (the fixture has exact-dup docs)
+    lose it too — the quality behavior the operator exists for."""
+    from matdb_spark.operators.dedup import dedup_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("subscribe to the newsletter for updates"),
+            F.concat(F.lit("copyright "), F.col("source")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("follow us on social media")
+            ),
+        ).alias("page"),
+    )
+    return dedup_lines(pages, "doc_id", "page", min_count=2)
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment
+    (90/5/5, seed 'r6'): split membership is a pure function of the
+    doc id, so appends and retries never reshuffle it — the property
+    a 100 TB corpus split must have. Zero-shuffle projection."""
+    from matdb_spark.operators.sampling import assign_splits
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = assign_splits(
+        docs,
+        "doc_id",
+        weights=(("train", 0.9), ("val", 0.05), ("test", 0.05)),
+        seed="r6",
+    )
+    return out.select("doc_id", "split")
+
+
+def q_similarity_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained per-dimension scalar quantization (FAISS SQ8):
+    corpus-trained [lo,hi] ranges, byte codes, ASYMMETRIC top-k
+    (float query against decoded candidates). The oracle recomputes
+    the ranges, codes, decode, and ranking relationally — training,
+    encoding, and search must all agree bit-for-bit."""
+    from matdb_spark.operators import quantization as Q
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ranges = Q.sq8_train(emb)
+    probe = emb.filter(F.col("vec_id") < 8)
+    out = Q.sq8_topk(emb, probe, ranges, k=5)
+    scored = out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def _sq8_index_probe(spark: SparkSession, sf_dir: str, path: str) -> DataFrame:
+    from matdb_spark.operators.quantization import ivf_sq8_topk_indexed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") < 10)
+    out = ivf_sq8_topk_indexed(spark, path, probe, k=5, nprobe=2)
+    scored = out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def q_similarity_sq8_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k against the persisted CODES-ONLY IVF-SQ8 index
+    (cell_id=<n>/ partitions of byte codes + _centroids + _sq8
+    sidecars): probed cells prune partitions before any IO and scan
+    1/4 the bytes of the float IVF index; candidates are decoded,
+    re-normalized, and ranked asymmetrically. The oracle re-trains
+    the ranges, re-assigns the cells, re-encodes, and re-ranks — the
+    whole index lifecycle replayed relationally."""
+    from matdb_spark.operators.quantization import write_ivf_sq8_index
+    from matdb_spark.sources.formats import _build_once
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SCRATCH, f"fixture_ivf_sq8_{tag}")
+
+    def build(p: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        write_ivf_sq8_index(emb, _centroids(emb), p)
+
+    _build_once(path, build)
+    return _sq8_index_probe(spark, sf_dir, path)
+
+
+def q_similarity_sq8_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-SQ8: the index holds only vec_id % 3 != 0 at
+    build (so the _sq8 ranges are trained on THAT slice's unit
+    vectors); the remaining third is ADMITTED via
+    append_ivf_sq8_index — assignment against stored unit centroids,
+    encoding with the STORED slice-trained ranges (out-of-range
+    components saturate, never wrap). The oracle replays exactly
+    that: dims from the build slice, codes for everyone — so a
+    wrap/retrain bug in append shows up as a hash mismatch."""
+    from matdb_spark.operators.quantization import (
+        append_ivf_sq8_index,
+        write_ivf_sq8_index,
+    )
+    from matdb_spark.sources.formats import _build_once
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SCRATCH, f"fixture_ivf_sq8_app_{tag}")
+
+    def build(p: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        write_ivf_sq8_index(
+            emb.filter(F.col("vec_id") % 3 != 0), _centroids(emb), p
+        )
+        append_ivf_sq8_index(spark, emb.filter(F.col("vec_id") % 3 == 0), p)
+
+    _build_once(path, build)
+    return _sq8_index_probe(spark, sf_dir, path)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4378,6 +4581,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mvcc_scan": q_mvcc_scan,
         "q_dsv2_scan": q_dsv2_scan,
         "q_dsv2_write_roundtrip": q_dsv2_write_roundtrip,
+        "q_pii_stats": q_pii_stats,
+        "q_pii_scrub": q_pii_scrub,
+        "q_line_dedup": q_line_dedup,
+        "q_split_assign": q_split_assign,
+        "q_similarity_sq8": q_similarity_sq8,
+        "q_similarity_sq8_indexed": q_similarity_sq8_indexed,
+        "q_similarity_sq8_appended": q_similarity_sq8_appended,
         "q_dsv2_cdc": q_dsv2_cdc,
         "q_auto_compact_scan": q_auto_compact_scan,
         "q_mvcc_compacted_scan": q_mvcc_compacted_scan,
@@ -5610,6 +5820,180 @@ def _cosine_sql() -> str:
     """
 
 
+_PII_AUG = """
+        aug AS (SELECT doc_id,
+            text || CASE CAST(doc_id % 5 AS INT)
+                WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                WHEN 1 THEN ' server 10.' || CAST(doc_id % 200 + 1 AS VARCHAR) || '.0.' || CAST(doc_id % 250 + 1 AS VARCHAR) || ' up'
+                WHEN 2 THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                WHEN 3 THEN ' ssn 123-45-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                ELSE '' END AS text
+        FROM documents)"""
+
+
+def _pii_stats_sql() -> str:
+    """Replays functions/pii.pii_stats over the injected corpus. The
+    pattern strings are shared verbatim with the Spark side
+    (PII_PATTERNS) — the portability contract in functions/pii.py is
+    what makes that legal."""
+    from matdb_spark.functions.pii import PII_PATTERNS
+
+    counts = ",\n            ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return f"""
+        WITH {_PII_AUG},
+        c AS (SELECT doc_id,
+            {counts}
+        FROM aug)
+        SELECT doc_id, {', '.join('n_' + n for n, _, _ in PII_PATTERNS)},
+               ({total}) > 0 AS has_pii
+        FROM c
+    """
+
+
+def _pii_redact_sql() -> str:
+    """Replays redact_pii stage-by-stage: each CTE counts on the text
+    the previous stage produced, then replaces globally."""
+    from matdb_spark.functions.pii import PII_PATTERNS
+
+    stages, prev = [], "s0"
+    for j, (_, pat, token) in enumerate(PII_PATTERNS, start=1):
+        stages.append(
+            f"s{j} AS (SELECT doc_id, "
+            f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS c{j}, "
+            f"regexp_replace(t, '{pat}', '{token}', 'g') AS t"
+            + ("".join(f", c{i}" for i in range(1, j)))
+            + f" FROM {prev})"
+        )
+        prev = f"s{j}"
+    total = " + ".join(f"c{i}" for i in range(1, len(PII_PATTERNS) + 1))
+    return f"""
+        WITH {_PII_AUG},
+        s0 AS (SELECT doc_id, text AS t FROM aug),
+        {','.join(stages)}
+        SELECT doc_id, CAST({total} AS BIGINT) AS n_redacted, t AS clean_text
+        FROM {prev}
+    """
+
+
+def _line_dedup_sql() -> str:
+    return """
+        WITH pages AS (SELECT doc_id,
+            concat_ws(chr(10), text,
+                      'subscribe to the newsletter for updates',
+                      'copyright ' || source,
+                      CASE WHEN doc_id % 7 = 0 THEN 'follow us on social media' END) AS page
+            FROM documents),
+        ls AS (SELECT doc_id, string_split(page, chr(10)) AS xs FROM pages),
+        lines AS (SELECT doc_id, u.i AS pos, xs[u.i] AS line, trim(xs[u.i]) AS lt
+                  FROM ls, unnest(range(1, len(xs) + 1)) AS u(i)),
+        freq AS (SELECT lt FROM lines GROUP BY lt HAVING COUNT(*) >= 2),
+        kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+                 LEFT JOIN freq f ON l.lt = f.lt WHERE f.lt IS NULL),
+        rebuilt AS (SELECT doc_id, COUNT(*) AS nk,
+                           string_agg(line, chr(10) ORDER BY pos) AS clean_text
+                    FROM kept GROUP BY doc_id),
+        base AS (SELECT doc_id, CAST(len(string_split(page, chr(10))) AS BIGINT) AS n_lines
+                 FROM pages)
+        SELECT b.doc_id, b.n_lines,
+               b.n_lines - COALESCE(r.nk, 0) AS n_removed,
+               COALESCE(r.clean_text, '') AS clean_text
+        FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+    """
+
+
+def _split_assign_sql() -> str:
+    return """
+        SELECT doc_id,
+               CASE WHEN h < 900000 THEN 'train'
+                    WHEN h < 950000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     CAST(('0x' || substr(md5('r6:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS h
+              FROM documents)
+    """
+
+
+def _sq8_sql() -> str:
+    """DuckDB twin of q_similarity_sq8: per-dim min/max training,
+    floor(t+0.5) encode with clamp, affine decode, unit-normalize,
+    asymmetric dot. Expression order matches operators/quantization.py
+    exactly — ((x-lo)*255.0)/(hi-lo)+0.5 and lo+(c*(hi-lo))/255.0 —
+    so every double is bit-identical."""
+    return f"""
+        WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+        dims AS (SELECT u.i AS i, MIN(v0[u.i]) AS lo, MAX(v0[u.i]) AS hi
+                 FROM e0, unnest(range(1, 65)) AS u(i) GROUP BY u.i),
+        comp AS (SELECT e0.vec_id, d.i, e0.v0[d.i] AS x, d.lo, d.hi FROM e0, dims d),
+        dec AS (SELECT vec_id, i,
+                       CASE WHEN hi > lo
+                            THEN lo + LEAST(GREATEST(FLOOR((x - lo) * 255.0 / (hi - lo) + 0.5), 0), 255) * (hi - lo) / 255.0
+                            ELSE lo END AS xd
+                FROM comp),
+        dv AS (SELECT vec_id, list(xd ORDER BY i) AS v0 FROM dec GROUP BY vec_id),
+        dn AS (SELECT vec_id, v0,
+                      sqrt(list_sum(list_transform(range(1, 65), i -> v0[i] * v0[i]))) AS nn
+               FROM dv),
+        c AS (SELECT vec_id, list_transform(v0, x -> x / nn) AS v FROM dn),
+        en AS (SELECT vec_id, v0,
+                      sqrt(list_sum(list_transform(range(1, 65), i -> v0[i] * v0[i]))) AS nn
+               FROM e0),
+        e AS (SELECT vec_id, list_transform(v0, x -> x / nn) AS v FROM en),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        pairs AS (SELECT query_id, c.vec_id AS neighbor_id,
+                         ROUND({_dot('qv', 'c.v')}, 6) AS cos_sim
+                  FROM c, q WHERE c.vec_id <> q.query_id),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM pairs)
+        SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """
+
+
+def _ivf_sq8_sql(train_where: str = "TRUE") -> str:
+    """DuckDB twin of the IVF-SQ8 index lifecycle: centroid
+    assignment (_ivf_sql's), per-dim ranges trained on the
+    ``train_where`` slice of ASSIGNED UNIT vectors, encode+decode of
+    every stored vector with those ranges, re-normalize, asymmetric
+    probe over the top-nprobe cells. ``train_where`` distinguishes
+    the full build ('TRUE') from the append gate (build-slice
+    training)."""
+    return f"""
+        WITH {_UNIT_E},
+        c AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+        assign AS (
+            SELECT vec_id, cell_id, v FROM (
+                SELECT e.vec_id, c.cell_id, e.v,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_dot('e.v', 'c.cv')} DESC, c.cell_id) AS rn
+                FROM e, c) WHERE rn = 1),
+        dims AS (SELECT u.i AS i, MIN(v[u.i]) AS lo, MAX(v[u.i]) AS hi
+                 FROM assign, unnest(range(1, 65)) AS u(i)
+                 WHERE {train_where} GROUP BY u.i),
+        dec0 AS (SELECT a.vec_id, a.cell_id, d.i,
+                        CASE WHEN d.hi > d.lo
+                             THEN d.lo + LEAST(GREATEST(FLOOR((a.v[d.i] - d.lo) * 255.0 / (d.hi - d.lo) + 0.5), 0), 255) * (d.hi - d.lo) / 255.0
+                             ELSE d.lo END AS xd
+                 FROM assign a, dims d),
+        dv AS (SELECT vec_id, cell_id, list(xd ORDER BY i) AS v0 FROM dec0 GROUP BY vec_id, cell_id),
+        dn AS (SELECT vec_id, cell_id, v0,
+                      sqrt(list_sum(list_transform(range(1, 65), i -> v0[i] * v0[i]))) AS nn
+               FROM dv),
+        cells AS (SELECT vec_id, cell_id, list_transform(v0, x -> x / nn) AS v FROM dn WHERE nn <> 0),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        probe AS (
+            SELECT query_id, cell_id, qv FROM (
+                SELECT q.query_id, c.cell_id, q.qv,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY {_dot('q.qv', 'c.cv')} DESC, c.cell_id) AS rn
+                FROM q, c) WHERE rn <= 2),
+        cand AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id, ROUND({_dot('p.qv', 'a.v')}, 6) AS cos_sim
+            FROM probe p JOIN cells a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM cand)
+        SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     qs = {
         "q01_pricing_summary": f"""
@@ -6018,6 +6402,13 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
             FROM events
         """,
+        "q_pii_stats": _pii_stats_sql(),
+        "q_pii_scrub": _pii_redact_sql(),
+        "q_line_dedup": _line_dedup_sql(),
+        "q_split_assign": _split_assign_sql(),
+        "q_similarity_sq8": _sq8_sql(),
+        "q_similarity_sq8_indexed": _ivf_sq8_sql(),
+        "q_similarity_sq8_appended": _ivf_sq8_sql("vec_id % 3 <> 0"),
         "q_dsv2_cdc": """
             SELECT user_id, event_id,
                    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value,

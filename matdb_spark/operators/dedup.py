@@ -295,6 +295,73 @@ def remove_duplicate_spans(
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide exact LINE deduplication — the RefinedWeb /
+    MassiveWeb boilerplate scrub (Penedo et al. 2023 §3.4; Rae et al.
+    2021 A1.2): any line whose trimmed text occurs at least
+    ``min_count`` times ACROSS THE CORPUS is removed from every
+    document that contains it (all copies go — navigation bars,
+    cookie banners, copyright footers carry no training signal even
+    once per page). Documents are reassembled from the surviving
+    lines in their original order.
+
+    This is the line-boundary complement of remove_duplicate_spans:
+    spans catch shared n-word runs inside prose; line dedup catches
+    whole boilerplate units at markup boundaries, at a fraction of the
+    cost (one row per LINE, not one per word position).
+
+    Returns (id, n_lines, n_removed, clean_text) for every input row.
+
+    Scale shape: explode to ~total_lines rows carrying a 60-bit line
+    hash, one groupBy(hash) marks frequent lines, one hash-keyed
+    left-anti join drops them, and the rebuild is a groupBy(id).
+    Linear in corpus lines, three shuffles, no pairwise term — the
+    same budget class as exact_duplicates.
+    """
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    ).withColumn("__h", hash64(F.trim(F.col("__line"))))
+    frequent = (
+        lines.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__h")
+    )
+    kept = lines.join(frequent, "__h", "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__nk"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    # fully-boilerplate documents drop out of the rebuild groupBy; the
+    # left join restores them with an EMPTY clean_text (same contract
+    # as remove_duplicate_spans)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_lines"),
+    )
+    return base.join(rebuilt, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        "n_lines",
+        (F.col("n_lines") - F.coalesce(F.col("__nk"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
 # --------------------------------------------------------- MinHash+LSH
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 32, shingle_n: int = 3

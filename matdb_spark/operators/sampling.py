@@ -174,6 +174,58 @@ def temperature_weights(
     )
 
 
+def assign_splits(
+    df: DataFrame,
+    id_col: str,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.98),
+        ("val", 0.01),
+        ("test", 0.01),
+    ),
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: a row's split is a
+    pure function of ``hash(seed:id)`` — the standard hash-split used
+    by every large corpus pipeline, because at 100 TB the properties
+    that matter are exactly the hash-sample ones (module docstring):
+    membership never changes when the corpus grows, is identical
+    across retries / engines / partitionings, and costs a zero-shuffle
+    projection (no global count, no sort, no RNG state).
+
+    ``weights`` is an ORDERED (name, fraction) sequence; fractions
+    must sum to 1.0 within 1e-9. Buckets are contiguous integer
+    ranges of ``hash mod 1e6`` in the given order, so nested ratios
+    (e.g. growing train from 0.98 to 0.99) only MOVE rows between
+    adjacent splits, never reshuffle inside one. A different ``seed``
+    is an independent assignment.
+
+    Expected fractions are exact over the hash space (floor'd integer
+    thresholds); realized fractions concentrate around them like any
+    hash sample. Returns ``df`` plus ``out_col``.
+    """
+    total = sum(w for _, w in weights)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1.0, got {total}")
+    if len(weights) < 2:
+        raise ValueError("need at least two splits")
+    h = (
+        hash_hex(
+            F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")), 15
+        )
+        % _MOD
+    )
+    cum = 0.0
+    expr = None
+    for name, w in weights[:-1]:
+        cum += w
+        threshold = int(cum * _MOD)
+        cond = h < F.lit(threshold)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = expr.otherwise(weights[-1][0])
+    return df.withColumn(out_col, expr)
+
+
 def epoch_shuffle(
     df: DataFrame, id_col: str, seed: int, out_col: str = "shuffle_rank"
 ) -> DataFrame:

