@@ -4527,6 +4527,52 @@ def q_similarity_sq8_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sq8_index_probe(spark, sf_dir, path)
 
 
+def q_stream_sq8_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ingest into the persisted CODES-ONLY IVF-SQ8 index
+    (streaming/vectors.py stream_sq8_append): the index seeds from
+    vec_id % 3 != 0 (ranges trained on that slice), the remaining
+    third arrives through a real writeStream (file source, two
+    micro-batches) and is assigned + encoded with the STORED
+    centroids/ranges per batch. Streamed appends encode
+    bit-identically to batch appends, so the probe shares
+    q_similarity_sq8_appended's oracle — the gate proves the
+    streaming path lands the same bytes the batch path would."""
+    from matdb_spark.operators.quantization import write_ivf_sq8_index
+    from matdb_spark.sources.formats import _build_once
+    from matdb_spark.streaming.vectors import stream_sq8_append
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SCRATCH, f"fixture_stream_sq8_{tag}")
+
+    def build(p: str) -> None:
+        emb_b = load_table(spark, sf_dir, "embeddings")
+        write_ivf_sq8_index(
+            emb_b.filter(F.col("vec_id") % 3 != 0), _centroids(emb_b), p
+        )
+        arriving = emb_b.filter(F.col("vec_id") % 3 == 0).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        src, ckpt = os.path.join(p, "_src"), os.path.join(p, "_ckpt")
+        arriving.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.json(src)
+        arriving.filter(F.col("vec_id") % 2 != 0).coalesce(1).write.mode(
+            "append"
+        ).json(src)
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = stream_sq8_append(stream, p, ckpt)
+        try:
+            if not q.awaitTermination(240):
+                raise TimeoutError("stream_sq8_append did not finish")
+        finally:
+            q.stop()
+
+    _build_once(path, build)
+    return _sq8_index_probe(spark, sf_dir, path)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4588,6 +4634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_similarity_sq8": q_similarity_sq8,
         "q_similarity_sq8_indexed": q_similarity_sq8_indexed,
         "q_similarity_sq8_appended": q_similarity_sq8_appended,
+        "q_stream_sq8_append": q_stream_sq8_append,
         "q_dsv2_cdc": q_dsv2_cdc,
         "q_auto_compact_scan": q_auto_compact_scan,
         "q_mvcc_compacted_scan": q_mvcc_compacted_scan,
@@ -6409,6 +6456,7 @@ def oracle_sql() -> dict[str, str]:
         "q_similarity_sq8": _sq8_sql(),
         "q_similarity_sq8_indexed": _ivf_sq8_sql(),
         "q_similarity_sq8_appended": _ivf_sq8_sql("vec_id % 3 <> 0"),
+        "q_stream_sq8_append": _ivf_sq8_sql("vec_id % 3 <> 0"),
         "q_dsv2_cdc": """
             SELECT user_id, event_id,
                    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value,

@@ -164,3 +164,28 @@ def compact_ivf_index(spark, path: str) -> tuple[int, int]:
     """Collapse an IVF index's append debris (layout: cell_id=<n>/
     partitions; `_centroids` sidecar preserved byte-for-byte)."""
     return compact_index(spark, path, "cell_id", ["vec_id"])
+
+
+def purge_sq8_index(spark, path: str, ids) -> tuple[int, int]:
+    """Remove vectors from a codes-only IVF-SQ8 index (`_centroids`
+    and `_sq8` untouched — centroids and trained ranges are corpus
+    aggregates, not per-document data; purging does not force a
+    retrain, it only narrows the corpus the ranges were fit on)."""
+    return purge_index(
+        spark,
+        path,
+        ids,
+        "vec_id",
+        "cell_id",
+        ["vec_id"],
+        sidecars=("_centroids", "_sq8"),
+    )
+
+
+def compact_sq8_index(spark, path: str) -> tuple[int, int]:
+    """Collapse an IVF-SQ8 index's append debris (layout: cell_id=<n>/
+    partitions of code rows; `_centroids` and `_sq8` sidecars
+    preserved byte-for-byte)."""
+    return compact_index(
+        spark, path, "cell_id", ["vec_id"], sidecars=("_centroids", "_sq8")
+    )

@@ -108,6 +108,57 @@ def compact_stream_lsh_index(spark, path: str) -> tuple[int, int]:
     )
 
 
+def stream_sq8_append(
+    stream_df,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+):
+    """Streaming twin for the persisted CODES-ONLY IVF-SQ8 index:
+    each micro-batch is assigned against the stored unit centroids
+    and encoded with the STORED `_sq8` ranges (out-of-range
+    components saturate — a drifting stream degrades recall smoothly,
+    it never corrupts scores). Same delivery semantics as
+    stream_ivf_append: the append is not transactional with the
+    checkpoint, a crash-window replay appends byte-identical
+    duplicate code rows (assignment AND encoding are deterministic),
+    and `compact_stream_sq8_index` reclaims them offline."""
+    from matdb_spark.operators.quantization import append_ivf_sq8_index
+
+    spark = stream_df.sparkSession
+
+    def _append(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_ivf_sq8_index(spark, batch_df, index_path, id_col, vec_col)
+
+    writer = stream_df.writeStream.foreachBatch(_append).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_stream_sq8_index(spark, path: str) -> tuple[int, int]:
+    """Offline maintenance for a stream-fed IVF-SQ8 index: collapse
+    per-batch append debris and drop crash-replay duplicate code rows
+    (dedup on (vec_id, cell_id)); `_centroids` and `_sq8` sidecars
+    are preserved byte-for-byte."""
+    from matdb_spark.operators.index_maint import compact_index
+
+    return compact_index(
+        spark,
+        path,
+        "cell_id",
+        ["vec_id"],
+        sidecars=("_centroids", "_sq8"),
+        dedup_cols=["vec_id", "cell_id"],
+    )
+
+
 def compact_stream_ivf_index(spark, path: str) -> tuple[int, int]:
     """Offline maintenance for a stream-fed IVF index: collapse the
     per-batch append debris AND drop the byte-identical duplicate rows

@@ -277,6 +277,100 @@ def test_ivf_sq8_append_saturates_out_of_range(spark, tmp_db_path):
     assert row["codes"][0] == 0  # saturated low, not wrapped
 
 
+def test_stream_sq8_append_and_maintenance(spark, tmp_path_factory):
+    """Streaming codes into the IVF-SQ8 index: streamed batches land
+    bit-identical to batch appends; compaction dedups replay debris;
+    purge removes ids while preserving the sidecars."""
+    import os
+
+    from matdb_spark.operators.index_maint import (
+        compact_sq8_index,
+        purge_sq8_index,
+    )
+    from matdb_spark.operators.quantization import (
+        append_ivf_sq8_index,
+        ivf_sq8_topk_indexed,
+        read_sq8_ranges,
+        write_ivf_sq8_index,
+    )
+    from matdb_spark.streaming.vectors import (
+        compact_stream_sq8_index,
+        stream_sq8_append,
+    )
+
+    def _emb(ids):
+        comps = [
+            (((F.col("id") * (j * 2 + 3)) % 197) / 98.5 - 1.0)
+            for j in range(8)
+        ]
+        return spark.createDataFrame([(i,) for i in ids], "id long").select(
+            F.col("id").alias("vec_id"), F.array(*comps).alias("embedding")
+        )
+
+    base = str(tmp_path_factory.mktemp("stream_sq8"))
+    index, src, ckpt = (
+        os.path.join(base, "index"),
+        os.path.join(base, "src"),
+        os.path.join(base, "ckpt"),
+    )
+    seed = _emb(range(0, 40))
+    cents = seed.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("cell_id"), "embedding"
+    )
+    ranges = write_ivf_sq8_index(seed, cents, index)
+
+    _emb(range(100, 120)).coalesce(1).write.json(src)
+    _emb(range(120, 140)).coalesce(1).write.mode("append").json(src)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = stream_sq8_append(stream, index, ckpt)
+    try:
+        assert q.awaitTermination(240), "availableNow stream did not finish"
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(index)
+    assert rows.count() == 80
+    # streamed rows encode bit-identically to a batch append of the
+    # same vectors with the same stored ranges
+    batch_path = os.path.join(base, "batch_twin")
+    write_ivf_sq8_index(seed, cents, batch_path)
+    append_ivf_sq8_index(spark, _emb(range(100, 140)), batch_path)
+    streamed = {
+        (r["vec_id"], r["cell_id"], tuple(r["codes"]))
+        for r in rows.collect()
+    }
+    batched = {
+        (r["vec_id"], r["cell_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(batch_path).collect()
+    }
+    assert streamed == batched
+
+    # crash-replay debris: a duplicate append, then compaction dedups
+    append_ivf_sq8_index(spark, _emb(range(100, 120)), index)
+    assert spark.read.parquet(index).count() == 100
+    compact_stream_sq8_index(spark, index)
+    assert spark.read.parquet(index).count() == 80
+    assert read_sq8_ranges(spark, index) == ranges  # sidecar survived
+
+    # purge: ids leave, sidecars stay, probes still run
+    purge_sq8_index(spark, index, list(range(100, 140)))
+    assert spark.read.parquet(index).count() == 40
+    assert read_sq8_ranges(spark, index) == ranges
+    out = ivf_sq8_topk_indexed(
+        spark, index, _emb([1]), k=5, nprobe=2
+    ).collect()
+    assert len(out) == 5
+    assert all(r["neighbor_id"] < 100 for r in out)
+
+    # compact_sq8_index (the offline alias) also preserves sidecars
+    compact_sq8_index(spark, index)
+    assert read_sq8_ranges(spark, index) == ranges
+
+
 def test_sq8_teeth_low_bit_quantization_degrades(spark):
     """Teeth for the recall assertion: crushing the trained ranges to
     a single level (lo==hi after collapsing) must NOT still produce
