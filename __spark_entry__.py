@@ -4573,6 +4573,51 @@ def q_stream_sq8_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sq8_index_probe(spark, sf_dir, path)
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    2009): a LEXICAL ranking (per-query term-hit counts over
+    documents, top-20) fused with a VECTOR ranking (cosine top-20
+    over embeddings — doc_id and vec_id share the id space) through
+    exact integer-scaled RRF. The oracle replays both rankings and
+    the integer-division scoring, so ranks, agreement counts, and
+    fused scores must all match exactly."""
+    from matdb_spark.operators.fusion import rrf_fuse
+    from matdb_spark.operators.topk import top_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    terms = spark.createDataFrame(
+        [(0, "table"), (1, "row"), (2, "fast")], "query_id long, term string"
+    )
+    lex0 = docs.crossJoin(F.broadcast(terms)).select(
+        "query_id",
+        "doc_id",
+        F.regexp_count(
+            F.col("text"), F.concat(F.lit(r"\b"), F.col("term"), F.lit(r"\b"))
+        ).alias("cnt"),
+    )
+    lex = top_k_per_group(
+        lex0.filter(F.col("cnt") > 0),
+        ["query_id"],
+        [F.col("cnt").desc(), F.col("doc_id").asc()],
+        20,
+    ).select("query_id", "doc_id", "rank")
+    # cosine_topk's own rank is already (cos desc, id asc) over
+    # bit-identical doubles — the oracle reproduces it unrounded; the
+    # fused output then carries only exact integers
+    sem = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=20, include_self=True
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    out = rrf_fuse([lex, sem], k=10)
+    return out.select(
+        "query_id",
+        "doc_id",
+        "rrf_micro",
+        "n_sources",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4635,6 +4680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_similarity_sq8_indexed": q_similarity_sq8_indexed,
         "q_similarity_sq8_appended": q_similarity_sq8_appended,
         "q_stream_sq8_append": q_stream_sq8_append,
+        "q_hybrid_rrf": q_hybrid_rrf,
         "q_dsv2_cdc": q_dsv2_cdc,
         "q_auto_compact_scan": q_auto_compact_scan,
         "q_mvcc_compacted_scan": q_mvcc_compacted_scan,
@@ -6041,6 +6087,37 @@ def _ivf_sq8_sql(train_where: str = "TRUE") -> str:
     """
 
 
+def _hybrid_rrf_sql() -> str:
+    """DuckDB twin of q_hybrid_rrf: lexical term-hit top-20, vector
+    cosine top-20 (unrounded — doubles are bit-identical), then
+    integer-division RRF (SCALE // (60 + rank)) summed as BIGINT."""
+    return f"""
+        WITH {_UNIT_E},
+        terms(query_id, term) AS (VALUES (CAST(0 AS BIGINT), 'table'), (1, 'row'), (2, 'fast')),
+        lex0 AS (SELECT t.query_id, d.doc_id,
+                        len(regexp_extract_all(d.text, '\\b' || t.term || '\\b')) AS cnt
+                 FROM documents d, terms t),
+        lex AS (SELECT query_id, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cnt DESC, doc_id) AS rank
+                FROM lex0 WHERE cnt > 0
+                QUALIFY rank <= 20),
+        q AS (SELECT vec_id AS query_id, qv FROM (SELECT vec_id, v AS qv FROM e) WHERE vec_id < 3),
+        sem AS (SELECT query_id, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, doc_id) AS rank
+                FROM (SELECT query_id, e.vec_id AS doc_id, {_dot('qv', 'e.v')} AS cs FROM e, q)
+                QUALIFY rank <= 20),
+        u AS (SELECT query_id, doc_id, 1000000000000 // (60 + rank) AS s FROM lex
+              UNION ALL
+              SELECT query_id, doc_id, 1000000000000 // (60 + rank) AS s FROM sem),
+        f AS (SELECT query_id, doc_id, CAST(SUM(s) AS BIGINT) AS rrf_micro,
+                     CAST(COUNT(*) AS BIGINT) AS n_sources
+              FROM u GROUP BY query_id, doc_id),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rank FROM f)
+        SELECT query_id, doc_id, rrf_micro, n_sources, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 10
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     qs = {
         "q01_pricing_summary": f"""
@@ -6457,6 +6534,7 @@ def oracle_sql() -> dict[str, str]:
         "q_similarity_sq8_indexed": _ivf_sq8_sql(),
         "q_similarity_sq8_appended": _ivf_sq8_sql("vec_id % 3 <> 0"),
         "q_stream_sq8_append": _ivf_sq8_sql("vec_id % 3 <> 0"),
+        "q_hybrid_rrf": _hybrid_rrf_sql(),
         "q_dsv2_cdc": """
             SELECT user_id, event_id,
                    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value,

@@ -371,6 +371,48 @@ def test_stream_sq8_append_and_maintenance(spark, tmp_path_factory):
     assert read_sq8_ranges(spark, index) == ranges
 
 
+# ------------------------------------------------------------------ RRF
+def test_rrf_fuse_exact_scores_and_agreement(spark):
+    from matdb_spark.operators.fusion import RRF_SCALE, rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], ["query_id", "doc_id", "rank"]
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], ["query_id", "doc_id", "rank"]
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([a, b], k=10).collect()}
+    # doc 11: rank 2 in a, rank 1 in b -> appears in both
+    assert out[11]["n_sources"] == 2
+    assert out[11]["rrf_micro"] == RRF_SCALE // 62 + RRF_SCALE // 61
+    assert out[10]["n_sources"] == 1
+    assert out[10]["rrf_micro"] == RRF_SCALE // 61
+    # agreement wins: 11 outranks 10 (same best rank but two sources)
+    assert out[11]["rank"] < out[10]["rank"]
+
+
+def test_rrf_fuse_tie_breaks_by_id_and_validates(spark):
+    import pytest as _pytest
+
+    from matdb_spark.operators.fusion import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 20, 1), (1, 5, 1)], ["query_id", "doc_id", "rank"]
+    )
+    # identical scores (both rank 1 in one list each) -> lower id first
+    b = spark.createDataFrame([(1, 5, 1)], ["query_id", "doc_id", "rank"])
+    c = spark.createDataFrame([(1, 20, 1)], ["query_id", "doc_id", "rank"])
+    rows = rrf_fuse([b, c], k=10).collect()
+    assert [r["doc_id"] for r in rows] == [5, 20]
+    assert rows[0]["rrf_micro"] == rows[1]["rrf_micro"]
+
+    with _pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    # single ranking degrades to a monotone rescoring of it
+    single = rrf_fuse([a], k=1).collect()
+    assert len(single) == 1 and single[0]["doc_id"] == 5
+
+
 def test_sq8_teeth_low_bit_quantization_degrades(spark):
     """Teeth for the recall assertion: crushing the trained ranges to
     a single level (lo==hi after collapsing) must NOT still produce
