@@ -4618,6 +4618,34 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer round-trip integrity under the 6-merge vocabulary:
+    tokenize → detokenize must reproduce the normalized original for
+    EVERY document (bpe.bpe_detokenize_expr — the loader-side check
+    that the vocabulary loses no characters). The oracle re-learns
+    the merges, re-applies the chain, and re-derives the detok and
+    the equality itself, so a lossy merge or marker-handling bug
+    flips booleans and fails the hash."""
+    from matdb_spark.operators.bpe import bpe_roundtrip, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", num_merges=6, min_count=1)
+    return bpe_roundtrip(docs, "doc_id", "text", merges)
+
+
+def q_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII data card over the injected corpus: match
+    totals per type, documents-with-PII, incidence rate — the
+    compliance summary published next to corpus_report's quality
+    card. Exact integer counters; the rate is a deterministic
+    round(count/count, 6)."""
+    from matdb_spark.functions.pii import pii_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = _pii_augmented(docs).join(docs.select("doc_id", "source"), "doc_id")
+    return pii_report(aug, "text", "source")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4681,6 +4709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_similarity_sq8_appended": q_similarity_sq8_appended,
         "q_stream_sq8_append": q_stream_sq8_append,
         "q_hybrid_rrf": q_hybrid_rrf,
+        "q_pii_report": q_pii_report,
+        "q_bpe_roundtrip": q_bpe_roundtrip,
         "q_dsv2_cdc": q_dsv2_cdc,
         "q_auto_compact_scan": q_auto_compact_scan,
         "q_mvcc_compacted_scan": q_mvcc_compacted_scan,
@@ -5947,6 +5977,51 @@ def _pii_stats_sql() -> str:
     """
 
 
+def _bpe_roundtrip_sql(num_merges: int = 6) -> str:
+    """Oracle for q_bpe_roundtrip: _bpe_tokenize_sql's training +
+    application stages, with the final select ALSO re-deriving the
+    detokenization (strip inter-symbol spaces, marker -> space) and
+    the equality against the re-normalized original."""
+    tok = _bpe_tokenize_sql(num_merges)
+    # the FINAL select (rindex): 'SELECT doc_id,' also opens the
+    # docsyms CTE earlier in the stage list
+    head = tok[: tok.rindex("SELECT doc_id,")]
+    orig = (
+        "coalesce(array_to_string(list_filter(string_split("
+        f"coalesce({_NORM}, ''), ' '), x -> x <> ''), ' '), '')"
+    )
+    return f"""{head}SELECT a.doc_id,
+               CAST(CASE WHEN a.s = '' THEN 0 ELSE len(string_split(a.s, ' ')) END
+                    AS BIGINT) AS n_bpe_tokens,
+               trim(replace(replace(a.s, ' ', ''), '</w>', ' ')) = {orig}
+                   AS roundtrip_ok
+        FROM applied a JOIN documents ON a.doc_id = documents.doc_id
+    """
+
+
+def _pii_report_sql() -> str:
+    from matdb_spark.functions.pii import PII_PATTERNS
+
+    counts = ",\n            ".join(
+        f"CAST(len(regexp_extract_all(a.text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    names = [n for n, _, _ in PII_PATTERNS]
+    total = " + ".join(f"n_{n}" for n in names)
+    sums = ", ".join(f"CAST(SUM(n_{n}) AS BIGINT) AS n_{n}" for n in names)
+    return f"""
+        WITH {_PII_AUG},
+        c AS (SELECT a.doc_id, d.source,
+            {counts}
+        FROM aug a JOIN documents d ON a.doc_id = d.doc_id),
+        h AS (SELECT *, CASE WHEN {total} > 0 THEN 1 ELSE 0 END AS hit FROM c)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, {sums},
+               CAST(SUM(hit) AS BIGINT) AS docs_with_pii,
+               ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS pii_rate
+        FROM h GROUP BY source
+    """
+
+
 def _pii_redact_sql() -> str:
     """Replays redact_pii stage-by-stage: each CTE counts on the text
     the previous stage produced, then replaces globally."""
@@ -6535,6 +6610,8 @@ def oracle_sql() -> dict[str, str]:
         "q_similarity_sq8_appended": _ivf_sq8_sql("vec_id % 3 <> 0"),
         "q_stream_sq8_append": _ivf_sq8_sql("vec_id % 3 <> 0"),
         "q_hybrid_rrf": _hybrid_rrf_sql(),
+        "q_pii_report": _pii_report_sql(),
+        "q_bpe_roundtrip": _bpe_roundtrip_sql(),
         "q_dsv2_cdc": """
             SELECT user_id, event_id,
                    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value,

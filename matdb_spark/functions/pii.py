@@ -65,6 +65,36 @@ def pii_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def pii_report(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Per-group PII data card (the compliance sibling of
+    text.corpus_report): total matches per type, documents-with-PII
+    count, and the PII incidence rate per group. One projection + one
+    hash aggregation — the zero-shuffle detection pass followed by a
+    groupBy(group) that ships four counters per task per group."""
+    counts = pii_counts(F.col(text_col))
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    per_doc = df.select(
+        F.col(group_col),
+        *[c.alias(f"__{name}") for name, c in counts.items()],
+        (total > 0).cast("long").alias("__hit"),
+    )
+    return per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(f"__{name}").alias(f"n_{name}")
+            for name in counts
+        ],
+        F.sum("__hit").alias("docs_with_pii"),
+        F.round(
+            F.sum("__hit").cast("double") / F.count(F.lit(1)), 6
+        ).alias("pii_rate"),
+    )
+
+
 def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Replace every PII span with its typed placeholder, applying the
     PII_PATTERNS sequence in order. Returns

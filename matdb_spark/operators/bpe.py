@@ -163,6 +163,51 @@ def bpe_segment_expr(text: Column, merges: list[tuple[int, str, str, int]]) -> C
     return s
 
 
+def bpe_detokenize_expr(s: Column) -> Column:
+    """Invert a symbol string back to normalized text: drop the
+    inter-symbol spaces (merges only ever JOIN adjacent symbols of a
+    word, so the concatenated symbols ARE the character stream), then
+    turn each end-of-word marker into a word separator. Exact inverse
+    of bpe_segment_expr for ANY merge sequence — the tokenizer
+    round-trip contract a loader depends on. Caveat: a document whose
+    raw text literally contains the marker string '</w>' would be
+    ambiguous; normalized prose never does, and the property test
+    pins the contract on the corpus it's used with."""
+    return F.trim(
+        F.replace(
+            F.replace(s, F.lit(" "), F.lit("")),
+            F.lit(END_OF_WORD),
+            F.lit(" "),
+        )
+    )
+
+
+def bpe_roundtrip(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[int, str, str, int]],
+) -> DataFrame:
+    """(id, n_bpe_tokens, roundtrip_ok): tokenize, detokenize, and
+    compare against the normalized original — the loader-side
+    integrity check that the learned vocabulary loses no characters.
+    Exchange-free scan."""
+    s = bpe_segment_expr(F.col(text_col), merges)
+    n = F.when(s == "", F.lit(0)).otherwise(F.size(F.split(s, " ")))
+    orig = F.concat_ws(
+        " ",
+        F.filter(
+            F.split(normalize(F.coalesce(F.col(text_col), F.lit(""))), " "),
+            lambda x: x != F.lit(""),
+        ),
+    )
+    return df.select(
+        id_col,
+        n.cast("long").alias("n_bpe_tokens"),
+        (bpe_detokenize_expr(s) == orig).alias("roundtrip_ok"),
+    )
+
+
 def bpe_token_count(
     df: DataFrame,
     id_col: str,

@@ -371,6 +371,38 @@ def test_stream_sq8_append_and_maintenance(spark, tmp_path_factory):
     assert read_sq8_ranges(spark, index) == ranges
 
 
+# ------------------------------------------------------------------ BPE
+def test_bpe_roundtrip_holds_on_fixture(spark):
+    """Every fixture document must detokenize back to its normalized
+    text — TRUE booleans, not merely cross-engine-consistent ones."""
+    from matdb_spark.operators.bpe import bpe_roundtrip, train_bpe
+
+    docs = spark.read.parquet(f"{sf_dir('sf0.001')}/documents.parquet")
+    merges = train_bpe(docs, "text", num_merges=16, min_count=1)
+    assert len(merges) > 0
+    out = bpe_roundtrip(docs, "doc_id", "text", merges)
+    assert out.filter(~F.col("roundtrip_ok")).count() == 0
+    assert out.filter(F.col("n_bpe_tokens") <= 0).count() == 0
+
+
+def test_bpe_detokenize_edge_cases(spark):
+    from matdb_spark.operators.bpe import bpe_roundtrip, train_bpe
+
+    rows = [
+        (1, "hello hello world"),
+        (2, "  spaced   out  "),  # normalization collapses whitespace
+        (3, ""),
+        (4, None),
+        (5, "a"),
+        (6, "punct, marks! and? digits 123"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(df, "text", num_merges=8, min_count=1)
+    out = {r["doc_id"]: r for r in bpe_roundtrip(df, "doc_id", "text", merges).collect()}
+    assert all(out[i]["roundtrip_ok"] for i in (1, 2, 3, 4, 5, 6))
+    assert out[3]["n_bpe_tokens"] == 0 and out[4]["n_bpe_tokens"] == 0
+
+
 # ------------------------------------------------------------------ RRF
 def test_rrf_fuse_exact_scores_and_agreement(spark):
     from matdb_spark.operators.fusion import RRF_SCALE, rrf_fuse
