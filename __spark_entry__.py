@@ -4633,6 +4633,23 @@ def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_roundtrip(docs, "doc_id", "text", merges)
 
 
+def q_catalog_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-txn MVCC snapshot reached BY NAME from plain SQL:
+    catalog.register_store exposes the store as a session view over
+    the matdb DSv2 format (the pragmatic stand-in for CREATE TABLE
+    ... USING matdb, which Spark 4.1's Python Data Source API cannot
+    carry a path through yet — dsv2.py). Shares q_mvcc_scan's oracle:
+    a third physically distinct read path (JVM library scan, Arrow
+    DSv2 scan, and now SQL-over-view), one relational truth."""
+    from matdb_spark.catalog import register_store
+
+    db = _gate_mvcc_store(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    view = f"matdb_gate_events_{tag.replace('.', '_')}"
+    register_store(spark, view, db.path)
+    return spark.sql(f"SELECT user_id, event_id, value FROM {view}")
+
+
 def q_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source PII data card over the injected corpus: match
     totals per type, documents-with-PII, incidence rate — the
@@ -4711,6 +4728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hybrid_rrf": q_hybrid_rrf,
         "q_pii_report": q_pii_report,
         "q_bpe_roundtrip": q_bpe_roundtrip,
+        "q_catalog_sql": q_catalog_sql,
         "q_dsv2_cdc": q_dsv2_cdc,
         "q_auto_compact_scan": q_auto_compact_scan,
         "q_mvcc_compacted_scan": q_mvcc_compacted_scan,
@@ -6612,6 +6630,11 @@ def oracle_sql() -> dict[str, str]:
         "q_hybrid_rrf": _hybrid_rrf_sql(),
         "q_pii_report": _pii_report_sql(),
         "q_bpe_roundtrip": _bpe_roundtrip_sql(),
+        "q_catalog_sql": """
+            SELECT user_id, event_id,
+                   CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
+            FROM events
+        """,
         "q_dsv2_cdc": """
             SELECT user_id, event_id,
                    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value,
