@@ -4633,6 +4633,27 @@ def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_roundtrip(docs, "doc_id", "text", merges)
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining over the labeled embeddings: for each of
+    8 query vectors, the top-5 most-similar vectors with a DIFFERENT
+    label — the contrastive-training batch builder. The oracle
+    replays the label-mismatch predicate and the ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") < 8)
+    out = similarity.hard_negative_topk(emb, probe, k=5)
+    scored = out.select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        F.round("cos_sim", 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def q_catalog_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two-txn MVCC snapshot reached BY NAME from plain SQL:
     catalog.register_store exposes the store as a session view over
@@ -4729,6 +4750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_report": q_pii_report,
         "q_bpe_roundtrip": q_bpe_roundtrip,
         "q_catalog_sql": q_catalog_sql,
+        "q_hard_negatives": q_hard_negatives,
         "q_dsv2_cdc": q_dsv2_cdc,
         "q_auto_compact_scan": q_auto_compact_scan,
         "q_mvcc_compacted_scan": q_mvcc_compacted_scan,
@@ -6634,6 +6656,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id,
                    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
             FROM events
+        """,
+        "q_hard_negatives": f"""
+            WITH {_UNIT_E},
+            lab AS (SELECT vec_id, label FROM embeddings),
+            q AS (SELECT e.vec_id AS query_id, l.label AS query_label, e.v AS qv
+                  FROM e JOIN lab l ON e.vec_id = l.vec_id WHERE e.vec_id < 8),
+            pairs AS (SELECT q.query_id, q.query_label,
+                             e.vec_id AS neighbor_id, l.label AS neighbor_label,
+                             ROUND({_dot('q.qv', 'e.v')}, 6) AS cos_sim
+                      FROM e JOIN lab l ON e.vec_id = l.vec_id, q
+                      WHERE l.label IS NOT NULL AND l.label <> q.query_label),
+            ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank FROM pairs)
+            SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim, rank
+            FROM ranked WHERE rank <= 5
         """,
         "q_dsv2_cdc": """
             SELECT user_id, event_id,

@@ -809,6 +809,65 @@ def lsh_topk_indexed(
     ).select("query_id", "neighbor_id", "cos_sim", "rank")
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each query, the top-k most-similar corpus vectors with a
+    DIFFERENT label — the highest-loss negatives a trainer wants in
+    the batch (Robinson et al. 2021; the standard dense-retrieval
+    negative-mining shape). Exactly cosine_topk's broadcast plan with
+    the label-mismatch predicate applied BEFORE ranking, so the
+    window never buys same-label rows a slot. Returns
+    (query_id, query_label, neighbor_id, neighbor_label, cos_sim,
+    rank); null-label rows never qualify as negatives (a null
+    comparison is not a definite mismatch)."""
+    q = _unit(
+        queries,
+        [
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("query_label"),
+        ],
+        vec_col,
+        "__qv",
+    )
+    c = _unit(
+        corpus,
+        [
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neighbor_label"),
+        ],
+        vec_col,
+        "__cv",
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            F.col("neighbor_label").isNotNull()
+            & (F.col("neighbor_label") != F.col("query_label"))
+        )
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            dot(F.col("__qv"), F.col("__cv")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim").isNotNull())
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -371,6 +371,26 @@ def test_stream_sq8_append_and_maintenance(spark, tmp_path_factory):
     assert read_sq8_ranges(spark, index) == ranges
 
 
+# -------------------------------------------------------- hard negatives
+def test_hard_negative_topk_excludes_same_and_null_labels(spark):
+    from matdb_spark.operators.similarity import hard_negative_topk
+
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.99, 0.1], 1),    # same label as query 0 — must not appear
+        (2, [0.98, 0.15], 2),   # different label — hardest negative
+        (3, [0.0, 1.0], 2),     # different label, far
+        (4, [0.97, 0.2], None),  # null label — never a negative
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = hard_negative_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    ids = [r["neighbor_id"] for r in out]
+    assert 1 not in ids and 4 not in ids
+    assert ids[0] == 2  # nearest different-label first
+    assert all(r["query_label"] == 1 for r in out)
+    assert all(r["neighbor_label"] == 2 for r in out)
+
+
 # ------------------------------------------------------------------ BPE
 def test_bpe_roundtrip_holds_on_fixture(spark):
     """Every fixture document must detokenize back to its normalized
