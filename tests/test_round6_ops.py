@@ -371,6 +371,68 @@ def test_stream_sq8_append_and_maintenance(spark, tmp_path_factory):
     assert read_sq8_ranges(spark, index) == ranges
 
 
+# ------------------------------------------------- property-based models
+def test_dedup_lines_matches_python_model(spark):
+    """Random multi-line corpora from a tiny line alphabet,
+    cross-checked against a pure-Python reference (count lines
+    corpus-wide on trimmed text, drop every copy of >=min_count
+    lines, rebuild in order)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from matdb_spark.operators.dedup import dedup_lines
+
+    lines_alpha = ["aa", "bb", "cc", " aa ", "dd dd", ""]
+    corpora = st.lists(
+        st.lists(st.sampled_from(lines_alpha), min_size=1, max_size=5),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(docs=corpora)
+    def run(docs):
+        rows = [(i, "\n".join(ls)) for i, ls in enumerate(docs)]
+        from collections import Counter
+
+        counts = Counter(l.strip() for ls in docs for l in ls)
+        expected = {}
+        for i, ls in enumerate(docs):
+            kept = [l for l in ls if counts[l.strip()] < 2]
+            expected[i] = (len(ls), len(ls) - len(kept), "\n".join(kept))
+        df = spark.createDataFrame(rows, "id long, page string")
+        got = {
+            r["id"]: (r["n_lines"], r["n_removed"], r["clean_text"])
+            for r in dedup_lines(df, "id", "page").collect()
+        }
+        assert got == expected
+
+    run()
+
+
+def test_assign_splits_matches_python_model(spark):
+    """The split thresholds replayed in pure Python md5 arithmetic."""
+    import hashlib
+
+    from matdb_spark.operators.sampling import assign_splits
+
+    ids = list(range(0, 400, 7))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    w = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+    got = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(df, "doc_id", weights=w, seed="pm").collect()
+    }
+    for i in ids:
+        h = int(hashlib.md5(f"pm:{i}".encode()).hexdigest()[:15], 16) % 1_000_000
+        want = "train" if h < 800_000 else ("val" if h < 900_000 else "test")
+        assert got[i] == want, (i, h, got[i], want)
+
+
 # -------------------------------------------------------- hard negatives
 def test_hard_negative_topk_excludes_same_and_null_labels(spark):
     from matdb_spark.operators.similarity import hard_negative_topk
