@@ -90,6 +90,19 @@ def test_dedup_lines_threshold_and_order(spark):
     assert out2[1]["clean_text"] == "" and out2[2]["n_removed"] == 3
 
 
+def test_dedup_lines_regex_metachar_separator(spark):
+    """A '.' separator must split literally (the pattern is quoted),
+    not match-any-character."""
+    from matdb_spark.operators.dedup import dedup_lines
+
+    rows = [(1, "aa.bb.cc"), (2, "bb.dd")]
+    df = spark.createDataFrame(rows, ["id", "page"])
+    out = {r["id"]: r for r in dedup_lines(df, "id", "page", sep=".").collect()}
+    assert out[1]["n_lines"] == 3 and out[2]["n_lines"] == 2
+    assert out[1]["clean_text"] == "aa.cc"  # shared 'bb' removed
+    assert out[2]["clean_text"] == "dd"
+
+
 def test_dedup_lines_trims_for_matching_keeps_raw_text(spark):
     from matdb_spark.operators.dedup import dedup_lines
 
