@@ -4654,6 +4654,30 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def q_text_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accent folding (functions/text.fold_accents — the
+    engine-portable translate map): accents are injected
+    deterministically per doc_id, folding must restore the original
+    byte-for-byte, and the per-doc accent count rides along. The
+    oracle re-runs the injection, the fold, and the equality with
+    DuckDB's translate over the SAME map string."""
+    from matdb_spark.functions.text import fold_accents
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    inj = (
+        F.when(did % 4 == 0, F.replace(F.col("text"), F.lit("a"), F.lit("á")))
+        .when(did % 4 == 1, F.replace(F.col("text"), F.lit("e"), F.lit("è")))
+        .when(did % 4 == 2, F.replace(F.col("text"), F.lit("o"), F.lit("ö")))
+        .otherwise(F.col("text"))
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(inj, F.lit("[áèö]")).cast("long").alias("n_accents"),
+        (fold_accents(inj) == F.col("text")).alias("restored"),
+    )
+
+
 def q_catalog_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two-txn MVCC snapshot reached BY NAME from plain SQL:
     catalog.register_store exposes the store as a session view over
@@ -4751,6 +4775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_roundtrip": q_bpe_roundtrip,
         "q_catalog_sql": q_catalog_sql,
         "q_hard_negatives": q_hard_negatives,
+        "q_text_fold": q_text_fold,
         "q_dsv2_cdc": q_dsv2_cdc,
         "q_auto_compact_scan": q_auto_compact_scan,
         "q_mvcc_compacted_scan": q_mvcc_compacted_scan,
@@ -6039,6 +6064,25 @@ def _bpe_roundtrip_sql(num_merges: int = 6) -> str:
     """
 
 
+def _text_fold_sql() -> str:
+    from matdb_spark.functions.text import ACCENT_FROM, ACCENT_TO
+
+    return f"""
+        WITH inj AS (SELECT doc_id,
+            CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN replace(text, 'a', 'á')
+                WHEN 1 THEN replace(text, 'e', 'è')
+                WHEN 2 THEN replace(text, 'o', 'ö')
+                ELSE text END AS t,
+            text AS orig
+        FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '[áèö]')) AS BIGINT) AS n_accents,
+               translate(t, '{ACCENT_FROM}', '{ACCENT_TO}') = orig AS restored
+        FROM inj
+    """
+
+
 def _pii_report_sql() -> str:
     from matdb_spark.functions.pii import PII_PATTERNS
 
@@ -6657,6 +6701,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
             FROM events
         """,
+        "q_text_fold": _text_fold_sql(),
         "q_hard_negatives": f"""
             WITH {_UNIT_E},
             lab AS (SELECT vec_id, label FROM embeddings),

@@ -30,6 +30,30 @@ def normalize(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+#: Character-level accent fold map: Latin-1/-Extended diacritics to
+#: their ASCII base letters. Applied with ``translate`` — one
+#: codepoint to one codepoint, the semantics both Spark (JVM) and
+#: DuckDB implement identically, which is what lets the oracle replay
+#: the fold verbatim. Deliberately NOT full NFKC (that needs ICU):
+#: this is the deterministic, engine-portable subset a multilingual
+#: corpus scrub actually applies before hashing/shingling.
+ACCENT_FROM = (
+    "àáâãäåāăąçćčèéêëēĕėęěìíîïĩīĭįñńňòóôõöøōŏőšùúûüũūŭůýÿžß"
+    "ÀÁÂÃÄÅĀĂĄÇĆČÈÉÊËĒĔĖĘĚÌÍÎÏĨĪĬĮÑŃŇÒÓÔÕÖØŌŎŐŠÙÚÛÜŨŪŬŮÝŸŽ"
+)
+ACCENT_TO = (
+    "aaaaaaaaaccceeeeeeeeeiiiiiiiinnnooooooooosuuuuuuuuyyzs"
+    "AAAAAAAAACCCEEEEEEEEEIIIIIIIINNNOOOOOOOOOSUUUUUUUUYYZ"
+)
+
+
+def fold_accents(text: Column) -> Column:
+    """Fold accented characters to ASCII base letters (translate map
+    above). Zero-shuffle expression; compose before fingerprinting /
+    shingling so 'café' and 'cafe' dedup together."""
+    return F.translate(text, ACCENT_FROM, ACCENT_TO)
+
+
 def whitespace_token_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(r"\S+"))
 

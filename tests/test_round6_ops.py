@@ -384,6 +384,25 @@ def test_stream_sq8_append_and_maintenance(spark, tmp_path_factory):
     assert read_sq8_ranges(spark, index) == ranges
 
 
+# ---------------------------------------------------------- accent fold
+def test_fold_accents_map_and_behavior(spark):
+    from matdb_spark.functions.text import ACCENT_FROM, ACCENT_TO, fold_accents
+
+    # the translate contract: 1:1 map (a shorter 'to' would DELETE)
+    assert len(ACCENT_FROM) == len(ACCENT_TO)
+    assert len(set(ACCENT_FROM)) == len(ACCENT_FROM)  # no dup sources
+
+    rows = [(1, "café"), (2, "ÀÖ ñoño"), (3, "žß"), (4, "plain"), (5, None)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["f"]
+        for r in df.select("id", fold_accents(F.col("text")).alias("f")).collect()
+    }
+    model = str.maketrans(ACCENT_FROM, ACCENT_TO)
+    for i, t in rows:
+        assert got[i] == (None if t is None else t.translate(model))
+
+
 # ------------------------------------------------- property-based models
 def test_dedup_lines_matches_python_model(spark):
     """Random multi-line corpora from a tiny line alphabet,
