@@ -4654,6 +4654,38 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test assignment: split membership is a
+    pure function of the near-dup CLUSTER id, not the document id —
+    so a document and its near-duplicates can never land on opposite
+    sides of the train/test boundary (the contamination mode Lee et
+    al. 2022 measure). Composition of three gated operators: LSH
+    pairs -> connected components -> hash split on the canonical
+    cluster id (singletons are their own cluster). The oracle replays
+    the pair mining, the recursive-CTE components, and the md5
+    threshold arithmetic."""
+    from matdb_spark.operators.sampling import assign_splits
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=32, bands=8)
+    cl = dedup.connected_components(pairs)
+    withc = (
+        docs.select("doc_id")
+        .join(cl, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    out = assign_splits(
+        withc,
+        "cluster_id",
+        weights=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+        seed="ls",
+    )
+    return out.select("doc_id", "cluster_id", "split")
+
+
 def q_text_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accent folding (functions/text.fold_accents — the
     engine-portable translate map): accents are injected
@@ -4776,6 +4808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_catalog_sql": q_catalog_sql,
         "q_hard_negatives": q_hard_negatives,
         "q_text_fold": q_text_fold,
+        "q_split_leakage_safe": q_split_leakage_safe,
         "q_dsv2_cdc": q_dsv2_cdc,
         "q_auto_compact_scan": q_auto_compact_scan,
         "q_mvcc_compacted_scan": q_mvcc_compacted_scan,
@@ -6064,6 +6097,26 @@ def _bpe_roundtrip_sql(num_merges: int = 6) -> str:
     """
 
 
+def _split_leakage_sql() -> str:
+    """The clusters CTE chain (recursive reachability over replayed
+    MinHash pairs) extended with singleton fill-in and the md5 split
+    thresholds on the cluster id."""
+    clusters = _dedup_clusters_sql()
+    head, final = clusters.rsplit("SELECT node AS doc_id", 1)
+    return (
+        head
+        + ", cl AS (SELECT node AS doc_id"
+        + final
+        + "), allc AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id "
+        + "FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id) "
+        + "SELECT doc_id, cluster_id, "
+        + "CASE WHEN h < 800000 THEN 'train' WHEN h < 900000 THEN 'val' ELSE 'test' END AS split "
+        + "FROM (SELECT doc_id, cluster_id, "
+        + "CAST(('0x' || substr(md5('ls:' || CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS h "
+        + "FROM allc) z"
+    )
+
+
 def _text_fold_sql() -> str:
     from matdb_spark.functions.text import ACCENT_FROM, ACCENT_TO
 
@@ -6702,6 +6755,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "q_text_fold": _text_fold_sql(),
+        "q_split_leakage_safe": _split_leakage_sql(),
         "q_hard_negatives": f"""
             WITH {_UNIT_E},
             lab AS (SELECT vec_id, label FROM embeddings),

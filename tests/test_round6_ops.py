@@ -384,6 +384,40 @@ def test_stream_sq8_append_and_maintenance(spark, tmp_path_factory):
     assert read_sq8_ranges(spark, index) == ranges
 
 
+# --------------------------------------------------- leakage-safe split
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    """Every near-dup cluster lands wholly in one split, and the
+    TEETH: per-document hashing WOULD have straddled at least one
+    multi-doc cluster on the same corpus (i.e. the cluster-level
+    assignment is load-bearing, not vacuously true)."""
+    import __spark_entry__ as e
+
+    out = e.queries()["q_split_leakage_safe"](spark, sf_dir("sf0.001"))
+    agg = out.groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("ns"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    assert agg.filter(F.col("ns") > 1).count() == 0
+    multi = agg.filter(F.col("n") > 1)
+    assert multi.count() > 0  # the fixture has real near-dup clusters
+
+    from matdb_spark.operators.sampling import assign_splits
+
+    naive = assign_splits(
+        out.select("doc_id", "cluster_id"),
+        "doc_id",
+        weights=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+        seed="ls",
+    )
+    straddled = (
+        naive.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert straddled > 0  # per-doc hashing does leak across the boundary
+
+
 # ---------------------------------------------------------- accent fold
 def test_fold_accents_map_and_behavior(spark):
     from matdb_spark.functions.text import ACCENT_FROM, ACCENT_TO, fold_accents
