@@ -66,6 +66,15 @@ FAMILY_REPS = {
     # (3.21 -> 4.49 s, 1.40x) put under a replicated median per the
     # round-5 verdict item 3
     "stream_stream_join": "q_stream_stream_join",
+    # round-6 curation additions: one representative per new family
+    "pii": "q_pii_scrub",
+    "line_dedup": "q_line_dedup",
+    "sq8": "q_similarity_sq8",
+    "sq8_indexed": "q_similarity_sq8_indexed",
+    "hybrid_rrf": "q_hybrid_rrf",
+    "catalog": "q_catalog_sql",
+    "split_leakage": "q_split_leakage_safe",
+    "bpe_roundtrip": "q_bpe_roundtrip",
 }
 
 
