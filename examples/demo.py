@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import shutil
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window as W, functions as F
 
 from matdb_spark import Database, Dimension, Schema, Value, get_spark
 
@@ -269,6 +269,73 @@ def main() -> None:
     print("CDC stream net-effect rows (full history):",
           spark.table("demo_cdc").count())
 
+    # 13. round-6 curation surface: catalog views, PII scrub, line
+    #     dedup, hash splits, SQ8 codes-only index, hybrid RRF
+    from matdb_spark.catalog import register_store
+    from matdb_spark.functions.pii import pii_stats, redact_pii
+    from matdb_spark.functions.text import fold_accents
+    from matdb_spark.operators.dedup import dedup_lines
+    from matdb_spark.operators.fusion import rrf_fuse
+    from matdb_spark.operators.quantization import (
+        ivf_sq8_topk_indexed,
+        write_ivf_sq8_index,
+    )
+    from matdb_spark.operators.sampling import assign_splits
+
+    register_store(spark, "demo_sensors", path)
+    print("catalog view:",
+          spark.sql("SELECT COUNT(*) AS n FROM demo_sensors").first()["n"],
+          "rows by name from spark.sql")
+
+    pii_corpus = corpus.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" contact bob@example.com at 10.0.0.7")).alias("text"),
+    )
+    print("PII: flagged",
+          pii_stats(pii_corpus, "doc_id", "text").filter("has_pii").count(),
+          "docs;", redact_pii(pii_corpus, "doc_id", "text")
+          .agg(F.sum("n_redacted")).first()[0], "spans redacted")
+
+    pages = corpus.select(
+        "doc_id",
+        F.concat_ws("\n", F.col("text"),
+                    F.lit("subscribe to our newsletter")).alias("page"),
+    )
+    ld = dedup_lines(pages, "doc_id", "page")
+    print("line dedup removed",
+          ld.agg(F.sum("n_removed")).first()[0], "boilerplate lines")
+
+    splits = assign_splits(corpus, "doc_id")
+    splits.groupBy("split").count().orderBy("split").show()
+
+    print("accent fold:",
+          spark.range(1).select(
+              fold_accents(F.lit("café sÃO žluťoučký")).alias("f")
+          ).first()["f"])
+
+    sq8_path = path + "_sq8"
+    shutil.rmtree(sq8_path, ignore_errors=True)
+    write_ivf_sq8_index(emb, cents, sq8_path)
+    print("IVF-SQ8 codes-only index probe (4x less IO/cell):")
+    ivf_sq8_topk_indexed(
+        spark, sq8_path, emb.filter(F.col("vec_id") < 1), k=3, nprobe=2
+    ).show()
+
+    lex_rank = corpus.select(
+        F.lit(0).alias("query_id"), F.col("doc_id"),
+        F.row_number().over(
+            W.orderBy(F.length("text").desc(), F.col("doc_id"))
+        ).alias("rank"),
+    ).limit(5)
+    sem_rank = sim.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=5, include_self=True
+    ).select(F.lit(0).alias("query_id"),
+             F.col("neighbor_id").alias("doc_id"), "rank")
+    print("hybrid RRF fusion of a lexical and a vector ranking:")
+    rrf_fuse([lex_rank, sem_rank], k=5).show()
+
+    shutil.rmtree(sq8_path, ignore_errors=True)
     shutil.rmtree(ck, ignore_errors=True)
     shutil.rmtree(ivfpq, ignore_errors=True)
     shutil.rmtree(idx, ignore_errors=True)

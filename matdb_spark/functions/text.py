@@ -39,11 +39,15 @@ def normalize(text: Column) -> Column:
 #: corpus scrub actually applies before hashing/shingling.
 ACCENT_FROM = (
     "àáâãäåāăąçćčèéêëēĕėęěìíîïĩīĭįñńňòóôõöøōŏőšùúûüũūŭůýÿžß"
+    "ďđťţřŕľĺłśşźżğ"
     "ÀÁÂÃÄÅĀĂĄÇĆČÈÉÊËĒĔĖĘĚÌÍÎÏĨĪĬĮÑŃŇÒÓÔÕÖØŌŎŐŠÙÚÛÜŨŪŬŮÝŸŽ"
+    "ĎĐŤŢŘŔĽĹŁŚŞŹŻĞ"
 )
 ACCENT_TO = (
     "aaaaaaaaaccceeeeeeeeeiiiiiiiinnnooooooooosuuuuuuuuyyzs"
+    "ddttrrlllsszzg"
     "AAAAAAAAACCCEEEEEEEEEIIIIIIIINNNOOOOOOOOOSUUUUUUUUYYZ"
+    "DDTTRRLLLSSZZG"
 )
 
 
