@@ -325,13 +325,14 @@ def dedup_lines(
     same budget class as exact_duplicates.
     """
     # \Q...\E: split()'s pattern is a Java regex — quote the separator
-    # so a '.' or '|' separator splits literally, not as a metachar
+    # so a '.' or '|' separator splits literally, not as a metachar;
+    # NULL pages coalesce to '' (one empty line) so they flow through
+    # the rebuild instead of yielding NULL counts
     sep_pat = f"\\Q{sep}\\E"
+    text = F.coalesce(F.col(text_col), F.lit(""))
     lines = df.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), sep_pat)).alias(
-            "__pos", "__line"
-        ),
+        F.posexplode(F.split(text, sep_pat)).alias("__pos", "__line"),
     ).withColumn("__h", hash64(F.trim(F.col("__line"))))
     frequent = (
         lines.groupBy("__h")
@@ -355,9 +356,9 @@ def dedup_lines(
     # as remove_duplicate_spans)
     base = df.select(
         F.col(id_col).alias("__id"),
-        F.size(F.split(F.col(text_col), sep_pat)).cast("long").alias(
-            "n_lines"
-        ),
+        F.size(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep_pat)
+        ).cast("long").alias("n_lines"),
     )
     return base.join(rebuilt, "__id", "left").select(
         F.col("__id").alias(id_col),

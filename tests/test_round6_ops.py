@@ -90,6 +90,20 @@ def test_dedup_lines_threshold_and_order(spark):
     assert out2[1]["clean_text"] == "" and out2[2]["n_removed"] == 3
 
 
+def test_dedup_lines_null_page(spark):
+    from matdb_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "x\ny"), (3, "")], "id long, page string"
+    )
+    out = {r["id"]: r for r in dedup_lines(df, "id", "page").collect()}
+    # NULL and '' both read as one empty line; the two empty lines are
+    # corpus-frequent and removed, leaving empty rebuilds
+    assert out[1]["n_lines"] == 1 and out[1]["clean_text"] == ""
+    assert out[3]["n_lines"] == 1 and out[3]["n_removed"] == 1
+    assert out[2]["clean_text"] == "x\ny"
+
+
 def test_dedup_lines_regex_metachar_separator(spark):
     """A '.' separator must split literally (the pattern is quoted),
     not match-any-character."""
