@@ -4423,6 +4423,30 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(pages, "doc_id", "page", min_count=2)
 
 
+def q_line_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-paragraph variant of corpus line dedup: the (doc, pos)-
+    first occurrence of each frequent line SURVIVES, later copies are
+    removed — so exactly one 'subscribe...' line remains in the whole
+    corpus. The oracle derives keepers with a window row_number over
+    the same (doc, pos) order."""
+    from matdb_spark.operators.dedup import dedup_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("subscribe to the newsletter for updates"),
+            F.concat(F.lit("copyright "), F.col("source")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("follow us on social media")
+            ),
+        ).alias("page"),
+    )
+    return dedup_lines(pages, "doc_id", "page", min_count=2, keep_first=True)
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test assignment
     (90/5/5, seed 'r6'): split membership is a pure function of the
@@ -4797,6 +4821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_stats": q_pii_stats,
         "q_pii_scrub": q_pii_scrub,
         "q_line_dedup": q_line_dedup,
+        "q_line_dedup_keep_first": q_line_dedup_keep_first,
         "q_split_assign": q_split_assign,
         "q_similarity_sq8": q_similarity_sq8,
         "q_similarity_sq8_indexed": q_similarity_sq8_indexed,
@@ -6210,6 +6235,34 @@ def _line_dedup_sql() -> str:
     """
 
 
+def _line_dedup_keep_first_sql() -> str:
+    return """
+        WITH pages AS (SELECT doc_id,
+            concat_ws(chr(10), text,
+                      'subscribe to the newsletter for updates',
+                      'copyright ' || source,
+                      CASE WHEN doc_id % 7 = 0 THEN 'follow us on social media' END) AS page
+            FROM documents),
+        ls AS (SELECT doc_id, string_split(page, chr(10)) AS xs FROM pages),
+        lines AS (SELECT doc_id, u.i AS pos, xs[u.i] AS line, trim(xs[u.i]) AS lt
+                  FROM ls, unnest(range(1, len(xs) + 1)) AS u(i)),
+        marked AS (SELECT doc_id, pos, line,
+                          COUNT(*) OVER (PARTITION BY lt) AS c,
+                          ROW_NUMBER() OVER (PARTITION BY lt ORDER BY doc_id, pos) AS rn
+                   FROM lines),
+        kept AS (SELECT doc_id, pos, line FROM marked WHERE c < 2 OR rn = 1),
+        rebuilt AS (SELECT doc_id, COUNT(*) AS nk,
+                           string_agg(line, chr(10) ORDER BY pos) AS clean_text
+                    FROM kept GROUP BY doc_id),
+        base AS (SELECT doc_id, CAST(len(string_split(page, chr(10))) AS BIGINT) AS n_lines
+                 FROM pages)
+        SELECT b.doc_id, b.n_lines,
+               b.n_lines - COALESCE(r.nk, 0) AS n_removed,
+               COALESCE(r.clean_text, '') AS clean_text
+        FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+    """
+
+
 def _split_assign_sql() -> str:
     return """
         SELECT doc_id,
@@ -6741,6 +6794,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pii_stats": _pii_stats_sql(),
         "q_pii_scrub": _pii_redact_sql(),
         "q_line_dedup": _line_dedup_sql(),
+        "q_line_dedup_keep_first": _line_dedup_keep_first_sql(),
         "q_split_assign": _split_assign_sql(),
         "q_similarity_sq8": _sq8_sql(),
         "q_similarity_sq8_indexed": _ivf_sq8_sql(),

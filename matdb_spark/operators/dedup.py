@@ -301,6 +301,7 @@ def dedup_lines(
     text_col: str,
     min_count: int = 2,
     sep: str = "\n",
+    keep_first: bool = False,
 ) -> DataFrame:
     """Corpus-wide exact LINE deduplication — the RefinedWeb /
     MassiveWeb boilerplate scrub (Penedo et al. 2023 §3.4; Rae et al.
@@ -310,6 +311,12 @@ def dedup_lines(
     cookie banners, copyright footers carry no training signal even
     once per page). Documents are reassembled from the surviving
     lines in their original order.
+
+    ``keep_first=True`` switches to the Dolma-paragraph convention:
+    the (doc, position)-lexicographically FIRST occurrence of a
+    frequent line survives, only the later copies are removed — the
+    right call when the duplicated unit is content (a quote, a
+    paragraph syndicated across pages), not boilerplate.
 
     This is the line-boundary complement of remove_duplicate_spans:
     spans catch shared n-word runs inside prose; line dedup catches
@@ -334,13 +341,49 @@ def dedup_lines(
         F.col(id_col).alias("__id"),
         F.posexplode(F.split(text, sep_pat)).alias("__pos", "__line"),
     ).withColumn("__h", hash64(F.trim(F.col("__line"))))
-    frequent = (
-        lines.groupBy("__h")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .filter(F.col("__c") >= min_count)
-        .select("__h")
-    )
-    kept = lines.join(frequent, "__h", "left_anti")
+    if keep_first:
+        # keeper = (doc, pos)-lexicographic first occurrence (the span
+        # dedup convention); one min-struct aggregation rides the same
+        # shuffle as the count
+        frequent = (
+            lines.groupBy("__h")
+            .agg(
+                F.count(F.lit(1)).alias("__c"),
+                F.min(
+                    F.struct(
+                        F.col("__id").alias("d"), F.col("__pos").alias("p")
+                    )
+                ).alias("__keep"),
+            )
+            .filter(F.col("__c") >= min_count)
+            .select("__h", "__keep")
+        )
+        dropped = (
+            lines.join(frequent, "__h")
+            .filter(
+                ~(
+                    (F.col("__id") == F.col("__keep.d"))
+                    & (F.col("__pos") == F.col("__keep.p"))
+                )
+            )
+            .select(
+                F.col("__id").alias("__did"), F.col("__pos").alias("__dpos")
+            )
+        )
+        kept = lines.join(
+            dropped,
+            (F.col("__id") == F.col("__did"))
+            & (F.col("__pos") == F.col("__dpos")),
+            "left_anti",
+        )
+    else:
+        frequent = (
+            lines.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") >= min_count)
+            .select("__h")
+        )
+        kept = lines.join(frequent, "__h", "left_anti")
     rebuilt = kept.groupBy("__id").agg(
         F.count(F.lit(1)).alias("__nk"),
         F.array_join(

@@ -117,6 +117,25 @@ def test_dedup_lines_regex_metachar_separator(spark):
     assert out[2]["clean_text"] == "dd"
 
 
+def test_dedup_lines_keep_first_survivor(spark):
+    """keep_first=True: the (doc, pos)-first copy of a frequent line
+    survives; all-copies mode removes it everywhere."""
+    from matdb_spark.operators.dedup import dedup_lines
+
+    rows = [
+        (1, "boiler\nunique one"),
+        (2, "unique two\nboiler"),
+        (3, "boiler"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "page"])
+    keep = {r["id"]: r for r in dedup_lines(df, "id", "page", keep_first=True).collect()}
+    assert keep[1]["clean_text"] == "boiler\nunique one"  # first copy survives
+    assert keep[2]["clean_text"] == "unique two"
+    assert keep[3]["clean_text"] == "" and keep[3]["n_removed"] == 1
+    drop = {r["id"]: r for r in dedup_lines(df, "id", "page").collect()}
+    assert drop[1]["clean_text"] == "unique one"  # all copies removed
+
+
 def test_dedup_lines_trims_for_matching_keeps_raw_text(spark):
     from matdb_spark.operators.dedup import dedup_lines
 
