@@ -4678,6 +4678,56 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def q_scrub_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 capstone: the modern pre-training scrub composed
+    end-to-end from this round's gated operators — PII injection →
+    typed redaction → corpus line dedup (boilerplate removal) → clean
+    word count → deterministic split assignment. One chained plan;
+    the oracle replays every stage CTE-by-CTE, so a drift anywhere in
+    the chain breaks the hash. Output: (doc_id, n_redacted,
+    n_removed, n_words_clean, split)."""
+    from matdb_spark.functions.pii import redact_pii
+    from matdb_spark.operators.dedup import dedup_lines
+    from matdb_spark.operators.sampling import assign_splits
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = _pii_augmented(docs)
+    pages = aug.join(docs.select("doc_id", "source"), "doc_id").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("subscribe to the newsletter for updates"),
+            F.concat(F.lit("copyright "), F.col("source")),
+        ).alias("page"),
+    )
+    red = redact_pii(pages, "doc_id", "page")
+    ld = dedup_lines(
+        red.select("doc_id", F.col("clean_text").alias("page")),
+        "doc_id",
+        "page",
+        min_count=2,
+    )
+    joined = red.select("doc_id", "n_redacted").join(ld, "doc_id")
+    n_words = F.when(F.trim(F.col("clean_text")) == "", F.lit(0)).otherwise(
+        F.regexp_count(F.col("clean_text"), F.lit(r"\S+"))
+    )
+    out = assign_splits(
+        joined.select(
+            "doc_id",
+            "n_redacted",
+            "n_removed",
+            n_words.cast("long").alias("n_words_clean"),
+        ),
+        "doc_id",
+        weights=(("train", 0.9), ("val", 0.05), ("test", 0.05)),
+        seed="scrub",
+    )
+    return out.select(
+        "doc_id", "n_redacted", "n_removed", "n_words_clean", "split"
+    )
+
+
 def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEAKAGE-SAFE train/val/test assignment: split membership is a
     pure function of the near-dup CLUSTER id, not the document id —
@@ -4834,6 +4884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hard_negatives": q_hard_negatives,
         "q_text_fold": q_text_fold,
         "q_split_leakage_safe": q_split_leakage_safe,
+        "q_scrub_pipeline": q_scrub_pipeline,
         "q_dsv2_cdc": q_dsv2_cdc,
         "q_auto_compact_scan": q_auto_compact_scan,
         "q_mvcc_compacted_scan": q_mvcc_compacted_scan,
@@ -6122,6 +6173,61 @@ def _bpe_roundtrip_sql(num_merges: int = 6) -> str:
     """
 
 
+def _scrub_pipeline_sql() -> str:
+    """Oracle for q_scrub_pipeline: injection, the four redaction
+    stages, the line-dedup chain, the clean word count, and the md5
+    split thresholds — all stages chained verbatim."""
+    from matdb_spark.functions.pii import PII_PATTERNS
+
+    stages, prev = [], "s0"
+    for j, (_, pat, token) in enumerate(PII_PATTERNS, start=1):
+        stages.append(
+            f"s{j} AS (SELECT doc_id, "
+            f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS c{j}, "
+            f"regexp_replace(t, '{pat}', '{token}', 'g') AS t"
+            + ("".join(f", c{i}" for i in range(1, j)))
+            + f" FROM {prev})"
+        )
+        prev = f"s{j}"
+    total = " + ".join(f"c{i}" for i in range(1, len(PII_PATTERNS) + 1))
+    return f"""
+        WITH {_PII_AUG},
+        pages AS (SELECT a.doc_id,
+                         a.text || chr(10) || 'subscribe to the newsletter for updates'
+                                || chr(10) || 'copyright ' || d.source AS page
+                  FROM aug a JOIN documents d ON a.doc_id = d.doc_id),
+        s0 AS (SELECT doc_id, page AS t FROM pages),
+        {','.join(stages)},
+        red AS (SELECT doc_id, CAST({total} AS BIGINT) AS n_redacted, t FROM {prev}),
+        ls AS (SELECT doc_id, string_split(t, chr(10)) AS xs FROM red),
+        lines AS (SELECT doc_id, u.i AS pos, xs[u.i] AS line, trim(xs[u.i]) AS lt
+                  FROM ls, unnest(range(1, len(xs) + 1)) AS u(i)),
+        freq AS (SELECT lt FROM lines GROUP BY lt HAVING COUNT(*) >= 2),
+        kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+                 LEFT JOIN freq f ON l.lt = f.lt WHERE f.lt IS NULL),
+        rebuilt AS (SELECT doc_id, COUNT(*) AS nk,
+                           string_agg(line, chr(10) ORDER BY pos) AS clean_text
+                    FROM kept GROUP BY doc_id),
+        base AS (SELECT doc_id, n_redacted,
+                        CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines
+                 FROM red),
+        joined AS (SELECT b.doc_id, b.n_redacted,
+                          b.n_lines - COALESCE(r.nk, 0) AS n_removed,
+                          COALESCE(r.clean_text, '') AS clean_text
+                   FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id)
+        SELECT doc_id, n_redacted, n_removed,
+               CAST(CASE WHEN trim(clean_text) = '' THEN 0
+                         ELSE len(regexp_extract_all(clean_text, '\\S+')) END
+                    AS BIGINT) AS n_words_clean,
+               CASE WHEN h < 900000 THEN 'train'
+                    WHEN h < 950000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT *,
+                     CAST(('0x' || substr(md5('scrub:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS h
+              FROM joined) z
+    """
+
+
 def _split_leakage_sql() -> str:
     """The clusters CTE chain (recursive reachability over replayed
     MinHash pairs) extended with singleton fill-in and the md5 split
@@ -6810,6 +6916,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_text_fold": _text_fold_sql(),
         "q_split_leakage_safe": _split_leakage_sql(),
+        "q_scrub_pipeline": _scrub_pipeline_sql(),
         "q_hard_negatives": f"""
             WITH {_UNIT_E},
             lab AS (SELECT vec_id, label FROM embeddings),
