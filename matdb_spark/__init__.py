@@ -22,6 +22,7 @@ from matdb_spark.schema import Dimension, Value, Schema
 from matdb_spark.database import Database
 from matdb_spark.transaction import Transaction
 from matdb_spark.session import get_spark
+from matdb_spark.catalog import register_store, register_warehouse
 
 __all__ = [
     "Dimension",
@@ -30,6 +31,8 @@ __all__ = [
     "Database",
     "Transaction",
     "get_spark",
+    "register_store",
+    "register_warehouse",
 ]
 
 __version__ = "0.1.0"
