@@ -52,6 +52,10 @@ def sq8_train(
         .collect()
     )
     by_dim = {r["i"]: (r["lo"], r["hi"]) for r in ranges}
+    if not by_dim:
+        raise ValueError(
+            "sq8_train: corpus has no vectors to train ranges on"
+        )
     return [by_dim[i] for i in range(len(by_dim))]
 
 
