@@ -4702,18 +4702,20 @@ def q_scrub_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("page"),
     )
     red = redact_pii(pages, "doc_id", "page")
+    # n_redacted rides THROUGH dedup_lines (carry=): a join-back would
+    # re-execute the whole redaction chain for the second consumer
     ld = dedup_lines(
-        red.select("doc_id", F.col("clean_text").alias("page")),
+        red.select("doc_id", "n_redacted", F.col("clean_text").alias("page")),
         "doc_id",
         "page",
         min_count=2,
+        carry=("n_redacted",),
     )
-    joined = red.select("doc_id", "n_redacted").join(ld, "doc_id")
     n_words = F.when(F.trim(F.col("clean_text")) == "", F.lit(0)).otherwise(
         F.regexp_count(F.col("clean_text"), F.lit(r"\S+"))
     )
     out = assign_splits(
-        joined.select(
+        ld.select(
             "doc_id",
             "n_redacted",
             "n_removed",

@@ -302,6 +302,7 @@ def dedup_lines(
     min_count: int = 2,
     sep: str = "\n",
     keep_first: bool = False,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Corpus-wide exact LINE deduplication — the RefinedWeb /
     MassiveWeb boilerplate scrub (Penedo et al. 2023 §3.4; Rae et al.
@@ -311,6 +312,12 @@ def dedup_lines(
     cookie banners, copyright footers carry no training signal even
     once per page). Documents are reassembled from the surviving
     lines in their original order.
+
+    ``carry`` names per-document columns of ``df`` to pass through to
+    the output (first()-aggregated in the rebuild — they are constant
+    per id by contract). In a composed pipeline this is what keeps the
+    operator single-pass: joining the extras back afterwards would
+    re-execute the whole upstream chain for the second consumer.
 
     ``keep_first=True`` switches to the Dolma-paragraph convention:
     the (doc, position)-lexicographically FIRST occurrence of a
@@ -326,10 +333,11 @@ def dedup_lines(
     Returns (id, n_lines, n_removed, clean_text) for every input row.
 
     Scale shape: explode to ~total_lines rows carrying a 60-bit line
-    hash, one groupBy(hash) marks frequent lines, one hash-keyed
-    left-anti join drops them, and the rebuild is a groupBy(id).
-    Linear in corpus lines, three shuffles, no pairwise term — the
-    same budget class as exact_duplicates.
+    hash, one groupBy(hash) marks frequent lines, one hash-keyed flag
+    join back onto the same partitioning (exchange-reusable), and ONE
+    groupBy(id) produces counts and rebuilt text together. One scan of
+    the input, linear in corpus lines, no pairwise term — the same
+    budget class as exact_duplicates.
     """
     # \Q...\E: split()'s pattern is a Java regex — quote the separator
     # so a '.' or '|' separator splits literally, not as a metachar;
@@ -339,77 +347,75 @@ def dedup_lines(
     text = F.coalesce(F.col(text_col), F.lit(""))
     lines = df.select(
         F.col(id_col).alias("__id"),
+        *[F.col(c) for c in carry],
         F.posexplode(F.split(text, sep_pat)).alias("__pos", "__line"),
     ).withColumn("__h", hash64(F.trim(F.col("__line"))))
+    # One scan, one flag, one rebuild: the frequent-line relation joins
+    # back onto the SAME __h-keyed lines (both sides hash-partition on
+    # __h — the aggregation's exchange is reusable for the join), each
+    # line gets a dropped flag, and a single groupBy(__id) yields the
+    # count, the removed count, and the rebuilt text together. No
+    # anti-join and no restore join: split() always emits >= 1 line,
+    # so every input row reaches the rebuild (a fully-boilerplate page
+    # rebuilds to an EMPTY clean_text — the remove_duplicate_spans
+    # contract). This matters in composed pipelines (q_scrub_pipeline)
+    # where the input is an expensive derived relation: the earlier
+    # anti-join shape consumed the input twice and re-ran the whole
+    # upstream chain per consumer.
+    agg_cols = [F.count(F.lit(1)).alias("__c")]
     if keep_first:
-        # keeper = (doc, pos)-lexicographic first occurrence (the span
-        # dedup convention); one min-struct aggregation rides the same
-        # shuffle as the count
-        frequent = (
-            lines.groupBy("__h")
-            .agg(
-                F.count(F.lit(1)).alias("__c"),
-                F.min(
-                    F.struct(
-                        F.col("__id").alias("d"), F.col("__pos").alias("p")
-                    )
-                ).alias("__keep"),
-            )
-            .filter(F.col("__c") >= min_count)
-            .select("__h", "__keep")
+        agg_cols.append(
+            F.min(
+                F.struct(F.col("__id").alias("d"), F.col("__pos").alias("p"))
+            ).alias("__keep")
         )
-        dropped = (
-            lines.join(frequent, "__h")
-            .filter(
-                ~(
-                    (F.col("__id") == F.col("__keep.d"))
-                    & (F.col("__pos") == F.col("__keep.p"))
-                )
-            )
-            .select(
-                F.col("__id").alias("__did"), F.col("__pos").alias("__dpos")
-            )
-        )
-        kept = lines.join(
-            dropped,
-            (F.col("__id") == F.col("__did"))
-            & (F.col("__pos") == F.col("__dpos")),
-            "left_anti",
+    frequent = (
+        lines.groupBy("__h")
+        .agg(*agg_cols)
+        .filter(F.col("__c") >= min_count)
+        .drop("__c")
+    )
+    marked = lines.join(frequent.withColumn("__f", F.lit(True)), "__h", "left")
+    if keep_first:
+        # the (doc, pos)-lexicographic first occurrence survives
+        dropped = F.coalesce(F.col("__f"), F.lit(False)) & ~(
+            (F.col("__id") == F.col("__keep.d"))
+            & (F.col("__pos") == F.col("__keep.p"))
         )
     else:
-        frequent = (
-            lines.groupBy("__h")
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .filter(F.col("__c") >= min_count)
-            .select("__h")
-        )
-        kept = lines.join(frequent, "__h", "left_anti")
-    rebuilt = kept.groupBy("__id").agg(
-        F.count(F.lit(1)).alias("__nk"),
+        dropped = F.coalesce(F.col("__f"), F.lit(False))
+    flagged = marked.select(
+        "__id",
+        *[F.col(c) for c in carry],
+        "__pos",
+        "__line",
+        dropped.alias("__drop"),
+    )
+    out = flagged.groupBy("__id").agg(
+        *[F.first(c).alias(c) for c in carry],
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("__drop").cast("long")).alias("n_removed"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__drop"),
+                            F.struct("__pos", "__line"),
+                        )
+                    )
+                ),
                 lambda s: s["__line"],
             ),
             sep,
         ).alias("clean_text"),
     )
-    # fully-boilerplate documents drop out of the rebuild groupBy; the
-    # left join restores them with an EMPTY clean_text (same contract
-    # as remove_duplicate_spans)
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.size(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), sep_pat)
-        ).cast("long").alias("n_lines"),
-    )
-    return base.join(rebuilt, "__id", "left").select(
+    return out.select(
         F.col("__id").alias(id_col),
+        *carry,
         "n_lines",
-        (F.col("n_lines") - F.coalesce(F.col("__nk"), F.lit(0))).alias(
-            "n_removed"
-        ),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        "n_removed",
+        "clean_text",
     )
 
 

@@ -90,6 +90,16 @@ def test_dedup_lines_threshold_and_order(spark):
     assert out2[1]["clean_text"] == "" and out2[2]["n_removed"] == 3
 
 
+def test_dedup_lines_carries_per_doc_columns(spark):
+    from matdb_spark.operators.dedup import dedup_lines
+
+    rows = [(1, 7, "a\nb"), (2, 9, "b\nc")]
+    df = spark.createDataFrame(rows, ["id", "extra", "page"])
+    out = {r["id"]: r for r in dedup_lines(df, "id", "page", carry=("extra",)).collect()}
+    assert out[1]["extra"] == 7 and out[2]["extra"] == 9
+    assert out[1]["clean_text"] == "a" and out[2]["clean_text"] == "c"
+
+
 def test_dedup_lines_null_page(spark):
     from matdb_spark.operators.dedup import dedup_lines
 
