@@ -4447,6 +4447,28 @@ def q_line_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(pages, "doc_id", "page", min_count=2, keep_first=True)
 
 
+def q_line_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma within-document paragraph dedup: pages that repeat their
+    own content line + disclaimer keep exactly one copy of each; the
+    corpus-wide frequency of a line is irrelevant (scope='document').
+    The oracle counts and ranks per (doc, line)."""
+    from matdb_spark.operators.dedup import dedup_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("internal disclaimer"),
+            F.col("text"),
+            F.lit("internal disclaimer"),
+            F.when(F.col("doc_id") % 3 == 0, F.col("text")),
+        ).alias("page"),
+    )
+    return dedup_lines(pages, "doc_id", "page", scope="document")
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test assignment
     (90/5/5, seed 'r6'): split membership is a pure function of the
@@ -4874,6 +4896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_scrub": q_pii_scrub,
         "q_line_dedup": q_line_dedup,
         "q_line_dedup_keep_first": q_line_dedup_keep_first,
+        "q_line_dedup_within_doc": q_line_dedup_within_doc,
         "q_split_assign": q_split_assign,
         "q_similarity_sq8": q_similarity_sq8,
         "q_similarity_sq8_indexed": q_similarity_sq8_indexed,
@@ -6903,6 +6926,27 @@ def oracle_sql() -> dict[str, str]:
         "q_pii_scrub": _pii_redact_sql(),
         "q_line_dedup": _line_dedup_sql(),
         "q_line_dedup_keep_first": _line_dedup_keep_first_sql(),
+        "q_line_dedup_within_doc": """
+            WITH pages AS (SELECT doc_id,
+                concat_ws(chr(10), text, 'internal disclaimer', text,
+                          'internal disclaimer',
+                          CASE WHEN doc_id % 3 = 0 THEN text END) AS page
+                FROM documents),
+            ls AS (SELECT doc_id, string_split(page, chr(10)) AS xs FROM pages),
+            lines AS (SELECT doc_id, u.i AS pos, xs[u.i] AS line, trim(xs[u.i]) AS lt
+                      FROM ls, unnest(range(1, len(xs) + 1)) AS u(i)),
+            marked AS (SELECT doc_id, pos, line,
+                              COUNT(*) OVER (PARTITION BY doc_id, lt) AS c,
+                              ROW_NUMBER() OVER (PARTITION BY doc_id, lt ORDER BY pos) AS rn
+                       FROM lines),
+            agg AS (SELECT doc_id,
+                           CAST(COUNT(*) AS BIGINT) AS n_lines,
+                           CAST(SUM(CASE WHEN c >= 2 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                           string_agg(CASE WHEN c < 2 OR rn = 1 THEN line END, chr(10) ORDER BY pos) AS clean_text
+                    FROM marked GROUP BY doc_id)
+            SELECT doc_id, n_lines, n_removed, COALESCE(clean_text, '') AS clean_text
+            FROM agg
+        """,
         "q_split_assign": _split_assign_sql(),
         "q_similarity_sq8": _sq8_sql(),
         "q_similarity_sq8_indexed": _ivf_sq8_sql(),

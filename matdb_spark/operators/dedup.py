@@ -303,6 +303,7 @@ def dedup_lines(
     sep: str = "\n",
     keep_first: bool = False,
     carry: tuple[str, ...] = (),
+    scope: str = "corpus",
 ) -> DataFrame:
     """Corpus-wide exact LINE deduplication — the RefinedWeb /
     MassiveWeb boilerplate scrub (Penedo et al. 2023 §3.4; Rae et al.
@@ -324,6 +325,14 @@ def dedup_lines(
     frequent line survives, only the later copies are removed — the
     right call when the duplicated unit is content (a quote, a
     paragraph syndicated across pages), not boilerplate.
+
+    ``scope="document"`` restricts counting to WITHIN each document
+    (Dolma's within-doc paragraph dedup: a page that repeats its own
+    disclaimer keeps one copy): frequency groups by (doc, line) and
+    the first in-document occurrence always survives (keep_first is
+    implied — removing every copy including the first would gut
+    legitimately repeated content). Within-doc dedup never needs the
+    corpus-wide shuffle: the count and keeper derive per document.
 
     This is the line-boundary complement of remove_duplicate_spans:
     spans catch shared n-word runs inside prose; line dedup catches
@@ -362,21 +371,28 @@ def dedup_lines(
     # where the input is an expensive derived relation: the earlier
     # anti-join shape consumed the input twice and re-ran the whole
     # upstream chain per consumer.
+    if scope not in ("corpus", "document"):
+        raise ValueError(f"scope must be 'corpus' or 'document', got {scope!r}")
+    within_doc = scope == "document"
+    first_wins = keep_first or within_doc
+    group_keys = ["__id", "__h"] if within_doc else ["__h"]
     agg_cols = [F.count(F.lit(1)).alias("__c")]
-    if keep_first:
+    if first_wins:
         agg_cols.append(
             F.min(
                 F.struct(F.col("__id").alias("d"), F.col("__pos").alias("p"))
             ).alias("__keep")
         )
     frequent = (
-        lines.groupBy("__h")
+        lines.groupBy(*group_keys)
         .agg(*agg_cols)
         .filter(F.col("__c") >= min_count)
         .drop("__c")
     )
-    marked = lines.join(frequent.withColumn("__f", F.lit(True)), "__h", "left")
-    if keep_first:
+    marked = lines.join(
+        frequent.withColumn("__f", F.lit(True)), group_keys, "left"
+    )
+    if first_wins:
         # the (doc, pos)-lexicographic first occurrence survives
         dropped = F.coalesce(F.col("__f"), F.lit(False)) & ~(
             (F.col("__id") == F.col("__keep.d"))

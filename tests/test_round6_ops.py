@@ -90,6 +90,24 @@ def test_dedup_lines_threshold_and_order(spark):
     assert out2[1]["clean_text"] == "" and out2[2]["n_removed"] == 3
 
 
+def test_dedup_lines_within_document_scope(spark):
+    """scope='document': a line repeated inside one doc keeps its
+    first copy there, and the SAME line in another doc is untouched
+    (corpus frequency is irrelevant)."""
+    import pytest as _pytest
+
+    from matdb_spark.operators.dedup import dedup_lines
+
+    rows = [(1, "x\ny\nx\nx"), (2, "x\nz")]
+    df = spark.createDataFrame(rows, ["id", "page"])
+    out = {r["id"]: r for r in dedup_lines(df, "id", "page", scope="document").collect()}
+    assert out[1]["clean_text"] == "x\ny" and out[1]["n_removed"] == 2
+    assert out[2]["clean_text"] == "x\nz" and out[2]["n_removed"] == 0
+
+    with _pytest.raises(ValueError, match="scope"):
+        dedup_lines(df, "id", "page", scope="galaxy")
+
+
 def test_dedup_lines_carries_per_doc_columns(spark):
     from matdb_spark.operators.dedup import dedup_lines
 
