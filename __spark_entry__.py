@@ -4469,6 +4469,36 @@ def q_line_dedup_within_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(pages, "doc_id", "page", scope="document")
 
 
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget selection: each source keeps its
+    highest-quality documents (micro-quantized quality desc, id) up
+    to a 3000-whitespace-token quota — the per-domain cap step of
+    mixture building. Exact integer cumsum over a per-group window;
+    the oracle replays the ordered running sum."""
+    from matdb_spark.operators.sampling import budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.floor(quality_score(F.col("text")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("qm"),
+        whitespace_token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    out = budget_select(
+        scored,
+        "source",
+        "n_tokens",
+        budget=3000,
+        order_by=[F.col("qm").desc(), F.col("doc_id").asc()],
+        out_cum="cum_tokens",
+    )
+    return out.select(
+        "doc_id", "source", "qm", "n_tokens", "cum_tokens", "kept"
+    )
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test assignment
     (90/5/5, seed 'r6'): split membership is a pure function of the
@@ -4898,6 +4928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_dedup_keep_first": q_line_dedup_keep_first,
         "q_line_dedup_within_doc": q_line_dedup_within_doc,
         "q_split_assign": q_split_assign,
+        "q_budget_select": q_budget_select,
         "q_similarity_sq8": q_similarity_sq8,
         "q_similarity_sq8_indexed": q_similarity_sq8_indexed,
         "q_similarity_sq8_appended": q_similarity_sq8_appended,
@@ -6394,6 +6425,32 @@ def _line_dedup_keep_first_sql() -> str:
     """
 
 
+def _budget_select_sql() -> str:
+    """Oracle for q_budget_select: the canonical micro-quantized
+    quality expression (same as the canonical-verdict oracle) and an
+    ordered per-source running sum."""
+    qm = (
+        "CAST(floor(("
+        "least(1.0, CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 100.0) * 0.4"
+        f" + (1.0 - least(1.0, CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS DOUBLE)"
+        " / greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0))) * 0.4"
+        f" + least(1.0, CAST(len(regexp_extract_all(lower(text), '{LANG_STOPWORDS['en']}')) AS DOUBLE)"
+        " / greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0) * 5.0) * 0.2"
+        ") * 1000000 + 0.5) AS BIGINT)"
+    )
+    return f"""
+        WITH scored AS (SELECT doc_id, source, {qm} AS qm,
+                               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+                        FROM documents)
+        SELECT doc_id, source, qm, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY qm DESC, doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY qm DESC, doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) <= 3000 AS kept
+        FROM scored
+    """
+
+
 def _split_assign_sql() -> str:
     return """
         SELECT doc_id,
@@ -6948,6 +7005,7 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
         """,
         "q_split_assign": _split_assign_sql(),
+        "q_budget_select": _budget_select_sql(),
         "q_similarity_sq8": _sq8_sql(),
         "q_similarity_sq8_indexed": _ivf_sq8_sql(),
         "q_similarity_sq8_appended": _ivf_sq8_sql("vec_id % 3 <> 0"),

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from matdb_spark.functions.text import hash_hex
 from matdb_spark.operators.topk import top_k_per_group
@@ -224,6 +224,43 @@ def assign_splits(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = expr.otherwise(weights[-1][0])
     return df.withColumn(out_col, expr)
+
+
+def budget_select(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    budget: int,
+    order_by: Sequence[Column],
+    out_cum: str = "cum_weight",
+    out_kept: str = "kept",
+) -> DataFrame:
+    """Per-group BUDGET selection: walk each group in ``order_by``
+    order (pass a total order — quality desc + id is the usual one)
+    and keep rows while the running ``weight_col`` sum stays within
+    ``budget`` — the per-domain token-quota step of mixture building
+    (every curated corpus caps its domains; the quota walk is how the
+    cap meets a quality ranking).
+
+    Returns ``df`` + (cum_weight, kept). The running sum is a
+    PER-GROUP window — partitioned by the quota key, so it scales
+    with the largest group, never the corpus (a GLOBAL budget walk is
+    the partitionless-window trap; shard it by group or use
+    ranking.global_row_number's bucketing). Weights should be exact
+    integers (token counts) so the cumsum is engine-exact.
+
+    A row keeps iff its own cumulative sum fits: a single row larger
+    than the whole budget is dropped even at position 1 (quota
+    semantics, not first-fit packing)."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(weight_col)).over(w)
+    return df.withColumn(out_cum, cum).withColumn(
+        out_kept, F.col(out_cum) <= F.lit(budget)
+    )
 
 
 def epoch_shuffle(

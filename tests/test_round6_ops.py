@@ -445,6 +445,35 @@ def test_stream_sq8_append_and_maintenance(spark, tmp_path_factory):
     assert read_sq8_ranges(spark, index) == ranges
 
 
+# --------------------------------------------------------- budget select
+def test_budget_select_quota_semantics(spark):
+    from matdb_spark.operators.sampling import budget_select
+
+    rows = [
+        # group a: weights 5, 4, 3 in quality order -> cum 5, 9, 12
+        ("a", 1, 30, 5),
+        ("a", 2, 20, 4),
+        ("a", 3, 10, 3),
+        # group b: first row alone exceeds the budget -> dropped
+        ("b", 4, 99, 100),
+        ("b", 5, 50, 2),
+    ]
+    df = spark.createDataFrame(rows, ["g", "id", "q", "w"])
+    out = {
+        r["id"]: r
+        for r in budget_select(
+            df, "g", "w", budget=9,
+            order_by=[F.col("q").desc(), F.col("id").asc()],
+        ).collect()
+    }
+    assert [out[i]["kept"] for i in (1, 2, 3)] == [True, True, False]
+    assert out[3]["cum_weight"] == 12
+    # quota, not first-fit: the oversized head is dropped, and the
+    # NEXT row is also out because the cumsum already passed it
+    assert not out[4]["kept"] and not out[5]["kept"]
+    assert out[5]["cum_weight"] == 102
+
+
 # --------------------------------------------------- leakage-safe split
 def test_leakage_safe_split_never_straddles_clusters(spark):
     """Every near-dup cluster lands wholly in one split, and the
