@@ -4499,6 +4499,36 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_budget_select_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-WIDE budget selection: the globally highest-quality
+    documents up to a 30000-token total budget. The running sum is
+    the two-phase bucketed form (global_running_sum — quality
+    buckets, offset window over ~245 rows, per-bucket cumsum), never
+    a partitionless window; the oracle IS the partitionless window,
+    which is exactly the equivalence the gate proves."""
+    from matdb_spark.operators.sampling import budget_select_global
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.floor(quality_score(F.col("text")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("qm"),
+        whitespace_token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    out = budget_select_global(
+        scored,
+        "n_tokens",
+        budget=30000,
+        order_by=[F.col("qm").desc(), F.col("doc_id").asc()],
+        # monotone NON-INCREASING bucket of the leading key: higher
+        # quality -> smaller bucket id -> earlier in the total order
+        bucket=-F.floor(F.col("qm") / F.lit(4096)),
+        out_cum="cum_tokens",
+    )
+    return out.select("doc_id", "qm", "n_tokens", "cum_tokens", "kept")
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test assignment
     (90/5/5, seed 'r6'): split membership is a pure function of the
@@ -4929,6 +4959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_line_dedup_within_doc": q_line_dedup_within_doc,
         "q_split_assign": q_split_assign,
         "q_budget_select": q_budget_select,
+        "q_budget_select_global": q_budget_select_global,
         "q_similarity_sq8": q_similarity_sq8,
         "q_similarity_sq8_indexed": q_similarity_sq8_indexed,
         "q_similarity_sq8_appended": q_similarity_sq8_appended,
@@ -6451,6 +6482,33 @@ def _budget_select_sql() -> str:
     """
 
 
+def _budget_select_global_sql() -> str:
+    """Oracle for q_budget_select_global: the SAME quality/token
+    scoring, but the running sum as ONE partitionless window — the
+    single-task plan the Spark side's bucketed two-phase form exists
+    to avoid; value equality across the two plans is the gate."""
+    qm = (
+        "CAST(floor(("
+        "least(1.0, CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 100.0) * 0.4"
+        f" + (1.0 - least(1.0, CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS DOUBLE)"
+        " / greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0))) * 0.4"
+        f" + least(1.0, CAST(len(regexp_extract_all(lower(text), '{LANG_STOPWORDS['en']}')) AS DOUBLE)"
+        " / greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0) * 5.0) * 0.2"
+        ") * 1000000 + 0.5) AS BIGINT)"
+    )
+    return f"""
+        WITH scored AS (SELECT doc_id, {qm} AS qm,
+                               CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+                        FROM documents)
+        SELECT doc_id, qm, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY qm DESC, doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY qm DESC, doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) <= 30000 AS kept
+        FROM scored
+    """
+
+
 def _split_assign_sql() -> str:
     return """
         SELECT doc_id,
@@ -7006,6 +7064,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_split_assign": _split_assign_sql(),
         "q_budget_select": _budget_select_sql(),
+        "q_budget_select_global": _budget_select_global_sql(),
         "q_similarity_sq8": _sq8_sql(),
         "q_similarity_sq8_indexed": _ivf_sq8_sql(),
         "q_similarity_sq8_appended": _ivf_sq8_sql("vec_id % 3 <> 0"),

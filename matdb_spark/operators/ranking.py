@@ -30,6 +30,52 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    bucket: Column,
+    weight_col: str,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """Append ``out_col`` = inclusive running sum of ``weight_col``
+    under the total order (``bucket``, ``*order_cols``) — the same
+    two-phase plan as global_row_number with sums instead of counts:
+    per-bucket weight totals (tiny agg), cumulative bucket offsets
+    via a #buckets-row window, then a per-bucket running sum plus the
+    broadcast offset. This is what makes a GLOBAL quota walk
+    (budget_select across the whole corpus, not per group) runnable
+    at scale: the partitionless running-sum window it replaces is the
+    single-task trap. Weights should be exact integers (token
+    counts) for engine-exact results. Same ``bucket`` monotonicity
+    contract as global_row_number."""
+    b = df.withColumn("__grs_b", bucket.cast("long"))
+    totals = b.groupBy("__grs_b").agg(
+        F.sum(F.col(weight_col)).alias("__grs_t")
+    )
+    w_off = Window.orderBy("__grs_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__grs_b",
+        F.coalesce(F.sum("__grs_t").over(w_off), F.lit(0)).alias("__grs_off"),
+    )
+    w_in = (
+        Window.partitionBy("__grs_b")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        b.join(F.broadcast(offsets), "__grs_b")
+        .withColumn(
+            out_col,
+            (F.sum(F.col(weight_col)).over(w_in) + F.col("__grs_off")).cast(
+                "long"
+            ),
+        )
+        .drop("__grs_b", "__grs_off")
+    )
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: Sequence[str | Column],

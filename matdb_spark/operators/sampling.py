@@ -263,6 +263,31 @@ def budget_select(
     )
 
 
+def budget_select_global(
+    df: DataFrame,
+    weight_col: str,
+    budget: int,
+    order_by: Sequence[Column],
+    bucket: Column,
+    out_cum: str = "cum_weight",
+    out_kept: str = "kept",
+) -> DataFrame:
+    """CORPUS-WIDE budget selection: keep rows in (bucket, order_by)
+    total order while the global running ``weight_col`` sum fits the
+    budget — 'the best N tokens overall', the whole-corpus sibling of
+    budget_select's per-domain quota. The running sum comes from
+    ranking.global_running_sum's two-phase plan (per-bucket totals +
+    #buckets-row offset window + per-bucket cumsum), never from a
+    partitionless window; ``bucket`` must be monotone in the leading
+    sort key (global_row_number's contract)."""
+    from matdb_spark.operators.ranking import global_running_sum
+
+    out = global_running_sum(
+        df, list(order_by), bucket, weight_col, out_col=out_cum
+    )
+    return out.withColumn(out_kept, F.col(out_cum) <= F.lit(budget))
+
+
 def epoch_shuffle(
     df: DataFrame, id_col: str, seed: int, out_col: str = "shuffle_rank"
 ) -> DataFrame:

@@ -474,6 +474,46 @@ def test_budget_select_quota_semantics(spark):
     assert out[5]["cum_weight"] == 102
 
 
+def test_global_running_sum_matches_single_window(spark):
+    """The two-phase bucketed cumsum must equal a plain global-window
+    cumsum, and its full-data window must partition by the bucket."""
+    from matdb_spark.operators.ranking import global_running_sum
+
+    rows = [(i, (i * 37) % 100, (i % 7) + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, key long, w long").repartition(8)
+    out = global_running_sum(
+        df, [F.col("key"), F.col("id")], F.floor(F.col("key") / 10), "w"
+    )
+    got = {r["id"]: r["running_sum"] for r in out.collect()}
+    cum, expected = 0, {}
+    for rid, _, w in sorted(rows, key=lambda r: (r[1], r[0])):
+        cum += w
+        expected[rid] = cum
+    assert got == expected
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line.lower() and "__grs_b" not in line:
+            # only the #buckets-row offset window may be partitionless;
+            # it operates on the aggregated totals relation
+            assert "__grs_t" in line or "__grs_off" in line, line
+
+
+def test_budget_select_global_matches_per_group_on_one_group(spark):
+    from matdb_spark.operators.sampling import budget_select, budget_select_global
+
+    rows = [("g", i, (i * 13) % 50, (i % 5) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, id long, q long, w long")
+    order = [F.col("q").desc(), F.col("id").asc()]
+    per_group = budget_select(df, "g", "w", 150, order)
+    global_ = budget_select_global(
+        df, "w", 150, order, bucket=-F.floor(F.col("q") / 8)
+    )
+    a = {(r["id"]): (r["cum_weight"], r["kept"]) for r in per_group.collect()}
+    b = {(r["id"]): (r["cum_weight"], r["kept"]) for r in global_.collect()}
+    assert a == b
+
+
 # --------------------------------------------------- leakage-safe split
 def test_leakage_safe_split_never_straddles_clusters(spark):
     """Every near-dup cluster lands wholly in one split, and the
