@@ -14,10 +14,12 @@ keep the format's properties: pushed-filter chunk pruning, as_of time
 travel, zero-shuffle chunk-local newest-wins resolution.
 
 Freshness contract: a view PINS the snapshot committed at
-REGISTRATION time — register_store resolves the store's newest
-committed txn id on the driver and bakes it into the reader as
-``as_of``, so later commits are never visible through the view no
-matter when its first query runs. (Without the explicit pin, the
+REGISTRATION time — register_store resolves the store's out-of-order-
+safe commit watermark (``manifest.safe_feed_head``: the highest txn id
+below every outstanding reservation) on the driver and bakes it into
+the reader as ``as_of``, so later commits — including a LOWER-id txn
+reserved before registration but published after — are never visible
+through the view no matter when its first query runs. (Without the explicit pin, the
 Python DSv2 reader's plan point is its first EXECUTION — measured:
 a view queried before a commit stays stale, one first queried after
 sees it — which is exactly the nondeterminism a catalog must not
@@ -29,8 +31,30 @@ have.) This is snapshot isolation, the same pinning a long-running
 from __future__ import annotations
 
 import os
+import re
 
 from matdb_spark.database import SCHEMA_FILENAME
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _view_name(raw: str, taken: set[str]) -> str:
+    """Derive a valid SQL identifier from a directory name: replace
+    every invalid character with ``_`` and prefix ``_`` if the first
+    character is a digit (``my-store`` → ``my_store``, ``1data`` →
+    ``_1data``). Collisions after sanitizing get a numeric suffix, so
+    one oddly-named directory can never abort (or shadow) the rest of
+    warehouse discovery."""
+    name = raw if _IDENT_RE.match(raw) else re.sub(r"[^A-Za-z0-9_]", "_", raw)
+    if name and name[0].isdigit():
+        name = "_" + name
+    if not name:
+        name = "_store"
+    base, n = name, 2
+    while name in taken:
+        name = f"{base}_{n}"
+        n += 1
+    return name
 
 
 def register_store(spark, name: str, path: str, as_of: int | None = None):
@@ -42,8 +66,16 @@ def register_store(spark, name: str, path: str, as_of: int | None = None):
 
     register_matdb_source(spark)
     if as_of is None:
-        committed = manifest.committed_txn_ids(path)
-        as_of = max(committed) if committed else 0
+        # Pin at the out-of-order-safe watermark, NOT max(committed):
+        # txn ids are reserved before publish, so under concurrent
+        # writers a LOWER-id txn can commit after registration. A pin
+        # at max(committed) would let that late manifest slip under the
+        # horizon and surface through the "pinned" view. safe_feed_head
+        # = min(outstanding reservations) - 1 (capped at the committed
+        # head) — the same low-watermark rule the change feed uses — so
+        # every txn at-or-below the pin is either committed now or can
+        # never commit (its reservation is gone).
+        as_of = manifest.safe_feed_head(path)
     df = (
         spark.read.format("matdb")
         .option("as_of", str(as_of))
@@ -65,16 +97,18 @@ def register_warehouse(
 ) -> dict[str, str]:
     """Discover every matdb store directly under ``root`` (a directory
     holding ``schema.json``) and register each as a view named
-    ``prefix + <dirname>``. Returns {view_name: store_path}. The
-    listing is driver-side and one level deep — a warehouse layout,
-    not a recursive crawl."""
+    ``prefix + <dirname>`` (sanitized to a valid SQL identifier — see
+    ``_view_name``; a directory like ``my-store`` registers as
+    ``my_store`` instead of aborting discovery partway). Returns
+    {view_name: store_path}. The listing is driver-side and one level
+    deep — a warehouse layout, not a recursive crawl."""
     out: dict[str, str] = {}
     for entry in sorted(os.listdir(root)):
         p = os.path.join(root, entry)
         if os.path.isdir(p) and os.path.isfile(
             os.path.join(p, SCHEMA_FILENAME)
         ):
-            name = prefix + entry
+            name = _view_name(prefix + entry, set(out))
             register_store(spark, name, p)
             out[name] = p
     return out

@@ -663,6 +663,7 @@ def pairs_against_index(
     bands: int = 8,
     shingle_n: int = 3,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    materialize_batch: bool = True,
 ) -> DataFrame:
     """(new_id, corpus_id) candidate near-dup pairs between a new
     batch and the persisted corpus index. The 100 TB shape: the index
@@ -678,15 +679,21 @@ def pairs_against_index(
     signature would otherwise emit |batch_bucket| x |corpus_bucket|
     pairs from a single key.
 
-    The returned plan is fully LAZY — nothing is checkpointed, so the
-    plan recovers from executor loss by recomputation like any other.
     With the cap on, the index is scanned twice (a column-pruned
     counts pass decides which buckets survive, then the main pass
-    reads only matching rows) and the batch's signature pipeline is
-    evaluated up to three times (key set, counts, join side) —
-    batch-sized by definition, cheaper than pinning executor blocks
-    the caller cannot release."""
+    reads only matching rows); the batch's signature pipeline runs
+    ONCE — the banding relation is localCheckpoint'ed (admit_batch's
+    pattern) and all three consumers (key set, counts, join side) read
+    the materialized blocks. This trades the old fully-lazy plan
+    (which re-derived the shingle → minhash pipeline per consumer —
+    the r6 verdict's 21-exchange worst plan) for one batch-sized,
+    ContextCleaner-collected materialization; an executor lost mid
+    probe fails the query to a clean retry instead of recomputing,
+    the same contract admission already chose. Pass
+    ``materialize_batch=False`` to keep the pure-lineage plan."""
     nb = banded_minhash(new_df, id_col, text_col, k, bands, shingle_n)
+    if materialize_batch:
+        nb = nb.localCheckpoint()
     return _index_pairs_from_banded(spark, path, nb, max_bucket)
 
 
@@ -726,7 +733,16 @@ def _index_pairs_from_banded(
     as a probe is not a duplicate of itself. Admission passes True:
     there, a batch id already present in the index means the doc was
     already admitted, and the identity pair is exactly the rejection
-    that makes replayed batches idempotent."""
+    that makes replayed batches idempotent.
+
+    The batch relation ``nb`` has THREE consumers here (broadcast key
+    set, cap-count members, final join side); callers must pass it
+    MATERIALIZED (localCheckpoint — admit_batch and pairs_against_index
+    both do) or the whole shingle → minhash → band pipeline re-derives
+    per consumer: the r6 verdict's worst-plan finding was exactly that
+    (21 exchanges at the gate SF; plan-level exchange reuse cannot
+    collapse them because each consumer prunes different columns,
+    which de-canonicalizes the shared subtree)."""
     keys = nb.select("band", "key").distinct()
     idx = spark.read.parquet(path).select("doc_id", "band", "key")
     if max_bucket is not None:

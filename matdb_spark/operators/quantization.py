@@ -56,6 +56,28 @@ def sq8_train(
         raise ValueError(
             "sq8_train: corpus has no vectors to train ranges on"
         )
+    return _contiguous_ranges(by_dim, "sq8_train")
+
+
+def _contiguous_ranges(
+    by_dim: dict[int, tuple[float, float]], who: str
+) -> list[tuple[float, float]]:
+    """Ranges must cover a contiguous 0..d-1 dimension index space with
+    non-null bounds — ragged vectors leave index holes, and a dimension
+    that is null in EVERY row aggregates to null lo/hi; both would
+    otherwise surface as a bare KeyError / TypeError deep in
+    list-building. Name the bad dimensions so the caller can see WHICH
+    are broken."""
+    missing = sorted(
+        set(range(len(by_dim))) - {i for i in by_dim}
+    ) + sorted(i for i, (lo, hi) in by_dim.items() if lo is None or hi is None)
+    if missing:
+        raise ValueError(
+            f"{who}: dimension ranges are not a contiguous, non-null"
+            f" 0..{len(by_dim) - 1} space — missing {missing[:16]}"
+            f"{'...' if len(missing) > 16 else ''};"
+            " vectors are ragged or a dimension is null in every row"
+        )
     return [by_dim[i] for i in range(len(by_dim))]
 
 
@@ -171,7 +193,7 @@ def read_sq8_ranges(spark, path: str) -> list[tuple[float, float]]:
     (dim-bounded collect, like the centroid table)."""
     rows = spark.read.parquet(path + "/_sq8").collect()
     by_dim = {r["i"]: (r["lo"], r["hi"]) for r in rows}
-    return [by_dim[i] for i in range(len(by_dim))]
+    return _contiguous_ranges(by_dim, "read_sq8_ranges")
 
 
 def append_ivf_sq8_index(

@@ -29,6 +29,17 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+# Rows whose bucket expression evaluates (or casts) to NULL must not
+# be dropped by the inner equi-join back to the offset table — they
+# fold into this sentinel bucket instead, which sorts FIRST, matching
+# Spark's default NULLS FIRST window ordering a partitionless
+# ``Window.orderBy(bucket)`` would have produced.
+_NULL_BUCKET = -(2**63)
+
+
+def _bucket_col(bucket: Column) -> Column:
+    return F.coalesce(bucket.cast("long"), F.lit(_NULL_BUCKET))
+
 
 def global_running_sum(
     df: DataFrame,
@@ -47,8 +58,10 @@ def global_running_sum(
     at scale: the partitionless running-sum window it replaces is the
     single-task trap. Weights should be exact integers (token
     counts) for engine-exact results. Same ``bucket`` monotonicity
-    contract as global_row_number."""
-    b = df.withColumn("__grs_b", bucket.cast("long"))
+    contract as global_row_number. Rows with a NULL bucket are kept —
+    they fold into a first-sorting sentinel bucket (NULLS FIRST), never
+    silently dropped by the offset join."""
+    b = df.withColumn("__grs_b", _bucket_col(bucket))
     totals = b.groupBy("__grs_b").agg(
         F.sum(F.col(weight_col)).alias("__grs_t")
     )
@@ -88,9 +101,11 @@ def global_row_number(
 
     ``bucket`` must be monotone in the leading sort key (see module
     docstring); ``order_cols`` must be a total order WITHIN a bucket
-    (include a unique tiebreaker) for deterministic output.
+    (include a unique tiebreaker) for deterministic output. NULL
+    buckets fold into a first-sorting sentinel (NULLS FIRST) instead
+    of being dropped by the offset join.
     """
-    b = df.withColumn("__grn_b", bucket.cast("long"))
+    b = df.withColumn("__grn_b", _bucket_col(bucket))
     counts = b.groupBy("__grn_b").agg(F.count(F.lit(1)).alias("__grn_c"))
     # Window over buckets only: single task, #buckets rows — driver-scale.
     w_off = (

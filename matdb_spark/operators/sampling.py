@@ -200,9 +200,11 @@ def assign_splits(
     adjacent splits, never reshuffle inside one. A different ``seed``
     is an independent assignment.
 
-    Expected fractions are exact over the hash space (floor'd integer
-    thresholds); realized fractions concentrate around them like any
-    hash sample. Returns ``df`` plus ``out_col``.
+    Expected fractions are exact over the hash space (each weight is
+    rounded ONCE to integer hash-space units, thresholds are exact
+    integer sums — no float-accumulation artifacts); realized
+    fractions concentrate around them like any hash sample. Returns
+    ``df`` plus ``out_col``.
     """
     total = sum(w for _, w in weights)
     if abs(total - 1.0) > 1e-9:
@@ -215,12 +217,15 @@ def assign_splits(
         )
         % _MOD
     )
-    cum = 0.0
+    # Accumulate thresholds as INTEGER hash-space units (round each
+    # weight once, then sum ints): 0.7 of a 1e6 space is exactly
+    # 700000, never 699999 — realized boundaries must not depend on
+    # binary float representation of a cumulative float sum.
+    cum = 0
     expr = None
     for name, w in weights[:-1]:
-        cum += w
-        threshold = int(cum * _MOD)
-        cond = h < F.lit(threshold)
+        cum += round(w * _MOD)
+        cond = h < F.lit(cum)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = expr.otherwise(weights[-1][0])
     return df.withColumn(out_col, expr)
