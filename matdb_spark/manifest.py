@@ -37,7 +37,22 @@ import time
 _COMMITS_DIR = "_commits"
 _DATA_DIR = "data"
 _MANIFEST_RE = re.compile(r"^(\d{8,})\.json$")
+_CHECKPOINT_RE = re.compile(r"^_checkpoint\.(\d{8,})\.json$")
 TXN_DIR_RE = re.compile(r"^txn=(\d+)$")
+
+#: Auto-fold the committed manifest set into a checkpoint file every
+#: this-many commits (Transaction.commit / the DSv2 writers call
+#: ``maybe_checkpoint`` after publish). Snapshot resolution then costs
+#: ONE checkpoint read plus one JSON per post-checkpoint commit instead
+#: of one JSON per commit ever made — O(1)-ish planning for a
+#: long-lived store with streaming commit rates (the Delta-checkpoint
+#: idea applied to this manifest log).
+DEFAULT_CHECKPOINT_INTERVAL = 64
+
+#: Newest checkpoint id seen per store path, refreshed by every
+#: ``_commits`` listing (committed_txn_ids) — so the per-manifest read
+#: path can consult the checkpoint WITHOUT its own listing call.
+_CK_HINT: dict[str, int | None] = {}
 
 
 def commits_dir(db_path: str) -> str:
@@ -63,15 +78,27 @@ def init_layout(db_path: str) -> None:
     # driver process; cached manifests keyed (path, txn_id) would then
     # describe the OLD store and mis-prune scans of the new one.
     read_manifest_cached.cache_clear()
+    _read_checkpoint_cached.cache_clear()
+    _CK_HINT.pop(db_path, None)
 
 
 def committed_txn_ids(db_path: str) -> list[int]:
-    """All committed transaction ids, ascending (one listing call)."""
+    """All committed transaction ids, ascending (one listing call).
+    The same pass notes the newest checkpoint file into ``_CK_HINT``,
+    so subsequent per-manifest reads in the sweep hit the folded map
+    instead of one JSON file each."""
     out = []
+    ck: int | None = None
     for name in os.listdir(commits_dir(db_path)):
         m = _MANIFEST_RE.match(name)
         if m:
             out.append(int(m.group(1)))
+            continue
+        c = _CHECKPOINT_RE.match(name)
+        if c:
+            cid = int(c.group(1))
+            ck = cid if ck is None else max(ck, cid)
+    _CK_HINT[db_path] = ck
     return sorted(out)
 
 
@@ -89,8 +116,129 @@ def read_manifest_cached(db_path: str, txn_id: int) -> dict:
     vacuum eligibility). maxsize is deliberately small: a manifest can
     carry up to ~20k file paths (~2 MB JSON), so a large cache could
     pin gigabytes on the driver; 256 entries covers the visible-txn
-    sweep of a healthy store while bounding worst-case retention."""
+    sweep of a healthy store while bounding worst-case retention.
+
+    On miss, the newest CHECKPOINT (folded manifest map, ``_CK_HINT``
+    — refreshed by the listing every sweep starts with) is consulted
+    before the per-txn JSON file: a 10k-commit store resolves its
+    snapshot with one checkpoint read instead of 10k file reads."""
+    ck = _CK_HINT.get(db_path)
+    if ck is not None and txn_id <= ck:
+        m = _read_checkpoint_cached(db_path, ck).get(txn_id)
+        if m is not None:
+            return m
     return read_manifest(db_path, txn_id)
+
+
+def checkpoint_path(db_path: str, upto: int) -> str:
+    return os.path.join(commits_dir(db_path), f"_checkpoint.{upto:08d}.json")
+
+
+@_functools.lru_cache(maxsize=4)
+def _read_checkpoint_cached(db_path: str, upto: int) -> dict[int, dict]:
+    """Parsed checkpoint → {txn_id: manifest payload}. Cache-safe: a
+    checkpoint file is write-once (a new fold always lands under a new
+    max-txn-id name; write_checkpoint skips when nothing is new).
+    maxsize is tiny because one entry covers an entire store. A
+    checkpoint GC'ed between the hint listing and this read degrades
+    to per-file manifest reads (empty map), never to an error."""
+    try:
+        with open(checkpoint_path(db_path, upto)) as f:
+            raw = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    return {int(k): v for k, v in raw.get("manifests", {}).items()}
+
+
+def latest_checkpoint_id(db_path: str) -> int | None:
+    """Newest checkpoint id from a fresh listing (None if no
+    checkpoint exists)."""
+    committed_txn_ids(db_path)  # refreshes _CK_HINT
+    return _CK_HINT.get(db_path)
+
+
+def write_checkpoint(db_path: str) -> int | None:
+    """Fold every currently-committed manifest into
+    ``_commits/_checkpoint.<max-txn-id>.json`` (atomic tmp + rename +
+    dir fsync — the publish durability discipline). Incremental: the
+    previous checkpoint supplies the already-folded payloads, so the
+    fold reads only manifests committed since (plus it DROPS entries
+    whose manifests were vacuumed away, keeping the file tracking the
+    live set). Old checkpoints beyond the newest 2 are deleted — a
+    reader mid-listing falls back to per-file reads if it loses the
+    race. Returns the folded id, or None when there is nothing new.
+
+    Concurrency: two writers folding at the same max id write
+    byte-equivalent content (manifests are immutable), and the rename
+    makes whichever PUT lands last a no-op overwrite of identical
+    state — no coordination needed, same as the commit protocol."""
+    ids = committed_txn_ids(db_path)
+    if not ids:
+        return None
+    prev = _CK_HINT.get(db_path)
+    top = ids[-1]
+    if prev is not None and top <= prev:
+        return None
+    base = _read_checkpoint_cached(db_path, prev) if prev is not None else {}
+    folded: dict[int, dict] = {}
+    for t in ids:
+        m = base.get(t)
+        if m is None:
+            try:
+                m = read_manifest(db_path, t)
+            except (OSError, ValueError):
+                # torn listing race (manifest vacuumed mid-fold): skip;
+                # the id will also vanish from the next listing
+                continue
+        folded[t] = m
+    payload = {
+        "checkpoint": top,
+        "format": 1,
+        "manifests": {str(t): m for t, m in sorted(folded.items())},
+    }
+    path = checkpoint_path(db_path, top)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    _fsync_dir(os.path.dirname(path))
+    _CK_HINT[db_path] = top
+    # GC: keep the newest 2 checkpoints (the one just written + one
+    # for readers who listed a moment ago)
+    cks = sorted(
+        int(m.group(1))
+        for m in (
+            _CHECKPOINT_RE.match(n) for n in os.listdir(commits_dir(db_path))
+        )
+        if m
+    )
+    for old in cks[:-2]:
+        try:
+            os.unlink(checkpoint_path(db_path, old))
+        except FileNotFoundError:
+            pass
+    return top
+
+
+def maybe_checkpoint(db_path: str, interval: int | None = None) -> int | None:
+    """Write a checkpoint iff at least ``interval`` commits landed
+    since the last one (or ever, for a store with none). Called by the
+    commit paths after publish — one listing per commit, a fold every
+    ``interval`` commits, amortized O(1) metadata per commit.
+    ``interval=None`` reads DEFAULT_CHECKPOINT_INTERVAL at call time
+    (so deployments — and tests — can tune the module constant)."""
+    if interval is None:
+        interval = DEFAULT_CHECKPOINT_INTERVAL
+    ids = committed_txn_ids(db_path)
+    if not ids:
+        return None
+    prev = _CK_HINT.get(db_path)
+    behind = sum(1 for t in ids if prev is None or t > prev)
+    if behind < interval:
+        return None
+    return write_checkpoint(db_path)
 
 
 def visible_txn_ids(db_path: str, horizon: int) -> list[int]:

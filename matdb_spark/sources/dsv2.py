@@ -641,6 +641,7 @@ class MatdbBatchWriter(DataSourceWriter):
             extra=payload,
         )
         manifest.release_txn_reservation(self.db_path, self.txn_id)
+        manifest.maybe_checkpoint(self.db_path)
 
     def abort(self, messages):
         manifest.discard_txn_data(self.db_path, self.txn_id)
@@ -727,6 +728,9 @@ class MatdbStreamWriter(DataSourceStreamWriter):
             payload["stats"] = stats
         manifest.publish(self.db_path, txn, segment_count=1, extra=payload)
         manifest.release_txn_reservation(self.db_path, txn)
+        # streaming commit rates are exactly what makes an unfolded
+        # manifest log O(#batches) to plan against — fold periodically
+        manifest.maybe_checkpoint(self.db_path)
         self._last_committed = int(batchId)
         for root in self._staging_roots(messages):
             _sh.rmtree(root, ignore_errors=True)

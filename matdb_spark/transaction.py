@@ -510,6 +510,10 @@ class Transaction:
                 extra=payload or None,
             )
             self.db.note_committed(self.txn_id)
+            # fold the manifest log every N commits so snapshot
+            # resolution stays one-checkpoint-read flat however long
+            # the store lives (manifest.maybe_checkpoint docstring)
+            manifest.maybe_checkpoint(self.db.path)
             # policy hook AFTER this txn is fully closed: the hook may
             # open (and commit) compaction transactions of its own
             self._closed = True
