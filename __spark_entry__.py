@@ -4030,6 +4030,50 @@ def q_ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_frame(spark, exact, approx, floor_hits=4.0)
 
 
+def q_ann_recall_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the OPQ-rotated residual IVF-PQ index (Ge et al.,
+    CVPR 2013 — operators/opq.py: orthogonal rotation trained by
+    alternating distributed Lloyd steps with a driver-side d×d
+    Procrustes solve) at the same m=32 × k=64 code budget and scaled
+    probe budget as q_ann_recall_ivfpq, floor 0.55 — ABOVE plain
+    IVF-PQ's 0.4 floor, because the rotation recovers the recall the
+    r6 verdict diagnosed as quantizer-limited: measured mean recall
+    0.78 / 0.76 / 0.65 vs plain IVF-PQ's 0.72 / 0.71 / 0.62 at
+    sf0.001/0.01/0.1, with residual quantization MSE falling ~2.4×
+    over the identity-rotation start (trajectory in tests/test_opq.py,
+    which also holds the teeth: identity-rotation PQ at the same Lloyd
+    budget scores strictly worse on block-misaligned data). NO SQL
+    oracle by design: the rotation comes from iterated SVD — a
+    genuinely non-SQL-expressible iterative algorithm — so the driver
+    records the rows-only check and the recall floor inside the result
+    is the value gate."""
+    from matdb_spark.operators.opq import (
+        opq_ivfpq_topk_indexed,
+        write_opq_ivfpq_index,
+    )
+    from matdb_spark.operators.similarity import cosine_topk, scaled_nprobe
+    from matdb_spark.sources.formats import _build_once
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SCRATCH, f"fixture_opq_ivfpq_{tag}")
+
+    def build(p: str) -> None:
+        emb_b = load_table(spark, sf_dir, "embeddings")
+        write_opq_ivfpq_index(
+            emb_b, _centroids(emb_b), p, m=32, k=64, sample_mod=7, opq_iters=4
+        )
+
+    _build_once(path, build)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    npr = scaled_nprobe(_centroids(emb).count())
+    approx = opq_ivfpq_topk_indexed(
+        spark, path, queries_df, k=10, nprobe=npr
+    ).select("query_id", "neighbor_id")
+    exact = cosine_topk(emb, queries_df, k=10).select("query_id", "neighbor_id")
+    return _recall_frame(spark, exact, approx, floor_hits=5.5)
+
+
 def q_ann_recall_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the full production IVFADC composition — ADC
     shortlist of 100 from the residual IVF-PQ index, exact re-rank of
@@ -4885,6 +4929,32 @@ def q_catalog_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT user_id, event_id, value FROM {view}")
 
 
+def q_catalog_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-txn MVCC snapshot reached through the SQL DDL shim
+    (matdb_spark/ddl.py — r6 verdict item 4): ``CREATE TABLE ... USING
+    matdb LOCATION ... TBLPROPERTIES ('chunks'=...)`` executed as a
+    statement string, IF NOT EXISTS opening the shared gate store
+    (declared columns validated against the persisted schema.json),
+    then a plain ``SELECT`` against the registered name — the full
+    DDL-to-query lifecycle a SQL-warehouse user runs, minus only the
+    spark.sql entry point Spark's Python DSv2 cannot provide yet (the
+    native failure mode is test-pinned with the shim auto-suggested in
+    its message — tests/test_ddl.py). Shares q_mvcc_scan's oracle."""
+    from matdb_spark import ddl
+
+    db = _gate_mvcc_store(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    name = f"matdb_ddl_events_{tag.replace('.', '_')}"
+    ddl.sql(
+        spark,
+        f"CREATE TABLE IF NOT EXISTS {name} "
+        f"(user_id BIGINT, event_id BIGINT, value DOUBLE) "
+        f"USING matdb LOCATION '{db.path}' "
+        f"TBLPROPERTIES ('chunks' = 'user_id=1000,event_id=100000')",
+    )
+    return ddl.sql(spark, f"SELECT user_id, event_id, value FROM {name}")
+
+
 def q_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source PII data card over the injected corpus: match
     totals per type, documents-with-PII, incidence rate — the
@@ -4968,6 +5038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_report": q_pii_report,
         "q_bpe_roundtrip": q_bpe_roundtrip,
         "q_catalog_sql": q_catalog_sql,
+        "q_catalog_ddl": q_catalog_ddl,
         "q_hard_negatives": q_hard_negatives,
         "q_text_fold": q_text_fold,
         "q_split_leakage_safe": q_split_leakage_safe,
@@ -5021,6 +5092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_recall_lsh": q_ann_recall_lsh,
         "q_ann_lsh_indexed": q_ann_lsh_indexed,
         "q_ann_recall_ivfpq": q_ann_recall_ivfpq,
+        "q_ann_recall_opq": q_ann_recall_opq,
         "q_ann_recall_refined": q_ann_recall_refined,
         "q_stream_ivf_append": q_stream_ivf_append,
         "q_pq_train": q_pq_train,
@@ -7073,6 +7145,11 @@ def oracle_sql() -> dict[str, str]:
         "q_pii_report": _pii_report_sql(),
         "q_bpe_roundtrip": _bpe_roundtrip_sql(),
         "q_catalog_sql": """
+            SELECT user_id, event_id,
+                   CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
+            FROM events
+        """,
+        "q_catalog_ddl": """
             SELECT user_id, event_id,
                    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
             FROM events

@@ -1,0 +1,247 @@
+"""SQL DDL for matdb stores: ``CREATE TABLE ... USING matdb``.
+
+Why this module exists: Spark 4.1's Python Data Source API registers a
+FORMAT (read/write paths work: ``spark.read.format("matdb")``), but it
+cannot register a V2 session CATALOG — catalog plugins are JVM classes
+named in ``spark.sql.catalog.*`` — and the SQL ``CREATE TABLE ...
+USING <python-source>`` path does not forward LOCATION/OPTIONS to the
+Python source (probed; see tests/test_ddl.py, which PINS the native
+failure mode so a Spark upgrade that fixes it will show up as a
+failing expectation). Until Spark grows that surface, this module is
+the narrowest shim that makes the DDL *statement* work: ``sql()``
+routes matdb DDL text to a small parser/executor and passes everything
+else through to ``spark.sql`` verbatim — so a user's SQL scripts run
+unchanged with one entry-point swap.
+
+Supported statements (documented dialect):
+
+  CREATE TABLE [IF NOT EXISTS] <name>
+      (<col> <type>, ...)
+      USING matdb
+      LOCATION '<path>'
+      [TBLPROPERTIES ('chunks' = '<dim>=<size>[,<dim>=<size>...]')]
+
+    Columns named in the ``chunks`` property are the DIMENSIONS (the
+    key, in property order) with their physical chunk sizes — the
+    reference's schema exactly (src/schema.rs:11-25: Dimension{name,
+    chunk_size} + Value{name}); all other columns are values. Types
+    map to the engine's set (BIGINT→long, INT→int, DOUBLE, FLOAT,
+    STRING/VARCHAR, TIMESTAMP, DATE, BOOLEAN, BINARY, DECIMAL(20,0)).
+    If the location already holds a store, IF NOT EXISTS opens and
+    registers it (validating the declared columns against the
+    persisted schema); without IF NOT EXISTS an existing store is an
+    error. The created/opened store is registered as a session view
+    through catalog.register_store, so every downstream ``spark.sql``
+    sees it by name with the catalog's snapshot-pinning contract.
+
+  DROP TABLE [IF EXISTS] <name>
+    Unregisters the view (data stays — the embedded-store contract;
+    deleting a store is a filesystem operation the caller owns).
+
+Statements are parsed with anchored regexes over a comment-stripped
+single statement — a deliberate micro-dialect, not a SQL parser; the
+error messages name the expected shape.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from matdb_spark.schema import Dimension, Schema, Value
+
+#: view name -> store path, for DROP TABLE and introspection
+_DDL_TABLES: dict[str, str] = {}
+
+_TYPE_ALIASES = {
+    "bigint": "long",
+    "long": "long",
+    "int": "int",
+    "integer": "int",
+    "double": "double",
+    "float": "float",
+    "real": "float",
+    "string": "string",
+    "varchar": "string",
+    "timestamp": "timestamp",
+    "date": "date",
+    "boolean": "boolean",
+    "binary": "binary",
+    "decimal(20,0)": "decimal(20,0)",
+}
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"\((?P<cols>.*?)\)\s*"
+    r"USING\s+matdb\s+"
+    r"LOCATION\s+'(?P<loc>[^']+)'\s*"
+    r"(?:(?:TBLPROPERTIES|OPTIONS)\s*\((?P<props>.*?)\)\s*)?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?P<ife>IF\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_MATDB_DDL_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\b.*\bUSING\s+matdb\b", re.IGNORECASE | re.DOTALL
+)
+
+
+def _strip_comments(stmt: str) -> str:
+    return re.sub(r"--[^\n]*", "", stmt)
+
+
+def _parse_cols(cols: str) -> list[tuple[str, str]]:
+    out = []
+    for part in cols.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        m = re.match(
+            r"^([A-Za-z_][A-Za-z0-9_]*)\s+([A-Za-z_]+(?:\s*\(\s*20\s*,\s*0\s*\))?)$",
+            part,
+        )
+        if not m:
+            raise ValueError(
+                f"cannot parse column definition {part!r}; expected"
+                " '<name> <type>'"
+            )
+        tname = re.sub(r"\s+", "", m.group(2)).lower()
+        if tname not in _TYPE_ALIASES:
+            raise ValueError(
+                f"unsupported column type {m.group(2)!r} for {m.group(1)!r};"
+                f" one of {sorted(set(_TYPE_ALIASES))}"
+            )
+        out.append((m.group(1), _TYPE_ALIASES[tname]))
+    if not out:
+        raise ValueError("CREATE TABLE needs at least one column")
+    return out
+
+
+def _parse_props(props: str | None) -> dict[str, str]:
+    if not props:
+        return {}
+    out = {}
+    for m in re.finditer(r"'([^']+)'\s*=\s*'([^']*)'", props):
+        out[m.group(1).strip().lower()] = m.group(2).strip()
+    return out
+
+
+def _parse_chunks(spec: str) -> list[tuple[str, int]]:
+    out = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        m = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(\d+)$", part)
+        if not m:
+            raise ValueError(
+                f"cannot parse chunks entry {part!r}; expected"
+                " '<dim>=<chunk_size>'"
+            )
+        out.append((m.group(1), int(m.group(2))))
+    if not out:
+        raise ValueError("'chunks' property names no dimensions")
+    return out
+
+
+def _schema_from_ddl(
+    cols: list[tuple[str, str]], chunks: list[tuple[str, int]]
+) -> Schema:
+    types = dict(cols)
+    for dim, _sz in chunks:
+        if dim not in types:
+            raise ValueError(
+                f"'chunks' names {dim!r}, which is not a declared column"
+            )
+    dims = [Dimension(d, sz, type=types[d]) for d, sz in chunks]
+    dimset = {d for d, _ in chunks}
+    vals = [Value(c, type=t) for c, t in cols if c not in dimset]
+    if not vals:
+        raise ValueError("at least one non-dimension (value) column required")
+    return Schema(dimensions=dims, values=vals)
+
+
+def execute_ddl(spark, statement: str) -> DataFrame | None:
+    """Execute one matdb DDL statement (see module docstring for the
+    dialect). CREATE returns the registered view's DataFrame; DROP
+    returns None."""
+    from matdb_spark.catalog import register_store
+    from matdb_spark.database import Database
+
+    stmt = _strip_comments(statement)
+    m = _CREATE_RE.match(stmt)
+    if m:
+        cols = _parse_cols(m.group("cols"))
+        props = _parse_props(m.group("props"))
+        if "chunks" not in props:
+            raise ValueError(
+                "CREATE TABLE ... USING matdb requires TBLPROPERTIES"
+                " ('chunks' = '<dim>=<size>,...') naming the key columns"
+                " — matdb tables are keyed stores, not heaps"
+            )
+        schema = _schema_from_ddl(cols, _parse_chunks(props["chunks"]))
+        name, loc = m.group("name"), m.group("loc")
+        import os
+
+        exists = os.path.isfile(os.path.join(loc, "schema.json"))
+        if exists and not m.group("ine"):
+            raise ValueError(
+                f"store already exists at {loc!r} (use IF NOT EXISTS to"
+                " open-and-register it)"
+            )
+        if exists:
+            db = Database.open(spark, loc)
+            declared = [(d.name, d.type) for d in schema.dimensions] + [
+                (v.name, v.type) for v in schema.values
+            ]
+            actual = [
+                (d.name, d.type) for d in db.schema.dimensions
+            ] + [(v.name, v.type) for v in db.schema.values]
+            if declared != actual:
+                raise ValueError(
+                    f"declared columns {declared} do not match the"
+                    f" persisted store schema {actual} at {loc!r}"
+                )
+        else:
+            Database.create(spark, loc, schema)
+        df = register_store(spark, name, loc)
+        _DDL_TABLES[name] = loc
+        return df
+    m = _DROP_RE.match(stmt)
+    if m:
+        name = m.group("name")
+        if name not in _DDL_TABLES:
+            if m.group("ife"):
+                return None
+            raise ValueError(
+                f"unknown matdb table {name!r} (known:"
+                f" {sorted(_DDL_TABLES) or 'none'})"
+            )
+        spark.catalog.dropTempView(name)
+        _DDL_TABLES.pop(name, None)
+        return None
+    raise ValueError(
+        "unrecognized matdb DDL; supported: CREATE TABLE [IF NOT EXISTS]"
+        " <name> (<cols>) USING matdb LOCATION '<path>' [TBLPROPERTIES"
+        " ('chunks'='dim=size,...')] and DROP TABLE [IF EXISTS] <name>"
+    )
+
+
+def sql(spark, statement: str) -> DataFrame | None:
+    """Drop-in ``spark.sql`` front-end: matdb DDL statements go to
+    execute_ddl, everything else passes through verbatim — queries,
+    joins, and non-matdb DDL behave exactly as spark.sql. This is the
+    documented workaround for Spark's missing Python-catalog surface;
+    when a native ``spark.sql`` DDL against USING matdb is attempted,
+    the test-pinned failure is a table-provider error (see
+    tests/test_ddl.py)."""
+    s = _strip_comments(statement)
+    if _MATDB_DDL_RE.match(s) or (_DROP_RE.match(s) and _DROP_RE.match(s).group("name") in _DDL_TABLES):
+        return execute_ddl(spark, statement)
+    return spark.sql(statement)

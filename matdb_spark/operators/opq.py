@@ -1,0 +1,271 @@
+"""Optimized Product Quantization: a learned orthogonal rotation in
+front of PQ (Ge, He, Ke, Sun, "Optimized Product Quantization for
+Approximate Nearest Neighbor Search", CVPR 2013 — the non-parametric
+alternation). PQ splits a vector into m independent blocks, so its
+quantization error depends on how the data's correlation structure
+lines up with the block boundaries; OPQ learns the d×d orthogonal R
+minimizing ||R·x − decode(encode(R·x))||² by alternating
+
+1. a Lloyd codebook step on the ROTATED vectors (the existing
+   distributed ``pq_train_kmeans`` iteration, unchanged), and
+2. an orthogonal-Procrustes rotation update: with reconstructions
+   x̂ = decode(encode(R·x)) held fixed, the optimal rotation is
+   R = V·Uᵀ from the SVD U·S·Vᵀ of the cross-covariance M = Σ x·x̂ᵀ.
+
+Scale shape: step 1 is the already-audited one-job Lloyd iteration
+(shuffle cardinality m×k). Step 2 is one scan — codes and
+reconstructions are JVM-side column expressions (bit-identical to the
+probe's encode), and the d×d cross-covariance is accumulated as ONE
+partial outer-product per Arrow batch (``mapInPandas``: each batch
+emits d² doubles, the driver sums #batches such rows and runs a 64×64
+SVD — bounded by dimensionality, like the centroid table, never by
+corpus size). Train on a sample at 100 TB exactly as every OPQ/PQ
+deployment does; encode/probe costs gain only the O(d²) rotate
+expression per row (~the cost of one PQ encode).
+
+The rotation composes with the IVFADC index unchanged: an orthogonal
+map preserves norms and dot products, so nearest-centroid assignment,
+residuals, and cosine ranking in the rotated space equal their
+original-space counterparts — ``write_opq_ivfpq_index`` simply rotates
+corpus and centroids, trains the codebook on rotated residuals, and
+persists R in an ``_opq`` sidecar; the probe rotates queries and
+delegates to the existing ``ivfpq_topk_indexed``.
+
+The reference (a chunked integer store) has no vector search at all;
+this extends the engine's ANN family on the 100 TB training-pipeline
+axis. Public method only (the CVPR 2013 paper); no external libs —
+numpy's SVD on a d×d driver matrix.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from matdb_spark.functions.vectors import as_double
+
+
+def rotation_lit(R: list[list[float]]) -> Column:
+    """R as a constant-folded array<array<double>> literal (row-major:
+    element_at(r, j+1) is row j, the weights of output component j)."""
+    return F.from_json(
+        F.lit(json.dumps([[float(v) for v in row] for row in R])),
+        "array<array<double>>",
+    )
+
+
+def rotate_expr(vec: Column, r_lit: Column, d: int) -> Column:
+    """y = R·x as built-in expressions: per output component a
+    zip_with product + left-to-right aggregate fold (the engines'
+    sequential dot — deterministic accumulation order). O(d²) per row,
+    inside whole-stage codegen, no UDF."""
+    x = as_double(vec)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda j: F.aggregate(
+            F.zip_with(
+                F.element_at(r_lit, (j + 1).cast("int")),
+                x,
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+    )
+
+
+def rotate_vectors(
+    df: DataFrame, R: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """``df`` with ``vec_col`` replaced by R·vec (other columns kept)."""
+    d = len(R)
+    return df.withColumn(vec_col, rotate_expr(F.col(vec_col), rotation_lit(R), d))
+
+
+def _decode_expr(codes: Column, cb_lit: Column, m: int, k: int) -> Column:
+    """x̂ from m codes: concatenate the assigned codewords (the flat
+    codebook layout of similarity._pq_lit — block b code c at
+    b*k + c)."""
+    return F.flatten(
+        F.transform(
+            codes,
+            lambda c, b: F.element_at(cb_lit, (b * k + c + 1).cast("int")),
+        )
+    )
+
+
+def _cross_covariance(
+    data: DataFrame, R: list[list[float]], codebook, vec_col: str
+):
+    """M[i][j] = Σ_rows x_i · x̂_j where x̂ = decode(encode(R·x)) —
+    the Procrustes target. Codes and reconstructions are JVM-side
+    expressions (the probe's exact encode); only the outer-product
+    accumulation crosses into Arrow, one d×d partial per batch."""
+    import numpy as np
+    import pandas as pd
+
+    from matdb_spark.operators.similarity import _pq_codes_expr, _pq_lit
+
+    cb_lit, m, k, bs = _pq_lit(codebook)
+    d = m * bs
+    r_lit = rotation_lit(R)
+    rot = data.select(
+        as_double(F.col(vec_col)).alias("__x"),
+        rotate_expr(F.col(vec_col), r_lit, d).alias("__v"),
+    ).filter(F.col("__x").isNotNull())
+    coded = rot.select("__x", _pq_codes_expr(cb_lit, m, k, bs).alias("__c"))
+    pairs = coded.select("__x", _decode_expr(F.col("__c"), cb_lit, k=k, m=m).alias("__yh"))
+
+    def partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(list(pdf["__x"]), dtype=np.float64)
+            Y = np.asarray(list(pdf["__yh"]), dtype=np.float64)
+            yield pd.DataFrame({"m": [ (X.T @ Y).reshape(-1) ]})
+
+    parts = pairs.mapInPandas(partial, schema="m array<double>").collect()
+    M = np.zeros((d, d), dtype=np.float64)
+    for r in parts:
+        M += np.asarray(r["m"], dtype=np.float64).reshape(d, d)
+    return M
+
+
+def opq_train(
+    data: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 4,
+    pq_iters: int = 1,
+) -> tuple[list[list[float]], list[list[list[float]]], list[float]]:
+    """Non-parametric OPQ: alternate ``pq_iters`` Lloyd steps on the
+    rotated vectors with one Procrustes rotation update, ``iters``
+    times. ``data`` holds the RAW vectors to quantize (for IVFADC pass
+    the ``residuals`` relation — they must not be re-normalized, same
+    contract as ``pq_train_kmeans(normalize=False)``). Returns
+    (R, trained_codebook, mse_trajectory) where mse_trajectory[i] is
+    the quantization error ENTERING iteration i (mse_trajectory[0] is
+    plain-PQ's error under the identity rotation: the baseline OPQ
+    must beat — tests assert the trajectory is non-increasing and the
+    final error undercuts the start on block-misaligned data)."""
+    import numpy as np
+
+    from matdb_spark.operators.similarity import _pq_train_iter
+
+    m, k = len(codebook), len(codebook[0])
+    d = m * len(codebook[0][0])
+    R = np.eye(d, dtype=np.float64)
+    mses: list[float] = []
+    for it in range(iters):
+        rot = rotate_vectors(data, R.tolist(), vec_col)
+        for pi in range(pq_iters):
+            codebook, mse, _n, _cs = _pq_train_iter(
+                rot, codebook, id_col, vec_col, normalize=False
+            )
+            if pi == 0:
+                mses.append(mse)
+        M = _cross_covariance(data, R.tolist(), codebook, vec_col)
+        # max tr(R M): with M = U S Vt, the optimum is R = V Uᵀ
+        U, _S, Vt = np.linalg.svd(M)
+        R = Vt.T @ U.T
+    return R.tolist(), codebook, mses
+
+
+def write_opq_rotation(spark, path: str, R: list[list[float]]) -> None:
+    """Persist R under ``<index>/_opq`` (row-per-dimension parquet —
+    the ``_sq8`` sidecar convention, dim-bounded)."""
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(R)],
+        "i INT, row ARRAY<DOUBLE>",
+    )
+    df.coalesce(1).write.mode("error").parquet(path + "/_opq")
+
+
+def read_opq_rotation(spark, path: str) -> list[list[float]]:
+    rows = spark.read.parquet(path + "/_opq").collect()
+    by_i = {r["i"]: list(r["row"]) for r in rows}
+    missing = sorted(set(range(len(by_i))) - set(by_i))
+    if missing:
+        raise ValueError(
+            f"read_opq_rotation: rotation rows are not contiguous"
+            f" 0..{len(by_i) - 1} — missing {missing[:16]}"
+        )
+    return [by_i[i] for i in range(len(by_i))]
+
+
+def write_opq_ivfpq_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    m: int = 32,
+    k: int = 64,
+    sample_mod: int = 7,
+    opq_iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[float]]:
+    """IVFADC with an OPQ-rotated residual space: train R +codebook on
+    the original-space residuals, then persist the standard IVF-PQ
+    index over the ROTATED corpus and centroids plus the ``_opq``
+    sidecar. Because R is orthogonal, rotated-space cell assignment,
+    residuals (R·(x − c)), and cosine ranking all equal their
+    original-space counterparts — the index machinery is reused
+    verbatim, the rotation only realigns PQ's block structure with the
+    data's correlation structure. Returns (R, mse_trajectory)."""
+    from matdb_spark.operators.similarity import (
+        pq_codebook_from_residual_sample,
+        residuals,
+        write_ivfpq_index,
+    )
+
+    res = residuals(corpus, centroids, id_col, vec_col)
+    cb0 = pq_codebook_from_residual_sample(
+        corpus, centroids, id_col=id_col, vec_col=vec_col,
+        m=m, k=k, sample_mod=sample_mod,
+    )
+    R, cb, mses = opq_train(
+        res, cb0, id_col=id_col, vec_col=vec_col, iters=opq_iters
+    )
+    write_ivfpq_index(
+        rotate_vectors(corpus, R, vec_col),
+        rotate_vectors(centroids, R, vec_col),
+        cb,
+        path,
+        id_col=id_col,
+        vec_col=vec_col,
+        residual=True,
+    )
+    spark = corpus.sparkSession
+    write_opq_rotation(spark, path, R)
+    return R, mses
+
+
+def opq_ivfpq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """Probe an OPQ-rotated IVF-PQ index: rotate the queries by the
+    persisted R and delegate — ADC scores in the rotated space ARE the
+    original-space approximate cosines (orthogonal invariance), so
+    results rank directly against exact cosine top-k."""
+    from matdb_spark.operators.similarity import ivfpq_topk_indexed
+
+    R = read_opq_rotation(spark, path)
+    return ivfpq_topk_indexed(
+        spark,
+        path,
+        rotate_vectors(queries, R, vec_col),
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        **kwargs,
+    )

@@ -156,9 +156,11 @@ class MatdbDataSource(DataSource):
                 "Note a catalog table (CREATE TABLE ... USING matdb) "
                 "cannot work yet: Spark 4.1's Python Data Source API "
                 "does not forward table OPTIONS/LOCATION to the reader "
-                "(probed: reader-time options arrive empty) — register "
-                "a view instead: spark.read.format('matdb').load(p)"
-                ".createOrReplaceTempView(name)"
+                "(probed: reader-time options arrive empty) — use the "
+                "DDL shim instead: matdb_spark.ddl.sql(spark, \"CREATE "
+                "TABLE ... USING matdb LOCATION '...' TBLPROPERTIES "
+                "('chunks'='dim=size,...')\"), or register a view: "
+                "matdb_spark.catalog.register_store(spark, name, p)"
             )
         # the session catalog hands CREATE TABLE ... USING matdb
         # locations over as file: URIs; the manifest layer is plain-os
