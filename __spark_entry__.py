@@ -858,6 +858,79 @@ def q_dsv2_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replication ACROSS a mid-stream schema evolution (r6
+    verdict item 7), rebuilt per call — the query IS the lifecycle:
+
+    1. source store gets txn1 (all events), a CDC stream replicates it
+       into a fresh replica store (matdb streaming sink, availableNow);
+    2. the source GROWS a value column (add_value_column 'score' —
+       the one additive evolution the layout supports) and txn2
+       upserts every tenth event with value+1000 and a deterministic
+       score;
+    3. the stream RESTARTS on the same checkpoint — Structured
+       Streaming fixes a query's schema at start, so a restart is the
+       designed evolution point (Delta CDC's contract too). The
+       restarted source reads the evolved schema (old window segments
+       surface the new column as NULL via Arrow schema unification);
+       the sink carries ``.option('evolve', 'true')``, which adds the
+       new value column to the REPLICA before writing (strict default
+       still raises, dsv2._check_write_schema).
+
+    Returns the replica's snapshot — the oracle derives the same
+    evolved relation from events, so the gate hash-matches the
+    replicated store against the evolved source's truth."""
+    from matdb_spark import Database
+    from matdb_spark.sources.dsv2 import register_matdb_source
+
+    register_matdb_source(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    src_path = os.path.join(SCRATCH, f"cdc_evo_src_{tag}")
+    dst_path = os.path.join(SCRATCH, f"cdc_evo_dst_{tag}")
+    ckpt = os.path.join(SCRATCH, f"ckpt_cdc_evo_{tag}")
+    for p in (src_path, dst_path, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    src = Database.create(spark, src_path, _gate_mvcc_schema())
+    t1 = src.begin()
+    t1.add_dataframe(ev)
+    t1.commit()
+    Database.create(spark, dst_path, _gate_mvcc_schema())
+
+    def replicate(cols: list[str], evolve: bool) -> None:
+        q = (
+            spark.readStream.format("matdb")
+            .option("feed", "changes")
+            .option("since", 0)
+            .load(src_path)
+            .select(*cols)
+            .writeStream.format("matdb")
+            .option("source", f"cdc_evo_{tag}")
+            .option("evolve", str(evolve).lower())
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(dst_path)
+        )
+        q.awaitTermination(300)
+
+    replicate(["user_id", "event_id", "value"], evolve=False)
+    # mid-stream evolution on the SOURCE
+    src.add_value_column("score", "double")
+    t2 = src.begin()
+    t2.add_dataframe(
+        ev.filter(F.col("event_id") % 10 == 0).select(
+            "user_id",
+            "event_id",
+            (F.col("value") + 1000).alias("value"),
+            (F.col("event_id").cast("double") / 10.0).alias("score"),
+        )
+    )
+    t2.commit()
+    # restart on the same checkpoint: evolved source schema, evolving sink
+    replicate(["user_id", "event_id", "value", "score"], evolve=True)
+    return Database.open(spark, dst_path).begin().query(ordered=True)
+
+
 def q_mvcc_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan of a COMPACTED store: the same two-txn upsert content as
     q_mvcc_scan, folded by ``compact()`` + ``vacuum()`` into one
@@ -5044,6 +5117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_split_leakage_safe": q_split_leakage_safe,
         "q_scrub_pipeline": q_scrub_pipeline,
         "q_dsv2_cdc": q_dsv2_cdc,
+        "q_cdc_schema_evolution": q_cdc_schema_evolution,
         "q_auto_compact_scan": q_auto_compact_scan,
         "q_mvcc_compacted_scan": q_mvcc_compacted_scan,
         "q_mvcc_string_dim": q_mvcc_string_dim,
@@ -7176,6 +7250,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value,
                    'upsert' AS change_type,
                    CASE WHEN event_id % 10 = 0 THEN 2 ELSE 1 END AS txn
+            FROM events
+        """,
+        "q_cdc_schema_evolution": """
+            SELECT user_id, event_id,
+                   CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value,
+                   CASE WHEN event_id % 10 = 0 THEN CAST(event_id AS DOUBLE) / 10.0 END AS score
             FROM events
         """,
         "q_mvcc_compacted_scan": """

@@ -102,6 +102,80 @@ _ARROW_TYPES = {
 }
 
 
+def _truthy(v) -> bool:
+    return str(v).strip().lower() in ("true", "1", "yes")
+
+
+def _matdb_type_of(dt) -> str:
+    """Spark DataType → the engine's type-name vocabulary (the reverse
+    of schema._TYPE_MAP), for additive write-side evolution."""
+    from pyspark.sql import types as T
+
+    table = {
+        T.LongType(): "long",
+        T.IntegerType(): "int",
+        T.DoubleType(): "double",
+        T.FloatType(): "float",
+        T.StringType(): "string",
+        T.TimestampType(): "timestamp",
+        T.DateType(): "date",
+        T.BooleanType(): "boolean",
+        T.BinaryType(): "binary",
+        T.DecimalType(20, 0): "decimal(20,0)",
+    }
+    try:
+        return table[dt]
+    except KeyError:
+        raise ValueError(
+            f"cannot evolve store with a column of Spark type {dt}"
+        )
+
+
+def _check_write_schema(db_path: str, schema, evolve: bool) -> None:
+    """Write-side schema contract. Strict by default: DataFrame
+    columns must equal the store's. With ``.option("evolve", "true")``
+    (the mergeSchema idiom), EXTRA DataFrame columns are added to the
+    store as value columns first (Database.add_value_column — the one
+    additive evolution the layout supports; old segments read the new
+    column as null), so a CDC replica can follow a source that grew a
+    column mid-stream (r6 verdict item 7). Missing store columns are
+    an error either way — a write may not silently drop data the
+    store's schema promises."""
+    sch = Schema.load(os.path.join(db_path, SCHEMA_FILENAME))
+    expected = set(sch.column_names)
+    got = set(schema.fieldNames())
+    if got == expected:
+        return
+    missing = expected - got
+    extra = got - expected
+    if evolve and not missing and extra:
+        # the same additive evolution Database.add_value_column does
+        # (values grow, epoch bumps per column so scans merge footers),
+        # without constructing a Database handle on the write path
+        from matdb_spark.schema import Schema as _S, Value as _V
+
+        new_vals = list(sch.values)
+        epoch = sch.epoch
+        for f in schema.fields:
+            if f.name in extra:
+                new_vals.append(_V(f.name, _matdb_type_of(f.dataType)))
+                epoch += 1
+        _S(
+            dimensions=list(sch.dimensions), values=new_vals, epoch=epoch
+        ).save(os.path.join(db_path, SCHEMA_FILENAME))
+        return
+    raise ValueError(
+        f"matdb write schema mismatch: store columns "
+        f"{sorted(expected)}, DataFrame columns {sorted(got)}"
+        + (
+            " — pass .option('evolve', 'true') to add the new value"
+            " column(s) to the store"
+            if not missing and extra
+            else ""
+        )
+    )
+
+
 def _arrow_type(name: str):
     import pyarrow as pa
 
@@ -214,15 +288,9 @@ class MatdbDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> "MatdbBatchWriter":
         db_path = self._db_path()
-        expected = set(
-            Schema.load(os.path.join(db_path, SCHEMA_FILENAME)).column_names
+        _check_write_schema(
+            db_path, schema, evolve=_truthy(self.options.get("evolve"))
         )
-        got = set(schema.fieldNames())
-        if got != expected:
-            raise ValueError(
-                f"matdb write schema mismatch: store columns "
-                f"{sorted(expected)}, DataFrame columns {sorted(got)}"
-            )
         fr = self.options.get("flush_rows")
         return MatdbBatchWriter(
             db_path, overwrite, flush_rows=int(fr) if fr is not None else None
@@ -234,15 +302,9 @@ class MatdbDataSource(DataSource):
                 "matdb streaming sink supports append output mode only"
             )
         db_path = self._db_path()
-        expected = set(
-            Schema.load(os.path.join(db_path, SCHEMA_FILENAME)).column_names
+        _check_write_schema(
+            db_path, schema, evolve=_truthy(self.options.get("evolve"))
         )
-        got = set(schema.fieldNames())
-        if got != expected:
-            raise ValueError(
-                f"matdb write schema mismatch: store columns "
-                f"{sorted(expected)}, DataFrame columns {sorted(got)}"
-            )
         fr = self.options.get("flush_rows")
         return MatdbStreamWriter(
             db_path,
