@@ -2357,6 +2357,70 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _baseline_jpeg(dc_diff: int) -> bytes:
+    """Hand-assembled baseline JPEG (ITU T.81): 8×8 single-component
+    frame, unit quant table, minimal custom Huffman tables (DC symbols
+    {0,1,2}, AC = EOB only), one DC-only block of value ``dc_diff`` —
+    so the exact mean is 128 + dc/8 and brightness is known in closed
+    form. The decode side (multimodal._decode_jpeg) walks the REAL
+    entropy stream: Huffman, EXTEND sign logic, EOB."""
+    segs = [b"\xff\xd8"]
+
+    def seg(marker, body):
+        segs.append(
+            b"\xff" + bytes([marker]) + (len(body) + 2).to_bytes(2, "big") + body
+        )
+
+    seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # unit quant
+    # DC: sym0 -> '0', sym2 -> '10', sym1 -> '110'
+    seg(0xC4, bytes([0x00]) + bytes([1, 1, 1] + [0] * 13) + bytes([0, 2, 1]))
+    seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))  # AC: EOB
+    seg(0xC0, bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]))
+    seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    # entropy bits: DC category code + magnitude bits + EOB, 1-padded
+    codes = {0: "0", 1: "110", 2: "10"}
+    if dc_diff == 0:
+        bits = codes[0]
+    else:
+        cat = dc_diff.bit_length() if dc_diff > 0 else (-dc_diff).bit_length()
+        mag = dc_diff if dc_diff > 0 else dc_diff + (1 << cat) - 1
+        bits = codes[cat] + format(mag, f"0{cat}b")
+    bits += "0"  # EOB
+    bits += "1" * (-len(bits) % 8)
+    segs.append(bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8)))
+    segs.append(b"\xff\xd9")
+    return b"".join(segs)
+
+
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG brightness through the REAL decode pipeline (r6
+    verdict item 8): each doc carries one of four hand-assembled
+    baseline JPEGs (DC diff 0/+3/−3/+1 — constant binary literals, so
+    the payload column is a pure expression), decode_assets runs the
+    actual Huffman scan in Arrow batches, and brightness comes out as
+    mean-luma = (128 + DC/8)/255 exactly. The oracle states those four
+    closed-form constants — a wrong bit anywhere in the marker walk,
+    Huffman decode, EXTEND, or dequantization moves the hash."""
+    from matdb_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 256
+    )
+    variants = [_baseline_jpeg(dc) for dc in (0, 3, -3, 1)]
+    sel = F.col("doc_id") % 4
+    payload = (
+        F.when(sel == 0, F.lit(variants[0]))
+        .when(sel == 1, F.lit(variants[1]))
+        .when(sel == 2, F.lit(variants[2]))
+        .otherwise(F.lit(variants[3]))
+    )
+    assets = docs.withColumn("payload", payload)
+    return mm.decode_assets(assets, "doc_id").select(
+        "doc_id", "width", "height", "brightness"
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling explosion: one output row per pseudo-frame."""
     from matdb_spark.operators import multimodal as mm
@@ -5193,6 +5257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_audio": q_multimodal_audio,
         "q_multimodal_features": q_multimodal_features,
         "q_multimodal_decode": q_multimodal_decode,
+        "q_multimodal_jpeg": q_multimodal_jpeg,
         "q_multimodal_frames": q_multimodal_frames,
         "q02_min_cost_supplier": q02_min_cost_supplier,
         "q11_important_volume": q11_important_volume,
@@ -7849,6 +7914,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(sqrt(CAST(SUM(s * s) AS BIGINT) / COUNT(*))
                               / 32768.0 * 1000000.0 + 0.5) AS BIGINT) AS rms_micro
             FROM ch GROUP BY doc_id, (pos - 1) // 64
+        """,
+        "q_multimodal_jpeg": """
+            SELECT doc_id,
+                   CAST(8 AS INT) AS width,
+                   CAST(8 AS INT) AS height,
+                   CAST(CASE CAST(doc_id % 4 AS INT)
+                        WHEN 0 THEN 0.501961
+                        WHEN 1 THEN 0.503431
+                        WHEN 2 THEN 0.50049
+                        ELSE 0.502451 END AS DOUBLE) AS brightness
+            FROM documents WHERE doc_id < 256
         """,
         "q_multimodal_decode": """
             WITH d AS (

@@ -265,20 +265,120 @@ def _decode_png(payload: bytes) -> dict:
     return out
 
 
+class _JpegBits:
+    """Entropy-segment bit reader: handles 0xFF00 byte stuffing and
+    stops at (reporting) restart/terminating markers."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.cur = 0
+        self.nbits = 0
+        self.marker: int | None = None  # RSTn/EOI encountered
+
+    def _fill(self) -> None:
+        b = self.buf
+        if self.pos >= len(b):
+            raise NotImplementedError("JPEG entropy stream truncated")
+        byte = b[self.pos]
+        if byte == 0xFF:
+            if self.pos + 1 >= len(b):
+                raise NotImplementedError("JPEG entropy stream truncated")
+            nxt = b[self.pos + 1]
+            if nxt == 0x00:  # stuffed literal 0xFF
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                self.marker = nxt
+                raise _JpegMarker()
+            else:
+                raise NotImplementedError(
+                    f"unexpected marker 0xFF{nxt:02X} inside scan"
+                )
+        else:
+            self.pos += 1
+        self.cur = (self.cur << 8) | byte
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def resync(self) -> None:
+        """Consume the pending RSTn and realign to a byte boundary."""
+        self.pos += 2
+        self.cur = 0
+        self.nbits = 0
+        self.marker = None
+
+
+class _JpegMarker(Exception):
+    """Internal: a marker interrupted bit reading (restart or EOI)."""
+
+
+def _jpeg_huff(counts: list[int], symbols: list[int]) -> dict:
+    """(length, code) -> symbol map per JPEG's canonical code
+    assignment (ITU T.81 Annex C)."""
+    table = {}
+    code = 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = symbols[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_decode_symbol(bits: _JpegBits, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | bits.bit()
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise NotImplementedError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """Sign-extend a t-bit magnitude (T.81 F.2.2.1 EXTEND)."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
 def _decode_jpeg(payload: bytes) -> dict:
-    """JPEG metadata decode: walk the marker stream to the SOF frame
-    header and read precision/height/width/components — the
-    metadata-at-scale path (filtering/resizing decisions, layout
-    planning) without an entropy decoder. ``brightness`` is NULL:
-    luma would require a full DCT pipeline, and a wrong number is
-    worse than an absent one. Accepts baseline through progressive
-    (SOF0–SOF15 minus the non-frame C4/C8/CC markers); a truncated
-    stream or a DNL-deferred height raises NotImplementedError like
-    every other malformed payload."""
+    """Baseline JPEG decode for the asset card: dimensions from the
+    SOF header plus ``brightness`` from a minimal BASELINE-DCT luma
+    pass (r6 verdict item 8; ITU T.81 / the public JPEG spec only) —
+    the full Huffman entropy stream is walked (DC + AC run-lengths,
+    byte stuffing, restart markers), but no IDCT is needed: an 8×8
+    block's mean equals DC·Q[0]/8 + 128 (only the (0,0) basis has a
+    nonzero block sum), so mean luma = the Y component's dequantized
+    DC average over its block grid. Brightness is therefore defined
+    over the CODED grid — MCU padding at the right/bottom edges is
+    included, the deterministic convention this metric documents.
+
+    Baseline sequential (SOF0/SOF1) only: progressive and arithmetic
+    frames raise NotImplementedError and fall back to metadata-only
+    handling upstream, as does any truncated/desynced stream."""
     import struct
 
     pos = 2  # past SOI
     n = len(payload)
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    sof = None
+    baseline = False
+    restart_interval = 0
     while pos + 4 <= n:
         # skip fill bytes (0xFF padding before a marker is legal)
         if payload[pos] != 0xFF:
@@ -297,24 +397,156 @@ def _decode_jpeg(payload: bytes) -> dict:
             break
         (seglen,) = struct.unpack_from(">H", payload, pos)
         if seglen < 2 or pos + seglen > n:
+            if sof is not None:
+                # dimensions are already known; a broken tail costs
+                # brightness, never the metadata
+                out = _dims_ok(sof[0], sof[1])
+                out["brightness"] = None
+                return out
             raise NotImplementedError("truncated JPEG segment")
+        body = payload[pos + 2 : pos + seglen]
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             if seglen < 8:
                 raise NotImplementedError("short JPEG SOF")
-            _prec, height, width, ncomp = struct.unpack_from(
-                ">BHHB", payload, pos + 2
-            )
+            prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
             if height == 0:
                 raise NotImplementedError("JPEG DNL-deferred height")
             if ncomp not in (1, 3, 4):
                 raise NotImplementedError(f"JPEG components={ncomp}")
-            out = _dims_ok(width, height)
-            out["brightness"] = None  # metadata-only: no pixel decode
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            sof = (width, height, comps)
+            baseline = marker in (0xC0, 0xC1) and prec == 8
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            off = 0
+            while off + 17 <= len(body):
+                tc_th = body[off]
+                counts = list(body[off + 1 : off + 17])
+                nsym = sum(counts)
+                syms = list(body[off + 17 : off + 17 + nsym])
+                if len(syms) < nsym:
+                    raise NotImplementedError("truncated JPEG DHT")
+                htables[(tc_th >> 4, tc_th & 0xF)] = _jpeg_huff(counts, syms)
+                off += 17 + nsym
+        elif marker == 0xDB:  # DQT (8-bit tables; 16-bit -> give up)
+            off = 0
+            while off < len(body):
+                pq_tq = body[off]
+                if pq_tq >> 4 != 0:
+                    raise NotImplementedError("16-bit JPEG quant table")
+                qtables[pq_tq & 0xF] = list(body[off + 1 : off + 65])
+                off += 65
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS: entropy-coded scan follows
+            if sof is None:
+                break
+            if baseline:
+                try:
+                    return _jpeg_scan_brightness(
+                        payload, pos + seglen, sof, qtables, htables, body,
+                        restart_interval,
+                    )
+                except (NotImplementedError, IndexError, struct.error):
+                    pass  # broken/unsupported scan: metadata-only below
+            # progressive/12-bit/arithmetic, or an undecodable scan:
+            # a wrong brightness is worse than an absent one
+            out = _dims_ok(sof[0], sof[1])
+            out["brightness"] = None
             return out
-        if marker == 0xDA:  # SOS without a preceding SOF
-            break
         pos += seglen
+    if sof is not None:
+        out = _dims_ok(sof[0], sof[1])
+        out["brightness"] = None
+        return out
     raise NotImplementedError("JPEG without SOF header")
+
+
+def _jpeg_scan_brightness(
+    payload: bytes,
+    scan_pos: int,
+    sof,
+    qtables,
+    htables,
+    sos_body: bytes,
+    restart_interval: int,
+) -> dict:
+    """Decode the baseline scan, summing the Y component's dequantized
+    DC terms (T.81 F.2: DC diff coding + AC run-length skipping)."""
+    width, height, comps = sof
+    nsos = sos_body[0]
+    if nsos != len(comps):
+        raise NotImplementedError("JPEG non-interleaved scan")
+    tsel = {}
+    for i in range(nsos):
+        cs, td_ta = sos_body[1 + 2 * i], sos_body[2 + 2 * i]
+        tsel[cs] = (td_ta >> 4, td_ta & 0xF)
+    hmax = max(h for _, h, _v, _ in comps)
+    vmax = max(v for _, _h, v, _ in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    y_cid, y_h, y_v, y_tq = comps[0]
+    if y_tq not in qtables:
+        raise NotImplementedError("JPEG missing quant table")
+    qdc = qtables[y_tq][0]
+    bits = _JpegBits(payload, scan_pos)
+    pred = {cid: 0 for cid, *_ in comps}
+    dc_sum = 0
+    nyblocks = 0
+    mcu_count = 0
+    try:
+        for _ in range(mcux * mcuy):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                # the encoder pads to a byte boundary with 1-bits, then
+                # emits RSTn: discard the padding, expect the marker
+                bits.nbits = 0
+                buf = bits.buf
+                if not (
+                    bits.pos + 1 < len(buf)
+                    and buf[bits.pos] == 0xFF
+                    and 0xD0 <= buf[bits.pos + 1] <= 0xD7
+                ):
+                    raise NotImplementedError("JPEG missing restart marker")
+                bits.resync()
+                pred = {cid: 0 for cid, *_ in comps}
+            for cid, h, v, _tq in comps:
+                td, ta = tsel[cid]
+                dct = htables.get((0, td))
+                act = htables.get((1, ta))
+                if dct is None or act is None:
+                    raise NotImplementedError("JPEG missing Huffman table")
+                for _b in range(h * v):
+                    t = _jpeg_decode_symbol(bits, dct)
+                    diff = _jpeg_extend(bits.bits(t), t)
+                    pred[cid] += diff
+                    if cid == y_cid:
+                        dc_sum += pred[cid]
+                        nyblocks += 1
+                    kpos = 1
+                    while kpos < 64:
+                        rs = _jpeg_decode_symbol(bits, act)
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL: 16 zeros
+                            kpos += 16
+                            continue
+                        kpos += (rs >> 4) + 1
+                        bits.bits(rs & 0xF)  # AC magnitude: skip
+            mcu_count += 1
+    except _JpegMarker:
+        raise NotImplementedError("JPEG scan ended early (marker mid-MCU)")
+    if nyblocks == 0:
+        raise NotImplementedError("JPEG scan decoded no luma blocks")
+    mean = dc_sum * qdc / 8.0 / nyblocks + 128.0
+    out = _dims_ok(width, height)
+    out["brightness"] = round(min(max(mean, 0.0), 255.0) / 255.0, 6)
+    return out
 
 
 def _fake_decode(payload: bytes) -> dict:
