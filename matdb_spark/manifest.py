@@ -290,6 +290,13 @@ def publish(
     the listed committed txns are superseded by this one. ``extra``
     carries caller metadata (e.g. the streaming source/batch id used
     for exactly-once replay suppression)."""
+    if txn_id >= (1 << 31) - 1:
+        raise ValueError(
+            "txn-id overflow: the packed (txn, seq) version key"
+            " (scan.py) reserves 31 bits for txn ids, with the top id"
+            " 2^31-1 reserved for the read-your-own-writes overlay —"
+            " compact and rebuild the store to renumber"
+        )
     payload = {
         "txn": txn_id,
         "segments": segment_count,

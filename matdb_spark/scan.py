@@ -361,7 +361,12 @@ def scan_dataframe(
         # Read-your-own-writes overlay for unflushed rows
         # (reference: transaction.rs:80-83). Driver-side by nature:
         # these are rows the application just add_row()ed.
-        own = source.own_txn if source.own_txn is not None else 1 << 62
+        # The sentinel must outrank every committed txn AND survive the
+        # packed (txn·2³² + seq) version key without overflow: 2³¹−1 is
+        # the top of the txn-id space (manifest.publish reserves it —
+        # committed ids stay strictly below), and (2³¹−1)·2³² + seq
+        # tops out at 2⁶³−1, the last representable long.
+        own = source.own_txn if source.own_txn is not None else (1 << 31) - 1
         buf = spark.createDataFrame(source.buffered_rows, schema.staging_schema())
         for cond in _range_filters(schema, bounds or {}, with_chunks=False):
             buf = buf.filter(cond)
@@ -389,7 +394,22 @@ def scan_dataframe(
     # O2: newest-(txn, seq) wins per key. max_by keeps map-side partial
     # aggregation (one shuffle) — cheaper at scale than a row_number
     # window, which cannot partially aggregate.
+    #
+    # Version encoding: (txn, seq) packs into ONE long (txn·2³² + seq —
+    # lexicographic order preserved; txn < 2³¹ and seq < 2³² are
+    # engine invariants, seq counts WRITE CALLS per txn, not rows).
+    # The packed form matters for the physical strategy: a struct
+    # ordering key forces an immutable aggregation buffer, which
+    # disqualifies HashAggregate and compiles the whole resolution to
+    # SortAggregate — a per-partition sort on BOTH sides of the
+    # exchange (found by the r7 version-skew probe, scale_probe.py
+    # mvccskew). With a long key and a primitive value the buffer is
+    # mutable and the plan is two-phase HashAggregate: O(n) instead of
+    # O(n log n) per scan, and the map-side partial still collapses a
+    # hot key (one dim tuple holding 10% of rows) to one candidate per
+    # task before the shuffle.
     version = F.struct(F.col(TXN_COL), F.col(SEQ_COL))
+    version_long = F.col(TXN_COL) * F.lit(1 << 32) + F.col(SEQ_COL)
     if dedup_free:
         # One version per key already (single compacted txn): project
         # away the bookkeeping columns and skip the aggregation. Under
@@ -410,16 +430,33 @@ def scan_dataframe(
         # tombstones cannot delete under cell merge — deletes need the
         # default row-level mode.
         aggs = [
-            F.max_by(F.col(v), F.when(F.col(v).isNotNull(), version)).alias(v)
+            F.max_by(F.col(v), F.when(F.col(v).isNotNull(), version_long)).alias(v)
             for v in vals
         ]
         if include_txn:
-            aggs.append(F.max_by(F.col(TXN_COL), version).alias(TXN_COL))
+            aggs.append(F.max_by(F.col(TXN_COL), version_long).alias(TXN_COL))
         if not aggs:  # key-only schema: plain distinct on dims
             df = df.select(*[F.col(d) for d in dims]).distinct()
         else:
             df = df.groupBy(*[F.col(d) for d in dims]).agg(*aggs)
+    elif len(vals) == 1:
+        # SINGLE value column (the reference's exercised shape,
+        # block.rs:45-49): per-column max_by over the packed-long
+        # version is row-level resolution verbatim — there is no
+        # cross-column atomicity to protect, and tied versions (same
+        # (txn, seq) from one add_dataframe call) carry the same txn,
+        # so the optional __txn agg stays consistent with the value.
+        # Unlocks two-phase HashAggregate (see version note above).
+        aggs = [F.max_by(F.col(v), version_long).alias(v) for v in vals]
+        if include_txn:
+            aggs.append(F.max_by(F.col(TXN_COL), version_long).alias(TXN_COL))
+        df = df.groupBy(*[F.col(d) for d in dims]).agg(*aggs)
     else:
+        # Multiple value columns resolve through ONE struct payload:
+        # per-column max_by would be faster (hash-aggregable) but
+        # could stitch a row from DIFFERENT tied writes (same
+        # (txn, seq), e.g. duplicate keys inside one
+        # add_dataframe(dedup=False) call) — row atomicity wins.
         payload = F.struct(*[F.col(v) for v in vals], F.col(TXN_COL))
         winner = F.max_by(payload, version).alias("__w")
         df = df.groupBy(*[F.col(d) for d in dims]).agg(winner)

@@ -31,6 +31,13 @@ from matdb_spark import manifest
 from matdb_spark.scan import ScanSource, iterate_rows, scan_dataframe
 from matdb_spark.schema import SEQ_COL
 
+#: The packed (txn, seq) version key (scan.py) reserves 32 bits for
+#: the per-txn write sequence and 31 for the txn id; both limits are
+#: enforced at the cheap driver-side spots so the scan can pack
+#: fearlessly. seq counts WRITE CALLS (add_row / add_dataframe), not
+#: rows, so 2^32 is unreachable in practice.
+_SEQ_LIMIT = 1 << 32
+
 #: manifests stay small: a txn with more data files than this records
 #: no file list and its scans fall back to filesystem listing
 _MANIFEST_FILES_CAP = 20_000
@@ -82,6 +89,13 @@ class Transaction:
         if len(values) != expect:
             raise ValueError(f"expected {expect} column values, got {len(values)}")
         self._seq += 1
+        if self._seq >= _SEQ_LIMIT:
+            raise ValueError(
+                "write-sequence overflow: one transaction made 2^32"
+                " writes — split the load across transactions (the"
+                " packed (txn, seq) version key reserves 32 bits for"
+                " seq; scan.py)"
+            )
         self._unique_keys = False
         self._buffer.append(tuple(values) + (self._seq,))
 
@@ -159,6 +173,11 @@ class Transaction:
                 "use dedup='assume' if the keys are genuinely unique"
             )
         self._seq += 1
+        if self._seq >= _SEQ_LIMIT:
+            raise ValueError(
+                "write-sequence overflow: one transaction made 2^32"
+                " writes (see add_row)"
+            )
         cols = []
         present = set(df.columns)
         for name in self.schema.dim_names:

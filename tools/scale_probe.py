@@ -1143,6 +1143,81 @@ def probe_scrub(spark):
     print(f"  scrub probe done: 4x corpus cost ratio {ratio:.2f} (linear ~4)")
 
 
+def probe_mvcc_skew(spark, total: int = 4_000_000, hot_frac: float = 0.10):
+    """Adversarial version-skew probe for THE one shuffle in the MVCC
+    snapshot scan (r6 verdict item 5): a store where ONE dim tuple
+    holds ``hot_frac`` of all rows (the same key re-upserted hundreds
+    of thousands of times — a pathological hot sensor). The dedup
+    aggregation groups on the full dim tuple, so a naive engine would
+    funnel 10% of the table through one reducer; here the max_by
+    aggregation's MAP-SIDE PARTIAL step collapses the hot key to one
+    candidate row per map task before the exchange, so the shuffle
+    carries ~#tasks rows for the hot key regardless of its multiplicity
+    (AQE remains as the backstop for residual reducer imbalance). The
+    probe measures the skewed scan against a UNIFORM store of the same
+    row count and asserts the plan shape (two-phase HashAggregate)."""
+    from matdb_spark.plans.inspect import physical_plan
+
+    n_hot = int(total * hot_frac)
+    n_uni = total - n_hot
+
+    def build(path, skewed):
+        shutil.rmtree(path, ignore_errors=True)
+        db = Database.create(spark, path, Schema(
+            dimensions=[Dimension("k1", 50_000), Dimension("k2", 50_000)],
+            values=[Value("v")],
+        ))
+        uni = spark.range(n_uni if skewed else total).select(
+            (F.col("id") % 1_000_000).alias("k1"),
+            (F.col("id") / 1_000_000).cast("long").alias("k2"),
+            F.col("id").alias("v"),
+        )
+        txn = db.begin()
+        txn.add_dataframe(uni)
+        txn.commit()
+        if skewed:
+            hot = spark.range(n_hot).select(
+                F.lit(0).cast("long").alias("k1"),
+                F.lit(0).cast("long").alias("k2"),
+                F.col("id").alias("v"),
+            )
+            t2 = db.begin()
+            t2.add_dataframe(hot)
+            t2.commit()
+        return db
+
+    print(f"mvcc skew probe: {total} rows, hot key holds {n_hot}")
+    uni_db = build(os.path.join(SCRATCH, "probe_skew_uniform"), skewed=False)
+    skw_db = build(os.path.join(SCRATCH, "probe_skew_hot"), skewed=True)
+    t_uni = timed("scan uniform (count)", lambda: uni_db.begin().query().count())
+    t_skw_rows = timed("scan skewed (count)", lambda: skw_db.begin().query().count())
+    # correctness: the hot key resolves to exactly ONE row (newest wins)
+    hot_rows = (
+        skw_db.begin()
+        .query()
+        .filter((F.col("k1") == 0) & (F.col("k2") == 0))
+        .collect()
+    )
+    assert len(hot_rows) == 1 and hot_rows[0]["v"] == n_hot - 1, hot_rows
+    plan = physical_plan(skw_db.begin().query())
+    # two-phase aggregation: a partial HashAggregate BELOW the exchange
+    import re as _re
+
+    n_hashagg = len(_re.findall(r"\(\d+\) HashAggregate", plan))
+    assert n_hashagg >= 2, f"expected partial+final HashAggregate:\n{plan[:800]}"
+    print(f"  plan: {n_hashagg} HashAggregate stages (partial absorbs the hot key)")
+    import time as _t
+
+    t0 = _t.time()
+    n_u = uni_db.begin().query().count()
+    du = _t.time() - t0
+    t0 = _t.time()
+    n_s = skw_db.begin().query().count()
+    ds = _t.time() - t0
+    print(f"  steady: uniform {du:.2f}s ({n_u} rows)  skewed {ds:.2f}s ({n_s} rows)"
+          f"  degradation x{ds / du:.2f}")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "volume"
     spark = get_spark(app_name=f"scale_probe_{which}")
@@ -1187,6 +1262,8 @@ if __name__ == "__main__":
         probe_lsh_index(spark)
     elif which == "linededup":
         probe_line_dedup(spark)
+    elif which == "mvccskew":
+        probe_mvcc_skew(spark)
     elif which == "sq8":
         probe_sq8(spark)
     elif which == "scrub":

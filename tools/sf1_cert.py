@@ -1,0 +1,160 @@
+"""sf1.0 scale certification (r6 verdict item 1): run the headline
+operator families at 10x the bench SF and record per-family scaling
+ratios in SCALE.md §11.
+
+No sf1.0 testdata exists, so this tool derives one deterministically
+from sf0.1 (10 replicas, id-shifted; every token of each replica's
+text is salted with the replica number so replicas are NOT near-dups
+of each other — each replica preserves the original's internal
+near-dup structure exactly, which makes pair counts scale linearly by
+construction and keeps the dedup families' work honest; embeddings get
+a per-replica epsilon so vectors aren't exact ties). The derived
+tables use the SAME names the gate queries load, so certification runs
+the EXACT gated queries at both SFs — no parallel re-implementations.
+
+Protocol per query: run twice at each SF (first run builds that SF's
+persisted fixtures via _build_once; second run is the steady-state
+measurement, matching bench.py), record wall time + row count, report
+t(sf1.0)/t(sf0.1). 10x data -> ratio ~<= 10 is linear; Spark's fixed
+job overhead makes small queries sublinear.
+
+Usage: PYTHONPATH=/root/repo python tools/sf1_cert.py [gen|run|all]
+Scratch lives under /root/repo/.scratch/sf1.0 (gitignored).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from matdb_spark import get_spark
+from matdb_spark.sources.tables import load_table
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRATCH = os.path.join(ROOT, ".scratch")
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(SCRATCH, "sf1.0")
+REPS = 10
+
+#: the headline families (r6 verdict item 1's list)
+QUERIES = [
+    "q_mvcc_scan",            # MVCC snapshot scan (2-txn upsert store)
+    "q_dedup_admission",      # 3-batch admission lifecycle
+    "q_dedup_minhash_lsh",    # MinHash-LSH pair mining
+    "q_dedup_incremental",    # persisted-index probe
+    "q_similarity_ivf",       # IVF cell build + probe (live)
+    "q_similarity_sq8_indexed",  # persisted codes-only SQ8 index probe
+    "q_budget_select_global", # corpus-wide budget walk
+    "q_line_dedup",           # corpus-wide line dedup
+    "q_llm_pipeline",         # capstone: 5-stage curation
+    "q_loader_pipeline",      # capstone: BPE -> rebalance -> pack
+    "q_scrub_pipeline",       # capstone: PII -> line-dedup -> split
+]
+
+
+def generate(spark) -> None:
+    marker = os.path.join(DST, "_GENERATED")
+    if os.path.exists(marker):
+        print(f"sf1.0 tables already generated at {DST}")
+        return
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST, exist_ok=True)
+    rep = spark.range(REPS).select(F.col("id").alias("__r"))
+
+    docs = load_table(spark, SRC, "documents")
+    salted_text = F.when(F.col("__r") == 0, F.col("text")).otherwise(
+        F.regexp_replace(
+            F.col("text"),
+            F.lit(r"(\S+)"),
+            F.concat(F.lit("$1"), F.col("__r").cast("string")),
+        )
+    )
+    big_docs = docs.crossJoin(rep).select(
+        (F.col("doc_id") + F.col("__r") * F.lit(10_000_000)).alias("doc_id"),
+        salted_text.alias("text"),
+        "lang",
+        "source",
+    )
+    big_docs = big_docs.withColumn("n_chars", F.length("text").cast("long"))
+    big_docs.write.mode("overwrite").parquet(os.path.join(DST, "documents.parquet"))
+
+    emb = load_table(spark, SRC, "embeddings")
+    big_emb = emb.crossJoin(rep).select(
+        (F.col("vec_id") + F.col("__r") * F.lit(10_000_000)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x + F.col("__r").cast("float") * F.lit(0.001)).cast(
+                "float"
+            ),
+        ).alias("embedding"),
+        "label",
+    )
+    big_emb.write.mode("overwrite").parquet(os.path.join(DST, "embeddings.parquet"))
+
+    ev = load_table(spark, SRC, "events")
+    maxu = ev.agg(F.max("user_id")).first()[0] + 1
+    maxe = ev.agg(F.max("event_id")).first()[0] + 1
+    big_ev = ev.crossJoin(rep).select(
+        (F.col("event_id") + F.col("__r") * F.lit(maxe)).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("__r") * F.lit(maxu)).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    big_ev.write.mode("overwrite").parquet(os.path.join(DST, "events.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    for t in ("documents", "embeddings", "events"):
+        n = spark.read.parquet(os.path.join(DST, f"{t}.parquet")).count()
+        print(f"  generated {t}: {n} rows")
+
+
+def run(spark) -> None:
+    import __spark_entry__ as entry
+
+    queries = entry.queries()
+    results: dict[str, dict] = {}
+    for sf_dir in (SRC, DST):
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        for name in QUERIES:
+            fn = queries[name]
+            fn(spark, sf_dir).count()  # warm run: fixture build + JIT
+            t0 = time.perf_counter()
+            rows = fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            results.setdefault(name, {})[tag] = (round(dt, 2), rows)
+            print(f"  {tag:8s} {name:28s} {dt:7.2f} s  rows={rows}")
+    print("\nper-family scaling (t_sf1.0 / t_sf0.1; 10x data):")
+    table = {}
+    for name, r in results.items():
+        t01, n01 = r["sf0.1"]
+        t10, n10 = r["sf1.0"]
+        ratio = round(t10 / t01, 2) if t01 > 0 else None
+        table[name] = {
+            "sf0.1_s": t01,
+            "sf1.0_s": t10,
+            "ratio": ratio,
+            "rows_sf0.1": n01,
+            "rows_sf1.0": n10,
+        }
+        print(f"  {name:28s} {t01:7.2f} -> {t10:7.2f} s   x{ratio}")
+    print(json.dumps(table))
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    spark = get_spark(
+        app_name="sf1_cert", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    )
+    if mode in ("gen", "all"):
+        generate(spark)
+    if mode in ("run", "all"):
+        run(spark)
