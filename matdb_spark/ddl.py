@@ -38,6 +38,21 @@ Supported statements (documented dialect):
     Unregisters the view (data stays — the embedded-store contract;
     deleting a store is a filesystem operation the caller owns).
 
+  DESCRIBE HISTORY <name>
+    The commit log, newest first, as a DataFrame (Delta's DESCRIBE
+    HISTORY shape — Database.history(), metadata-only).
+
+  OPTIMIZE <name>
+    Compact the current snapshot into one superseding transaction
+    (Database.compact()); returns a 1-row DataFrame with the new txn
+    id (null when there was nothing to fold). The registered view is
+    refreshed to see the post-compaction snapshot.
+
+  VACUUM <name> [RETAIN <n> SECONDS]
+    Delete data+manifests superseded by a committed compaction older
+    than the retention window (Database.vacuum(min_age_seconds=n),
+    default 0); returns the removed txn ids as a DataFrame.
+
 Statements are parsed with anchored regexes over a comment-stripped
 single statement — a deliberate micro-dialect, not a SQL parser; the
 error messages name the expected shape.
@@ -84,6 +99,22 @@ _CREATE_RE = re.compile(
 _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?P<ife>IF\s+EXISTS\s+)?"
     r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_HISTORY_RE = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+SECONDS)?\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -226,10 +257,50 @@ def execute_ddl(spark, statement: str) -> DataFrame | None:
         spark.catalog.dropTempView(name)
         _DDL_TABLES.pop(name, None)
         return None
+
+    def _db_of(name: str) -> Database:
+        if name not in _DDL_TABLES:
+            raise ValueError(
+                f"unknown matdb table {name!r} (known:"
+                f" {sorted(_DDL_TABLES) or 'none'}) — register it with"
+                " CREATE TABLE IF NOT EXISTS ... USING matdb first"
+            )
+        return Database.open(spark, _DDL_TABLES[name])
+
+    m = _HISTORY_RE.match(stmt)
+    if m:
+        hist = _db_of(m.group("name")).history()
+        return spark.createDataFrame(
+            [
+                (
+                    h.get("txn"),
+                    h.get("segments"),
+                    float(h["committed_at"]) if h.get("committed_at") else None,
+                    list(h.get("replaces") or []),
+                )
+                for h in hist
+            ],
+            "txn LONG, segments LONG, committed_at DOUBLE, replaces ARRAY<LONG>",
+        )
+    m = _OPTIMIZE_RE.match(stmt)
+    if m:
+        name = m.group("name")
+        new_txn = _db_of(name).compact()
+        register_store(spark, name, _DDL_TABLES[name])  # see the fold
+        return spark.createDataFrame([(new_txn,)], "compacted_txn LONG")
+    m = _VACUUM_RE.match(stmt)
+    if m:
+        retain = float(m.group("n") or 0)
+        removed = _db_of(m.group("name")).vacuum(min_age_seconds=retain)
+        return spark.createDataFrame(
+            [(t,) for t in removed] or [], "removed_txn LONG"
+        )
     raise ValueError(
         "unrecognized matdb DDL; supported: CREATE TABLE [IF NOT EXISTS]"
         " <name> (<cols>) USING matdb LOCATION '<path>' [TBLPROPERTIES"
-        " ('chunks'='dim=size,...')] and DROP TABLE [IF EXISTS] <name>"
+        " ('chunks'='dim=size,...')], DROP TABLE [IF EXISTS] <name>,"
+        " DESCRIBE HISTORY <name>, OPTIMIZE <name>, and VACUUM <name>"
+        " [RETAIN <n> SECONDS]"
     )
 
 
@@ -242,6 +313,13 @@ def sql(spark, statement: str) -> DataFrame | None:
     the test-pinned failure is a table-provider error (see
     tests/test_ddl.py)."""
     s = _strip_comments(statement)
-    if _MATDB_DDL_RE.match(s) or (_DROP_RE.match(s) and _DROP_RE.match(s).group("name") in _DDL_TABLES):
+    routed = _MATDB_DDL_RE.match(s) or (
+        _DROP_RE.match(s) and _DROP_RE.match(s).group("name") in _DDL_TABLES
+    )
+    for pat in (_HISTORY_RE, _OPTIMIZE_RE, _VACUUM_RE):
+        m = pat.match(s)
+        if m and m.group("name") in _DDL_TABLES:
+            routed = True
+    if routed:
         return execute_ddl(spark, statement)
     return spark.sql(statement)

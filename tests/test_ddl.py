@@ -162,3 +162,41 @@ def test_typed_columns_roundtrip(spark, tmp_db_path):
     }
     assert rows == {(5, 1, "a", 1.5), (6, 2, "b", 2.5)}
     ddl.execute_ddl(spark, "DROP TABLE ddl_t5")
+
+
+def test_maintenance_statements(spark, tmp_db_path):
+    """DESCRIBE HISTORY / OPTIMIZE / VACUUM through the DDL dialect:
+    the full table-maintenance lifecycle a warehouse user runs."""
+    loc = os.path.join(tmp_db_path, "s6")
+    ddl.sql(spark, _create_stmt("ddl_t6", loc))
+    db = Database.open(spark, loc)
+    for i in range(3):
+        t = db.begin()
+        t.add_row([i, i * 10])
+        t.commit()
+    hist = ddl.sql(spark, "DESCRIBE HISTORY ddl_t6").collect()
+    assert [r["txn"] for r in hist] == [3, 2, 1]  # newest first
+    assert all(r["committed_at"] is not None for r in hist)
+
+    opt = ddl.sql(spark, "OPTIMIZE ddl_t6").first()
+    assert opt["compacted_txn"] == 4
+    # the refreshed view still serves the same relation
+    row = spark.sql("SELECT COUNT(*) AS n, SUM(v) AS s FROM ddl_t6").first()
+    assert (row["n"], row["s"]) == (3, 30)
+
+    removed = sorted(
+        r["removed_txn"] for r in ddl.sql(spark, "VACUUM ddl_t6").collect()
+    )
+    assert removed == [1, 2, 3]
+    # history now shows only the compaction
+    hist2 = ddl.sql(spark, "DESCRIBE HISTORY ddl_t6").collect()
+    assert [r["txn"] for r in hist2] == [4]
+    assert hist2[0]["replaces"] == [1, 2, 3]
+    # retention-window vacuum with nothing eligible returns empty
+    assert ddl.sql(spark, "VACUUM ddl_t6 RETAIN 3600 SECONDS").count() == 0
+    ddl.sql(spark, "DROP TABLE ddl_t6")
+
+
+def test_maintenance_unknown_table_raises(spark):
+    with pytest.raises(ValueError, match="unknown matdb table"):
+        ddl.execute_ddl(spark, "OPTIMIZE no_such_table_xyz")
