@@ -19,7 +19,12 @@ def test_gate_registry_consistent():
     # every registered query has an oracle (the sketch queries use
     # tolerance-banded oracles: exact counts + in-band verdicts)
     assert set(o) <= set(q)
-    assert set(q) - set(o) == set()
+    # rows-only gates: genuinely non-SQL-expressible (the driver
+    # records the weaker rows-only check for these, documented in each
+    # query's docstring). Keep this list EXPLICIT so a missing oracle
+    # is always a conscious decision, never an accident.
+    rows_only = {"q_ann_recall_opq"}  # iterated-SVD rotation
+    assert set(q) - set(o) == rows_only
     assert all(callable(f) for f in q.values())
     assert all(isinstance(s, str) and s.strip() for s in o.values())
 

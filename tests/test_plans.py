@@ -185,6 +185,7 @@ def test_gate_queries_stay_jvm_side(spark):
         "q_groupmap_rank",
         "q_udtf_split",
         "q_cogroup_stats",  # cogrouped applyInPandas — Arrow by design
+        "q_multimodal_jpeg",  # baseline-JPEG entropy decode — mapInPandas by design
     }
     # these execute work at build time (engine/stream pipelines) —
     # their plan checks are covered by their own tests
