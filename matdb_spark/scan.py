@@ -278,6 +278,22 @@ def scan_dataframe(
             )
         )
     )
+    # Tie-free: version TIES (identical (txn, seq) on one key) can only
+    # arise from duplicate keys inside a single write call; when EVERY
+    # visible txn is stamped unique_keys (dedup'ed bulk loads,
+    # compactions) and there is no RYOW overlay, versions per key are
+    # provably distinct. Multi-value row-level resolution can then use
+    # per-column max_by over the packed-long version — hash-aggregable
+    # — without risking a row stitched from different tied writes.
+    tie_free = (
+        not source.buffered_rows
+        and not (source.own_txn is not None and source.own_staged_segments > 0)
+        and len(read_txns) > 0
+        and all(
+            manifest.read_manifest_cached(source.db_path, t).get("unique_keys")
+            for t in read_txns
+        )
+    )
     # Version-rank overrides: a compaction that folded only a PREFIX of
     # the version order (minor compaction) writes under a new physical
     # txn id but must keep its *logical* position — its manifest's
@@ -439,13 +455,15 @@ def scan_dataframe(
             df = df.select(*[F.col(d) for d in dims]).distinct()
         else:
             df = df.groupBy(*[F.col(d) for d in dims]).agg(*aggs)
-    elif len(vals) == 1:
-        # SINGLE value column (the reference's exercised shape,
-        # block.rs:45-49): per-column max_by over the packed-long
-        # version is row-level resolution verbatim — there is no
-        # cross-column atomicity to protect, and tied versions (same
-        # (txn, seq) from one add_dataframe call) carry the same txn,
-        # so the optional __txn agg stays consistent with the value.
+    elif len(vals) == 1 or tie_free:
+        # Per-column max_by over the packed-long version IS row-level
+        # resolution whenever no two versions of a key can tie:
+        # - a SINGLE value column (the reference's exercised shape,
+        #   block.rs:45-49) has no cross-column atomicity to protect
+        #   (ties pick an arbitrary value, same as the struct path, and
+        #   tied versions share their txn so __txn stays consistent);
+        # - ``tie_free`` stores (every visible txn stamped unique_keys)
+        #   provably have no ties at all, multi-value included.
         # Unlocks two-phase HashAggregate (see version note above).
         aggs = [F.max_by(F.col(v), version_long).alias(v) for v in vals]
         if include_txn:
