@@ -335,6 +335,33 @@ def main() -> None:
     print("hybrid RRF fusion of a lexical and a vector ranking:")
     rrf_fuse([lex_rank, sem_rank], k=5).show()
 
+    # --- SQL DDL shim: the warehouse-user lifecycle by statement ----
+    from matdb_spark import ddl
+
+    ddl_loc = path + "_ddl"
+    shutil.rmtree(ddl_loc, ignore_errors=True)
+    ddl.sql(spark, f"""
+        CREATE TABLE demo_ddl (t BIGINT, s BIGINT, v BIGINT)
+        USING matdb LOCATION '{ddl_loc}'
+        TBLPROPERTIES ('chunks' = 't=1000,s=100')
+    """)
+    ddb = Database.open(spark, ddl_loc)
+    for wave in range(2):
+        txn = ddb.begin()
+        txn.add_rows([[i, i % 3, wave * 100 + i] for i in range(6)])
+        txn.commit()
+    from matdb_spark.catalog import refresh_store
+
+    refresh_store(spark, "demo_ddl", ddl_loc)
+    print("DDL-registered table, plain SQL:")
+    ddl.sql(spark, "SELECT s, COUNT(*) n, MAX(v) mx FROM demo_ddl GROUP BY s ORDER BY s").show()
+    print("DESCRIBE HISTORY / OPTIMIZE / VACUUM:")
+    ddl.sql(spark, "DESCRIBE HISTORY demo_ddl").show()
+    ddl.sql(spark, "OPTIMIZE demo_ddl").show()
+    ddl.sql(spark, "VACUUM demo_ddl").show()
+    ddl.sql(spark, "DROP TABLE demo_ddl")
+    shutil.rmtree(ddl_loc, ignore_errors=True)
+
     shutil.rmtree(sq8_path, ignore_errors=True)
     shutil.rmtree(ck, ignore_errors=True)
     shutil.rmtree(ivfpq, ignore_errors=True)
