@@ -198,3 +198,113 @@ def test_end_to_end_store_through_shim(spark, tmp_path, monkeypatch):
     assert not any(
         n.endswith(".tmp") for n in os.listdir(manifest.commits_dir(p))
     )
+
+
+# ---------------------------------------------------------------- r7:
+# checkpoint-vs-commit races under object-store semantics (the
+# manifest-checkpoint fold of r6 verdict item 3 must inherit the same
+# two invariants: a checkpoint can never lose a commit, and a torn or
+# lagging checkpoint can never corrupt a read).
+
+
+def _cold():
+    manifest.read_manifest_cached.cache_clear()
+    manifest._read_checkpoint_cached.cache_clear()
+
+
+def test_checkpoint_crash_mid_put_leaves_reads_intact(tmp_path, monkeypatch):
+    """Crash between the checkpoint tmp write and the PUT: the fold is
+    simply absent — resolution falls back to per-manifest reads, and
+    recovery sweeps the torn tmp."""
+    p = _mkstore(tmp_path)
+    for t in (1, 2, 3):
+        _publish(p, t)
+    ObjectStoreShim(monkeypatch, p, crash="before_copy")
+    with pytest.raises(CrashInjected):
+        manifest.write_checkpoint(p)
+    monkeypatch.undo()
+    _cold()
+    assert manifest.visible_txn_ids(p, horizon=10) == [1, 2, 3]
+    tmp = manifest.checkpoint_path(p, 3) + ".tmp"
+    assert os.path.exists(tmp)
+    manifest.recover(p, grace_seconds=0.0)
+    assert not os.path.exists(tmp)
+    assert manifest.visible_txn_ids(p, horizon=10) == [1, 2, 3]
+
+
+def test_checkpoint_crash_after_put_is_usable_and_debris_swept(
+    tmp_path, monkeypatch
+):
+    """Crash AFTER the checkpoint PUT (source tmp not deleted): the
+    fold landed whole (full-object PUT, never torn) and serves reads;
+    recovery sweeps only the tmp debris."""
+    p = _mkstore(tmp_path)
+    for t in (1, 2):
+        _publish(p, t)
+    ObjectStoreShim(monkeypatch, p, crash="after_copy")
+    with pytest.raises(CrashInjected):
+        manifest.write_checkpoint(p)
+    monkeypatch.undo()
+    _cold()
+    # the landed checkpoint is complete JSON and used on the read path
+    got = manifest._read_checkpoint_cached(p, 2)
+    assert sorted(got) == [1, 2]
+    assert manifest.visible_txn_ids(p, horizon=10) == [1, 2]
+    manifest.recover(p, grace_seconds=0.0)
+    assert not os.path.exists(manifest.checkpoint_path(p, 2) + ".tmp")
+    assert os.path.exists(manifest.checkpoint_path(p, 2))
+
+
+def test_commit_racing_fold_is_never_lost(tmp_path, monkeypatch):
+    """A commit PUT that lands DURING the fold (after the fold's
+    listing) is outside the checkpoint but must surface on the next
+    sweep — the listing, not the checkpoint, is the id source of
+    truth. Replayed with a stale LIST for good measure."""
+    p = _mkstore(tmp_path)
+    for t in (1, 2):
+        _publish(p, t)
+    assert manifest.write_checkpoint(p) == 2
+    shim = ObjectStoreShim(monkeypatch, p, stale_lists=1)
+    _publish(p, 3)  # lands after the shim captured the stale view
+    _cold()
+    first = manifest.visible_txn_ids(p, horizon=10)
+    assert first == [1, 2]  # stale LIST: older but complete snapshot
+    second = manifest.visible_txn_ids(p, horizon=10)
+    assert second == [1, 2, 3]  # converged; 3 read from its own JSON
+
+
+def test_checkpoint_gc_race_falls_back_to_manifests(tmp_path):
+    """A reader whose hint points at a just-GC'ed checkpoint (listing
+    raced the fold's cleanup) must degrade to per-file manifest reads,
+    never error."""
+    p = _mkstore(tmp_path)
+    for t in (1, 2):
+        _publish(p, t)
+    assert manifest.write_checkpoint(p) == 2
+    _cold()
+    assert manifest.committed_txn_ids(p) == [1, 2]  # hint now set to 2
+    os.unlink(manifest.checkpoint_path(p, 2))  # GC wins the race
+    # hint still says 2; the cached-read fallback serves {} and the
+    # per-manifest path answers
+    assert manifest.visible_txn_ids(p, horizon=10) == [1, 2]
+
+
+def test_two_writers_folding_same_top_is_idempotent(tmp_path, monkeypatch):
+    """Two writers that list the same committed set write
+    byte-equivalent checkpoints under the same name — last PUT wins
+    with identical content (manifests are immutable). Simulated with a
+    stale LIST: writer B's view was captured before writer A's fold
+    landed, so B re-folds and re-PUTs the same object."""
+    p = _mkstore(tmp_path)
+    for t in (1, 2, 3):
+        _publish(p, t)
+    # stale budget 3: writer A's fold consumes two listings (id sweep
+    # + GC) against the pre-checkpoint view it would have seen anyway;
+    # writer B's id sweep consumes the third — still pre-checkpoint.
+    ObjectStoreShim(monkeypatch, p, stale_lists=3)
+    assert manifest.write_checkpoint(p) == 3  # writer A
+    first = open(manifest.checkpoint_path(p, 3)).read()
+    manifest._read_checkpoint_cached.cache_clear()
+    assert manifest.write_checkpoint(p) == 3  # writer B, stale view
+    second = open(manifest.checkpoint_path(p, 3)).read()
+    assert json.loads(first)["manifests"] == json.loads(second)["manifests"]
