@@ -160,3 +160,26 @@ def test_rotation_sidecar_roundtrip(spark, tmp_db_path):
     write_opq_rotation(spark, p, R)
     back = read_opq_rotation(spark, p)
     assert np.allclose(np.asarray(back), np.asarray(R), atol=0)
+
+
+def test_sampled_training_generalizes(spark, aniso):
+    """Rotation + codebook trained on a deterministic subsample must
+    still clearly beat the identity-rotation start when evaluated —
+    the corpus-scale deployment shape (train on sample, encode all)."""
+    from matdb_spark.operators.similarity import _unit, pq_quantization_error
+
+    cb0 = pq_codebook_from_sample(aniso, m=4, k=8, sample_mod=5)
+    u = _unit(aniso, [F.col("vec_id")], "embedding", "embedding")
+    R, cb, mses = opq_train(u, cb0, iters=4, sample_mod=3)
+    Rn = np.asarray(R)
+    assert np.abs(Rn @ Rn.T - np.eye(len(R))).max() < 1e-12
+    # evaluate the SAMPLE-trained (R, cb) on the FULL corpus
+    rot_full = rotate_vectors(u, R, "embedding")
+    err_full = pq_quantization_error(rot_full, cb, normalize=False)
+    # identity-rotation baseline at the same Lloyd budget, full data
+    cb_pq = cb0
+    for _ in range(4):
+        cb_pq, mse_pq, _n, _cs = _pq_train_iter(
+            aniso, cb_pq, "vec_id", "embedding", normalize=True
+        )
+    assert err_full < mse_pq * 0.95, (err_full, mse_pq)
