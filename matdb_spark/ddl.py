@@ -42,6 +42,10 @@ Supported statements (documented dialect):
     The commit log, newest first, as a DataFrame (Delta's DESCRIBE
     HISTORY shape — Database.history(), metadata-only).
 
+  DESCRIBE DETAIL <name>
+    One-row store summary (Delta's DESCRIBE DETAIL shape —
+    Database.stats(): location, txn/segment/file counts, bytes).
+
   OPTIMIZE <name>
     Compact the current snapshot into one superseding transaction
     (Database.compact()); returns a 1-row DataFrame with the new txn
@@ -104,6 +108,11 @@ _DROP_RE = re.compile(
 
 _HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_DETAIL_RE = re.compile(
+    r"^\s*DESCRIBE\s+DETAIL\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -282,6 +291,27 @@ def execute_ddl(spark, statement: str) -> DataFrame | None:
             ],
             "txn LONG, segments LONG, committed_at DOUBLE, replaces ARRAY<LONG>",
         )
+    m = _DETAIL_RE.match(stmt)
+    if m:
+        db = _db_of(m.group("name"))
+        st = db.stats()
+        return spark.createDataFrame(
+            [
+                (
+                    _DDL_TABLES[m.group("name")],
+                    int(st["committed_txns"]),
+                    int(st["visible_txns"]),
+                    int(st["replaced_txns"]),
+                    int(st["segments"]),
+                    int(st["data_files"]),
+                    int(st["data_bytes"]),
+                    int(st["next_txn_id"]),
+                )
+            ],
+            "location STRING, committed_txns LONG, visible_txns LONG,"
+            " replaced_txns LONG, segments LONG, data_files LONG,"
+            " data_bytes LONG, next_txn_id LONG",
+        )
     m = _OPTIMIZE_RE.match(stmt)
     if m:
         name = m.group("name")
@@ -299,8 +329,8 @@ def execute_ddl(spark, statement: str) -> DataFrame | None:
         "unrecognized matdb DDL; supported: CREATE TABLE [IF NOT EXISTS]"
         " <name> (<cols>) USING matdb LOCATION '<path>' [TBLPROPERTIES"
         " ('chunks'='dim=size,...')], DROP TABLE [IF EXISTS] <name>,"
-        " DESCRIBE HISTORY <name>, OPTIMIZE <name>, and VACUUM <name>"
-        " [RETAIN <n> SECONDS]"
+        " DESCRIBE HISTORY <name>, DESCRIBE DETAIL <name>, OPTIMIZE"
+        " <name>, and VACUUM <name> [RETAIN <n> SECONDS]"
     )
 
 
@@ -316,7 +346,7 @@ def sql(spark, statement: str) -> DataFrame | None:
     routed = _MATDB_DDL_RE.match(s) or (
         _DROP_RE.match(s) and _DROP_RE.match(s).group("name") in _DDL_TABLES
     )
-    for pat in (_HISTORY_RE, _OPTIMIZE_RE, _VACUUM_RE):
+    for pat in (_HISTORY_RE, _DETAIL_RE, _OPTIMIZE_RE, _VACUUM_RE):
         m = pat.match(s)
         if m and m.group("name") in _DDL_TABLES:
             routed = True

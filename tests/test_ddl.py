@@ -200,3 +200,19 @@ def test_maintenance_statements(spark, tmp_db_path):
 def test_maintenance_unknown_table_raises(spark):
     with pytest.raises(ValueError, match="unknown matdb table"):
         ddl.execute_ddl(spark, "OPTIMIZE no_such_table_xyz")
+
+
+def test_describe_detail(spark, tmp_db_path):
+    loc = os.path.join(tmp_db_path, "s7")
+    ddl.sql(spark, _create_stmt("ddl_t7", loc))
+    db = Database.open(spark, loc)
+    t = db.begin()
+    t.add_rows([[i, i] for i in range(10)])
+    t.commit()
+    row = ddl.sql(spark, "DESCRIBE DETAIL ddl_t7").first()
+    assert row["location"] == os.path.abspath(loc) or row["location"] == loc
+    assert row["committed_txns"] == 1
+    assert row["visible_txns"] == 1
+    assert row["data_files"] >= 1 and row["data_bytes"] > 0
+    assert row["next_txn_id"] == 2
+    ddl.sql(spark, "DROP TABLE ddl_t7")
