@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import os
 import re
+import warnings
 
 from matdb_spark.database import SCHEMA_FILENAME
 
@@ -76,6 +77,25 @@ def register_store(spark, name: str, path: str, as_of: int | None = None):
         # every txn at-or-below the pin is either committed now or can
         # never commit (its reservation is gone).
         as_of = manifest.safe_feed_head(path)
+        # A reservation leaked by a crashed writer pins safe_feed_head
+        # in the past silently — fully committed newer txns would stay
+        # invisible until recover() sweeps it. Make that diagnosable at
+        # registration time (r7 advice, low).
+        committed = manifest.committed_txn_ids(path)
+        head = committed[-1] if committed else 0
+        if as_of < head:
+            stalled = [
+                t for t in manifest.outstanding_txn_ids(path) if t <= head
+            ]
+            warnings.warn(
+                f"store {path!r}: view pinned at safe_feed_head {as_of} "
+                f"behind committed head {head} — outstanding txn "
+                f"reservation(s) {stalled} hold the watermark back "
+                f"(a crashed writer's leak is swept by Database.recover/"
+                f"open after the staleness grace; pass as_of={head} to "
+                f"pin at the committed head regardless)",
+                stacklevel=2,
+            )
     df = (
         spark.read.format("matdb")
         .option("as_of", str(as_of))

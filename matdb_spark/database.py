@@ -561,7 +561,10 @@ class Database:
             }
         removed = sorted(eligible)
         for t in removed:
-            m.discard_txn_data(self.path, t)
+            # force: vacuum deletes published (superseded) txns — the
+            # manifest is removed together with the data, so the
+            # published-data guard in discard_txn_data must not apply
+            m.discard_txn_data(self.path, t, force=True)
             p = m.manifest_path(self.path, t)
             if os.path.exists(p):
                 os.unlink(p)

@@ -133,7 +133,32 @@ _MATDB_DDL_RE = re.compile(
 
 
 def _strip_comments(stmt: str) -> str:
-    return re.sub(r"--[^\n]*", "", stmt)
+    """Remove ``--`` line comments OUTSIDE single-quoted literals:
+    ``LOCATION '/data/my--store'`` must survive intact (r7 advice,
+    low). Single-quote escaping follows SQL ('' doubles the quote —
+    which this scanner handles naturally: the second ' just reopens
+    the literal)."""
+    out = []
+    i, n = 0, len(stmt)
+    in_str = False
+    while i < n:
+        c = stmt[i]
+        if in_str:
+            out.append(c)
+            if c == "'":
+                in_str = False
+            i += 1
+        elif c == "'":
+            in_str = True
+            out.append(c)
+            i += 1
+        elif c == "-" and i + 1 < n and stmt[i + 1] == "-":
+            while i < n and stmt[i] != "\n":
+                i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 
 def _parse_cols(cols: str) -> list[tuple[str, str]]:

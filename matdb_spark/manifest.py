@@ -609,9 +609,20 @@ def missing_history(db_path: str, as_of: int) -> list[int]:
     return sorted(gone)
 
 
-def discard_txn_data(db_path: str, txn_id: int) -> None:
+def discard_txn_data(db_path: str, txn_id: int, force: bool = False) -> None:
     """Rollback: delete staged data (reference: transaction.rs:138-150
-    deletes temp segment files)."""
+    deletes temp segment files).
+
+    Guard: once a manifest exists for the txn it is PUBLISHED and its
+    files are live snapshot content — a rollback/abort racing a
+    post-publish failure (e.g. a checkpoint fold raising after commit,
+    or Spark calling ``DataSourceWriter.abort`` because a post-commit
+    hook failed) must never delete them, or the committed snapshot
+    would reference deleted parquet. Vacuum passes ``force=True``
+    because it removes the superseded manifest together with the
+    data (database.py vacuum)."""
+    if not force and os.path.exists(manifest_path(db_path, txn_id)):
+        return
     d = txn_data_dir(db_path, txn_id)
     if os.path.isdir(d):
         shutil.rmtree(d)

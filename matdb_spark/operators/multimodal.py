@@ -449,7 +449,12 @@ def _decode_jpeg(payload: bytes) -> dict:
                         payload, pos + seglen, sof, qtables, htables, body,
                         restart_interval,
                     )
-                except (NotImplementedError, IndexError, struct.error):
+                except (
+                    NotImplementedError,
+                    IndexError,
+                    KeyError,  # SOS selectors not matching SOF ids
+                    struct.error,
+                ):
                     pass  # broken/unsupported scan: metadata-only below
             # progressive/12-bit/arithmetic, or an undecodable scan:
             # a wrong brightness is worse than an absent one

@@ -23,6 +23,7 @@ in-place-overwrite upsert semantics of the reference
 
 from __future__ import annotations
 
+import warnings
 from typing import TYPE_CHECKING, Iterable, Iterator, Sequence
 
 from pyspark.sql import DataFrame, Row, functions as F
@@ -529,13 +530,22 @@ class Transaction:
                 extra=payload or None,
             )
             self.db.note_committed(self.txn_id)
+            # The txn is durably published from this point: close the
+            # handle BEFORE any post-publish housekeeping so a failure
+            # there can never route through rollback() and delete the
+            # data of a committed txn.
+            self._closed = True
             # fold the manifest log every N commits so snapshot
             # resolution stays one-checkpoint-read flat however long
-            # the store lives (manifest.maybe_checkpoint docstring)
-            manifest.maybe_checkpoint(self.db.path)
+            # the store lives (manifest.maybe_checkpoint docstring).
+            # The checkpoint is purely a read ACCELERATOR — its failure
+            # (ENOSPC, permissions) must never fail the commit.
+            try:
+                manifest.maybe_checkpoint(self.db.path)
+            except Exception as e:  # pragma: no cover - env-dependent
+                warnings.warn(f"post-commit checkpoint fold failed: {e}")
             # policy hook AFTER this txn is fully closed: the hook may
             # open (and commit) compaction transactions of its own
-            self._closed = True
             self.db._after_commit(compaction=bool(replaces))
         self._closed = True
 
