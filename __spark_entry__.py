@@ -4187,11 +4187,14 @@ def q_ann_recall_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001/0.01/0.1, with residual quantization MSE falling ~2.4×
     over the identity-rotation start (trajectory in tests/test_opq.py,
     which also holds the teeth: identity-rotation PQ at the same Lloyd
-    budget scores strictly worse on block-misaligned data). NO SQL
-    oracle by design: the rotation comes from iterated SVD — a
-    genuinely non-SQL-expressible iterative algorithm — so the driver
-    records the rows-only check and the recall floor inside the result
-    is the value gate."""
+    budget scores strictly worse on block-misaligned data). The
+    TRAINING (iterated SVD) is not SQL-expressible, but the PROBE is
+    deterministic given the persisted sidecars — so the oracle
+    (_ann_recall_opq_sql) inlines the ``_opq`` rotation and trained
+    codebook read back from the fixture and replays rotate → assign →
+    encode → ADC → re-rank relationally, value-exact (r7 verdict top
+    item; the q_similarity_ivfpq oracle pattern extended with the
+    rotation fold)."""
     from matdb_spark.operators.opq import (
         opq_ivfpq_topk_indexed,
         write_opq_ivfpq_index,
@@ -5944,6 +5947,196 @@ def _ann_recall_refined_sql() -> str:
     """
 
 
+def _opq_oracle_branches() -> list[tuple[int, str, str]]:
+    """(dispatch_count, R_literal, CB_literal) per scale factor whose
+    OPQ fixture is warmed. The rotation/codebook come from ITERATED
+    SVD + Lloyd — not SQL-derivable — but the PROBE is deterministic
+    given the persisted ``_opq``/``_codebook`` sidecars, so the oracle
+    reads them back (pyarrow, full float64 round-trip via repr) and
+    replays rotate → assign → ADC → re-rank relationally (the r7
+    verdict's top item). Dispatch key: a CONTENT key of the embeddings
+    table — COUNT(*)*1e6 + (Σ floor(|first component|·1000)) % 1e6 —
+    because row counts collide across SFs (sf0.001/sf0.01 both hold
+    500 vectors with different values) and the derived sf1.0 set has
+    no lineitem table; float32→double widening and the floor are exact
+    in both engines, so the key is deterministic. A missing fixture
+    simply emits no branch — the oracle then fails loudly for that SF
+    instead of silently passing, so the round workflow keeps fixtures
+    warmed (they are rebuilt deterministically into .scratch by the
+    gate itself)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    def _content_key(emb_path: str) -> int:
+        import numpy as _np
+
+        files = (
+            sorted(_glob.glob(os.path.join(emb_path, "*.parquet")))
+            if os.path.isdir(emb_path)
+            else [emb_path]
+        )
+        n = 0
+        s = 0
+        for f in files:
+            t = _pq.read_table(f, columns=["embedding"]).to_pydict()
+            first = _np.asarray(
+                [row[0] for row in t["embedding"]], dtype=_np.float64
+            )
+            n += len(first)
+            s += int(_np.floor(_np.abs(first) * 1000.0).astype(_np.int64).sum())
+        return n * 1000000 + s % 1000000
+
+    out = []
+    for tag in ("sf0.001", "sf0.01", "sf0.1", "sf1.0"):
+        fx = os.path.join(SCRATCH, f"fixture_opq_ivfpq_{tag}")
+        emb = os.path.join(f"/root/testdata/{tag}", "embeddings.parquet")
+        if not os.path.exists(emb):
+            emb = os.path.join(SCRATCH, tag, "embeddings.parquet")
+        try:
+            if not _glob.glob(os.path.join(fx, "._built_*")):
+                continue
+            n = _content_key(emb)
+            rt = _pq.read_table(
+                _glob.glob(os.path.join(fx, "_opq", "*.parquet"))[0]
+            ).to_pydict()
+            rows = dict(zip(rt["i"], rt["row"]))
+            R = [list(rows[i]) for i in range(len(rows))]
+            ct = _pq.read_table(
+                _glob.glob(os.path.join(fx, "_codebook", "*.parquet"))[0]
+            ).to_pydict()
+            cbm = {
+                (b, c): list(v)
+                for b, c, v in zip(ct["b"], ct["code"], ct["centroid"])
+            }
+            m = 1 + max(b for b, _ in cbm)
+            k = 1 + max(c for _, c in cbm)
+            cb = [[cbm[(b, c)] for c in range(k)] for b in range(m)]
+        except (OSError, IndexError, KeyError, ValueError):
+            continue
+        rlit = (
+            "["
+            + ", ".join(
+                "[" + ", ".join(repr(x) for x in row) + "]" for row in R
+            )
+            + "]"
+        )
+        cblit = (
+            "["
+            + ", ".join(
+                "["
+                + ", ".join(
+                    "[" + ", ".join(repr(x) for x in cw) + "]" for cw in blk
+                )
+                + "]"
+                for blk in cb
+            )
+            + "]"
+        )
+        out.append((n, rlit, cblit))
+    return out
+
+
+def _ann_recall_opq_sql() -> str:
+    """Oracle for q_ann_recall_opq: the persisted rotation/codebook
+    inlined as literals (``_opq_oracle_branches``), then the full
+    rotated-space IVFADC chain replayed relationally with the SAME
+    float associations as the engine — rotate raw doubles (per output
+    component: ascending-i left fold, exactly opq.rotate_expr), THEN
+    unit-normalize the rotated vector (write_ivfpq_index's
+    assign_cells order), residual against the rotated unit centroid,
+    per-block L2-argmin encode against the per-block trained codebook
+    (ties to the lowest code), scaled-nprobe probe with the q·centroid
+    IVFADC offset added AFTER the block-order ADC fold, top-10, and
+    the shared recall tail against original-space exact top-10
+    (rotation never touches the exact side — orthogonal invariance is
+    the engine's claim, bit-replay is the oracle's)."""
+    branches = _opq_oracle_branches()
+    if branches:
+        rsel = " UNION ALL ".join(
+            f"SELECT {n} AS n, CAST({r} AS DOUBLE[][]) AS RL"
+            for n, r, _ in branches
+        )
+        csel = " UNION ALL ".join(
+            f"SELECT {n} AS n, CAST({c} AS DOUBLE[][][]) AS CB"
+            for n, _, c in branches
+        )
+    else:  # no warmed fixture: fail loudly (empty probe ≠ silent pass)
+        rsel = "SELECT 0 AS n, CAST([[0.0]] AS DOUBLE[][]) AS RL WHERE FALSE"
+        csel = "SELECT 0 AS n, CAST([[[0.0]]] AS DOUBLE[][][]) AS CB WHERE FALSE"
+    m, k, bs = 32, 64, 2
+    return f"""
+        WITH {_UNIT_E},
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        ckey AS (SELECT COUNT(*) * 1000000
+                        + (SUM(CAST(FLOOR(ABS(CAST(embedding[1] AS DOUBLE)) * 1000) AS BIGINT))
+                           % 1000000) AS n
+                 FROM embeddings),
+        rl AS (SELECT RL FROM ({rsel}) WHERE n = (SELECT n FROM ckey)),
+        cbl AS (SELECT CB FROM ({csel}) WHERE n = (SELECT n FROM ckey)),
+        rr AS (SELECT e0.vec_id,
+                      list_transform(range(1, 65), j ->
+                          list_sum(list_transform(range(1, 65), i ->
+                              rl.RL[j][i] * e0.v0[i]))) AS v0
+               FROM e0, rl),
+        ren AS (SELECT vec_id, v0,
+                       sqrt(list_sum(list_transform(range(1, 65), i -> v0[i] * v0[i]))) AS nn
+                FROM rr),
+        re AS (SELECT vec_id, list_transform(v0, y -> y / nn) AS v FROM ren),
+        rc AS (SELECT vec_id AS cell_id, v AS cv FROM re WHERE vec_id % 100 = 0),
+        c AS (SELECT cell_id FROM rc),
+        rassign AS (
+            SELECT vec_id, cell_id, v FROM (
+                SELECT re.vec_id, rc.cell_id, re.v,
+                       ROW_NUMBER() OVER (PARTITION BY re.vec_id
+                                          ORDER BY {_dot('re.v', 'rc.cv')} DESC, rc.cell_id) AS rnk
+                FROM re, rc) WHERE rnk = 1),
+        rres AS (SELECT a.vec_id, a.cell_id,
+                        list_transform(range(1, 65), i -> a.v[i] - rc.cv[i]) AS r
+                 FROM rassign a JOIN rc ON a.cell_id = rc.cell_id),
+        gb AS (SELECT unnest(range(0, {m})) AS b),
+        gc AS (SELECT unnest(range(0, {k})) AS code),
+        cw AS (SELECT gb.b, gc.code, cbl.CB[gb.b + 1][gc.code + 1] AS v
+               FROM cbl, gb, gc),
+        enc AS (
+            SELECT vec_id, b, code FROM (
+                SELECT rres.vec_id, cw.b, cw.code,
+                       ROW_NUMBER() OVER (PARTITION BY rres.vec_id, cw.b
+                                          ORDER BY list_sum(list_transform(range(1, {bs + 1}), i ->
+                                              (rres.r[cw.b * {bs} + i] - cw.v[i])
+                                              * (rres.r[cw.b * {bs} + i] - cw.v[i]))), cw.code) AS rnk
+                FROM rres, cw) WHERE rnk = 1),
+        rq AS (SELECT vec_id AS query_id, v AS qv FROM re WHERE vec_id < 10),
+        probe AS (
+            SELECT query_id, cell_id, qv, off FROM (
+                SELECT rq.query_id, rc.cell_id, rq.qv,
+                       {_dot('rq.qv', 'rc.cv')} AS off,
+                       ROW_NUMBER() OVER (PARTITION BY rq.query_id
+                                          ORDER BY {_dot('rq.qv', 'rc.cv')} DESC, rc.cell_id) AS rnk
+                FROM rq, rc) WHERE rnk <= {_SCALED_NPROBE_SQL}),
+        cand AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id, p.qv, p.off
+            FROM probe p JOIN rassign a ON a.cell_id = p.cell_id
+                                        AND a.vec_id <> p.query_id),
+        terms AS (
+            SELECT cand.query_id, cand.neighbor_id, cand.off, enc.b,
+                   list_sum(list_transform(range(1, {bs + 1}), i ->
+                       cand.qv[enc.b * {bs} + i] * cw.v[i])) AS t
+            FROM cand JOIN enc ON enc.vec_id = cand.neighbor_id
+                      JOIN cw ON cw.b = enc.b AND cw.code = enc.code),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   list_sum(list(t ORDER BY b)) + off AS raw_sim
+            FROM terms GROUP BY query_id, neighbor_id, off),
+        ap AS (SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY raw_sim DESC, neighbor_id) AS rank
+            FROM scored) WHERE rank <= 10),
+        {_exact_topk_cte(10)},{_RECALL_TAIL.format(floor="5.5")}
+    """
+
+
 def _bpe_train_sql(num_merges: int = 6) -> str:
     """Oracle for q_bpe_train: the merge loop unrolled as generated
     CTE stages. Each stage counts weighted adjacent pairs, takes the
@@ -7564,6 +7757,10 @@ def oracle_sql() -> dict[str, str]:
         "q_ann_recall_lsh": _ann_recall_lsh_sql(),
         "q_ann_lsh_indexed": _ann_lsh_indexed_sql(),
         "q_ann_recall_ivfpq": _ann_recall_ivfpq_sql(),
+        # replays the probe from the PERSISTED _opq/codebook sidecars
+        # (training is iterated SVD, not SQL; the probe is
+        # deterministic given the sidecars — r7 verdict top item)
+        "q_ann_recall_opq": _ann_recall_opq_sql(),
         "q_ann_recall_refined": _ann_recall_refined_sql(),
         # Invariant gate (docstring of q_pq_train): the per-iteration
         # errors are distributed double means no engine can replay

@@ -22,8 +22,11 @@ def test_gate_registry_consistent():
     # rows-only gates: genuinely non-SQL-expressible (the driver
     # records the weaker rows-only check for these, documented in each
     # query's docstring). Keep this list EXPLICIT so a missing oracle
-    # is always a conscious decision, never an accident.
-    rows_only = {"q_ann_recall_opq"}  # iterated-SVD rotation
+    # is always a conscious decision, never an accident. EMPTY since
+    # round 8: q_ann_recall_opq's oracle replays the probe from the
+    # persisted _opq/codebook sidecars (training stays un-replayable,
+    # the probe is deterministic given the sidecars).
+    rows_only: set[str] = set()
     assert set(q) - set(o) == rows_only
     assert all(callable(f) for f in q.values())
     assert all(isinstance(s, str) and s.strip() for s in o.values())
