@@ -560,6 +560,7 @@ class Database:
                 if not any(lo <= _eff(t) <= hi for lo, hi in holds)
             }
         removed = sorted(eligible)
+        pruned_removed: set[int] = set()
         for t in removed:
             # force: vacuum deletes published (superseded) txns — the
             # manifest is removed together with the data, so the
@@ -568,6 +569,13 @@ class Database:
             p = m.manifest_path(self.path, t)
             if os.path.exists(p):
                 os.unlink(p)
+            else:
+                # no per-txn JSON: the commit was pruned into the
+                # checkpoint (prune_manifest_log) — its entry there is
+                # load-bearing and must die WITH the data
+                pruned_removed.add(t)
+        if pruned_removed:
+            m.write_checkpoint(self.path, remove=pruned_removed)
         return removed
 
     def history(self) -> list[dict]:
@@ -592,6 +600,19 @@ class Database:
                 }
             )
         return sorted(out, key=lambda e: -e["txn"])
+
+    def prune_manifest_log(
+        self, grace_seconds: float = 3600.0
+    ) -> list[int]:
+        """Bound ``_commits/`` growth: delete per-txn manifest JSONs
+        already folded into the newest checkpoint once both are older
+        than ``grace_seconds`` (manifest.prune_manifest_log — the
+        retention companion to ``vacuum``, which bounds DATA growth).
+        The pruned entries live on inside the checkpoint, explicitly
+        flagged; every read path (scans, history, changes, time
+        travel, recovery) serves them from there. Returns the pruned
+        txn ids."""
+        return manifest.prune_manifest_log(self.path, grace_seconds)
 
     def export_snapshot(self, out_path: str, as_of: int | None = None) -> None:
         """Materialize the version-resolved snapshot (optionally a

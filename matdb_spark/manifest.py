@@ -37,7 +37,12 @@ import time
 _COMMITS_DIR = "_commits"
 _DATA_DIR = "data"
 _MANIFEST_RE = re.compile(r"^(\d{8,})\.json$")
-_CHECKPOINT_RE = re.compile(r"^_checkpoint\.(\d{8,})\.json$")
+#: ``_checkpoint.<top>.json`` (generation 0, the r7 format) or
+#: ``_checkpoint.<top>.<gen>.json`` — the generation increments when a
+#: checkpoint at the SAME top id must be rewritten (manifest-log prune
+#: flags entries, vacuum removes pruned entries); every name stays
+#: write-once, which is what keeps ``_read_checkpoint_cached`` safe.
+_CHECKPOINT_RE = re.compile(r"^_checkpoint\.(\d{8,})(?:\.(\d+))?\.json$")
 TXN_DIR_RE = re.compile(r"^txn=(\d+)$")
 
 #: Auto-fold the committed manifest set into a checkpoint file every
@@ -49,10 +54,11 @@ TXN_DIR_RE = re.compile(r"^txn=(\d+)$")
 #: idea applied to this manifest log).
 DEFAULT_CHECKPOINT_INTERVAL = 64
 
-#: Newest checkpoint id seen per store path, refreshed by every
-#: ``_commits`` listing (committed_txn_ids) — so the per-manifest read
-#: path can consult the checkpoint WITHOUT its own listing call.
-_CK_HINT: dict[str, int | None] = {}
+#: Newest checkpoint (top_txn_id, generation) seen per store path,
+#: refreshed by every ``_commits`` listing (committed_txn_ids) — so the
+#: per-manifest read path can consult the checkpoint WITHOUT its own
+#: listing call.
+_CK_HINT: dict[str, tuple[int, int] | None] = {}
 
 
 def commits_dir(db_path: str) -> str:
@@ -83,12 +89,19 @@ def init_layout(db_path: str) -> None:
 
 
 def committed_txn_ids(db_path: str) -> list[int]:
-    """All committed transaction ids, ascending (one listing call).
-    The same pass notes the newest checkpoint file into ``_CK_HINT``,
-    so subsequent per-manifest reads in the sweep hit the folded map
-    instead of one JSON file each."""
+    """All committed transaction ids, ascending (one listing call
+    plus, when the log has been PRUNED, one cached checkpoint read).
+    The committed set is the union of the ``_commits`` listing and the
+    newest checkpoint's ``pruned`` entries: for ids whose per-txn JSON
+    was pruned away (``prune_manifest_log``) the checkpoint IS the
+    source of truth — the one deliberate exception to
+    listing-is-truth, flagged explicitly inside the checkpoint so a
+    vacuumed manifest (deleted, NOT flagged) can never be resurrected
+    by a stale fold. The same pass notes the newest checkpoint
+    (top, generation) into ``_CK_HINT`` so per-manifest reads in the
+    sweep hit the folded map instead of one JSON file each."""
     out = []
-    ck: int | None = None
+    ck: tuple[int, int] | None = None
     for name in os.listdir(commits_dir(db_path)):
         m = _MANIFEST_RE.match(name)
         if m:
@@ -96,10 +109,14 @@ def committed_txn_ids(db_path: str) -> list[int]:
             continue
         c = _CHECKPOINT_RE.match(name)
         if c:
-            cid = int(c.group(1))
-            ck = cid if ck is None else max(ck, cid)
+            key = (int(c.group(1)), int(c.group(2) or 0))
+            ck = key if ck is None else max(ck, key)
     _CK_HINT[db_path] = ck
-    return sorted(out)
+    if ck is not None:
+        _map, pruned = _read_checkpoint_cached(db_path, ck)
+        if pruned:
+            out.extend(t for t in pruned if t in _map)
+    return sorted(set(out))
 
 
 def read_manifest(db_path: str, txn_id: int) -> dict:
@@ -121,82 +138,113 @@ def read_manifest_cached(db_path: str, txn_id: int) -> dict:
     On miss, the newest CHECKPOINT (folded manifest map, ``_CK_HINT``
     — refreshed by the listing every sweep starts with) is consulted
     before the per-txn JSON file: a 10k-commit store resolves its
-    snapshot with one checkpoint read instead of 10k file reads."""
+    snapshot with one checkpoint read instead of 10k file reads. A
+    manifest absent from BOTH (pruned between the caller's listing and
+    this read) retries once against a FRESH listing — the newest
+    checkpoint must carry it — before raising."""
     ck = _CK_HINT.get(db_path)
-    if ck is not None and txn_id <= ck:
-        m = _read_checkpoint_cached(db_path, ck).get(txn_id)
+    if ck is not None and txn_id <= ck[0]:
+        m = _read_checkpoint_cached(db_path, ck)[0].get(txn_id)
         if m is not None:
             return m
-    return read_manifest(db_path, txn_id)
+    try:
+        return read_manifest(db_path, txn_id)
+    except FileNotFoundError:
+        # pruned since the caller's listing: the prune wrote its
+        # flagged checkpoint BEFORE unlinking, so a fresh listing's
+        # newest checkpoint holds the payload
+        committed_txn_ids(db_path)
+        ck2 = _CK_HINT.get(db_path)
+        if ck2 is not None and ck2 != ck:
+            m = _read_checkpoint_cached(db_path, ck2)[0].get(txn_id)
+            if m is not None:
+                return m
+        raise
 
 
-def checkpoint_path(db_path: str, upto: int) -> str:
-    return os.path.join(commits_dir(db_path), f"_checkpoint.{upto:08d}.json")
+def checkpoint_path(db_path: str, upto: int, gen: int = 0) -> str:
+    base = f"_checkpoint.{upto:08d}"
+    if gen:
+        base += f".{gen}"
+    return os.path.join(commits_dir(db_path), base + ".json")
 
 
 @_functools.lru_cache(maxsize=4)
-def _read_checkpoint_cached(db_path: str, upto: int) -> dict[int, dict]:
-    """Parsed checkpoint → {txn_id: manifest payload}. Cache-safe: a
-    checkpoint file is write-once (a new fold always lands under a new
-    max-txn-id name; write_checkpoint skips when nothing is new).
-    maxsize is tiny because one entry covers an entire store. A
-    checkpoint GC'ed between the hint listing and this read degrades
-    to per-file manifest reads (empty map), never to an error."""
+def _read_checkpoint_cached(
+    db_path: str, key: tuple[int, int]
+) -> tuple[dict[int, dict], frozenset[int]]:
+    """Parsed checkpoint → ({txn_id: manifest payload}, pruned ids).
+    Cache-safe: every checkpoint NAME is write-once (a fold lands
+    under a new max-txn-id name; a same-top rewrite — prune flagging,
+    vacuum of pruned entries — bumps the generation suffix). maxsize
+    is tiny because one entry covers an entire store. A checkpoint
+    GC'ed between the hint listing and this read degrades to per-file
+    manifest reads (empty map), never to an error."""
     try:
-        with open(checkpoint_path(db_path, upto)) as f:
+        with open(checkpoint_path(db_path, key[0], key[1])) as f:
             raw = json.load(f)
     except (OSError, ValueError):
-        return {}
-    return {int(k): v for k, v in raw.get("manifests", {}).items()}
+        return {}, frozenset()
+    return (
+        {int(k): v for k, v in raw.get("manifests", {}).items()},
+        frozenset(int(t) for t in raw.get("pruned", [])),
+    )
 
 
 def latest_checkpoint_id(db_path: str) -> int | None:
-    """Newest checkpoint id from a fresh listing (None if no
+    """Newest checkpoint's top txn id from a fresh listing (None if no
     checkpoint exists)."""
     committed_txn_ids(db_path)  # refreshes _CK_HINT
-    return _CK_HINT.get(db_path)
+    ck = _CK_HINT.get(db_path)
+    return None if ck is None else ck[0]
 
 
-def write_checkpoint(db_path: str) -> int | None:
-    """Fold every currently-committed manifest into
-    ``_commits/_checkpoint.<max-txn-id>.json`` (atomic tmp + rename +
-    dir fsync — the publish durability discipline). Incremental: the
-    previous checkpoint supplies the already-folded payloads, so the
-    fold reads only manifests committed since (plus it DROPS entries
-    whose manifests were vacuumed away, keeping the file tracking the
-    live set). Old checkpoints beyond the newest 2 are deleted — a
-    reader mid-listing falls back to per-file reads if it loses the
-    race. Returns the folded id, or None when there is nothing new.
+def _list_checkpoints(db_path: str) -> list[tuple[int, int]]:
+    """(top, gen) keys of every checkpoint file, ascending."""
+    return sorted(
+        (int(m.group(1)), int(m.group(2) or 0))
+        for m in (
+            _CHECKPOINT_RE.match(n) for n in os.listdir(commits_dir(db_path))
+        )
+        if m
+    )
 
-    Concurrency: two writers folding at the same max id write
-    byte-equivalent content (manifests are immutable), and the rename
-    makes whichever PUT lands last a no-op overwrite of identical
-    state — no coordination needed, same as the commit protocol."""
-    ids = committed_txn_ids(db_path)
-    if not ids:
-        return None
-    prev = _CK_HINT.get(db_path)
-    top = ids[-1]
-    if prev is not None and top <= prev:
-        return None
-    base = _read_checkpoint_cached(db_path, prev) if prev is not None else {}
-    folded: dict[int, dict] = {}
-    for t in ids:
-        m = base.get(t)
-        if m is None:
-            try:
-                m = read_manifest(db_path, t)
-            except (OSError, ValueError):
-                # torn listing race (manifest vacuumed mid-fold): skip;
-                # the id will also vanish from the next listing
-                continue
-        folded[t] = m
+
+def _emit_checkpoint(
+    db_path: str,
+    folded: dict[int, dict],
+    pruned: set[int],
+    unprune: set[int] | None = None,
+) -> tuple[int, int]:
+    """Write the fold atomically (tmp + rename + dir fsync — the
+    publish durability discipline) under the next write-once name:
+    ``_checkpoint.<max folded id>.json``, or with a bumped generation
+    suffix when a checkpoint at that top already exists (prune/vacuum
+    rewrites). GCs all but the newest 2 checkpoints — a reader
+    mid-listing falls back to per-file reads if it loses the race.
+
+    Before writing, the NEWEST existing checkpoint's pruned flags are
+    merged in (minus ``unprune`` — vacuum's removals): a fold that
+    read its manifests just before a concurrent prune unlinked them
+    would otherwise emit those entries unflagged, and the committed
+    union (which trusts only flagged entries for ids missing from the
+    listing) would lose them."""
+    top = max(folded)
+    existing = _list_checkpoints(db_path)
+    if existing:
+        _pm, prev_pruned = _read_checkpoint_cached(db_path, existing[-1])
+        pruned = pruned | (set(prev_pruned) & set(folded)) - (unprune or set())
+    gen = 0
+    same = [g for t, g in existing if t == top]
+    if same:
+        gen = max(same) + 1
     payload = {
         "checkpoint": top,
-        "format": 1,
+        "format": 2,
         "manifests": {str(t): m for t, m in sorted(folded.items())},
+        "pruned": sorted(pruned),
     }
-    path = checkpoint_path(db_path, top)
+    path = checkpoint_path(db_path, top, gen)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(payload, f)
@@ -204,22 +252,80 @@ def write_checkpoint(db_path: str) -> int | None:
         os.fsync(f.fileno())
     os.replace(tmp, path)
     _fsync_dir(os.path.dirname(path))
-    _CK_HINT[db_path] = top
-    # GC: keep the newest 2 checkpoints (the one just written + one
-    # for readers who listed a moment ago)
-    cks = sorted(
-        int(m.group(1))
-        for m in (
-            _CHECKPOINT_RE.match(n) for n in os.listdir(commits_dir(db_path))
-        )
-        if m
-    )
-    for old in cks[:-2]:
+    _CK_HINT[db_path] = (top, gen)
+    keys = sorted(set(existing) | {(top, gen)})
+    for old in keys[:-2]:
         try:
-            os.unlink(checkpoint_path(db_path, old))
+            os.unlink(checkpoint_path(db_path, old[0], old[1]))
         except FileNotFoundError:
             pass
-    return top
+    return top, gen
+
+
+def write_checkpoint(db_path: str, remove: set[int] | None = None) -> int | None:
+    """Fold every currently-committed manifest into a checkpoint file.
+    Incremental: the previous checkpoint supplies the already-folded
+    payloads, so the fold reads only manifests committed since — and
+    it carries PRUNED entries forward (their per-txn JSONs no longer
+    exist; the checkpoint is their source of truth) while dropping
+    entries whose manifests were vacuumed away (deleted WITHOUT the
+    pruned flag). ``remove`` drops the named pruned entries too —
+    vacuum passes the superseded ids it reclaimed so a pruned txn dies
+    from checkpoint truth the moment its data dies. Returns the folded
+    top id, or None when there is nothing to do.
+
+    Concurrency: names are write-once ((top, gen) bumps on same-top
+    rewrites) and two writers folding the same state write
+    byte-equivalent content — no coordination needed, same as the
+    commit protocol. A manifest pruned between this fold's listing and
+    its per-file read is recovered from the pruner's own checkpoint
+    (which lands BEFORE any unlink), so the entry is carried, never
+    dropped."""
+    remove = remove or set()
+    ids = committed_txn_ids(db_path)
+    if not ids and not remove:
+        return None
+    prev = _CK_HINT.get(db_path)
+    listed = [t for t in ids]
+    if prev is not None:
+        base, base_pruned = _read_checkpoint_cached(db_path, prev)
+    else:
+        base, base_pruned = {}, frozenset()
+    new_listed = [
+        t for t in listed if t not in base_pruned and (prev is None or t > prev[0])
+    ]
+    if not new_listed and not remove and prev is not None:
+        return None
+    folded: dict[int, dict] = {}
+    pruned_out: set[int] = set()
+    for t in listed:
+        if t in remove:
+            continue
+        if t in base_pruned:
+            folded[t] = base[t]
+            pruned_out.add(t)
+            continue
+        m = base.get(t)
+        if m is None:
+            try:
+                m = read_manifest(db_path, t)
+            except (OSError, ValueError):
+                # gone between listing and read: either vacuumed (drop
+                # — it leaves the next listing too) or pruned by a
+                # racing pruner, whose checkpoint (written before its
+                # unlinks) carries the payload
+                committed_txn_ids(db_path)
+                ck2 = _CK_HINT.get(db_path)
+                if ck2 is not None and ck2 != prev:
+                    m2, p2 = _read_checkpoint_cached(db_path, ck2)
+                    if t in p2 and t in m2:
+                        folded[t] = m2[t]
+                        pruned_out.add(t)
+                continue
+        folded[t] = m
+    if not folded:
+        return None
+    return _emit_checkpoint(db_path, folded, pruned_out, unprune=remove)[0]
 
 
 def maybe_checkpoint(db_path: str, interval: int | None = None) -> int | None:
@@ -235,10 +341,85 @@ def maybe_checkpoint(db_path: str, interval: int | None = None) -> int | None:
     if not ids:
         return None
     prev = _CK_HINT.get(db_path)
-    behind = sum(1 for t in ids if prev is None or t > prev)
+    behind = sum(1 for t in ids if prev is None or t > prev[0])
     if behind < interval:
         return None
     return write_checkpoint(db_path)
+
+
+def prune_manifest_log(
+    db_path: str, grace_seconds: float = 3600.0
+) -> list[int]:
+    """Bound ``_commits/`` growth: delete the per-txn JSONs of commits
+    already FOLDED into the newest checkpoint, once both the
+    checkpoint and the manifest are older than ``grace_seconds``.
+    Returns the pruned txn ids.
+
+    Protocol note (the one deliberate exception to listing-is-truth):
+    a pruned commit's manifest lives on ONLY inside checkpoints — the
+    prune first emits a new checkpoint generation whose ``pruned``
+    list names the ids (atomic rename), and only then unlinks their
+    JSONs, so a crash between the two steps leaves both copies
+    (benign). From then on ``committed_txn_ids`` unions the listing
+    with the checkpoint's pruned entries, every fold carries them
+    forward, and vacuum removes them from checkpoint truth via
+    ``write_checkpoint(remove=...)`` when it reclaims their data. The
+    grace keeps the race surface empty for readers that listed before
+    the prune: their per-file read falls back to the flagged
+    checkpoint (read_manifest_cached), and ``_emit_checkpoint`` keeps
+    2 checkpoint files for listings a moment old.
+
+    At streaming commit rates this is the difference between millions
+    of small objects per store-year and a steady-state ``_commits/``
+    of (interval + unpruned-tail) files — the same job Delta's
+    log-retention/cleanup performs after its checkpoints."""
+    ids_listed = set()
+    for name in os.listdir(commits_dir(db_path)):
+        m = _MANIFEST_RE.match(name)
+        if m:
+            ids_listed.add(int(m.group(1)))
+    ck = _list_checkpoints(db_path)
+    if not ck:
+        return []
+    key = ck[-1]
+    ck_path = checkpoint_path(db_path, key[0], key[1])
+    now = time.time()
+    try:
+        if now - os.path.getmtime(ck_path) < grace_seconds:
+            return []
+    except OSError:
+        return []
+    cmap, already = _read_checkpoint_cached(db_path, key)
+    eligible = []
+    leftovers = []  # flagged by an earlier (crashed) prune, JSON lingers
+    for t in sorted(ids_listed):
+        if t not in cmap:
+            continue
+        try:
+            if now - os.path.getmtime(manifest_path(db_path, t)) < grace_seconds:
+                continue
+        except OSError:
+            continue
+        (leftovers if t in already else eligible).append(t)
+    if not eligible and not leftovers:
+        return []
+    if eligible:
+        folded = dict(cmap)
+        # fold in any post-checkpoint commits so the new generation is
+        # a superset (same content rule as write_checkpoint)
+        for t in sorted(ids_listed - set(cmap)):
+            try:
+                folded[t] = read_manifest(db_path, t)
+            except (OSError, ValueError):
+                continue
+        _emit_checkpoint(db_path, folded, set(already) | set(eligible))
+    for t in eligible + leftovers:
+        try:
+            os.unlink(manifest_path(db_path, t))
+        except FileNotFoundError:
+            pass
+    _fsync_dir(commits_dir(db_path))
+    return sorted(eligible + leftovers)
 
 
 def visible_txn_ids(db_path: str, horizon: int) -> list[int]:
@@ -576,6 +757,12 @@ def missing_history(db_path: str, as_of: int) -> list[int]:
         try:
             return read_manifest(db_path, t)
         except FileNotFoundError:
+            # pruned (not vacuumed): payload lives in the checkpoint
+            ck = _CK_HINT.get(db_path)
+            if ck is not None:
+                m = _read_checkpoint_cached(db_path, ck)[0].get(t)
+                if m is not None:
+                    return m
             return {}
 
     def missing(t: int) -> list[int]:

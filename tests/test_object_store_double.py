@@ -247,7 +247,7 @@ def test_checkpoint_crash_after_put_is_usable_and_debris_swept(
     monkeypatch.undo()
     _cold()
     # the landed checkpoint is complete JSON and used on the read path
-    got = manifest._read_checkpoint_cached(p, 2)
+    got, _pruned = manifest._read_checkpoint_cached(p, (2, 0))
     assert sorted(got) == [1, 2]
     assert manifest.visible_txn_ids(p, horizon=10) == [1, 2]
     manifest.recover(p, grace_seconds=0.0)
@@ -308,3 +308,80 @@ def test_two_writers_folding_same_top_is_idempotent(tmp_path, monkeypatch):
     assert manifest.write_checkpoint(p) == 3  # writer B, stale view
     second = open(manifest.checkpoint_path(p, 3)).read()
     assert json.loads(first)["manifests"] == json.loads(second)["manifests"]
+
+
+# ---------------------------------------------------------------------------
+# pruned-history races (r8: prune_manifest_log makes the checkpoint
+# load-bearing for flagged entries — the same two invariants extend:
+# a prune can never lose a commit, and a reader racing it never errs).
+
+
+def test_prune_crash_between_flag_and_unlink_is_benign(tmp_path, monkeypatch):
+    """The prune emits its flagged checkpoint BEFORE unlinking: a
+    crash in between leaves both the new checkpoint generation and the
+    per-txn JSONs — the committed union simply deduplicates."""
+    p = _mkstore(tmp_path)
+    for t in (1, 2):
+        _publish(p, t)
+    manifest.write_checkpoint(p)
+
+    real_unlink = os.unlink
+
+    def crashing_unlink(path):
+        if os.path.basename(str(path)).endswith(".json") and "_checkpoint" not in str(path):
+            raise CrashInjected("crashed before manifest unlink")
+        return real_unlink(path)
+
+    monkeypatch.setattr(os, "unlink", crashing_unlink)
+    with pytest.raises(CrashInjected):
+        manifest.prune_manifest_log(p, grace_seconds=0.0)
+    monkeypatch.undo()
+    _cold()
+    # both copies present: union is still exactly {1, 2}
+    assert manifest.committed_txn_ids(p) == [1, 2]
+    assert manifest.visible_txn_ids(p, horizon=10) == [1, 2]
+    # a retried prune completes the job
+    assert manifest.prune_manifest_log(p, grace_seconds=0.0) == [1, 2]
+    _cold()
+    assert manifest.committed_txn_ids(p) == [1, 2]
+
+
+def test_reader_with_stale_list_survives_prune(tmp_path, monkeypatch):
+    """Eventual-consistency LIST captured BEFORE the prune: the reader
+    sees manifest names that no longer exist. Their reads must fall
+    back to the pruner's flagged checkpoint, and the next (fresh)
+    listing converges."""
+    p = _mkstore(tmp_path)
+    for t in (1, 2, 3):
+        _publish(p, t, extra={"files": [f"f{t}.parquet"]})
+    manifest.write_checkpoint(p)
+    shim = ObjectStoreShim(monkeypatch, p, stale_lists=1)
+    manifest.prune_manifest_log(p, grace_seconds=0.0)
+    _cold()
+    # first listing is the stale pre-prune view; resolution still
+    # lands because every per-file miss falls back to the checkpoint
+    assert manifest.visible_txn_ids(p, horizon=10) == [1, 2, 3]
+    assert manifest.read_manifest_cached(p, 2)["files"] == ["f2.parquet"]
+    # converged view (fresh LIST): identical answer
+    assert manifest.visible_txn_ids(p, horizon=10) == [1, 2, 3]
+
+
+def test_fold_racing_prune_keeps_entries_flagged(tmp_path, monkeypatch):
+    """A fold whose listing predates a concurrent prune (stale LIST)
+    re-folds from the pre-prune view; its emitted checkpoint must
+    still FLAG the pruned entries (merged from the pruner's newest
+    generation at emit time) — otherwise the committed union would
+    lose them the moment the fold's generation wins."""
+    p = _mkstore(tmp_path)
+    for t in (1, 2):
+        _publish(p, t)
+    manifest.write_checkpoint(p)
+    manifest.prune_manifest_log(p, grace_seconds=0.0)  # gen (2, 1)
+    _publish(p, 3)
+    # the racing fold lists; every per-manifest read of 1/2 misses and
+    # recovers from gen (2, 1); the emitted (3, 0) must carry flags
+    _cold()
+    assert manifest.write_checkpoint(p) == 3
+    _cold()
+    assert manifest.committed_txn_ids(p) == [1, 2, 3]
+    assert manifest.visible_txn_ids(p, horizon=10) == [1, 2, 3]

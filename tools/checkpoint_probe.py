@@ -91,6 +91,22 @@ def main() -> None:
     t_steady, vis3 = timed(lambda: manifest.visible_txn_ids(p, N + K + 1))
     assert len(vis3) == N + K
 
+    # RETENTION (r7 verdict item 3): prune per-txn JSONs already
+    # folded into the checkpoint — _commits/ drops from O(#commits
+    # ever) names to (tail + checkpoints), while the committed set,
+    # snapshot resolution, and recovery stay identical.
+    files_before = len(os.listdir(manifest.commits_dir(p)))
+    manifest.write_checkpoint(p)  # fold the steady-state tail too
+    t_prune, pruned = timed(lambda: manifest.prune_manifest_log(p, 0.0))
+    files_after = len(os.listdir(manifest.commits_dir(p)))
+    cold()
+    t_pruned_resolve, vis4 = timed(
+        lambda: manifest.visible_txn_ids(p, N + K + 1)
+    )
+    assert vis4 == vis3, "prune changed the committed snapshot"
+    assert manifest.recover(p, grace_seconds=0.0) == N + K + 1
+
+    top, gen = manifest._list_checkpoints(p)[-1]
     print(
         json.dumps(
             {
@@ -104,10 +120,13 @@ def main() -> None:
                     t_commit_amortized * 1e3, 3
                 ),
                 "resolve_after_steady_s": round(t_steady, 4),
+                "commits_files_before_prune": files_before,
+                "pruned": len(pruned),
+                "commits_files_after_prune": files_after,
+                "prune_s": round(t_prune, 4),
+                "resolve_after_prune_s": round(t_pruned_resolve, 4),
                 "checkpoint_bytes": os.path.getsize(
-                    manifest.checkpoint_path(
-                        p, manifest.latest_checkpoint_id(p)
-                    )
+                    manifest.checkpoint_path(p, top, gen)
                 ),
             }
         )
