@@ -5103,6 +5103,65 @@ def q_catalog_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ddl.sql(spark, f"SELECT user_id, event_id, value FROM {name}")
 
 
+def q_ddl_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DML through the matdb dialect (ddl.py — r7 verdict item 4):
+    the two-txn upsert content written with ``INSERT INTO ... SELECT``
+    statements (one atomic MVCC transaction each, through
+    Transaction.add_dataframe's chunk-routed write path), then
+    ``ALTER TABLE ... ADD COLUMN`` (Database.add_value_column — old
+    rows read the evolved column as null), read back with a plain
+    SELECT against the registered name. The full SQL-user lifecycle:
+    CREATE → INSERT → INSERT(upsert) → ALTER → SELECT. Oracle:
+    q_mvcc_scan's CASE expression plus the evolved all-NULL column."""
+    from matdb_spark import ddl
+    from matdb_spark.sources.formats import _build_once
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    name = f"matdb_ddl_ins_{tag.replace('.', '_')}"
+    db_path = os.path.join(SCRATCH, f"gate_ddl_insert_{tag}")
+
+    def build(p: str) -> None:
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "value"
+        ).createOrReplaceTempView("__ddl_ins_events")
+        ddl.sql(
+            spark,
+            f"CREATE TABLE {name} (user_id BIGINT, event_id BIGINT,"
+            f" value DOUBLE) USING matdb LOCATION '{p}'"
+            f" TBLPROPERTIES ('chunks' = 'user_id=1000,event_id=100000')",
+        )
+        ddl.sql(
+            spark,
+            f"INSERT INTO {name} SELECT user_id, event_id, value"
+            f" FROM __ddl_ins_events",
+        )
+        # newest-wins upsert via a second statement (its own txn)
+        ddl.sql(
+            spark,
+            f"INSERT INTO {name} (user_id, event_id, value)"
+            f" SELECT user_id, event_id, value + 1000"
+            f" FROM __ddl_ins_events WHERE event_id % 10 = 0",
+        )
+        ddl.sql(spark, f"ALTER TABLE {name} ADD COLUMN tag DOUBLE")
+
+    _build_once(db_path, build, version=_MVCC_BUILD_VERSION)
+    # a warmed fixture skips build(): (re-)register via IF NOT EXISTS,
+    # which validates the declared columns (incl. the evolved one)
+    # against the persisted schema.json
+    ddl.sql(
+        spark,
+        f"CREATE TABLE IF NOT EXISTS {name} (user_id BIGINT,"
+        f" event_id BIGINT, value DOUBLE, tag DOUBLE) USING matdb"
+        f" LOCATION '{db_path}'"
+        f" TBLPROPERTIES ('chunks' = 'user_id=1000,event_id=100000')",
+    )
+    return ddl.sql(
+        spark,
+        f"SELECT user_id, event_id, value, tag FROM {name}"
+        f" ORDER BY user_id, event_id",
+    )
+
+
 def q_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source PII data card over the injected corpus: match
     totals per type, documents-with-PII, incidence rate — the
@@ -5187,6 +5246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_roundtrip": q_bpe_roundtrip,
         "q_catalog_sql": q_catalog_sql,
         "q_catalog_ddl": q_catalog_ddl,
+        "q_ddl_insert": q_ddl_insert,
         "q_hard_negatives": q_hard_negatives,
         "q_text_fold": q_text_fold,
         "q_split_leakage_safe": q_split_leakage_safe,
@@ -7492,6 +7552,12 @@ def oracle_sql() -> dict[str, str]:
         "q_catalog_ddl": """
             SELECT user_id, event_id,
                    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
+            FROM events
+        """,
+        "q_ddl_insert": """
+            SELECT user_id, event_id,
+                   CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value,
+                   CAST(NULL AS DOUBLE) AS tag
             FROM events
         """,
         "q_text_fold": _text_fold_sql(),

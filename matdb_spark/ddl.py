@@ -38,6 +38,22 @@ Supported statements (documented dialect):
     Unregisters the view (data stays — the embedded-store contract;
     deleting a store is a filesystem operation the caller owns).
 
+  INSERT INTO <name> [(col, ...)] VALUES (...), (...) | SELECT ... |
+      WITH ... SELECT ...
+    One atomic MVCC transaction per statement through the engine's
+    own write path (Transaction.add_dataframe — chunk routing, key
+    sort, canonical column types, newest-wins upsert semantics). The
+    column list, when given, must name EVERY store column (a write
+    may not silently drop columns the schema promises); SELECT
+    sources map positionally onto it. The registered view refreshes
+    to include the insert (views pin snapshots).
+
+  ALTER TABLE <name> ADD COLUMN[S] <col> <type>[, <col> <type> ...]
+    Additive value-column evolution (Database.add_value_column — the
+    one evolution the layout supports; old segments read the new
+    column as null). Dimensions cannot change: they are the physical
+    key. The view refreshes to expose the new column.
+
   DESCRIBE HISTORY <name>
     The commit log, newest first, as a DataFrame (Delta's DESCRIBE
     HISTORY shape — Database.history(), metadata-only).
@@ -65,13 +81,31 @@ error messages name the expected shape.
 from __future__ import annotations
 
 import re
+import weakref
 
 from pyspark.sql import DataFrame
 
 from matdb_spark.schema import Dimension, Schema, Value
 
-#: view name -> store path, for DROP TABLE and introspection
-_DDL_TABLES: dict[str, str] = {}
+#: PER-SESSION view-name -> store-path registry (DROP TABLE, DML and
+#: maintenance routing, introspection). Keyed weakly by SparkSession so
+#: two sessions in one process never see each other's names and a dead
+#: session's entries are collectable — the r7-advice fix for a
+#: process-global mutable map. Concurrency contract (documented, not
+#: locked): the DIALECT is single-driver — DROP/OPTIMIZE/VACUUM/ALTER
+#: assume one administering session per store at a time, while the
+#: underlying ENGINE protocol (manifest O_EXCL reservations, atomic
+#: publish, schema lock) keeps concurrent cross-process WRITERS safe
+#: regardless; see tests/test_ddl.py::test_session_scoped_registry.
+_DDL_TABLES_BY_SESSION: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _tables(spark) -> dict[str, str]:
+    tbl = _DDL_TABLES_BY_SESSION.get(spark)
+    if tbl is None:
+        tbl = {}
+        _DDL_TABLES_BY_SESSION[spark] = tbl
+    return tbl
 
 _TYPE_ALIASES = {
     "bigint": "long",
@@ -124,6 +158,23 @@ _OPTIMIZE_RE = re.compile(
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)"
     r"(?:\s+RETAIN\s+(?P<n>\d+)\s+SECONDS)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?"
+    r"(?P<body>(?:VALUES|SELECT|WITH|TABLE)\b.*?);?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s+"
+    r"ADD\s+COLUMN(?:S)?\s*\(?\s*"
+    r"(?P<coldefs>[A-Za-z_][A-Za-z0-9_]*\s+[A-Za-z_]+"
+    r"(?:\s*\(\s*20\s*,\s*0\s*\))?"
+    r"(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*\s+[A-Za-z_]+"
+    r"(?:\s*\(\s*20\s*,\s*0\s*\))?)*)\s*\)?\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -239,6 +290,7 @@ def execute_ddl(spark, statement: str) -> DataFrame | None:
     from matdb_spark.catalog import register_store
     from matdb_spark.database import Database
 
+    tables = _tables(spark)
     stmt = _strip_comments(statement)
     m = _CREATE_RE.match(stmt)
     if m:
@@ -276,30 +328,30 @@ def execute_ddl(spark, statement: str) -> DataFrame | None:
         else:
             Database.create(spark, loc, schema)
         df = register_store(spark, name, loc)
-        _DDL_TABLES[name] = loc
+        tables[name] = loc
         return df
     m = _DROP_RE.match(stmt)
     if m:
         name = m.group("name")
-        if name not in _DDL_TABLES:
+        if name not in tables:
             if m.group("ife"):
                 return None
             raise ValueError(
                 f"unknown matdb table {name!r} (known:"
-                f" {sorted(_DDL_TABLES) or 'none'})"
+                f" {sorted(tables) or 'none'})"
             )
         spark.catalog.dropTempView(name)
-        _DDL_TABLES.pop(name, None)
+        tables.pop(name, None)
         return None
 
     def _db_of(name: str) -> Database:
-        if name not in _DDL_TABLES:
+        if name not in tables:
             raise ValueError(
                 f"unknown matdb table {name!r} (known:"
-                f" {sorted(_DDL_TABLES) or 'none'}) — register it with"
+                f" {sorted(tables) or 'none'}) — register it with"
                 " CREATE TABLE IF NOT EXISTS ... USING matdb first"
             )
-        return Database.open(spark, _DDL_TABLES[name])
+        return Database.open(spark, tables[name])
 
     m = _HISTORY_RE.match(stmt)
     if m:
@@ -323,7 +375,7 @@ def execute_ddl(spark, statement: str) -> DataFrame | None:
         return spark.createDataFrame(
             [
                 (
-                    _DDL_TABLES[m.group("name")],
+                    tables[m.group("name")],
                     int(st["committed_txns"]),
                     int(st["visible_txns"]),
                     int(st["replaced_txns"]),
@@ -337,11 +389,75 @@ def execute_ddl(spark, statement: str) -> DataFrame | None:
             " replaced_txns LONG, segments LONG, data_files LONG,"
             " data_bytes LONG, next_txn_id LONG",
         )
+    m = _INSERT_RE.match(stmt)
+    if m:
+        name = m.group("name")
+        db = _db_of(name)
+        body = m.group("body").strip()
+        store_cols = list(db.schema.column_names)
+        collist = [
+            c.strip() for c in (m.group("cols") or "").split(",") if c.strip()
+        ]
+        if collist:
+            unknown = [c for c in collist if c not in store_cols]
+            if unknown:
+                raise ValueError(
+                    f"INSERT INTO {name}: unknown column(s) {unknown};"
+                    f" store columns are {store_cols}"
+                )
+            missing = [c for c in store_cols if c not in collist]
+            if missing:
+                raise ValueError(
+                    f"INSERT INTO {name}: missing column(s) {missing} —"
+                    " a matdb write must supply every store column"
+                    " (add_dataframe contract)"
+                )
+        else:
+            collist = store_cols
+        if body[:6].upper() == "VALUES":
+            src = spark.sql(
+                f"SELECT * FROM ({body}) AS __vals({', '.join(collist)})"
+            )
+        else:
+            src = spark.sql(body)
+            if len(src.columns) != len(collist):
+                raise ValueError(
+                    f"INSERT INTO {name}: query produces"
+                    f" {len(src.columns)} column(s), expected"
+                    f" {len(collist)} ({collist})"
+                )
+            src = src.toDF(*collist)
+        # canonical engine types (the segment layout is type-exact);
+        # one atomic MVCC transaction per statement
+        canon = db.schema.spark_schema()
+        src = src.select(
+            *[
+                src[f.name].cast(f.dataType).alias(f.name)
+                for f in canon.fields
+            ]
+        )
+        t = db.begin()
+        t.add_dataframe(src)
+        t.commit()
+        register_store(spark, name, tables[name])  # see the insert
+        return spark.createDataFrame([(t.txn_id,)], "inserted_txn LONG")
+    m = _ALTER_RE.match(stmt)
+    if m:
+        name = m.group("name")
+        db = _db_of(name)
+        added = []
+        for cname, ctype in _parse_cols(m.group("coldefs")):
+            db.add_value_column(cname, ctype)
+            added.append(cname)
+        register_store(spark, name, tables[name])  # see the column
+        return spark.createDataFrame(
+            [(c,) for c in added], "added_column STRING"
+        )
     m = _OPTIMIZE_RE.match(stmt)
     if m:
         name = m.group("name")
         new_txn = _db_of(name).compact()
-        register_store(spark, name, _DDL_TABLES[name])  # see the fold
+        register_store(spark, name, tables[name])  # see the fold
         return spark.createDataFrame([(new_txn,)], "compacted_txn LONG")
     m = _VACUUM_RE.match(stmt)
     if m:
@@ -354,6 +470,8 @@ def execute_ddl(spark, statement: str) -> DataFrame | None:
         "unrecognized matdb DDL; supported: CREATE TABLE [IF NOT EXISTS]"
         " <name> (<cols>) USING matdb LOCATION '<path>' [TBLPROPERTIES"
         " ('chunks'='dim=size,...')], DROP TABLE [IF EXISTS] <name>,"
+        " INSERT INTO <name> [(cols)] VALUES ... | SELECT ...,"
+        " ALTER TABLE <name> ADD COLUMN <col> <type>,"
         " DESCRIBE HISTORY <name>, DESCRIBE DETAIL <name>, OPTIMIZE"
         " <name>, and VACUUM <name> [RETAIN <n> SECONDS]"
     )
@@ -368,12 +486,20 @@ def sql(spark, statement: str) -> DataFrame | None:
     the test-pinned failure is a table-provider error (see
     tests/test_ddl.py)."""
     s = _strip_comments(statement)
+    tables = _tables(spark)
     routed = _MATDB_DDL_RE.match(s) or (
-        _DROP_RE.match(s) and _DROP_RE.match(s).group("name") in _DDL_TABLES
+        _DROP_RE.match(s) and _DROP_RE.match(s).group("name") in tables
     )
-    for pat in (_HISTORY_RE, _DETAIL_RE, _OPTIMIZE_RE, _VACUUM_RE):
+    for pat in (
+        _HISTORY_RE,
+        _DETAIL_RE,
+        _OPTIMIZE_RE,
+        _VACUUM_RE,
+        _INSERT_RE,
+        _ALTER_RE,
+    ):
         m = pat.match(s)
-        if m and m.group("name") in _DDL_TABLES:
+        if m and m.group("name") in tables:
             routed = True
     if routed:
         return execute_ddl(spark, statement)

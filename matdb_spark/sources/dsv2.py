@@ -288,9 +288,17 @@ def register_matdb_source(spark) -> None:
     """Register the ``matdb`` format with a session (idempotent).
     Python-source filter pushdown ships behind a conf flag in Spark 4
     and a reader that implements pushFilters REQUIRES it on — enable
-    it with the registration."""
+    it with the registration. A child session (``spark.newSession()``)
+    shares the parent's data-source registry and re-registration there
+    raises DATA_SOURCE_ALREADY_EXISTS instead of replacing — already
+    registered is exactly the state this function wants, so that
+    error is swallowed."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(MatdbDataSource)
+    try:
+        spark.dataSource.register(MatdbDataSource)
+    except Exception as e:  # AnalysisException, py4j-wrapped
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+            raise
 
 
 class MatdbDataSource(DataSource):

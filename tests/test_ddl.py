@@ -112,8 +112,12 @@ def test_dialect_errors(spark, tmp_db_path):
     with pytest.raises(ValueError, match="unknown matdb table"):
         ddl.execute_ddl(spark, "DROP TABLE never_created_xyz")
     assert ddl.execute_ddl(spark, "DROP TABLE IF EXISTS never_created_xyz") is None
-    with pytest.raises(ValueError, match="unrecognized matdb DDL"):
+    # ALTER joined the dialect in r8 — it now fails with "unknown
+    # matdb table" instead; TRUNCATE stays genuinely unrecognized
+    with pytest.raises(ValueError, match="unknown matdb table"):
         ddl.execute_ddl(spark, "ALTER TABLE foo ADD COLUMN x INT")
+    with pytest.raises(ValueError, match="unrecognized matdb DDL"):
+        ddl.execute_ddl(spark, "TRUNCATE TABLE foo")
 
 
 def test_sql_front_end_routes_and_passes_through(spark, tmp_db_path):
@@ -216,3 +220,166 @@ def test_describe_detail(spark, tmp_db_path):
     assert row["data_files"] >= 1 and row["data_bytes"] > 0
     assert row["next_txn_id"] == 2
     ddl.sql(spark, "DROP TABLE ddl_t7")
+
+
+# ---------------------------------------------------------------- r8: DML
+def test_insert_values_roundtrip(spark, tmp_db_path):
+    loc = os.path.join(tmp_db_path, "ins1")
+    ddl.execute_ddl(spark, _create_stmt("ddl_ins1", loc))
+    out = ddl.sql(spark, "INSERT INTO ddl_ins1 VALUES (1, 10), (2, 20)")
+    assert out.columns == ["inserted_txn"]
+    txn1 = out.first()["inserted_txn"]
+    assert txn1 is not None
+    # the view refreshed: SQL sees the rows immediately
+    got = {
+        r["k"]: r["v"]
+        for r in ddl.sql(spark, "SELECT k, v FROM ddl_ins1").collect()
+    }
+    assert got == {1: 10, 2: 20}
+    # newest-wins upsert: a second INSERT for key 1 replaces it
+    ddl.sql(spark, "INSERT INTO ddl_ins1 (k, v) VALUES (1, 99)")
+    got = {
+        r["k"]: r["v"]
+        for r in ddl.sql(spark, "SELECT k, v FROM ddl_ins1").collect()
+    }
+    assert got == {1: 99, 2: 20}
+    # each statement is ONE txn in history
+    hist = ddl.execute_ddl(spark, "DESCRIBE HISTORY ddl_ins1").collect()
+    assert len(hist) == 2
+
+
+def test_insert_select_and_column_permutation(spark, tmp_db_path):
+    loc = os.path.join(tmp_db_path, "ins2")
+    ddl.execute_ddl(spark, _create_stmt("ddl_ins2", loc))
+    spark.createDataFrame(
+        [(7, 70), (8, 80)], "a long, b long"
+    ).createOrReplaceTempView("ddl_ins2_src")
+    # permuted column list; SELECT maps positionally onto it
+    ddl.sql(
+        spark,
+        "INSERT INTO ddl_ins2 (v, k) SELECT b, a FROM ddl_ins2_src",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in ddl.sql(spark, "SELECT k, v FROM ddl_ins2").collect()
+    }
+    assert got == {7: 70, 8: 80}
+
+
+def test_insert_errors(spark, tmp_db_path):
+    loc = os.path.join(tmp_db_path, "ins3")
+    ddl.execute_ddl(spark, _create_stmt("ddl_ins3", loc))
+    with pytest.raises(ValueError, match="missing column"):
+        ddl.execute_ddl(spark, "INSERT INTO ddl_ins3 (k) VALUES (1)")
+    with pytest.raises(ValueError, match="unknown column"):
+        ddl.execute_ddl(spark, "INSERT INTO ddl_ins3 (k, nope) VALUES (1, 2)")
+    with pytest.raises(ValueError, match="produces 1 column"):
+        ddl.execute_ddl(spark, "INSERT INTO ddl_ins3 SELECT 1")
+    with pytest.raises(ValueError, match="unknown matdb table"):
+        ddl.execute_ddl(spark, "INSERT INTO no_such VALUES (1, 2)")
+
+
+def test_alter_add_column_then_insert(spark, tmp_db_path):
+    loc = os.path.join(tmp_db_path, "alt1")
+    ddl.execute_ddl(spark, _create_stmt("ddl_alt1", loc))
+    ddl.sql(spark, "INSERT INTO ddl_alt1 VALUES (1, 10)")
+    out = ddl.sql(spark, "ALTER TABLE ddl_alt1 ADD COLUMN extra DOUBLE")
+    assert [r["added_column"] for r in out.collect()] == ["extra"]
+    # old rows read the evolved column as NULL through the fresh view
+    row = ddl.sql(
+        spark, "SELECT k, v, extra FROM ddl_alt1 WHERE k = 1"
+    ).first()
+    assert row["v"] == 10 and row["extra"] is None
+    # inserts must now supply the new column
+    ddl.sql(spark, "INSERT INTO ddl_alt1 VALUES (2, 20, 2.5)")
+    row2 = ddl.sql(
+        spark, "SELECT extra FROM ddl_alt1 WHERE k = 2"
+    ).first()
+    assert row2["extra"] == 2.5
+    with pytest.raises(Exception, match="missing value column|missing column"):
+        ddl.execute_ddl(spark, "INSERT INTO ddl_alt1 (k, v) VALUES (3, 30)")
+
+
+def test_alter_add_columns_multi_and_errors(spark, tmp_db_path):
+    loc = os.path.join(tmp_db_path, "alt2")
+    ddl.execute_ddl(spark, _create_stmt("ddl_alt2", loc))
+    out = ddl.execute_ddl(
+        spark, "ALTER TABLE ddl_alt2 ADD COLUMNS (c1 BIGINT, c2 STRING)"
+    )
+    assert [r["added_column"] for r in out.collect()] == ["c1", "c2"]
+    assert set(ddl.sql(spark, "SELECT * FROM ddl_alt2").columns) == {
+        "k",
+        "v",
+        "c1",
+        "c2",
+    }
+    with pytest.raises(ValueError, match="already exists"):
+        ddl.execute_ddl(spark, "ALTER TABLE ddl_alt2 ADD COLUMN c1 BIGINT")
+    with pytest.raises(ValueError, match="unknown matdb table"):
+        ddl.execute_ddl(spark, "ALTER TABLE nope ADD COLUMN x BIGINT")
+
+
+def test_insert_on_non_matdb_table_passes_through(spark):
+    """sql() must not hijack INSERTs aimed at ordinary Spark tables."""
+    spark.sql("DROP TABLE IF EXISTS ddl_plain_ins")
+    spark.sql("CREATE TABLE ddl_plain_ins (x INT) USING parquet")
+    try:
+        ddl.sql(spark, "INSERT INTO ddl_plain_ins VALUES (5)")
+        assert spark.sql("SELECT x FROM ddl_plain_ins").first()["x"] == 5
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ddl_plain_ins")
+
+
+# -------------------------------------------------- r8: session scoping
+def test_session_scoped_registry(spark, tmp_db_path):
+    """The dialect's name->path registry is PER SparkSession (weakly
+    keyed): a second session in the same process neither sees nor can
+    mutate the first session's tables — the r7-advice fix for
+    process-global state. The single-driver contract for maintenance
+    statements is documented at the registry definition."""
+    loc = os.path.join(tmp_db_path, "scope1")
+    ddl.execute_ddl(spark, _create_stmt("ddl_scope1", loc))
+    assert ddl._tables(spark)["ddl_scope1"] == loc
+
+    other = spark.newSession()
+    try:
+        # invisible to the other session (the registry, independently
+        # of Spark's own child-session limitation pinned below)...
+        with pytest.raises(ValueError, match="unknown matdb table"):
+            ddl.execute_ddl(other, "DESCRIBE HISTORY ddl_scope1")
+        with pytest.raises(ValueError, match="unknown matdb table"):
+            ddl.execute_ddl(other, "INSERT INTO ddl_scope1 VALUES (1, 2)")
+        # a DROP in the other session cannot unregister ours
+        with pytest.raises(ValueError, match="unknown matdb table"):
+            ddl.execute_ddl(other, "DROP TABLE ddl_scope1")
+        assert "ddl_scope1" in ddl._tables(spark)
+        assert ddl._tables(other) == {}
+        assert ddl._tables(other) is not ddl._tables(spark)
+    finally:
+        ddl.execute_ddl(spark, "DROP TABLE IF EXISTS ddl_scope1")
+
+
+def test_child_session_python_source_limitation_pinned(spark, tmp_db_path):
+    """PIN a Spark 4.1 limitation that bounds the dialect's session
+    story: a ``spark.newSession()`` can neither re-register a Python
+    data source (DATA_SOURCE_ALREADY_EXISTS) nor read through the
+    parent's registration (DATA_SOURCE_NOT_FOUND at load) — so matdb
+    DDL is usable only from the session that registered the format.
+    If a Spark upgrade makes either call succeed, this test fails
+    loudly and full multi-session DDL can be enabled."""
+    register_matdb_source(spark)
+    other = spark.newSession()
+    # re-registration is swallowed as already-exists (idempotence)...
+    register_matdb_source(other)
+    # ...but the child still cannot LOAD the format
+    loc = os.path.join(tmp_db_path, "child_probe")
+    Database.create(
+        spark,
+        loc,
+        __import__("matdb_spark").Schema(
+            dimensions=[__import__("matdb_spark").Dimension("k", 10)],
+            values=[__import__("matdb_spark").Value("v")],
+        ),
+    )
+    with pytest.raises(Exception, match="DATA_SOURCE_NOT_FOUND"):
+        other.read.format("matdb").load(loc).collect()
