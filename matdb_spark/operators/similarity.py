@@ -135,6 +135,7 @@ def kmeans_centroids(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd's iterations for IVF centroid building:
     init = the k lowest-id vectors (reproducible, no RNG), then
@@ -148,7 +149,16 @@ def kmeans_centroids(
     array_agg sorted by position. One shuffle per iteration (the
     assignment groupBy); lineage cut per iteration via localCheckpoint.
     Empty cells drop out (k can shrink) — harmless for IVF probing.
+
+    ``sample_mod``: train on the deterministic ``id % sample_mod == 0``
+    subsample — the corpus-scale deployment shape (opq.opq_train's
+    knob, generalized here per the r7 verdict): centroids generalize
+    from a sample, every Lloyd scan then touches 1/sample_mod of the
+    rows, and the full corpus is only ever ASSIGNED once, at index
+    write. Seeds stay the k lowest SAMPLED ids (deterministic).
     """
+    if sample_mod is not None and sample_mod > 1:
+        corpus = corpus.filter(F.col(id_col) % sample_mod == 0)
     cents = (
         corpus.orderBy(F.col(id_col).asc())
         .limit(k)
@@ -181,6 +191,7 @@ def kmeans_centroids_report(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_mod: int | None = None,
 ) -> tuple[DataFrame, list[float], int, int]:
     """kmeans_centroids with the spherical-k-means objective trajectory
     — (centroids_df, [obj_0 .. obj_iters-1], n_vectors,
@@ -197,8 +208,15 @@ def kmeans_centroids_report(
     per-(cell, position) means carrying per-cell counts and
     similarity sums in the same aggregation; the k·d centroid floats
     rebuild driver-side, so there are no executor-pinned checkpoint
-    chains at all (unlike the original kmeans_centroids loop)."""
+    chains at all (unlike the original kmeans_centroids loop).
+
+    ``sample_mod`` trains on the deterministic ``id % sample_mod == 0``
+    subsample (kmeans_centroids' knob): the reported objective,
+    n_vectors, and init_cell_sum all describe the SAMPLE — which is
+    what a replaying oracle must filter to."""
     spark = corpus.sparkSession
+    if sample_mod is not None and sample_mod > 1:
+        corpus = corpus.filter(F.col(id_col) % sample_mod == 0)
     cents = (
         corpus.orderBy(F.col(id_col).asc())
         .limit(k)
@@ -1346,6 +1364,7 @@ def pq_train_kmeans(
     vec_col: str = "embedding",
     iters: int = 5,
     normalize: bool = True,
+    sample_mod: int | None = None,
 ) -> list[list[list[float]]]:
     """Lloyd-iteration PQ training (the real trainer of Jégou et al.):
     starting from any codebook (e.g. pq_codebook_from_sample), each
@@ -1356,7 +1375,12 @@ def pq_train_kmeans(
     never vectors); the m·k·(d/m) floats collect to the driver each
     round. Codes with no members keep their previous codeword.
     ``normalize=False`` trains on the arrays as-is (pass the
-    ``residuals`` relation here for IVFADC codebooks)."""
+    ``residuals`` relation here for IVFADC codebooks). ``sample_mod``
+    trains on the deterministic ``id % sample_mod == 0`` subsample
+    (the corpus-scale shape — see kmeans_centroids); the full corpus
+    is still encoded once, at index write."""
+    if sample_mod is not None and sample_mod > 1:
+        corpus = corpus.filter(F.col(id_col) % sample_mod == 0)
     for _ in range(iters):
         codebook, _mse, _n, _cs = _pq_train_iter(
             corpus, codebook, id_col, vec_col, normalize
@@ -1428,6 +1452,7 @@ def pq_train_kmeans_report(
     vec_col: str = "embedding",
     iters: int = 3,
     normalize: bool = True,
+    sample_mod: int | None = None,
 ) -> tuple[list[list[list[float]]], list[float], int, int]:
     """pq_train_kmeans plus the error trajectory: returns
     (trained_codebook, [mse_0 .. mse_iters], n_vectors,
@@ -1436,7 +1461,11 @@ def pq_train_kmeans_report(
     init_code_sum is iteration 1's exact encode checksum (the value a
     SQL oracle replays). iters+1 jobs total — each iteration reports
     its input's error for free and one final pq_quantization_error
-    scan prices the trained codebook."""
+    scan prices the trained codebook. ``sample_mod`` trains (and
+    reports — n_vectors/init_code_sum/errors describe the sample) on
+    the deterministic ``id % sample_mod == 0`` subsample."""
+    if sample_mod is not None and sample_mod > 1:
+        corpus = corpus.filter(F.col(id_col) % sample_mod == 0)
     errors: list[float] = []
     n_vectors = 0
     init_code_sum = 0
