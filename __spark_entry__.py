@@ -5176,6 +5176,61 @@ def q_ddl_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ddl_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER half of SQL DML (ddl.py, r8): UPDATE = newest-wins
+    upsert of the re-computed matching rows; DELETE = tombstone
+    transaction (all-null newest version — Transaction.delete_row's
+    cell-model rule); then OPTIMIZE folds the history so the scan also
+    proves tombstones die physically while results stay fixed.
+    Lifecycle: CREATE → INSERT(all events) → UPDATE +1000 on every
+    10th event → DELETE every 7th-congruent-to-3 event → OPTIMIZE →
+    SELECT. Oracle: the CASE expression minus the deleted congruence
+    class."""
+    from matdb_spark import ddl
+    from matdb_spark.sources.formats import _build_once
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    name = f"matdb_ddl_ud_{tag.replace('.', '_')}"
+    db_path = os.path.join(SCRATCH, f"gate_ddl_ud_{tag}")
+
+    def build(p: str) -> None:
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "value"
+        ).createOrReplaceTempView("__ddl_ud_events")
+        ddl.sql(
+            spark,
+            f"CREATE TABLE {name} (user_id BIGINT, event_id BIGINT,"
+            f" value DOUBLE) USING matdb LOCATION '{p}'"
+            f" TBLPROPERTIES ('chunks' = 'user_id=1000,event_id=100000')",
+        )
+        ddl.sql(
+            spark,
+            f"INSERT INTO {name} SELECT user_id, event_id, value"
+            f" FROM __ddl_ud_events",
+        )
+        ddl.sql(
+            spark,
+            f"UPDATE {name} SET value = value + 1000"
+            f" WHERE event_id % 10 = 0",
+        )
+        ddl.sql(spark, f"DELETE FROM {name} WHERE event_id % 7 = 3")
+        ddl.sql(spark, f"OPTIMIZE {name}")
+
+    _build_once(db_path, build, version=_MVCC_BUILD_VERSION)
+    ddl.sql(
+        spark,
+        f"CREATE TABLE IF NOT EXISTS {name} (user_id BIGINT,"
+        f" event_id BIGINT, value DOUBLE) USING matdb"
+        f" LOCATION '{db_path}'"
+        f" TBLPROPERTIES ('chunks' = 'user_id=1000,event_id=100000')",
+    )
+    return ddl.sql(
+        spark,
+        f"SELECT user_id, event_id, value FROM {name}"
+        f" ORDER BY user_id, event_id",
+    )
+
+
 def q_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source PII data card over the injected corpus: match
     totals per type, documents-with-PII, incidence rate — the
@@ -5261,6 +5316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_catalog_sql": q_catalog_sql,
         "q_catalog_ddl": q_catalog_ddl,
         "q_ddl_insert": q_ddl_insert,
+        "q_ddl_update_delete": q_ddl_update_delete,
         "q_hard_negatives": q_hard_negatives,
         "q_text_fold": q_text_fold,
         "q_split_leakage_safe": q_split_leakage_safe,
@@ -7578,6 +7634,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value,
                    CAST(NULL AS DOUBLE) AS tag
             FROM events
+        """,
+        "q_ddl_update_delete": """
+            SELECT user_id, event_id,
+                   CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
+            FROM events
+            WHERE event_id % 7 <> 3
         """,
         "q_text_fold": _text_fold_sql(),
         "q_split_leakage_safe": _split_leakage_sql(),

@@ -48,6 +48,17 @@ Supported statements (documented dialect):
     sources map positionally onto it. The registered view refreshes
     to include the insert (views pin snapshots).
 
+  UPDATE <name> SET <col> = <expr>[, ...] [WHERE <pred>]
+    Newest-wins upsert of the re-computed matching rows — one MVCC
+    transaction (the engine's own UPDATE primitive). Assignments may
+    be arbitrary Spark SQL expressions over the row; dimensions
+    cannot be assigned (they are the key).
+
+  DELETE FROM <name> [WHERE <pred>]
+    Tombstone the matching keys in one MVCC transaction
+    (Transaction.delete_row semantics: an all-null newest version is
+    an invisible row; compaction removes tombstones physically).
+
   ALTER TABLE <name> ADD COLUMN[S] <col> <type>[, <col> <type> ...]
     Additive value-column evolution (Database.add_value_column — the
     one evolution the layout supports; old segments read the new
@@ -168,6 +179,19 @@ _INSERT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s+"
+    r"SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _ALTER_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s+"
     r"ADD\s+COLUMN(?:S)?\s*\(?\s*"
@@ -210,6 +234,35 @@ def _strip_comments(stmt: str) -> str:
             out.append(c)
             i += 1
     return "".join(out)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas OUTSIDE parentheses and single-quoted literals
+    — SET clauses may hold function calls (``v = round(v, 2)``) and
+    string literals (``label = 'a,b'``)."""
+    out, buf, depth, in_str = [], [], 0, False
+    for ch in s:
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        out.append("".join(buf))
+    return [p for p in (x.strip() for x in out) if p]
 
 
 def _parse_cols(cols: str) -> list[tuple[str, str]]:
@@ -441,6 +494,88 @@ def execute_ddl(spark, statement: str) -> DataFrame | None:
         t.commit()
         register_store(spark, name, tables[name])  # see the insert
         return spark.createDataFrame([(t.txn_id,)], "inserted_txn LONG")
+    m = _UPDATE_RE.match(stmt)
+    if m:
+        name = m.group("name")
+        db = _db_of(name)
+        dims = list(db.schema.dim_names)
+        vals = list(db.schema.value_names)
+        sets = _split_top_level(m.group("sets"))
+        assigned: dict[str, str] = {}
+        for part in sets:
+            am = re.match(
+                r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+?)\s*$", part, re.DOTALL
+            )
+            if not am:
+                raise ValueError(
+                    f"cannot parse SET clause {part!r}; expected"
+                    " '<col> = <expression>'"
+                )
+            col, expr = am.group(1), am.group(2)
+            if col in dims:
+                raise ValueError(
+                    f"UPDATE {name}: cannot assign dimension {col!r} —"
+                    " dimensions are the physical key (chunk routing,"
+                    " sort, dedup identity); INSERT a new key and"
+                    " DELETE the old one instead"
+                )
+            if col not in vals:
+                raise ValueError(
+                    f"UPDATE {name}: unknown column {col!r};"
+                    f" value columns are {vals}"
+                )
+            assigned[col] = expr
+        pred = m.group("pred") or "TRUE"
+        # newest-wins upsert of the re-computed matching rows — the
+        # engine's own UPDATE primitive (Transaction.merge_dataframe
+        # docstring maps the reference's upsert to MERGE semantics)
+        sel = ", ".join(
+            dims + [f"({assigned[v]}) AS {v}" if v in assigned else v for v in vals]
+        )
+        snap = db.begin().query(ordered=False)
+        tmp = f"__matdb_update_{name}"
+        snap.createOrReplaceTempView(tmp)
+        src = spark.sql(f"SELECT {sel} FROM {tmp} WHERE {pred}")
+        canon = db.schema.spark_schema()
+        src = src.select(
+            *[src[f.name].cast(f.dataType).alias(f.name) for f in canon.fields]
+        )
+        t = db.begin()
+        t.add_dataframe(src)
+        t.commit()
+        spark.catalog.dropTempView(tmp)
+        register_store(spark, name, tables[name])  # see the update
+        return spark.createDataFrame([(t.txn_id,)], "updated_txn LONG")
+    m = _DELETE_RE.match(stmt)
+    if m:
+        name = m.group("name")
+        db = _db_of(name)
+        dims = list(db.schema.dim_names)
+        pred = m.group("pred") or "TRUE"
+        snap = db.begin().query(ordered=False)
+        tmp = f"__matdb_delete_{name}"
+        snap.createOrReplaceTempView(tmp)
+        keys = spark.sql(f"SELECT {', '.join(dims)} FROM {tmp} WHERE {pred}")
+        # tombstones: an ALL-NULL newest version is an invisible row
+        # (Transaction.delete_row — the reference's cell model implies
+        # it: unset cells never appear as rows, block.rs:277-279);
+        # compaction later removes them physically
+        vtypes = {f.name: f.dataType for f in db.schema.spark_schema().fields}
+        from pyspark.sql import functions as _F
+
+        tomb = keys.select(
+            *dims,
+            *[
+                _F.lit(None).cast(vtypes[v]).alias(v)
+                for v in db.schema.value_names
+            ],
+        )
+        t = db.begin()
+        t.add_dataframe(tomb)
+        t.commit()
+        spark.catalog.dropTempView(tmp)
+        register_store(spark, name, tables[name])  # see the delete
+        return spark.createDataFrame([(t.txn_id,)], "deleted_txn LONG")
     m = _ALTER_RE.match(stmt)
     if m:
         name = m.group("name")
@@ -471,6 +606,8 @@ def execute_ddl(spark, statement: str) -> DataFrame | None:
         " <name> (<cols>) USING matdb LOCATION '<path>' [TBLPROPERTIES"
         " ('chunks'='dim=size,...')], DROP TABLE [IF EXISTS] <name>,"
         " INSERT INTO <name> [(cols)] VALUES ... | SELECT ...,"
+        " UPDATE <name> SET <col>=<expr>[, ...] [WHERE <pred>],"
+        " DELETE FROM <name> [WHERE <pred>],"
         " ALTER TABLE <name> ADD COLUMN <col> <type>,"
         " DESCRIBE HISTORY <name>, DESCRIBE DETAIL <name>, OPTIMIZE"
         " <name>, and VACUUM <name> [RETAIN <n> SECONDS]"
@@ -496,6 +633,8 @@ def sql(spark, statement: str) -> DataFrame | None:
         _OPTIMIZE_RE,
         _VACUUM_RE,
         _INSERT_RE,
+        _UPDATE_RE,
+        _DELETE_RE,
         _ALTER_RE,
     ):
         m = pat.match(s)
