@@ -59,6 +59,10 @@ Supported statements (documented dialect):
     (Transaction.delete_row semantics: an all-null newest version is
     an invisible row; compaction removes tombstones physically).
 
+  TRUNCATE TABLE <name>
+    DELETE without a predicate — one tombstone transaction emptying
+    the snapshot; history stays time-travelable until vacuum.
+
   ALTER TABLE <name> ADD COLUMN[S] <col> <type>[, <col> <type> ...]
     Additive value-column evolution (Database.add_value_column — the
     one evolution the layout supports; old segments read the new
@@ -183,6 +187,11 @@ _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)"
     r"(?:\s+WHERE\s+(?P<pred>.+?))?;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+    re.IGNORECASE,
 )
 
 _UPDATE_RE = re.compile(
@@ -546,12 +555,15 @@ def execute_ddl(spark, statement: str) -> DataFrame | None:
         spark.catalog.dropTempView(tmp)
         register_store(spark, name, tables[name])  # see the update
         return spark.createDataFrame([(t.txn_id,)], "updated_txn LONG")
+    tm = _TRUNCATE_RE.match(stmt)
     m = _DELETE_RE.match(stmt)
-    if m:
-        name = m.group("name")
+    if tm or m:
+        # TRUNCATE TABLE <t> is DELETE FROM <t> without a predicate:
+        # same tombstone transaction, history stays time-travelable
+        name = (tm or m).group("name")
         db = _db_of(name)
         dims = list(db.schema.dim_names)
-        pred = m.group("pred") or "TRUE"
+        pred = "TRUE" if tm else (m.group("pred") or "TRUE")
         snap = db.begin().query(ordered=False)
         tmp = f"__matdb_delete_{name}"
         snap.createOrReplaceTempView(tmp)
@@ -607,7 +619,7 @@ def execute_ddl(spark, statement: str) -> DataFrame | None:
         " ('chunks'='dim=size,...')], DROP TABLE [IF EXISTS] <name>,"
         " INSERT INTO <name> [(cols)] VALUES ... | SELECT ...,"
         " UPDATE <name> SET <col>=<expr>[, ...] [WHERE <pred>],"
-        " DELETE FROM <name> [WHERE <pred>],"
+        " DELETE FROM <name> [WHERE <pred>], TRUNCATE TABLE <name>,"
         " ALTER TABLE <name> ADD COLUMN <col> <type>,"
         " DESCRIBE HISTORY <name>, DESCRIBE DETAIL <name>, OPTIMIZE"
         " <name>, and VACUUM <name> [RETAIN <n> SECONDS]"
@@ -635,6 +647,7 @@ def sql(spark, statement: str) -> DataFrame | None:
         _INSERT_RE,
         _UPDATE_RE,
         _DELETE_RE,
+        _TRUNCATE_RE,
         _ALTER_RE,
     ):
         m = pat.match(s)

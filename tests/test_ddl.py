@@ -112,12 +112,14 @@ def test_dialect_errors(spark, tmp_db_path):
     with pytest.raises(ValueError, match="unknown matdb table"):
         ddl.execute_ddl(spark, "DROP TABLE never_created_xyz")
     assert ddl.execute_ddl(spark, "DROP TABLE IF EXISTS never_created_xyz") is None
-    # ALTER joined the dialect in r8 — it now fails with "unknown
-    # matdb table" instead; TRUNCATE stays genuinely unrecognized
+    # ALTER/TRUNCATE joined the dialect in r8 — they now fail with
+    # "unknown matdb table"; CLUSTER BY stays genuinely unrecognized
     with pytest.raises(ValueError, match="unknown matdb table"):
         ddl.execute_ddl(spark, "ALTER TABLE foo ADD COLUMN x INT")
-    with pytest.raises(ValueError, match="unrecognized matdb DDL"):
+    with pytest.raises(ValueError, match="unknown matdb table"):
         ddl.execute_ddl(spark, "TRUNCATE TABLE foo")
+    with pytest.raises(ValueError, match="unrecognized matdb DDL"):
+        ddl.execute_ddl(spark, "CLUSTER my_table BY (k)")
 
 
 def test_sql_front_end_routes_and_passes_through(spark, tmp_db_path):
@@ -436,6 +438,20 @@ def test_delete_statement(spark, tmp_db_path):
         for r in ddl.sql(spark, "SELECT k, v FROM ddl_del1").collect()
     }
     assert got == {1: 10, 3: 30}
+
+
+def test_truncate_statement(spark, tmp_db_path):
+    loc = os.path.join(tmp_db_path, "trunc1")
+    ddl.execute_ddl(spark, _create_stmt("ddl_trunc1", loc))
+    ddl.sql(spark, "INSERT INTO ddl_trunc1 VALUES (1, 10), (2, 20)")
+    out = ddl.sql(spark, "TRUNCATE TABLE ddl_trunc1")
+    assert out.columns == ["deleted_txn"]
+    assert ddl.sql(spark, "SELECT * FROM ddl_trunc1").count() == 0
+    # history stays time-travelable: the pre-truncate snapshot reads
+    # (as_of=t sees commits <= t, so step one BELOW the tombstone txn)
+    db = Database.open(spark, loc)
+    pre = db.begin(as_of=out.first()["deleted_txn"] - 1).query()
+    assert pre.count() == 2
 
 
 def test_update_delete_on_non_matdb_passes_through(spark):
