@@ -90,23 +90,37 @@ def main() -> None:
         )
 
     fn = entry.queries()["q_loader_pipeline"]
-    times = {}
+    # two protocols, both best-of-2 (stall-robust on a noisy box):
+    #   with_train : memo cleared per timed run — BPE training included
+    #   steady     : memo warm — the §14 sf1_cert protocol (train excluded)
+    times: dict[str, dict[str, tuple[float, int]]] = {"with_train": {}, "steady": {}}
     for tag, d in (("sf0.1", SRC), ("vp10", VP10), ("sf1.0", SF1)):
-        entry._BPE16_MEMO.clear()  # time the train too, per corpus
-        fn(spark, d).count()  # warm: JIT + shuffles
         entry._BPE16_MEMO.clear()
-        t0 = time.perf_counter()
-        rows = fn(spark, d).count()
-        times[tag] = (round(time.perf_counter() - t0, 2), rows)
-        print(f"  {tag:6s}  {times[tag][0]:7.2f} s  rows={rows}  vocab~{vocab[tag]}")
+        fn(spark, d).count()  # warm: JIT + shuffles (also trains+memoizes)
+        for mode in ("steady", "with_train"):
+            best, rows = None, 0
+            for _ in range(2):
+                if mode == "with_train":
+                    entry._BPE16_MEMO.clear()
+                t0 = time.perf_counter()
+                rows = fn(spark, d).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times[mode][tag] = (round(best, 2), rows)
+            print(
+                f"  {tag:6s} {mode:10s} {best:7.2f} s  rows={rows}  "
+                f"vocab~{vocab[tag]}"
+            )
 
     out = {
         "vocab_approx": vocab,
-        "loader_s": {k: v[0] for k, v in times.items()},
-        "rows": {k: v[1] for k, v in times.items()},
-        "ratio_vp10": round(times["vp10"][0] / times["sf0.1"][0], 2),
-        "ratio_sf1_salted": round(times["sf1.0"][0] / times["sf0.1"][0], 2),
+        "rows": {k: v[1] for k, v in times["steady"].items()},
     }
+    for mode in ("steady", "with_train"):
+        out[f"loader_s_{mode}"] = {k: v[0] for k, v in times[mode].items()}
+        base = times[mode]["sf0.1"][0]
+        out[f"ratio_vp10_{mode}"] = round(times[mode]["vp10"][0] / base, 2)
+        out[f"ratio_sf1_salted_{mode}"] = round(times[mode]["sf1.0"][0] / base, 2)
     print(json.dumps(out))
 
 
