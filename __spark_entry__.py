@@ -5231,6 +5231,66 @@ def q_ddl_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ddl_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse MERGE statement through the matdb dialect
+    (ddl.py, r8): CTAS seeds the store (column names/types inferred
+    from the query, dims from the chunks property, create + insert in
+    one statement), then ONE ``MERGE INTO`` applies all three legs in
+    a single MVCC transaction — first-match-wins matched clauses
+    (UPDATE = newest-wins upsert, DELETE = all-null tombstone) plus an
+    anti-joined NOT MATCHED INSERT. Lifecycle: CTAS(all events) →
+    MERGE(update evens ∩ %3, delete odds ∩ %3, insert %11≡5 shifted
+    keys) → SELECT. Oracle: the same CASE/filter/union over events."""
+    from matdb_spark import ddl
+    from matdb_spark.sources.formats import _build_once
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    name = f"matdb_ddl_mrg_{tag.replace('.', '_')}"
+    db_path = os.path.join(SCRATCH, f"gate_ddl_merge_{tag}")
+
+    def build(p: str) -> None:
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "value"
+        ).createOrReplaceTempView("__ddl_mrg_events")
+        ddl.sql(
+            spark,
+            f"CREATE TABLE {name} USING matdb LOCATION '{p}'"
+            f" TBLPROPERTIES ('chunks' = 'user_id=1000,event_id=100000')"
+            f" AS SELECT user_id, event_id, value FROM __ddl_mrg_events",
+        )
+        ddl.sql(
+            spark,
+            f"""
+            MERGE INTO {name} t USING (
+                SELECT user_id, event_id, value
+                FROM __ddl_mrg_events WHERE event_id % 3 = 0
+                UNION ALL
+                SELECT user_id, event_id + 1000000000, value
+                FROM __ddl_mrg_events WHERE event_id % 11 = 5
+            ) s ON t.user_id = s.user_id AND t.event_id = s.event_id
+            WHEN MATCHED AND s.event_id % 2 = 0
+                THEN UPDATE SET value = s.value + 5000
+            WHEN MATCHED THEN DELETE
+            WHEN NOT MATCHED THEN INSERT (user_id, event_id, value)
+                VALUES (s.user_id, s.event_id, s.value + 9000)
+            """,
+        )
+
+    _build_once(db_path, build, version=_MVCC_BUILD_VERSION)
+    ddl.sql(
+        spark,
+        f"CREATE TABLE IF NOT EXISTS {name} (user_id BIGINT,"
+        f" event_id BIGINT, value DOUBLE) USING matdb"
+        f" LOCATION '{db_path}'"
+        f" TBLPROPERTIES ('chunks' = 'user_id=1000,event_id=100000')",
+    )
+    return ddl.sql(
+        spark,
+        f"SELECT user_id, event_id, value FROM {name}"
+        f" ORDER BY user_id, event_id",
+    )
+
+
 def q_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source PII data card over the injected corpus: match
     totals per type, documents-with-PII, incidence rate — the
@@ -5317,6 +5377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_catalog_ddl": q_catalog_ddl,
         "q_ddl_insert": q_ddl_insert,
         "q_ddl_update_delete": q_ddl_update_delete,
+        "q_ddl_merge": q_ddl_merge,
         "q_hard_negatives": q_hard_negatives,
         "q_text_fold": q_text_fold,
         "q_split_leakage_safe": q_split_leakage_safe,
@@ -7640,6 +7701,17 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
             FROM events
             WHERE event_id % 7 <> 3
+        """,
+        "q_ddl_merge": """
+            SELECT user_id, event_id,
+                   CASE WHEN event_id % 3 = 0 AND event_id % 2 = 0
+                        THEN value + 5000 ELSE value END AS value
+            FROM events
+            WHERE NOT (event_id % 3 = 0 AND event_id % 2 <> 0)
+            UNION ALL
+            SELECT user_id, event_id + 1000000000 AS event_id,
+                   value + 9000 AS value
+            FROM events WHERE event_id % 11 = 5
         """,
         "q_text_fold": _text_fold_sql(),
         "q_split_leakage_safe": _split_leakage_sql(),

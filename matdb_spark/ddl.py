@@ -63,6 +63,37 @@ Supported statements (documented dialect):
     DELETE without a predicate — one tombstone transaction emptying
     the snapshot; history stays time-travelable until vacuum.
 
+  MERGE INTO <name> [[AS] t] USING <view-or-(subquery)> [[AS] s]
+      ON <cond>
+      [WHEN MATCHED [AND <pred>] THEN UPDATE SET <col>=<expr>, ...]*
+      [WHEN MATCHED [AND <pred>] THEN DELETE]*
+      [WHEN NOT MATCHED [AND <pred>] THEN
+          INSERT (<cols>) VALUES (<exprs>) | INSERT *]
+    The full lakehouse upsert statement (Delta MERGE shape), executed
+    as ONE atomic MVCC transaction: matched clauses evaluate
+    first-match-wins (a SQL CASE), UPDATE writes the re-computed row
+    as a newest-wins upsert, DELETE writes an all-null tombstone, and
+    NOT MATCHED INSERT anti-joins the source — all three legs are a
+    single union fed to one Transaction.add_dataframe. A target row
+    matching more than one source row is rejected (Delta's
+    determinism rule). INSERT must supply every store column
+    (INSERT * binds them by name from the source).
+
+  CREATE TABLE [IF NOT EXISTS] <name> USING matdb LOCATION '<path>'
+      TBLPROPERTIES ('chunks' = '...') AS SELECT ...
+    CTAS: column names/types inferred from the query (engine types
+    only), dims from the chunks property; create + one insert txn.
+    With IF NOT EXISTS over an existing store, the query is NOT run
+    (SQL CTAS contract) — the store is opened and registered.
+
+  DESCRIBE CHANGES <name> FROM <txn> [TO <txn>] [WITH PREIMAGE]
+    The CDC feed (Database.changes) as SQL: net row changes in
+    (from, to], change_type upsert/delete; WITH PREIMAGE adds
+    old_<col> columns and refines to insert/update/delete.
+
+  SHOW MATDB TABLES
+    The session's registered matdb tables (name, location).
+
   ALTER TABLE <name> ADD COLUMN[S] <col> <type>[, <col> <type> ...]
     Additive value-column evolution (Database.add_value_column — the
     one evolution the layout supports; old segments read the new
@@ -132,6 +163,20 @@ _TYPE_ALIASES = {
     "real": "float",
     "string": "string",
     "varchar": "string",
+    "timestamp": "timestamp",
+    "date": "date",
+    "boolean": "boolean",
+    "binary": "binary",
+    "decimal(20,0)": "decimal(20,0)",
+}
+
+#: Spark ``DataType.simpleString()`` -> engine type (CTAS inference)
+_FROM_SPARK_TYPES = {
+    "bigint": "long",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
     "timestamp": "timestamp",
     "date": "date",
     "boolean": "boolean",
@@ -211,9 +256,117 @@ _ALTER_RE = re.compile(
     re.IGNORECASE,
 )
 
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s+"
+    r"USING\s+matdb\s+"
+    r"LOCATION\s+'(?P<loc>[^']+)'\s*"
+    r"(?:(?:TBLPROPERTIES|OPTIONS)\s*\((?P<props>.*?)\)\s*)?"
+    r"AS\s+(?P<query>(?:SELECT|WITH|TABLE|VALUES)\b.*?);?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_MERGE_HEAD_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\s+(?:AS\s+)?(?P<talias>(?!USING\b)[A-Za-z_][A-Za-z0-9_]*))?"
+    r"\s+USING\s+(?P<rest>.+?);?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_WHEN_UPDATE_RE = re.compile(
+    r"^WHEN\s+MATCHED(?:\s+AND\s+(?P<pred>.+?))?\s+THEN\s+"
+    r"UPDATE\s+SET\s+(?P<sets>.+?)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_WHEN_DELETE_RE = re.compile(
+    r"^WHEN\s+MATCHED(?:\s+AND\s+(?P<pred>.+?))?\s+THEN\s+DELETE\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_WHEN_INSERT_RE = re.compile(
+    r"^WHEN\s+NOT\s+MATCHED(?:\s+AND\s+(?P<pred>.+?))?\s+THEN\s+INSERT\s*"
+    r"(?:(?P<star>\*)|\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.+)\))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_CHANGES_RE = re.compile(
+    r"^\s*DESCRIBE\s+CHANGES\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s+"
+    r"FROM\s+(?P<lo>\d+)(?:\s+TO\s+(?P<hi>\d+))?"
+    r"(?:\s+(?P<pre>WITH\s+PREIMAGE))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_SHOW_RE = re.compile(r"^\s*SHOW\s+MATDB\s+TABLES\s*;?\s*$", re.IGNORECASE)
+
 _MATDB_DDL_RE = re.compile(
     r"^\s*CREATE\s+TABLE\b.*\bUSING\s+matdb\b", re.IGNORECASE | re.DOTALL
 )
+
+
+def _find_top_level(s: str, word: str) -> list[int]:
+    """Indexes where ``word`` occurs at top level — outside
+    parentheses and single-quoted literals, on word boundaries,
+    case-insensitive. Used to split MERGE's ON condition from its
+    WHEN clauses without a SQL parser."""
+    out: list[int] = []
+    up, word = s.upper(), word.upper()
+    depth, in_str, i, n, w = 0, False, 0, len(s), len(word)
+    while i < n:
+        c = s[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+            i += 1
+        elif c == "'":
+            in_str = True
+            i += 1
+        elif c == "(":
+            depth += 1
+            i += 1
+        elif c == ")":
+            depth -= 1
+            i += 1
+        elif (
+            depth == 0
+            and up.startswith(word, i)
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (i + w >= n or not (s[i + w].isalnum() or s[i + w] == "_"))
+        ):
+            out.append(i)
+            i += w
+        else:
+            i += 1
+    return out
+
+
+def _scan_relation(s: str) -> tuple[str, str]:
+    """Split ``s`` into (relation, tail): the relation is either a
+    balanced parenthesized subquery or a bare identifier at the start
+    of ``s``."""
+    s = s.lstrip()
+    if s.startswith("("):
+        depth, in_str = 0, False
+        for i, c in enumerate(s):
+            if in_str:
+                if c == "'":
+                    in_str = False
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    return s[: i + 1], s[i + 1 :]
+        raise ValueError("unbalanced parentheses in MERGE source")
+    m = re.match(r"[A-Za-z_][A-Za-z0-9_.]*", s)
+    if not m:
+        raise ValueError(
+            f"cannot parse MERGE source at {s[:40]!r}; expected a view"
+            " name or a parenthesized subquery"
+        )
+    return m.group(0), s[m.end() :]
 
 
 def _strip_comments(stmt: str) -> str:
@@ -354,6 +507,56 @@ def execute_ddl(spark, statement: str) -> DataFrame | None:
 
     tables = _tables(spark)
     stmt = _strip_comments(statement)
+    if _SHOW_RE.match(stmt):
+        return spark.createDataFrame(
+            sorted(tables.items()), "tableName STRING, location STRING"
+        )
+    m = _CTAS_RE.match(stmt)
+    if m:
+        import os
+
+        props = _parse_props(m.group("props"))
+        if "chunks" not in props:
+            raise ValueError(
+                "CREATE TABLE ... USING matdb AS SELECT requires"
+                " TBLPROPERTIES ('chunks' = '<dim>=<size>,...') naming"
+                " the key columns — matdb tables are keyed stores"
+            )
+        name, loc = m.group("name"), m.group("loc")
+        exists = os.path.isfile(os.path.join(loc, "schema.json"))
+        if exists:
+            if not m.group("ine"):
+                raise ValueError(
+                    f"store already exists at {loc!r} (CTAS with"
+                    " IF NOT EXISTS opens-and-registers it without"
+                    " running the query)"
+                )
+            df = register_store(spark, name, loc)
+            tables[name] = loc
+            return df
+        src = spark.sql(m.group("query"))
+        coltypes = []
+        for f in src.schema.fields:
+            t = f.dataType.simpleString()
+            if t not in _FROM_SPARK_TYPES:
+                raise ValueError(
+                    f"CTAS column {f.name!r} has type {t!r}, which the"
+                    " engine's segment layout does not store; supported:"
+                    f" {sorted(set(_FROM_SPARK_TYPES))}"
+                )
+            coltypes.append((f.name, _FROM_SPARK_TYPES[t]))
+        schema = _schema_from_ddl(coltypes, _parse_chunks(props["chunks"]))
+        db = Database.create(spark, loc, schema)
+        canon = db.schema.spark_schema()
+        src = src.select(
+            *[src[f.name].cast(f.dataType).alias(f.name) for f in canon.fields]
+        )
+        t = db.begin()
+        t.add_dataframe(src)
+        t.commit()
+        df = register_store(spark, name, loc)
+        tables[name] = loc
+        return df
     m = _CREATE_RE.match(stmt)
     if m:
         cols = _parse_cols(m.group("cols"))
@@ -555,6 +758,195 @@ def execute_ddl(spark, statement: str) -> DataFrame | None:
         spark.catalog.dropTempView(tmp)
         register_store(spark, name, tables[name])  # see the update
         return spark.createDataFrame([(t.txn_id,)], "updated_txn LONG")
+    m = _MERGE_HEAD_RE.match(stmt)
+    if m:
+        name = m.group("name")
+        db = _db_of(name)
+        ta = m.group("talias") or name
+        src_rel, tail = _scan_relation(m.group("rest"))
+        am = re.match(
+            r"\s+(?:AS\s+)?(?!ON\b)([A-Za-z_][A-Za-z0-9_]*)", tail, re.IGNORECASE
+        )
+        if am:
+            sa = am.group(1)
+            tail = tail[am.end() :]
+        elif src_rel.startswith("("):
+            raise ValueError("MERGE: a subquery source needs an alias")
+        else:
+            sa = src_rel.split(".")[-1]
+        om = re.match(r"\s*ON\b", tail, re.IGNORECASE)
+        if not om:
+            raise ValueError("MERGE: expected ON <condition> after the source")
+        tail = tail[om.end() :]
+        whens = _find_top_level(tail, "WHEN")
+        if not whens:
+            raise ValueError(
+                "MERGE: at least one WHEN MATCHED / WHEN NOT MATCHED"
+                " clause is required"
+            )
+        cond = tail[: whens[0]].strip()
+        clause_texts = [
+            tail[a:b].strip() for a, b in zip(whens, whens[1:] + [len(tail)])
+        ]
+        dims = list(db.schema.dim_names)
+        vals = list(db.schema.value_names)
+        store_cols = dims + vals
+        matched: list[tuple[str, str, dict | None]] = []
+        inserts: list[tuple[str, dict]] = []
+        for ct in clause_texts:
+            um = _WHEN_UPDATE_RE.match(ct)
+            if um:
+                assigned: dict[str, str] = {}
+                for part in _split_top_level(um.group("sets")):
+                    am2 = re.match(
+                        r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+?)\s*$",
+                        part,
+                        re.DOTALL,
+                    )
+                    if not am2:
+                        raise ValueError(
+                            f"cannot parse MERGE SET clause {part!r};"
+                            " expected '<col> = <expression>'"
+                        )
+                    col, expr = am2.group(1), am2.group(2)
+                    if col in dims:
+                        raise ValueError(
+                            f"MERGE {name}: cannot assign dimension"
+                            f" {col!r} — dimensions are the physical key"
+                        )
+                    if col not in vals:
+                        raise ValueError(
+                            f"MERGE {name}: unknown column {col!r};"
+                            f" value columns are {vals}"
+                        )
+                    assigned[col] = expr
+                matched.append((um.group("pred") or "TRUE", "update", assigned))
+                continue
+            dm2 = _WHEN_DELETE_RE.match(ct)
+            if dm2:
+                matched.append((dm2.group("pred") or "TRUE", "delete", None))
+                continue
+            im = _WHEN_INSERT_RE.match(ct)
+            if im:
+                if im.group("star"):
+                    exprs = {c: f"{sa}.{c}" for c in store_cols}
+                else:
+                    cl = [
+                        c.strip()
+                        for c in im.group("cols").split(",")
+                        if c.strip()
+                    ]
+                    ex = _split_top_level(im.group("vals"))
+                    if len(cl) != len(ex):
+                        raise ValueError(
+                            f"MERGE {name}: INSERT names {len(cl)}"
+                            f" column(s) but VALUES has {len(ex)}"
+                        )
+                    unknown = [c for c in cl if c not in store_cols]
+                    if unknown:
+                        raise ValueError(
+                            f"MERGE {name}: unknown INSERT column(s)"
+                            f" {unknown}; store columns are {store_cols}"
+                        )
+                    missing = [c for c in store_cols if c not in cl]
+                    if missing:
+                        raise ValueError(
+                            f"MERGE {name}: INSERT missing column(s)"
+                            f" {missing} — a matdb write must supply"
+                            " every store column"
+                        )
+                    exprs = dict(zip(cl, ex))
+                inserts.append((im.group("pred") or "TRUE", exprs))
+                continue
+            raise ValueError(
+                f"cannot parse MERGE clause {ct[:80]!r}; supported: WHEN"
+                " MATCHED [AND <pred>] THEN UPDATE SET ... | DELETE, WHEN"
+                " NOT MATCHED [AND <pred>] THEN INSERT (cols) VALUES"
+                " (...) | INSERT *"
+            )
+        if len(inserts) > 1:
+            raise ValueError("MERGE: at most one WHEN NOT MATCHED clause")
+        canon = db.schema.spark_schema()
+        sqltype = {f.name: f.dataType.simpleString() for f in canon.fields}
+        snap = db.begin().query(ordered=False)
+        tview = f"__matdb_merge_{name}"
+        snap.createOrReplaceTempView(tview)
+        try:
+            joined = f"FROM {tview} AS {ta} JOIN {src_rel} AS {sa} ON {cond}"
+            tdims = ", ".join(f"{ta}.{d}" for d in dims)
+            legs = []
+            if matched:
+                # Delta's determinism rule: >1 source row hitting one
+                # target row makes the outcome order-dependent — error
+                dup = spark.sql(
+                    f"SELECT {tdims} {joined} GROUP BY {tdims}"
+                    " HAVING COUNT(*) > 1 LIMIT 1"
+                ).collect()
+                if dup:
+                    raise ValueError(
+                        f"MERGE {name}: a target row matches more than"
+                        f" one source row (e.g. key {tuple(dup[0])}) —"
+                        " nondeterministic; de-duplicate the source on"
+                        " the join keys first"
+                    )
+                sel_vals = []
+                for v in vals:
+                    arms = []
+                    for p, kind, assigned in matched:
+                        e = (
+                            f"CAST(NULL AS {sqltype[v]})"
+                            if kind == "delete"
+                            else (
+                                f"({assigned[v]})"
+                                if v in assigned
+                                else f"{ta}.{v}"
+                            )
+                        )
+                        arms.append(f"WHEN ({p}) THEN {e}")
+                    sel_vals.append(f"CASE {' '.join(arms)} END AS {v}")
+                where = " OR ".join(f"({p})" for p, _, _ in matched)
+                legs.append(
+                    spark.sql(
+                        f"SELECT {', '.join(f'{ta}.{d} AS {d}' for d in dims)},"
+                        f" {', '.join(sel_vals)} {joined} WHERE {where}"
+                    )
+                )
+            for p, exprs in inserts:
+                legs.append(
+                    spark.sql(
+                        f"SELECT {', '.join(f'({exprs[c]}) AS {c}' for c in store_cols)}"
+                        f" FROM {src_rel} AS {sa} LEFT ANTI JOIN {tview}"
+                        f" AS {ta} ON {cond} WHERE {p}"
+                    )
+                )
+            out = legs[0]
+            for leg in legs[1:]:
+                out = out.unionByName(leg)
+            out = out.select(
+                *[
+                    out[f.name].cast(f.dataType).alias(f.name)
+                    for f in canon.fields
+                ]
+            )
+            # ONE atomic MVCC txn: updates are newest-wins upserts,
+            # deletes are all-null tombstones, inserts are new keys —
+            # the engine's version resolution implements all three
+            t = db.begin()
+            t.add_dataframe(out)
+            t.commit()
+        finally:
+            spark.catalog.dropTempView(tview)
+        register_store(spark, name, tables[name])  # see the merge
+        return spark.createDataFrame([(t.txn_id,)], "merged_txn LONG")
+    m = _CHANGES_RE.match(stmt)
+    if m:
+        db = _db_of(m.group("name"))
+        hi = int(m.group("hi")) if m.group("hi") else None
+        return db.changes(
+            since=int(m.group("lo")),
+            until=hi,
+            with_preimage=bool(m.group("pre")),
+        )
     tm = _TRUNCATE_RE.match(stmt)
     m = _DELETE_RE.match(stmt)
     if tm or m:
@@ -616,12 +1008,16 @@ def execute_ddl(spark, statement: str) -> DataFrame | None:
     raise ValueError(
         "unrecognized matdb DDL; supported: CREATE TABLE [IF NOT EXISTS]"
         " <name> (<cols>) USING matdb LOCATION '<path>' [TBLPROPERTIES"
-        " ('chunks'='dim=size,...')], DROP TABLE [IF EXISTS] <name>,"
+        " ('chunks'='dim=size,...')] [AS SELECT ...], DROP TABLE"
+        " [IF EXISTS] <name>,"
         " INSERT INTO <name> [(cols)] VALUES ... | SELECT ...,"
         " UPDATE <name> SET <col>=<expr>[, ...] [WHERE <pred>],"
         " DELETE FROM <name> [WHERE <pred>], TRUNCATE TABLE <name>,"
+        " MERGE INTO <name> [t] USING <src> [s] ON <cond> WHEN ...,"
         " ALTER TABLE <name> ADD COLUMN <col> <type>,"
-        " DESCRIBE HISTORY <name>, DESCRIBE DETAIL <name>, OPTIMIZE"
+        " DESCRIBE HISTORY <name>, DESCRIBE DETAIL <name>,"
+        " DESCRIBE CHANGES <name> FROM <txn> [TO <txn>] [WITH PREIMAGE],"
+        " SHOW MATDB TABLES, OPTIMIZE"
         " <name>, and VACUUM <name> [RETAIN <n> SECONDS]"
     )
 
@@ -636,12 +1032,15 @@ def sql(spark, statement: str) -> DataFrame | None:
     tests/test_ddl.py)."""
     s = _strip_comments(statement)
     tables = _tables(spark)
-    routed = _MATDB_DDL_RE.match(s) or (
-        _DROP_RE.match(s) and _DROP_RE.match(s).group("name") in tables
+    routed = (
+        _MATDB_DDL_RE.match(s)
+        or _SHOW_RE.match(s)
+        or (_DROP_RE.match(s) and _DROP_RE.match(s).group("name") in tables)
     )
     for pat in (
         _HISTORY_RE,
         _DETAIL_RE,
+        _CHANGES_RE,
         _OPTIMIZE_RE,
         _VACUUM_RE,
         _INSERT_RE,
@@ -649,6 +1048,7 @@ def sql(spark, statement: str) -> DataFrame | None:
         _DELETE_RE,
         _TRUNCATE_RE,
         _ALTER_RE,
+        _MERGE_HEAD_RE,
     ):
         m = pat.match(s)
         if m and m.group("name") in tables:

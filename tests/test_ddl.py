@@ -465,3 +465,166 @@ def test_update_delete_on_non_matdb_passes_through(spark):
             ddl.sql(spark, "DELETE FROM ddl_plain_ud WHERE x = 5")
     finally:
         spark.sql("DROP TABLE IF EXISTS ddl_plain_ud")
+
+
+def test_merge_statement_full(spark, tmp_db_path):
+    loc = os.path.join(tmp_db_path, "mrg1")
+    ddl.execute_ddl(
+        spark, _create_stmt("ddl_mrg1", loc, cols="k BIGINT, v BIGINT, s STRING")
+    )
+    ddl.sql(
+        spark,
+        "INSERT INTO ddl_mrg1 VALUES (1, 10, 'a'), (2, 20, 'b'),"
+        " (3, 30, 'c'), (4, 40, 'd')",
+    )
+    spark.sql(
+        "SELECT 2 AS k, 200 AS nv, 'upd' AS act UNION ALL"
+        " SELECT 3, -1, 'del' UNION ALL SELECT 9, 900, 'new'"
+    ).createOrReplaceTempView("mrg_src")
+    out = ddl.sql(
+        spark,
+        """
+        MERGE INTO ddl_mrg1 t USING mrg_src m ON t.k = m.k
+        WHEN MATCHED AND m.act = 'del' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = m.nv, s = m.act
+        WHEN NOT MATCHED THEN INSERT (k, v, s) VALUES (m.k, m.nv, m.act)
+        """,
+    )
+    assert out.columns == ["merged_txn"]
+    got = {
+        r["k"]: (r["v"], r["s"])
+        for r in ddl.sql(spark, "SELECT * FROM ddl_mrg1").collect()
+    }
+    # 1/4 untouched, 2 updated, 3 deleted, 9 inserted — one txn
+    assert got == {
+        1: (10, "a"),
+        2: (200, "upd"),
+        4: (40, "d"),
+        9: (900, "new"),
+    }
+    # ONE transaction wrote all three legs
+    hist = ddl.sql(spark, "DESCRIBE HISTORY ddl_mrg1")
+    assert hist.count() == 2  # the insert txn + the merge txn
+
+
+def test_merge_insert_star_and_subquery_source(spark, tmp_db_path):
+    loc = os.path.join(tmp_db_path, "mrg2")
+    ddl.execute_ddl(spark, _create_stmt("ddl_mrg2", loc))
+    ddl.sql(spark, "INSERT INTO ddl_mrg2 VALUES (1, 10)")
+    out = ddl.sql(
+        spark,
+        "MERGE INTO ddl_mrg2 USING (SELECT id AS k, id * 7 AS v FROM"
+        " range(3)) AS s ON ddl_mrg2.k = s.k"
+        " WHEN MATCHED THEN UPDATE SET v = s.v"
+        " WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert out.count() == 1
+    got = {
+        r["k"]: r["v"]
+        for r in ddl.sql(spark, "SELECT * FROM ddl_mrg2").collect()
+    }
+    assert got == {0: 0, 1: 7, 2: 14}
+
+
+def test_merge_errors(spark, tmp_db_path):
+    loc = os.path.join(tmp_db_path, "mrg3")
+    ddl.execute_ddl(spark, _create_stmt("ddl_mrg3", loc))
+    ddl.sql(spark, "INSERT INTO ddl_mrg3 VALUES (1, 10)")
+    # duplicate source matches -> nondeterministic, rejected
+    spark.sql(
+        "SELECT 1 AS k, 1 AS v UNION ALL SELECT 1, 2"
+    ).createOrReplaceTempView("mrg_dup")
+    with pytest.raises(ValueError, match="more than one source row"):
+        ddl.sql(
+            spark,
+            "MERGE INTO ddl_mrg3 t USING mrg_dup s ON t.k = s.k"
+            " WHEN MATCHED THEN UPDATE SET v = s.v",
+        )
+    # a merge that raises must not leave a txn behind
+    assert ddl.sql(spark, "DESCRIBE HISTORY ddl_mrg3").count() == 1
+    with pytest.raises(ValueError, match="needs an alias"):
+        ddl.execute_ddl(
+            spark,
+            "MERGE INTO ddl_mrg3 USING (SELECT 1 AS k, 1 AS v) ON"
+            " ddl_mrg3.k = k WHEN MATCHED THEN DELETE",
+        )
+    with pytest.raises(ValueError, match="cannot assign dimension"):
+        ddl.execute_ddl(
+            spark,
+            "MERGE INTO ddl_mrg3 t USING mrg_dup s ON t.k = s.k"
+            " WHEN MATCHED THEN UPDATE SET k = 9",
+        )
+    with pytest.raises(ValueError, match="missing column"):
+        ddl.execute_ddl(
+            spark,
+            "MERGE INTO ddl_mrg3 t USING mrg_dup s ON t.k = s.k"
+            " WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)",
+        )
+
+
+def test_ctas_roundtrip_and_if_not_exists(spark, tmp_db_path):
+    loc = os.path.join(tmp_db_path, "ctas1")
+    spark.sql(
+        "SELECT id AS k, id * 3 AS v FROM range(5)"
+    ).createOrReplaceTempView("ctas_src")
+    df = ddl.sql(
+        spark,
+        f"CREATE TABLE ddl_ctas1 USING matdb LOCATION '{loc}'"
+        " TBLPROPERTIES ('chunks' = 'k=4') AS SELECT * FROM ctas_src",
+    )
+    assert df.count() == 5
+    assert (
+        ddl.sql(spark, "SELECT SUM(v) AS s FROM ddl_ctas1").first()["s"] == 30
+    )
+    # schema landed with inferred types, k as the dimension
+    db = Database.open(spark, loc)
+    assert db.schema.dim_names == ["k"]
+    assert db.schema.value_names == ["v"]
+    # plain CTAS over an existing store errors; IF NOT EXISTS opens
+    # WITHOUT re-running the query (no second txn)
+    with pytest.raises(ValueError, match="already exists"):
+        ddl.execute_ddl(
+            spark,
+            f"CREATE TABLE ddl_ctas1 USING matdb LOCATION '{loc}'"
+            " TBLPROPERTIES ('chunks' = 'k=4') AS SELECT * FROM ctas_src",
+        )
+    df2 = ddl.sql(
+        spark,
+        f"CREATE TABLE IF NOT EXISTS ddl_ctas1 USING matdb LOCATION"
+        f" '{loc}' TBLPROPERTIES ('chunks' = 'k=4')"
+        " AS SELECT * FROM ctas_src",
+    )
+    assert df2.count() == 5
+    assert ddl.sql(spark, "DESCRIBE HISTORY ddl_ctas1").count() == 1
+
+
+def test_describe_changes_statement(spark, tmp_db_path):
+    loc = os.path.join(tmp_db_path, "chg1")
+    ddl.execute_ddl(spark, _create_stmt("ddl_chg1", loc))
+    ddl.sql(spark, "INSERT INTO ddl_chg1 VALUES (1, 10), (2, 20)")  # txn 1
+    ddl.sql(spark, "UPDATE ddl_chg1 SET v = 99 WHERE k = 1")  # txn 2
+    ddl.sql(spark, "DELETE FROM ddl_chg1 WHERE k = 2")  # txn 3
+    feed = {
+        r["k"]: r["change_type"]
+        for r in ddl.sql(spark, "DESCRIBE CHANGES ddl_chg1 FROM 1").collect()
+    }
+    assert feed == {1: "upsert", 2: "delete"}
+    pre = {
+        (r["k"], r["change_type"], r["old_v"], r["v"])
+        for r in ddl.sql(
+            spark, "DESCRIBE CHANGES ddl_chg1 FROM 1 TO 2 WITH PREIMAGE"
+        ).collect()
+    }
+    assert pre == {(1, "update", 10, 99)}
+
+
+def test_show_matdb_tables(spark, tmp_db_path):
+    loc = os.path.join(tmp_db_path, "show1")
+    ddl.execute_ddl(spark, _create_stmt("ddl_show1", loc))
+    rows = {
+        r["tableName"]: r["location"]
+        for r in ddl.sql(spark, "SHOW MATDB TABLES").collect()
+    }
+    assert rows.get("ddl_show1") == loc
+    # plain SHOW TABLES still passes through to spark.sql untouched
+    assert "tableName" in ddl.sql(spark, "SHOW TABLES").columns
