@@ -355,11 +355,37 @@ def main() -> None:
     refresh_store(spark, "demo_ddl", ddl_loc)
     print("DDL-registered table, plain SQL:")
     ddl.sql(spark, "SELECT s, COUNT(*) n, MAX(v) mx FROM demo_ddl GROUP BY s ORDER BY s").show()
+    print("MERGE INTO: update/delete/insert in ONE MVCC transaction:")
+    spark.sql(
+        "SELECT 1 AS t, 1 AS s, 999 AS v UNION ALL"  # matched -> update
+        " SELECT 2, 2, -1 UNION ALL"                 # matched -> delete
+        " SELECT 50, 0, 500"                         # not matched -> insert
+    ).createOrReplaceTempView("demo_merge_src")
+    ddl.sql(spark, """
+        MERGE INTO demo_ddl d USING demo_merge_src m
+        ON d.t = m.t AND d.s = m.s
+        WHEN MATCHED AND m.v < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = m.v
+        WHEN NOT MATCHED THEN INSERT *
+    """).show()
+    print("the CDC feed of that merge, as SQL:")
+    ddl.sql(spark, "DESCRIBE CHANGES demo_ddl FROM 2").show()
     print("DESCRIBE HISTORY / OPTIMIZE / VACUUM:")
     ddl.sql(spark, "DESCRIBE HISTORY demo_ddl").show()
     ddl.sql(spark, "OPTIMIZE demo_ddl").show()
     ddl.sql(spark, "VACUUM demo_ddl").show()
+    print("CTAS: create-and-fill from any query, then SHOW the session:")
+    ctas_loc = path + "_ctas"
+    shutil.rmtree(ctas_loc, ignore_errors=True)
+    ddl.sql(spark, f"""
+        CREATE TABLE demo_ctas USING matdb LOCATION '{ctas_loc}'
+        TBLPROPERTIES ('chunks' = 't=1000,s=100')
+        AS SELECT t, s, v * 10 AS v FROM demo_ddl
+    """)
+    ddl.sql(spark, "SHOW MATDB TABLES").show(truncate=False)
+    ddl.sql(spark, "DROP TABLE demo_ctas")
     ddl.sql(spark, "DROP TABLE demo_ddl")
+    shutil.rmtree(ctas_loc, ignore_errors=True)
     shutil.rmtree(ddl_loc, ignore_errors=True)
 
     shutil.rmtree(sq8_path, ignore_errors=True)

@@ -122,6 +122,20 @@ Supported statements (documented dialect):
 Statements are parsed with anchored regexes over a comment-stripped
 single statement — a deliberate micro-dialect, not a SQL parser; the
 error messages name the expected shape.
+
+Isolation contract for read-modify-write DML (UPDATE / DELETE /
+TRUNCATE / MERGE): each statement reads a pinned MVCC snapshot,
+computes its new row versions, and commits them in ONE atomic
+transaction — readers never observe a partial statement. Across
+CONCURRENT writers the engine's resolution is newest-wins PER KEY,
+so two simultaneous read-modify-write statements are atomic but not
+serializable (classic lost-update is possible if both recompute the
+same key from the same snapshot — the later commit wins; Delta would
+raise a ConcurrentAppendException there). This matches the engine's
+documented upsert semantics and the dialect's single-administering-
+session contract; pipelines needing serializable read-modify-write
+should fence writers externally (the streaming sink's
+BatchReplayGuard pattern).
 """
 
 from __future__ import annotations
