@@ -5291,6 +5291,25 @@ def q_ddl_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel through SQL (ddl.py ``VERSION AS OF`` rewrite, r8):
+    the q_ddl_insert store (txn1 = full insert, txn2 = +1000 upsert on
+    every 10th event) read at VERSION AS OF 1 inside a plain SELECT —
+    Delta's syntax over the engine's as_of snapshot (begin(as_of=1), a
+    pure metadata operation; same semantics q_mvcc_time_travel proves
+    via the API). Oracle: the pre-upsert events."""
+    from matdb_spark import ddl
+
+    q_ddl_insert(spark, sf_dir)  # ensure the shared fixture + view
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    name = f"matdb_ddl_ins_{tag.replace('.', '_')}"
+    return ddl.sql(
+        spark,
+        f"SELECT user_id, event_id, value FROM {name} VERSION AS OF 1"
+        f" ORDER BY user_id, event_id",
+    )
+
+
 def q_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source PII data card over the injected corpus: match
     totals per type, documents-with-PII, incidence rate — the
@@ -5378,6 +5397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ddl_insert": q_ddl_insert,
         "q_ddl_update_delete": q_ddl_update_delete,
         "q_ddl_merge": q_ddl_merge,
+        "q_sql_time_travel": q_sql_time_travel,
         "q_hard_negatives": q_hard_negatives,
         "q_text_fold": q_text_fold,
         "q_split_leakage_safe": q_split_leakage_safe,
@@ -7701,6 +7721,9 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 10 = 0 THEN value + 1000 ELSE value END AS value
             FROM events
             WHERE event_id % 7 <> 3
+        """,
+        "q_sql_time_travel": """
+            SELECT user_id, event_id, value FROM events
         """,
         "q_ddl_merge": """
             SELECT user_id, event_id,

@@ -94,6 +94,21 @@ Supported statements (documented dialect):
   SHOW MATDB TABLES
     The session's registered matdb tables (name, location).
 
+  SHOW CREATE TABLE <name>
+    Reconstructs the CREATE statement from the persisted schema
+    (columns, types, LOCATION, chunks property) — Spark's
+    ``createtab_stmt`` one-row shape.
+
+  SELECT ... FROM <name> VERSION AS OF <txn> [alias] ...
+  SELECT ... FROM <name> TIMESTAMP AS OF '<iso>'|<epoch> [alias] ...
+    Time travel inside any pass-through query (Delta's syntax): the
+    phrase is rewritten onto a pinned snapshot view
+    (Database.begin(as_of=...) — a pure metadata operation), still
+    addressable under the table's own name unless an explicit alias
+    follows. TIMESTAMP resolves to the newest commit at or before the
+    given time (naive ISO strings are UTC). Historical snapshots stay
+    readable until VACUUM reclaims them.
+
   ALTER TABLE <name> ADD COLUMN[S] <col> <type>[, <col> <type> ...]
     Additive value-column evolution (Database.add_value_column — the
     one evolution the layout supports; old segments read the new
@@ -312,6 +327,26 @@ _CHANGES_RE = re.compile(
 )
 
 _SHOW_RE = re.compile(r"^\s*SHOW\s+MATDB\s+TABLES\s*;?\s*$", re.IGNORECASE)
+
+_SHOW_CREATE_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+#: <table> VERSION AS OF <txn>  |  <table> TIMESTAMP AS OF '<ts>'|<epoch>
+_ASOF_RE = re.compile(
+    r"\b(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*'|\d+(?:\.\d+)?))",
+    re.IGNORECASE,
+)
+
+#: words after an as-of phrase that mean "no user alias follows"
+_ASOF_STOPWORDS = frozenset(
+    "where group order limit having join on using union except intersect"
+    " left right full inner cross natural lateral window qualify when"
+    " then and or".split()
+)
 
 _MATDB_DDL_RE = re.compile(
     r"^\s*CREATE\s+TABLE\b.*\bUSING\s+matdb\b", re.IGNORECASE | re.DOTALL
@@ -632,6 +667,23 @@ def execute_ddl(spark, statement: str) -> DataFrame | None:
             )
         return Database.open(spark, tables[name])
 
+    m = _SHOW_CREATE_RE.match(stmt)
+    if m:
+        name = m.group("name")
+        db = _db_of(name)
+        back = {"long": "BIGINT", "int": "INT", "string": "STRING"}
+        cols = ", ".join(
+            f"{c.name} {back.get(c.type, c.type.upper())}"
+            for c in list(db.schema.dimensions) + list(db.schema.values)
+        )
+        chunks = ",".join(
+            f"{d.name}={d.chunk_size}" for d in db.schema.dimensions
+        )
+        stmt_text = (
+            f"CREATE TABLE {name} ({cols}) USING matdb LOCATION"
+            f" '{tables[name]}' TBLPROPERTIES ('chunks' = '{chunks}')"
+        )
+        return spark.createDataFrame([(stmt_text,)], "createtab_stmt STRING")
     m = _HISTORY_RE.match(stmt)
     if m:
         hist = _db_of(m.group("name")).history()
@@ -1036,6 +1088,62 @@ def execute_ddl(spark, statement: str) -> DataFrame | None:
     )
 
 
+def _resolve_asof_txn(db, spec_ver: str | None, spec_ts: str | None) -> int:
+    """VERSION AS OF n is the txn id itself; TIMESTAMP AS OF resolves
+    to the newest commit with committed_at <= the given time (ISO
+    string, naive = UTC, or a raw epoch number) — Delta's rule."""
+    if spec_ver is not None:
+        return int(spec_ver)
+    raw = spec_ts.strip()
+    if raw.startswith("'"):
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(raw[1:-1])
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        epoch = dt.timestamp()
+    else:
+        epoch = float(raw)
+    best = None
+    for h in db.history():  # newest first; committed_at may be None
+        at = h.get("committed_at")
+        if at is not None and float(at) <= epoch and h.get("txn") is not None:
+            best = max(best or 0, int(h["txn"]))
+    if best is None:
+        raise ValueError(
+            f"TIMESTAMP AS OF {raw}: no commit at or before that time"
+        )
+    return best
+
+
+def _rewrite_asof(spark, s: str, tables: dict[str, str]) -> str:
+    """Rewrite ``<matdb-table> VERSION|TIMESTAMP AS OF <x>`` phrases in
+    a pass-through statement onto pinned time-travel snapshot views
+    (Database.begin(as_of=...) — a pure metadata operation), keeping
+    the relation addressable under its own name unless the user wrote
+    an explicit alias after the phrase."""
+    from matdb_spark.database import Database
+
+    out, last = [], 0
+    for m in _ASOF_RE.finditer(s):
+        name = m.group("name")
+        if name not in tables:
+            continue
+        db = Database.open(spark, tables[name])
+        txn = _resolve_asof_txn(db, m.group("ver"), m.group("ts"))
+        view = f"__matdb_asof_{name}_{txn}"
+        db.begin(as_of=txn).query(ordered=False).createOrReplaceTempView(view)
+        nxt = re.match(
+            r"\s*(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)", s[m.end() :], re.IGNORECASE
+        )
+        keep_name = not nxt or nxt.group(1).lower() in _ASOF_STOPWORDS
+        out.append(s[last : m.start()])
+        out.append(f"{view} AS {name}" if keep_name else view)
+        last = m.end()
+    out.append(s[last:])
+    return "".join(out)
+
+
 def sql(spark, statement: str) -> DataFrame | None:
     """Drop-in ``spark.sql`` front-end: matdb DDL statements go to
     execute_ddl, everything else passes through verbatim — queries,
@@ -1063,10 +1171,13 @@ def sql(spark, statement: str) -> DataFrame | None:
         _TRUNCATE_RE,
         _ALTER_RE,
         _MERGE_HEAD_RE,
+        _SHOW_CREATE_RE,
     ):
         m = pat.match(s)
         if m and m.group("name") in tables:
             routed = True
     if routed:
         return execute_ddl(spark, statement)
+    if any(m.group("name") in tables for m in _ASOF_RE.finditer(s)):
+        return spark.sql(_rewrite_asof(spark, s, tables))
     return spark.sql(statement)

@@ -628,3 +628,82 @@ def test_show_matdb_tables(spark, tmp_db_path):
     assert rows.get("ddl_show1") == loc
     # plain SHOW TABLES still passes through to spark.sql untouched
     assert "tableName" in ddl.sql(spark, "SHOW TABLES").columns
+
+
+def test_time_travel_sql(spark, tmp_db_path):
+    loc = os.path.join(tmp_db_path, "tt1")
+    ddl.execute_ddl(spark, _create_stmt("ddl_tt1", loc))
+    ddl.sql(spark, "INSERT INTO ddl_tt1 VALUES (1, 10), (2, 20)")  # txn 1
+    ddl.sql(spark, "UPDATE ddl_tt1 SET v = v + 100")  # txn 2
+    ddl.sql(spark, "DELETE FROM ddl_tt1 WHERE k = 2")  # txn 3
+    got = {
+        r["k"]: r["v"]
+        for r in ddl.sql(
+            spark, "SELECT * FROM ddl_tt1 VERSION AS OF 1"
+        ).collect()
+    }
+    assert got == {1: 10, 2: 20}
+    # the snapshot stays addressable under the TABLE name (no alias)
+    assert (
+        ddl.sql(
+            spark,
+            "SELECT ddl_tt1.v FROM ddl_tt1 VERSION AS OF 2 WHERE"
+            " ddl_tt1.k = 1",
+        ).first()["v"]
+        == 110
+    )
+    # explicit alias + self-join of two versions in one statement
+    rows = {
+        (r["k"], r["v_old"], r["v_new"])
+        for r in ddl.sql(
+            spark,
+            "SELECT o.k, o.v AS v_old, n.v AS v_new"
+            " FROM ddl_tt1 VERSION AS OF 1 o LEFT JOIN ddl_tt1 n"
+            " ON o.k = n.k",
+        ).collect()
+    }
+    assert rows == {(1, 10, 110), (2, 20, None)}
+    # TIMESTAMP AS OF: far future resolves to head; too early raises
+    assert (
+        ddl.sql(
+            spark,
+            "SELECT COUNT(*) AS n FROM ddl_tt1 TIMESTAMP AS OF"
+            " '2099-01-01'",
+        ).first()["n"]
+        == 1
+    )
+    with pytest.raises(ValueError, match="no commit at or before"):
+        ddl.sql(
+            spark, "SELECT * FROM ddl_tt1 TIMESTAMP AS OF '1999-01-01'"
+        )
+    # a non-matdb relation with the same phrase passes through to
+    # spark.sql untouched (and fails there, since parquet tables
+    # don't support our as-of) — the rewrite only fires on registered
+    # matdb names
+    with pytest.raises(Exception):
+        ddl.sql(spark, "SELECT * FROM range(3) VERSION AS OF 1")
+
+
+def test_show_create_table_roundtrips(spark, tmp_db_path):
+    loc = os.path.join(tmp_db_path, "sct1")
+    ddl.execute_ddl(
+        spark,
+        _create_stmt(
+            "ddl_sct1",
+            loc,
+            cols="a BIGINT, b BIGINT, v DOUBLE, s STRING",
+            chunks="a=100,b=10",
+        ),
+    )
+    stmt = ddl.sql(spark, "SHOW CREATE TABLE ddl_sct1").first()[
+        "createtab_stmt"
+    ]
+    assert "USING matdb" in stmt and f"'{loc}'" in stmt
+    assert "'chunks' = 'a=100,b=10'" in stmt
+    # the reconstructed statement re-opens the store (IF NOT EXISTS
+    # validates declared columns against schema.json)
+    ddl.sql(spark, "DROP TABLE ddl_sct1")
+    reopened = ddl.sql(
+        spark, stmt.replace("CREATE TABLE", "CREATE TABLE IF NOT EXISTS")
+    )
+    assert reopened.columns == ["a", "b", "v", "s"]
