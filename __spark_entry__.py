@@ -5621,10 +5621,16 @@ def _banded_cte() -> str:
         for bi in range(8)
     )
     return (
+        # MATERIALIZED (DuckDB): sig is referenced by all 8 band
+        # selects and bands by every downstream round — without the
+        # hint DuckDB 1.0 inlines CTEs per reference, recomputing the
+        # shingle->hash->min chain combinatorially (the unrolled
+        # 3-round admission oracle spilled >70 GB at 10x before this;
+        # materialized, bands is just |docs| x 8 small rows)
         _SHINGLES + ", "
         "h AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 7)) AS BIGINT) AS h FROM sh), "
-        f"sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id), "
-        f"bands AS ({band_selects})"
+        f"sig AS MATERIALIZED (SELECT doc_id, {mins} FROM h GROUP BY doc_id), "
+        f"bands AS MATERIALIZED ({band_selects})"
     )
 
 

@@ -75,6 +75,9 @@ FAMILY_REPS = {
     "catalog": "q_catalog_sql",
     "split_leakage": "q_split_leakage_safe",
     "bpe_roundtrip": "q_bpe_roundtrip",
+    # round-8 addition: the SQL DML surface (MERGE is the family's
+    # heaviest statement — dup-check aggregation + three legs + txn)
+    "ddl_dml": "q_ddl_merge",
 }
 
 

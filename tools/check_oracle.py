@@ -104,6 +104,18 @@ def main():
 
     spark = get_spark(app_name="check_oracle", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
     con = duckdb.connect()
+    # big oracles (derived sf1.0) spill; DuckDB's default temp dir is
+    # the SHARED cwd-relative .tmp/, where two concurrent check_oracle
+    # processes delete each other's spill files and abort the process
+    # (unhandled duckdb::IOException -> terminate). Give each process
+    # its own spill dir.
+    tmpdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        f"duckdb_tmp_{os.getpid()}",
+    )
+    os.makedirs(tmpdir, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmpdir}'")
     present = []
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")

@@ -40,8 +40,11 @@ from matdb_spark.sources.tables import load_table
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRATCH = os.path.join(ROOT, ".scratch")
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(SCRATCH, "sf1.0")
-REPS = 10
+# SF1_REPS / SF1_TAG derive intermediate scales with the same recipe
+# (e.g. SF1_REPS=4 SF1_TAG=sf0.4 — used where a DuckDB oracle replay
+# is spill-infeasible at the full 10x but fine at 4x)
+REPS = int(os.environ.get("SF1_REPS", "10"))
+DST = os.path.join(SCRATCH, os.environ.get("SF1_TAG", "sf1.0"))
 
 #: the headline families (r6 verdict item 1's list)
 QUERIES = [
