@@ -5291,6 +5291,57 @@ def q_ddl_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ddl_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OVERWRITE through the matdb dialect (ddl.py, r8): atomic
+    full replacement — every current key tombstoned and the new rows
+    written in the SAME MVCC transaction (later writes within a txn
+    win), so readers see the swap atomically and the pre-overwrite
+    snapshot stays time-travelable. Lifecycle: CREATE → INSERT(all
+    events) → INSERT OVERWRITE(every 3rd event, value×2) → SELECT.
+    Oracle: the overwrite source itself."""
+    from matdb_spark import ddl
+    from matdb_spark.sources.formats import _build_once
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    name = f"matdb_ddl_ow_{tag.replace('.', '_')}"
+    db_path = os.path.join(SCRATCH, f"gate_ddl_ow_{tag}")
+
+    def build(p: str) -> None:
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "value"
+        ).createOrReplaceTempView("__ddl_ow_events")
+        ddl.sql(
+            spark,
+            f"CREATE TABLE {name} (user_id BIGINT, event_id BIGINT,"
+            f" value DOUBLE) USING matdb LOCATION '{p}'"
+            f" TBLPROPERTIES ('chunks' = 'user_id=1000,event_id=100000')",
+        )
+        ddl.sql(
+            spark,
+            f"INSERT INTO {name} SELECT user_id, event_id, value"
+            f" FROM __ddl_ow_events",
+        )
+        ddl.sql(
+            spark,
+            f"INSERT OVERWRITE {name} SELECT user_id, event_id,"
+            f" value * 2 FROM __ddl_ow_events WHERE event_id % 3 = 0",
+        )
+
+    _build_once(db_path, build, version=_MVCC_BUILD_VERSION)
+    ddl.sql(
+        spark,
+        f"CREATE TABLE IF NOT EXISTS {name} (user_id BIGINT,"
+        f" event_id BIGINT, value DOUBLE) USING matdb"
+        f" LOCATION '{db_path}'"
+        f" TBLPROPERTIES ('chunks' = 'user_id=1000,event_id=100000')",
+    )
+    return ddl.sql(
+        spark,
+        f"SELECT user_id, event_id, value FROM {name}"
+        f" ORDER BY user_id, event_id",
+    )
+
+
 def q_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel through SQL (ddl.py ``VERSION AS OF`` rewrite, r8):
     the q_ddl_insert store (txn1 = full insert, txn2 = +1000 upsert on
@@ -5397,6 +5448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ddl_insert": q_ddl_insert,
         "q_ddl_update_delete": q_ddl_update_delete,
         "q_ddl_merge": q_ddl_merge,
+        "q_ddl_overwrite": q_ddl_overwrite,
         "q_sql_time_travel": q_sql_time_travel,
         "q_hard_negatives": q_hard_negatives,
         "q_text_fold": q_text_fold,
@@ -7730,6 +7782,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_sql_time_travel": """
             SELECT user_id, event_id, value FROM events
+        """,
+        "q_ddl_overwrite": """
+            SELECT user_id, event_id, value * 2 AS value
+            FROM events WHERE event_id % 3 = 0
         """,
         "q_ddl_merge": """
             SELECT user_id, event_id,

@@ -48,6 +48,12 @@ Supported statements (documented dialect):
     sources map positionally onto it. The registered view refreshes
     to include the insert (views pin snapshots).
 
+  INSERT OVERWRITE [TABLE] <name> [(col, ...)] VALUES ... | SELECT ...
+    Atomic full replacement: every current key is tombstoned and the
+    new rows written in the SAME transaction (later writes in a txn
+    win, so overlapping keys get the new value); readers see the swap
+    atomically and the pre-overwrite snapshot stays time-travelable.
+
   UPDATE <name> SET <col> = <expr>[, ...] [WHERE <pred>]
     Newest-wins upsert of the re-computed matching rows — one MVCC
     transaction (the engine's own UPDATE primitive). Assignments may
@@ -251,7 +257,8 @@ _VACUUM_RE = re.compile(
 )
 
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"^\s*INSERT\s+(?:INTO|(?P<ow>OVERWRITE)(?:\s+TABLE)?)\s+"
+    r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*"
     r"(?:\((?P<cols>[^)]*)\)\s*)?"
     r"(?P<body>(?:VALUES|SELECT|WITH|TABLE)\b.*?);?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -768,10 +775,33 @@ def execute_ddl(spark, statement: str) -> DataFrame | None:
             ]
         )
         t = db.begin()
+        if m.group("ow"):
+            # INSERT OVERWRITE: tombstone every current key, then the
+            # new rows, in the SAME txn — "across calls, later calls
+            # win" (Transaction.add_dataframe), so a key present in
+            # both gets the new value and readers see the swap
+            # atomically; history stays time-travelable
+            from pyspark.sql import functions as _F
+
+            dims = list(db.schema.dim_names)
+            vtypes = {f.name: f.dataType for f in canon.fields}
+            tomb = (
+                db.begin()
+                .query(ordered=False)
+                .select(
+                    *dims,
+                    *[
+                        _F.lit(None).cast(vtypes[v]).alias(v)
+                        for v in db.schema.value_names
+                    ],
+                )
+            )
+            t.add_dataframe(tomb)
         t.add_dataframe(src)
         t.commit()
         register_store(spark, name, tables[name])  # see the insert
-        return spark.createDataFrame([(t.txn_id,)], "inserted_txn LONG")
+        col = "overwritten_txn" if m.group("ow") else "inserted_txn"
+        return spark.createDataFrame([(t.txn_id,)], f"{col} LONG")
     m = _UPDATE_RE.match(stmt)
     if m:
         name = m.group("name")
@@ -1076,7 +1106,7 @@ def execute_ddl(spark, statement: str) -> DataFrame | None:
         " <name> (<cols>) USING matdb LOCATION '<path>' [TBLPROPERTIES"
         " ('chunks'='dim=size,...')] [AS SELECT ...], DROP TABLE"
         " [IF EXISTS] <name>,"
-        " INSERT INTO <name> [(cols)] VALUES ... | SELECT ...,"
+        " INSERT INTO|OVERWRITE <name> [(cols)] VALUES ... | SELECT ...,"
         " UPDATE <name> SET <col>=<expr>[, ...] [WHERE <pred>],"
         " DELETE FROM <name> [WHERE <pred>], TRUNCATE TABLE <name>,"
         " MERGE INTO <name> [t] USING <src> [s] ON <cond> WHEN ...,"

@@ -707,3 +707,40 @@ def test_show_create_table_roundtrips(spark, tmp_db_path):
         spark, stmt.replace("CREATE TABLE", "CREATE TABLE IF NOT EXISTS")
     )
     assert reopened.columns == ["a", "b", "v", "s"]
+
+
+def test_insert_overwrite(spark, tmp_db_path):
+    loc = os.path.join(tmp_db_path, "ow1")
+    ddl.execute_ddl(spark, _create_stmt("ddl_ow1", loc))
+    ddl.sql(spark, "INSERT INTO ddl_ow1 VALUES (1, 10), (2, 20), (3, 30)")
+    out = ddl.sql(
+        spark, "INSERT OVERWRITE ddl_ow1 VALUES (2, 99), (7, 70)"
+    )
+    assert out.columns == ["overwritten_txn"]
+    got = {
+        r["k"]: r["v"]
+        for r in ddl.sql(spark, "SELECT * FROM ddl_ow1").collect()
+    }
+    # 1 and 3 gone, 2 replaced, 7 new — ONE transaction
+    assert got == {2: 99, 7: 70}
+    hist = ddl.sql(spark, "DESCRIBE HISTORY ddl_ow1")
+    assert hist.count() == 2
+    # the pre-overwrite snapshot is still time-travelable
+    pre = {
+        r["k"]: r["v"]
+        for r in ddl.sql(
+            spark, "SELECT * FROM ddl_ow1 VERSION AS OF 1"
+        ).collect()
+    }
+    assert pre == {1: 10, 2: 20, 3: 30}
+    # OVERWRITE TABLE form + SELECT source
+    ddl.sql(
+        spark,
+        "INSERT OVERWRITE TABLE ddl_ow1 SELECT id AS k, id AS v FROM"
+        " range(2)",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in ddl.sql(spark, "SELECT * FROM ddl_ow1").collect()
+    }
+    assert got == {0: 0, 1: 1}
