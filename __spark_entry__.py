@@ -5342,6 +5342,60 @@ def q_ddl_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ddl_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE through the matdb dialect (ddl.py, r8): roll the
+    snapshot back to a historical version with one FORWARD transaction
+    (Delta's RESTORE semantics — tombstone keys absent at the target,
+    re-assert the old rows; nothing in history is rewritten, so the
+    restore is itself time-travelable). Lifecycle: CREATE → INSERT(all
+    events) → UPDATE(+1000 on every 10th) → DELETE(%7≡3) → RESTORE TO
+    VERSION AS OF 1 → SELECT. Oracle: the original events — the
+    restore must erase both the update and the delete exactly."""
+    from matdb_spark import ddl
+    from matdb_spark.sources.formats import _build_once
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    name = f"matdb_ddl_rst_{tag.replace('.', '_')}"
+    db_path = os.path.join(SCRATCH, f"gate_ddl_restore_{tag}")
+
+    def build(p: str) -> None:
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "value"
+        ).createOrReplaceTempView("__ddl_rst_events")
+        ddl.sql(
+            spark,
+            f"CREATE TABLE {name} (user_id BIGINT, event_id BIGINT,"
+            f" value DOUBLE) USING matdb LOCATION '{p}'"
+            f" TBLPROPERTIES ('chunks' = 'user_id=1000,event_id=100000')",
+        )
+        ddl.sql(
+            spark,
+            f"INSERT INTO {name} SELECT user_id, event_id, value"
+            f" FROM __ddl_rst_events",
+        )
+        ddl.sql(
+            spark,
+            f"UPDATE {name} SET value = value + 1000"
+            f" WHERE event_id % 10 = 0",
+        )
+        ddl.sql(spark, f"DELETE FROM {name} WHERE event_id % 7 = 3")
+        ddl.sql(spark, f"RESTORE TABLE {name} TO VERSION AS OF 1")
+
+    _build_once(db_path, build, version=_MVCC_BUILD_VERSION)
+    ddl.sql(
+        spark,
+        f"CREATE TABLE IF NOT EXISTS {name} (user_id BIGINT,"
+        f" event_id BIGINT, value DOUBLE) USING matdb"
+        f" LOCATION '{db_path}'"
+        f" TBLPROPERTIES ('chunks' = 'user_id=1000,event_id=100000')",
+    )
+    return ddl.sql(
+        spark,
+        f"SELECT user_id, event_id, value FROM {name}"
+        f" ORDER BY user_id, event_id",
+    )
+
+
 def q_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel through SQL (ddl.py ``VERSION AS OF`` rewrite, r8):
     the q_ddl_insert store (txn1 = full insert, txn2 = +1000 upsert on
@@ -5449,6 +5503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ddl_update_delete": q_ddl_update_delete,
         "q_ddl_merge": q_ddl_merge,
         "q_ddl_overwrite": q_ddl_overwrite,
+        "q_ddl_restore": q_ddl_restore,
         "q_sql_time_travel": q_sql_time_travel,
         "q_hard_negatives": q_hard_negatives,
         "q_text_fold": q_text_fold,
@@ -7786,6 +7841,9 @@ def oracle_sql() -> dict[str, str]:
         "q_ddl_overwrite": """
             SELECT user_id, event_id, value * 2 AS value
             FROM events WHERE event_id % 3 = 0
+        """,
+        "q_ddl_restore": """
+            SELECT user_id, event_id, value FROM events
         """,
         "q_ddl_merge": """
             SELECT user_id, event_id,

@@ -100,6 +100,13 @@ Supported statements (documented dialect):
   SHOW MATDB TABLES
     The session's registered matdb tables (name, location).
 
+  RESTORE TABLE <name> TO VERSION AS OF <txn> | TIMESTAMP AS OF <t>
+    Roll the snapshot back to a historical version with one FORWARD
+    transaction (Delta's RESTORE): keys absent at the target version
+    are tombstoned and the old rows re-asserted, so the restore is
+    itself time-travelable (and restorable away again). Metadata +
+    one bounded write; no history is rewritten.
+
   SHOW CREATE TABLE <name>
     Reconstructs the CREATE statement from the persisted schema
     (columns, types, LOCATION, chunks property) — Spark's
@@ -334,6 +341,13 @@ _CHANGES_RE = re.compile(
 )
 
 _SHOW_RE = re.compile(r"^\s*SHOW\s+MATDB\s+TABLES\s*;?\s*$", re.IGNORECASE)
+
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s+TO\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>'[^']*'|\d+(?:\.\d+)?))\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 _SHOW_CREATE_RE = re.compile(
     r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
@@ -1043,6 +1057,41 @@ def execute_ddl(spark, statement: str) -> DataFrame | None:
             until=hi,
             with_preimage=bool(m.group("pre")),
         )
+    m = _RESTORE_RE.match(stmt)
+    if m:
+        # RESTORE = one FORWARD transaction re-asserting the old
+        # snapshot (Delta's RESTORE semantics): tombstone every key
+        # absent at the target version, upsert the old rows — history
+        # is append-only, so the restore itself stays time-travelable
+        # and a mistaken restore can be restored away again
+        name = m.group("name")
+        db = _db_of(name)
+        txn = _resolve_asof_txn(db, m.group("ver"), m.group("ts"))
+        from pyspark.sql import functions as _F
+
+        dims = list(db.schema.dim_names)
+        canon = db.schema.spark_schema()
+        vtypes = {f.name: f.dataType for f in canon.fields}
+        old = db.begin(as_of=txn).query(ordered=False)
+        now = db.begin().query(ordered=False)
+        gone = now.select(*dims).exceptAll(old.select(*dims)).select(
+            *dims,
+            *[
+                _F.lit(None).cast(vtypes[v]).alias(v)
+                for v in db.schema.value_names
+            ],
+        )
+        t = db.begin()
+        t.add_dataframe(gone)
+        t.add_dataframe(
+            old.select(*[old[f.name].cast(f.dataType).alias(f.name)
+                         for f in canon.fields])
+        )
+        t.commit()
+        register_store(spark, name, tables[name])  # see the restore
+        return spark.createDataFrame(
+            [(txn, t.txn_id)], "restored_version LONG, restore_txn LONG"
+        )
     tm = _TRUNCATE_RE.match(stmt)
     m = _DELETE_RE.match(stmt)
     if tm or m:
@@ -1202,6 +1251,7 @@ def sql(spark, statement: str) -> DataFrame | None:
         _ALTER_RE,
         _MERGE_HEAD_RE,
         _SHOW_CREATE_RE,
+        _RESTORE_RE,
     ):
         m = pat.match(s)
         if m and m.group("name") in tables:

@@ -744,3 +744,35 @@ def test_insert_overwrite(spark, tmp_db_path):
         for r in ddl.sql(spark, "SELECT * FROM ddl_ow1").collect()
     }
     assert got == {0: 0, 1: 1}
+
+
+def test_restore_table(spark, tmp_db_path):
+    loc = os.path.join(tmp_db_path, "rst1")
+    ddl.execute_ddl(spark, _create_stmt("ddl_rst1", loc))
+    ddl.sql(spark, "INSERT INTO ddl_rst1 VALUES (1, 10), (2, 20)")  # v1
+    ddl.sql(spark, "INSERT INTO ddl_rst1 VALUES (3, 30)")  # v2
+    ddl.sql(spark, "UPDATE ddl_rst1 SET v = 0 WHERE k = 1")  # v3
+    ddl.sql(spark, "DELETE FROM ddl_rst1 WHERE k = 2")  # v4
+    out = ddl.sql(spark, "RESTORE TABLE ddl_rst1 TO VERSION AS OF 1")
+    assert out.columns == ["restored_version", "restore_txn"]
+    got = {
+        r["k"]: r["v"]
+        for r in ddl.sql(spark, "SELECT * FROM ddl_rst1").collect()
+    }
+    # back to v1 exactly: 3 gone, 1 un-updated, 2 resurrected
+    assert got == {1: 10, 2: 20}
+    # the restore is a FORWARD txn: pre-restore state is still there
+    pre = {
+        r["k"]: r["v"]
+        for r in ddl.sql(
+            spark, "SELECT * FROM ddl_rst1 VERSION AS OF 4"
+        ).collect()
+    }
+    assert pre == {1: 0, 3: 30}
+    # and the restore can be restored away again
+    ddl.sql(spark, "RESTORE TABLE ddl_rst1 TO VERSION AS OF 4")
+    got = {
+        r["k"]: r["v"]
+        for r in ddl.sql(spark, "SELECT * FROM ddl_rst1").collect()
+    }
+    assert got == {1: 0, 3: 30}
