@@ -1203,10 +1203,23 @@ def _rewrite_asof(spark, s: str, tables: dict[str, str]) -> str:
     an explicit alias after the phrase."""
     from matdb_spark.database import Database
 
+    # single-quoted literal spans — a string containing
+    # "<table> VERSION AS OF 1" must not be rewritten
+    spans, in_str, start = [], False, 0
+    for i, c in enumerate(s):
+        if c == "'":
+            if in_str:
+                spans.append((start, i))
+            else:
+                start = i
+            in_str = not in_str
+
     out, last = [], 0
     for m in _ASOF_RE.finditer(s):
         name = m.group("name")
         if name not in tables:
+            continue
+        if any(a <= m.start() <= b for a, b in spans):
             continue
         db = Database.open(spark, tables[name])
         txn = _resolve_asof_txn(db, m.group("ver"), m.group("ts"))

@@ -776,3 +776,16 @@ def test_restore_table(spark, tmp_db_path):
         for r in ddl.sql(spark, "SELECT * FROM ddl_rst1").collect()
     }
     assert got == {1: 0, 3: 30}
+
+
+def test_asof_rewrite_is_quote_aware(spark, tmp_db_path):
+    loc = os.path.join(tmp_db_path, "qa1")
+    ddl.execute_ddl(spark, _create_stmt("ddl_qa1", loc))
+    ddl.sql(spark, "INSERT INTO ddl_qa1 VALUES (1, 10)")
+    # the literal mentions the phrase; it must come back VERBATIM
+    row = ddl.sql(
+        spark,
+        "SELECT 'ddl_qa1 VERSION AS OF 1' AS s, v FROM ddl_qa1",
+    ).first()
+    assert row["s"] == "ddl_qa1 VERSION AS OF 1"
+    assert row["v"] == 10
