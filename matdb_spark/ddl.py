@@ -136,11 +136,14 @@ Supported statements (documented dialect):
     One-row store summary (Delta's DESCRIBE DETAIL shape —
     Database.stats(): location, txn/segment/file counts, bytes).
 
-  OPTIMIZE <name>
+  OPTIMIZE <name> [ZORDER [BY (<all dims>)]]
     Compact the current snapshot into one superseding transaction
     (Database.compact()); returns a 1-row DataFrame with the new txn
     id (null when there was nothing to fold). The registered view is
-    refreshed to see the post-compaction snapshot.
+    refreshed to see the post-compaction snapshot. ZORDER rewrites in
+    z-order (bit-interleaved across ALL dimensions — the engine's
+    zorder key; a BY list must name exactly that set), making
+    row-group stats selective for every dim, not just the leading one.
 
   VACUUM <name> [RETAIN <n> SECONDS]
     Delete data+manifests superseded by a committed compaction older
@@ -253,7 +256,8 @@ _DETAIL_RE = re.compile(
 )
 
 _OPTIMIZE_RE = re.compile(
-    r"^\s*OPTIMIZE\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+    r"^\s*OPTIMIZE\s+(?P<name>[A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\s+(?P<zo>ZORDER)(?:\s+BY\s+\((?P<zcols>[^)]*)\))?)?\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -1140,7 +1144,20 @@ def execute_ddl(spark, statement: str) -> DataFrame | None:
     m = _OPTIMIZE_RE.match(stmt)
     if m:
         name = m.group("name")
-        new_txn = _db_of(name).compact()
+        db = _db_of(name)
+        cluster = "zorder" if m.group("zo") else "sort"
+        if m.group("zcols") is not None:
+            # the engine's z-order key interleaves ALL dimensions; a
+            # BY list is accepted only when it names exactly that set
+            named = [c.strip() for c in m.group("zcols").split(",") if c.strip()]
+            if sorted(named) != sorted(db.schema.dim_names):
+                raise ValueError(
+                    f"OPTIMIZE {name} ZORDER BY {named}: the z-order"
+                    " key interleaves ALL dimensions"
+                    f" ({list(db.schema.dim_names)}) — name exactly"
+                    " that set or omit the BY list"
+                )
+        new_txn = db.compact(cluster=cluster)
         register_store(spark, name, tables[name])  # see the fold
         return spark.createDataFrame([(new_txn,)], "compacted_txn LONG")
     m = _VACUUM_RE.match(stmt)

@@ -789,3 +789,28 @@ def test_asof_rewrite_is_quote_aware(spark, tmp_db_path):
     ).first()
     assert row["s"] == "ddl_qa1 VERSION AS OF 1"
     assert row["v"] == 10
+
+
+def test_optimize_zorder(spark, tmp_db_path):
+    loc = os.path.join(tmp_db_path, "zo1")
+    ddl.execute_ddl(
+        spark,
+        _create_stmt("ddl_zo1", loc, cols="a BIGINT, b BIGINT, v BIGINT",
+                     chunks="a=1000,b=1000"),
+    )
+    ddl.sql(
+        spark,
+        "INSERT INTO ddl_zo1 SELECT id % 50, id DIV 50, id FROM range(500)",
+    )
+    ddl.sql(spark, "INSERT INTO ddl_zo1 VALUES (0, 0, 999)")
+    out = ddl.sql(spark, "OPTIMIZE ddl_zo1 ZORDER")
+    assert out.first()["compacted_txn"] is not None
+    got = {
+        (r["a"], r["b"]): r["v"]
+        for r in ddl.sql(spark, "SELECT * FROM ddl_zo1").collect()
+    }
+    assert len(got) == 500 and got[(0, 0)] == 999
+    # BY list must name exactly the dim set
+    ddl.sql(spark, "OPTIMIZE ddl_zo1 ZORDER BY (b, a)")  # ok, any order
+    with pytest.raises(ValueError, match="ALL dimensions"):
+        ddl.execute_ddl(spark, "OPTIMIZE ddl_zo1 ZORDER BY (a)")
