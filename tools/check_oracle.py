@@ -116,6 +116,10 @@ def main():
     )
     os.makedirs(tmpdir, exist_ok=True)
     con.execute(f"SET temp_directory='{tmpdir}'")
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, tmpdir, True)
     present = []
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
