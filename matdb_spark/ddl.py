@@ -626,7 +626,12 @@ def execute_ddl(spark, statement: str) -> DataFrame | None:
             *[src[f.name].cast(f.dataType).alias(f.name) for f in canon.fields]
         )
         t = db.begin()
-        t.add_dataframe(src)
+        # the CTAS txn is guaranteed to be the store's only one, so
+        # dedup=True both collapses duplicate source keys (one
+        # write-time shuffle) and earns the unique_keys stamp — every
+        # scan until the next write skips the version-dedup shuffle
+        # (scan.py fast path)
+        t.add_dataframe(src, dedup=True)
         t.commit()
         df = register_store(spark, name, loc)
         tables[name] = loc
@@ -990,19 +995,6 @@ def execute_ddl(spark, statement: str) -> DataFrame | None:
             tdims = ", ".join(f"{ta}.{d}" for d in dims)
             legs = []
             if matched:
-                # Delta's determinism rule: >1 source row hitting one
-                # target row makes the outcome order-dependent — error
-                dup = spark.sql(
-                    f"SELECT {tdims} {joined} GROUP BY {tdims}"
-                    " HAVING COUNT(*) > 1 LIMIT 1"
-                ).collect()
-                if dup:
-                    raise ValueError(
-                        f"MERGE {name}: a target row matches more than"
-                        f" one source row (e.g. key {tuple(dup[0])}) —"
-                        " nondeterministic; de-duplicate the source on"
-                        " the join keys first"
-                    )
                 sel_vals = []
                 for v in vals:
                     arms = []
@@ -1018,12 +1010,31 @@ def execute_ddl(spark, statement: str) -> DataFrame | None:
                         )
                         arms.append(f"WHEN ({p}) THEN {e}")
                     sel_vals.append(f"CASE {' '.join(arms)} END AS {v}")
-                where = " OR ".join(f"({p})" for p, _, _ in matched)
-                legs.append(
-                    spark.sql(
-                        f"SELECT {', '.join(f'{ta}.{d} AS {d}' for d in dims)},"
-                        f" {', '.join(sel_vals)} {joined} WHERE {where}"
+                hit = " OR ".join(f"({p})" for p, _, _ in matched)
+                # ONE target⋈source pass serves both the determinism
+                # check and the matched leg: the per-key match count
+                # rides along as a window over the (statement-sized)
+                # pair relation, which is then materialized
+                # (localCheckpoint) so the write doesn't re-run the
+                # join against the snapshot.
+                pairs = spark.sql(
+                    f"SELECT {', '.join(f'{ta}.{d} AS {d}' for d in dims)},"
+                    f" {', '.join(sel_vals)}, ({hit}) AS __hit,"
+                    f" COUNT(*) OVER (PARTITION BY {tdims}) AS __mc"
+                    f" {joined}"
+                ).localCheckpoint()
+                # Delta's determinism rule: >1 source row hitting one
+                # target row makes the outcome order-dependent — error
+                dup = pairs.filter("__mc > 1").select(*dims).take(1)
+                if dup:
+                    raise ValueError(
+                        f"MERGE {name}: a target row matches more than"
+                        f" one source row (e.g. key {tuple(dup[0])}) —"
+                        " nondeterministic; de-duplicate the source on"
+                        " the join keys first"
                     )
+                legs.append(
+                    pairs.filter("__hit").drop("__hit", "__mc")
                 )
             for p, exprs in inserts:
                 legs.append(
@@ -1077,20 +1088,45 @@ def execute_ddl(spark, statement: str) -> DataFrame | None:
         canon = db.schema.spark_schema()
         vtypes = {f.name: f.dataType for f in canon.fields}
         old = db.begin(as_of=txn).query(ordered=False)
-        now = db.begin().query(ordered=False)
-        gone = now.select(*dims).exceptAll(old.select(*dims)).select(
-            *dims,
-            *[
-                _F.lit(None).cast(vtypes[v]).alias(v)
-                for v in db.schema.value_names
-            ],
-        )
+        # drift-proportional: only keys TOUCHED since the target need a
+        # new version — untouched keys already resolve to their target
+        # values. The changes feed reads only the window's segments
+        # (file-pruned by txn id), and the target-snapshot join prunes
+        # on the touched keys, so read AND write cost track the drift,
+        # not the table. (Preconditions — window manifests and the
+        # target snapshot still readable — are RESTORE's own.)
+        touched = db.changes(since=txn).select(*dims).distinct()
+        # one 1-row agg turns the touched-key envelope into STATIC
+        # range predicates on the target snapshot, so its scan can
+        # chunk/file-prune (localized drift — the common case — then
+        # reads a key range, not the table). Empty envelope = nothing
+        # touched since the target: commit a no-op.
+        bounds = touched.agg(
+            *[f for d in dims for f in (
+                _F.min(d).alias(f"__lo_{d}"), _F.max(d).alias(f"__hi_{d}"))]
+        ).first()
         t = db.begin()
-        t.add_dataframe(gone)
-        t.add_dataframe(
-            old.select(*[old[f.name].cast(f.dataType).alias(f.name)
-                         for f in canon.fields])
-        )
+        if bounds[f"__lo_{dims[0]}"] is not None:
+            for d in dims:
+                old = old.filter(
+                    (_F.col(d) >= _F.lit(bounds[f"__lo_{d}"]))
+                    & (_F.col(d) <= _F.lit(bounds[f"__hi_{d}"]))
+                )
+            resurrect = old.join(touched, on=dims, how="leftsemi").select(
+                *[old[f.name].cast(f.dataType).alias(f.name)
+                  for f in canon.fields]
+            )
+            gone = touched.join(
+                old.select(*dims), on=dims, how="left_anti"
+            ).select(
+                *dims,
+                *[
+                    _F.lit(None).cast(vtypes[v]).alias(v)
+                    for v in db.schema.value_names
+                ],
+            )
+            t.add_dataframe(gone)
+            t.add_dataframe(resurrect)
         t.commit()
         register_store(spark, name, tables[name])  # see the restore
         return spark.createDataFrame(

