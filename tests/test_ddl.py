@@ -814,3 +814,45 @@ def test_optimize_zorder(spark, tmp_db_path):
     ddl.sql(spark, "OPTIMIZE ddl_zo1 ZORDER BY (b, a)")  # ok, any order
     with pytest.raises(ValueError, match="ALL dimensions"):
         ddl.execute_ddl(spark, "OPTIMIZE ddl_zo1 ZORDER BY (a)")
+
+
+def test_restore_across_compaction_and_vacuum(spark, tmp_db_path):
+    """RESTORE's documented precondition (r8 verdict item 7): the
+    target snapshot must still be readable. Before VACUUM a compaction
+    keeps superseded manifests, so RESTORE to a pre-compaction version
+    gives the CORRECT result; after VACUUM reclaims them it must be a
+    CLEAN error (Transaction.begin(as_of=)'s missing_history guard),
+    never a silent partial restore — and the failed statement leaves
+    no transaction behind."""
+    loc = os.path.join(tmp_db_path, "rst_vac")
+    ddl.execute_ddl(spark, _create_stmt("ddl_rstv", loc))
+    ddl.sql(spark, "INSERT INTO ddl_rstv VALUES (1, 10), (2, 20)")  # txn 1
+    ddl.sql(spark, "INSERT INTO ddl_rstv VALUES (2, 99), (3, 30)")  # txn 2
+    ddl.sql(spark, "OPTIMIZE ddl_rstv")  # compaction supersedes 1-2
+
+    # pre-vacuum: history intact, restore past the compaction works
+    out = ddl.sql(spark, "RESTORE TABLE ddl_rstv TO VERSION AS OF 1")
+    assert out.first()["restored_version"] == 1
+    got = {
+        r["k"]: r["v"]
+        for r in ddl.sql(spark, "SELECT * FROM ddl_rstv").collect()
+    }
+    assert got == {1: 10, 2: 20}
+
+    # roll forward again, compact, and vacuum the superseded history
+    ddl.sql(spark, "INSERT INTO ddl_rstv VALUES (4, 40)")
+    ddl.sql(spark, "OPTIMIZE ddl_rstv")
+    removed = ddl.sql(spark, "VACUUM ddl_rstv")
+    assert removed.count() > 0
+
+    # post-vacuum: the pre-compaction snapshot is gone — clean error
+    hist_before = ddl.sql(spark, "DESCRIBE HISTORY ddl_rstv").count()
+    with pytest.raises(ValueError, match="unreadable"):
+        ddl.sql(spark, "RESTORE TABLE ddl_rstv TO VERSION AS OF 1")
+    assert ddl.sql(spark, "DESCRIBE HISTORY ddl_rstv").count() == hist_before
+    # the live snapshot is untouched by the failed restore
+    got = {
+        r["k"]: r["v"]
+        for r in ddl.sql(spark, "SELECT * FROM ddl_rstv").collect()
+    }
+    assert got == {1: 10, 2: 20, 4: 40}
