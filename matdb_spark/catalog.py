@@ -132,3 +132,158 @@ def register_warehouse(
             register_store(spark, name, p)
             out[name] = p
     return out
+
+
+# ---------------------------------------------------------------------------
+# Persisted name->location catalog (r8 verdict item 1 of "What's
+# missing": without it, the SQL dialect's registry is session-scoped
+# and in-memory, so a NEW SparkSession must re-issue CREATE TABLE
+# IF NOT EXISTS for every store — the first friction a returning SQL
+# user hits). CREATE/CTAS record into a warehouse-level sidecar file;
+# ddl.sql auto-loads it once per session, so a fresh session resolves
+# table names immediately.
+#
+# Concurrency contract matches the dialect's (ddl.py registry
+# docstring): one ADMINISTERING driver per warehouse at a time.
+# Writes are still atomic (tmp + os.replace) and read-modify-write,
+# so a torn file can never be observed and interleaved creators lose
+# at worst one entry, never the file.
+# ---------------------------------------------------------------------------
+
+#: runtime conf holding the sidecar path; "off" disables persistence
+#: (the test suite's shared session runs with it off so tmp-dir
+#: stores never leak across pytest runs)
+CATALOG_CONF = "spark.matdb.catalog"
+
+_CATALOG_FILENAME = "_matdb_catalog.json"
+
+
+def catalog_path(spark) -> str | None:
+    """Resolve the sidecar file path: ``spark.matdb.catalog`` if set
+    (``off``/empty → None), else ``<spark.sql.warehouse.dir>/
+    _matdb_catalog.json`` — the warehouse dir is stable across
+    sessions started from one working directory, which is exactly the
+    returning-user case the persisted catalog exists for."""
+    raw = spark.conf.get(CATALOG_CONF, None)
+    if raw is not None:
+        raw = raw.strip()
+        if raw.lower() in ("", "off", "false", "none"):
+            return None
+        return raw[len("file:") :] if raw.startswith("file:") else raw
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if wh.startswith("file:"):
+        wh = wh[len("file:") :]
+    return os.path.join(wh, _CATALOG_FILENAME)
+
+
+def _read_catalog_file(path: str) -> dict[str, str]:
+    import json
+
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (FileNotFoundError, ValueError):
+        return {}
+    tables = data.get("tables", {}) if isinstance(data, dict) else {}
+    return {
+        k: v
+        for k, v in tables.items()
+        if isinstance(k, str) and isinstance(v, str)
+    }
+
+
+def _write_catalog_file(path: str, tables: dict[str, str]) -> None:
+    import json
+    import tempfile
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(path) or ".", prefix="._catalog_"
+    )
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump({"version": 1, "tables": tables}, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)  # atomic publish, same device
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def record_table(spark, name: str, location: str) -> None:
+    """Persist ``name -> location`` into the warehouse sidecar (no-op
+    when persistence is off). Failures warn rather than fail the DDL:
+    a read-only warehouse must not block CREATE against a writable
+    store."""
+    path = catalog_path(spark)
+    if path is None:
+        return
+    try:
+        tables = _read_catalog_file(path)
+        if tables.get(name) == location:
+            return
+        tables[name] = location
+        _write_catalog_file(path, tables)
+    except OSError as e:
+        warnings.warn(
+            f"could not persist table {name!r} to catalog {path!r}:"
+            f" {e} (the in-session registration still holds)",
+            stacklevel=2,
+        )
+
+
+def forget_table(spark, name: str) -> None:
+    """Remove ``name`` from the sidecar (DROP TABLE); no-op when
+    persistence is off or the entry is absent."""
+    path = catalog_path(spark)
+    if path is None:
+        return
+    try:
+        tables = _read_catalog_file(path)
+        if name in tables:
+            del tables[name]
+            _write_catalog_file(path, tables)
+    except OSError as e:
+        warnings.warn(
+            f"could not remove {name!r} from catalog {path!r}: {e}",
+            stacklevel=2,
+        )
+
+
+def load_persisted(spark) -> dict[str, str]:
+    """Register every live store recorded in the sidecar as a session
+    view and return {name: location}. Entries whose store no longer
+    exists on disk are pruned from the file (tmp-dir stores die
+    between sessions; the catalog must not accumulate tombstones);
+    entries that exist but fail to open are skipped with a warning —
+    one broken store never aborts the rest, the same tolerance
+    register_warehouse gives discovery."""
+    path = catalog_path(spark)
+    if path is None:
+        return {}
+    recorded = _read_catalog_file(path)
+    out: dict[str, str] = {}
+    stale = []
+    for name, loc in sorted(recorded.items()):
+        if not os.path.isfile(os.path.join(loc, SCHEMA_FILENAME)):
+            stale.append(name)
+            continue
+        try:
+            register_store(spark, name, loc)
+            out[name] = loc
+        except Exception as e:  # pragma: no cover - corrupt store
+            warnings.warn(
+                f"catalog entry {name!r} at {loc!r} failed to open:"
+                f" {type(e).__name__}: {e} — skipped",
+                stacklevel=2,
+            )
+    if stale:
+        try:
+            for name in stale:
+                recorded.pop(name, None)
+            _write_catalog_file(path, recorded)
+        except OSError:
+            pass
+    return out

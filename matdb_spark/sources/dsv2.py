@@ -288,11 +288,18 @@ def register_matdb_source(spark) -> None:
     """Register the ``matdb`` format with a session (idempotent).
     Python-source filter pushdown ships behind a conf flag in Spark 4
     and a reader that implements pushFilters REQUIRES it on — enable
-    it with the registration. A child session (``spark.newSession()``)
-    shares the parent's data-source registry and re-registration there
-    raises DATA_SOURCE_ALREADY_EXISTS instead of replacing — already
-    registered is exactly the state this function wants, so that
-    error is swallowed."""
+    it with the registration.
+
+    Child-session caveat (Spark 4.1, pinned by tests/
+    test_catalog_persist.py::test_child_session_python_source_
+    limitation_pinned): once an ANCESTOR session has registered this
+    name, a ``spark.newSession()`` child can neither see the
+    registration (reads fail DATA_SOURCE_NOT_FOUND) nor re-register
+    it — the first attempt silently no-ops and an explicit retry
+    raises DATA_SOURCE_ALREADY_EXISTS. That error is swallowed here
+    so ancestor-owned sessions keep working; consumers needing a
+    genuinely fresh session must use a fresh PROCESS (the catalog
+    sidecar's returning-user flow)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
         spark.dataSource.register(MatdbDataSource)

@@ -11,6 +11,11 @@ SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="matdb_spark_tests", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    # the shared session must not persist tmp-dir stores into the
+    # repo-level warehouse catalog (they die with pytest's tmp dirs);
+    # the dedicated persistence tests opt back in on their own
+    # sessions with an explicit sidecar path
+    s.conf.set("spark.matdb.catalog", "off")
     yield s
 
 
