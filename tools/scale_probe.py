@@ -1300,6 +1300,77 @@ def probe_dml(spark, total: int = 4_000_000, batch: int = 100_000):
     shutil.rmtree(loc, ignore_errors=True)
 
 
+def probe_merge_shuffle(spark, total: int = 4_000_000, src_rows: int = 2_000_000):
+    """The NON-broadcast MERGE path (r8 verdict item 5): §15.2's dml
+    probe measured a 100k source that AQE broadcasts; here the source
+    is 2M rows (~50 MB of key+payload — far over the 10 MB
+    autoBroadcastJoinThreshold on both sides), so the matched-leg
+    target⋈source pair relation must plan as a SHUFFLE equi-join. The
+    plan fact is inspected in-probe on the exact join shape MERGE
+    builds (post-AQE executed plan: no BroadcastHashJoin, a
+    SortMergeJoin/ShuffledHashJoin present), then the full statement
+    runs with invariants so the wall time can't pass on a wrong
+    answer. Claim under test: the shuffle MERGE costs one snapshot
+    scan + one shuffle of (target-matched + source) + the write — an
+    equi-join like any other, no new scale regime."""
+    from matdb_spark import ddl
+
+    loc = os.path.join(SCRATCH, "probe_mshuf_store")
+    shutil.rmtree(loc, ignore_errors=True)
+    print(f"merge-shuffle probe: {total}-row target, {src_rows}-row source")
+    _timed_s("CTAS 4M rows", lambda: ddl.sql(
+        spark,
+        f"CREATE TABLE probe_mshuf USING matdb LOCATION '{loc}'"
+        " TBLPROPERTIES ('chunks' = 'k=1000000')"
+        f" AS SELECT id AS k, id AS v, CAST(id % 97 AS STRING) AS s"
+        f" FROM range({total})",
+    ).count())
+    t_scan = _timed_s("full-row snapshot scan (noop sink)", lambda: ddl.sql(
+        spark, "SELECT * FROM probe_mshuf"
+    ).write.format("noop").mode("overwrite").save())
+
+    # half updates (even keys, distinct), half inserts (new keys,
+    # distinct) — satisfies both legs' determinism guards
+    upd, ins = src_rows // 2, src_rows // 2
+    spark.sql(
+        f"SELECT id * 2 AS k, -1 AS nv FROM range({upd})"
+        f" UNION ALL SELECT id + {total}, id FROM range({ins})"
+    ).createOrReplaceTempView("probe_mshuf_src")
+
+    # plan fact FIRST: the same equi-join shape MERGE's matched leg
+    # builds, executed end-to-end so AQE's final decision is the one
+    # inspected
+    j = spark.sql(
+        "SELECT t.k, t.v, m.nv FROM probe_mshuf t"
+        " JOIN probe_mshuf_src m ON t.k = m.k"
+    )
+    j.write.format("noop").mode("overwrite").save()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:2000]
+    kind = "SortMergeJoin" if "SortMergeJoin" in plan else "ShuffledHashJoin"
+    print(f"  plan fact: matched-leg join is {kind} (no broadcast)")
+
+    t_merge = _timed_s(f"MERGE ({src_rows}-row source, shuffle path)",
+                       lambda: ddl.sql(spark, """
+        MERGE INTO probe_mshuf t USING probe_mshuf_src m ON t.k = m.k
+        WHEN MATCHED THEN UPDATE SET v = -t.v
+        WHEN NOT MATCHED THEN INSERT (k, v, s) VALUES (m.k, m.nv, 'new')
+    """).count())
+    n = ddl.sql(spark, "SELECT COUNT(*) AS n FROM probe_mshuf").first()["n"]
+    assert n == total + ins, (n, total, ins)
+    neg = ddl.sql(
+        spark, "SELECT COUNT(*) AS n FROM probe_mshuf WHERE v < 0"
+    ).first()["n"]
+    assert neg == upd - 1, neg  # -0 is not negative: key 0 updates to 0
+    print(
+        f"  post-merge rows {n}, negated {neg};"
+        f" merge x{t_merge / t_scan:.2f} of plain scan"
+    )
+    ddl.sql(spark, "DROP TABLE probe_mshuf")
+    shutil.rmtree(loc, ignore_errors=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "volume"
     spark = get_spark(app_name=f"scale_probe_{which}")
@@ -1354,5 +1425,7 @@ if __name__ == "__main__":
         probe_sq8_index(spark)
     elif which == "dml":
         probe_dml(spark)
+    elif which == "mergeshuffle":
+        probe_merge_shuffle(spark)
     else:
         raise SystemExit(f"unknown probe {which!r}")
