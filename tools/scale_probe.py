@@ -1300,11 +1300,13 @@ def probe_dml(spark, total: int = 4_000_000, batch: int = 100_000):
     shutil.rmtree(loc, ignore_errors=True)
 
 
-def probe_merge_shuffle(spark, total: int = 4_000_000, src_rows: int = 2_000_000):
+def probe_merge_shuffle(spark, total: int = 4_000_000, src_rows: int = 4_000_000):
     """The NON-broadcast MERGE path (r8 verdict item 5): §15.2's dml
     probe measured a 100k source that AQE broadcasts; here the source
-    is 2M rows (~50 MB of key+payload — far over the 10 MB
-    autoBroadcastJoinThreshold on both sides), so the matched-leg
+    is 4M parquet-backed rows (~78 MB of key+payload — over the
+    session's deliberately-raised 64 MB autoBroadcastJoinThreshold,
+    session.py:49 — and incompressible, so file-backed size estimates
+    cannot shrink it under the bar), so the matched-leg
     target⋈source pair relation must plan as a SHUFFLE equi-join. The
     plan fact is inspected in-probe on the exact join shape MERGE
     builds (post-AQE executed plan: no BroadcastHashJoin, a
@@ -1330,26 +1332,42 @@ def probe_merge_shuffle(spark, total: int = 4_000_000, src_rows: int = 2_000_000
     ).write.format("noop").mode("overwrite").save())
 
     # half updates (even keys, distinct), half inserts (new keys,
-    # distinct) — satisfies both legs' determinism guards
+    # distinct) — satisfies both legs' determinism guards. The source
+    # is MATERIALIZED to parquet and read back: a synthetic range()
+    # source carries tiny size estimates and AQE broadcasts it no
+    # matter how many rows it has — a real ingest source arrives with
+    # file-backed stats, which is the case under test.
     upd, ins = src_rows // 2, src_rows // 2
+    src_path = os.path.join(SCRATCH, "probe_mshuf_src")
+    shutil.rmtree(src_path, ignore_errors=True)
     spark.sql(
-        f"SELECT id * 2 AS k, -1 AS nv FROM range({upd})"
-        f" UNION ALL SELECT id + {total}, id FROM range({ins})"
-    ).createOrReplaceTempView("probe_mshuf_src")
+        f"SELECT id * 2 AS k, -1 AS nv, md5(CAST(id AS STRING)) AS pad"
+        f" FROM range({upd})"
+        f" UNION ALL SELECT id + {total}, id, md5(CAST(-id AS STRING))"
+        f" FROM range({ins})"
+    ).write.parquet(src_path)
+    spark.read.parquet(src_path).createOrReplaceTempView("probe_mshuf_src")
 
     # plan fact FIRST: the same equi-join shape MERGE's matched leg
-    # builds, executed end-to-end so AQE's final decision is the one
-    # inspected
+    # builds, executed through ITS OWN query execution (collect on the
+    # 1-row aggregate) so the AQE-FINAL plan is the one inspected
+    # aggregates touch every joined column so Catalyst cannot prune
+    # the pair relation down to a broadcastable sliver — this is the
+    # width MERGE's matched leg actually carries
     j = spark.sql(
-        "SELECT t.k, t.v, m.nv FROM probe_mshuf t"
-        " JOIN probe_mshuf_src m ON t.k = m.k"
+        "SELECT COUNT(*) AS n, SUM(nv) AS s, SUM(v) AS sv,"
+        " MIN(pad) AS mp, MAX(st) AS ms FROM ("
+        " SELECT t.k, t.v, t.s AS st, m.nv, m.pad FROM probe_mshuf t"
+        " JOIN probe_mshuf_src m ON t.k = m.k)"
     )
-    j.write.format("noop").mode("overwrite").save()
+    n_pairs = j.collect()[0]["n"]
+    assert n_pairs == upd, n_pairs
     plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan[:300]
     assert "BroadcastHashJoin" not in plan, plan[:2000]
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:2000]
     kind = "SortMergeJoin" if "SortMergeJoin" in plan else "ShuffledHashJoin"
-    print(f"  plan fact: matched-leg join is {kind} (no broadcast)")
+    print(f"  plan fact: matched-leg join is {kind} (no broadcast, AQE-final)")
 
     t_merge = _timed_s(f"MERGE ({src_rows}-row source, shuffle path)",
                        lambda: ddl.sql(spark, """
@@ -1369,6 +1387,7 @@ def probe_merge_shuffle(spark, total: int = 4_000_000, src_rows: int = 2_000_000
     )
     ddl.sql(spark, "DROP TABLE probe_mshuf")
     shutil.rmtree(loc, ignore_errors=True)
+    shutil.rmtree(src_path, ignore_errors=True)
 
 
 if __name__ == "__main__":
