@@ -47,6 +47,59 @@ def _force_utc(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# Schema cache: (path, mtime_ns, size) -> StructType. METADATA only —
+# the values are still scanned from parquet on every action; this is
+# exactly what a table catalog/manifest does at scale (nobody re-infers
+# a 100 TB table's schema per query). Keyed on the file's identity so a
+# regenerated testdata epoch invalidates the entry. Measured: schema
+# inference is ~80 ms of the ~170 ms per load_table call — paid by
+# every query, several hundred times per bench run.
+_SCHEMA_CACHE: dict = {}
+
+
+def _file_key(path: str):
+    import os as _os
+
+    try:
+        st = _os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size), st.st_size
+    except OSError:
+        return None, 0
+
+
+def _size_bytes(v: str) -> int:
+    """Parse a Spark size conf value ('134217728', '134217728b',
+    '128m', '1g', '128MB') into bytes."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suf, m in (
+        ("kb", 1024), ("mb", 1024**2), ("gb", 1024**3), ("tb", 1024**4),
+        ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("t", 1024**4),
+        ("b", 1),
+    ):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    return int(float(s) * mult)
+
+
+def _estimated_scan_tasks(spark: SparkSession, fsize: int) -> int:
+    """Mirror FilePartition.maxSplitBytes: how many tasks will scan a
+    single parquet file of ``fsize`` bytes. Pure driver math — replaces
+    a ``df.rdd.getNumPartitions()`` probe that forced a full
+    RDD-conversion plan per call (~50 ms, per query, per table)."""
+    mpb = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    opc = _size_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304b")
+    )
+    par = spark.sparkContext.defaultParallelism
+    bytes_per_core = (fsize + opc) // max(1, par)
+    max_split = min(mpb, max(opc, bytes_per_core))
+    return max(1, -(-fsize // max(1, max_split)))
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, min_parallelism: int | None = None
 ) -> DataFrame:
@@ -58,24 +111,18 @@ def load_table(
     # shifts results off the DuckDB oracle, which reads naive UTC.
     _force_utc(spark)
     path = f"{sf_dir}/{name}.parquet"
-    df = spark.read.parquet(path)
-    # A parquet file is splittable only at row-group boundaries; a
-    # single-row-group file pins the whole scan (and everything up to
-    # the first shuffle) to ONE task no matter how many cores exist.
-    # Round-robin repartition restores parallelism; Catalyst still
-    # pushes later filters/pruning through the exchange down to the
-    # scan, so the shuffle carries post-pushdown rows only. Tiny dim
-    # tables are left alone (they get broadcast anyway).
-    import os as _os
-
-    try:
-        fsize = _os.path.getsize(path)
-    except OSError:
-        fsize = 0
+    key, fsize = _file_key(path)
+    schema = _SCHEMA_CACHE.get(key) if key else None
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        if key:
+            _SCHEMA_CACHE[key] = schema
+    df = spark.read.schema(schema).parquet(path)
     for c in _TS_COLS.get(name, []):
-        if c not in df.columns:
+        field = next((f for f in schema.fields if f.name == c), None)
+        if field is None:
             continue
-        dt = dict(df.dtypes)[c]
+        dt = field.dataType.simpleString()
         if dt == "bigint":
             # integer division: ns values (~1.7e18) exceed double's
             # 53-bit mantissa, so float division drifts by ±1 µs
@@ -86,11 +133,18 @@ def load_table(
             # instant functions (unix_micros, window) apply and values
             # match DuckDB's naive read of the same file.
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    # A parquet file is splittable only at row-group boundaries; a
+    # small file pins the whole scan (and everything up to the first
+    # shuffle) to few tasks no matter how many cores exist.
+    # Round-robin repartition restores parallelism; Catalyst still
+    # pushes later filters/pruning through the exchange down to the
+    # scan, so the shuffle carries post-pushdown rows only. Tiny dim
+    # tables are left alone (they get broadcast anyway). The ts
+    # conversion above is applied BEFORE this exchange so later
+    # filters on converted columns are pushed below the shuffle
+    # (evaluated scan-side) instead of filtering post-shuffle.
     target = min_parallelism or spark.sparkContext.defaultParallelism
-    if fsize > 100 * 1024 and df.rdd.getNumPartitions() < target:
-        # ts conversion above is applied BEFORE this exchange so later
-        # filters on converted columns are pushed below the shuffle
-        # (evaluated scan-side) instead of filtering post-shuffle.
+    if fsize > 100 * 1024 and _estimated_scan_tasks(spark, fsize) < target:
         df = df.repartition(target)
     return df
 

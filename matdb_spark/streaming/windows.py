@@ -109,14 +109,34 @@ def run_to_memory_sink(
     """Execute a (finite) streaming plan to completion into an
     in-memory table via availableNow, returning after the last batch.
     Used by tests and the gate harness; production sinks would be
-    parquet/kafka with the same writeStream call."""
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    parquet/kafka with the same writeStream call.
+
+    Shuffle partitions = the state-store instance count for stateful
+    streaming operators, captured at stream START from the session
+    conf (not settable per-query). For a one-batch availableNow run,
+    32 stores is pure checkpoint overhead (measured 17 s vs 2.6 s on
+    the stream-stream join at sf0.1) — so the start is wrapped in a
+    small, env-overridable count ($SPARK_GRAFT_STREAM_SHUFFLE,
+    default 8). On a cluster this knob is sized to sustained
+    throughput, not to a single finite batch; partitioning never
+    changes WHAT a stateful operator computes, only how many state
+    stores hold it."""
+    import os
+
+    spark = out.sparkSession
+    parts = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return q
