@@ -114,7 +114,7 @@ def _cross_covariance(
         as_double(F.col(vec_col)).alias("__x"),
         rotate_expr(F.col(vec_col), r_lit, d).alias("__v"),
     ).filter(F.col("__x").isNotNull())
-    coded = rot.select("__x", _pq_codes_expr(cb_lit, m, k, bs).alias("__c"))
+    coded = rot.select("__x", _pq_codes_expr(codebook).alias("__c"))
     pairs = coded.select("__x", _decode_expr(F.col("__c"), cb_lit, k=k, m=m).alias("__yh"))
 
     def partial(batches):

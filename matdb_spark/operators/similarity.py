@@ -33,23 +33,26 @@ from matdb_spark.operators.topk import top_k_per_group
 
 def _unit(df: DataFrame, id_exprs: list, vec_col: str, out_col: str) -> DataFrame:
     """Project to (ids..., unit vector). The norm is bound as a lambda
-    VARIABLE (vectors.with_bound_scalar) so it evaluates once per row:
-    a projected norm column is referenced exactly once here, which
-    CollapseProject inlines straight into the divide lambda — i.e.
-    norm recomputed PER ELEMENT, O(d²). Measured 5.7 s → 0.6 s on
-    32k × 64-dim vectors."""
-    from matdb_spark.functions.vectors import with_bound_scalar
+    VARIABLE (the transform-over-singleton binding) so it evaluates
+    once per row: a projected norm column is referenced exactly once
+    here, which CollapseProject inlines straight into the divide
+    lambda — i.e. norm recomputed PER ELEMENT, O(d²). Measured 5.7 s →
+    0.6 s on 32k × 64-dim vectors.
 
-    t = df.select(*id_exprs, as_double(F.col(vec_col)).alias("__v0"))
-    # Zero-norm guard: an all-zero embedding (failed upstream encode)
-    # has no direction — its unit vector is NULL, so its similarities
-    # are NULL and it drops out of top-k/threshold results instead of
-    # aborting the whole job with DIVIDE_BY_ZERO under ANSI mode.
-    uv = with_bound_scalar(
-        norm(F.col("__v0")),
-        lambda nv: F.when(
-            nv != 0.0, F.transform(F.col("__v0"), lambda x: x / nv)
-        ),
+    Both stages are single F.expr strings (one py4j round trip each;
+    the per-lambda Python construction cost ~100 ms per _unit call at
+    plan-build time, paid 2-4× by every similarity query). Same
+    operators, same fold order — bit-identical unit vectors; zero-norm
+    vectors still map to NULL (no ELSE arm), so they drop out of
+    top-k/threshold results instead of aborting under ANSI mode."""
+    t = df.select(
+        *id_exprs,
+        F.expr(f"transform(`{vec_col}`, xx -> CAST(xx AS DOUBLE))").alias("__v0"),
+    )
+    uv = F.expr(
+        "get(transform(array(SQRT(aggregate(zip_with(`__v0`, `__v0`, "
+        "(x, y) -> x * y), 0D, (acc, x) -> acc + x))), "
+        "nv -> CASE WHEN nv != 0D THEN transform(`__v0`, x -> x / nv) END), 0)"
     )
     keep = [c for c in t.columns if c != "__v0"]
     return t.select(*keep, uv.alias(out_col))
@@ -508,18 +511,36 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 0x5EED) -> list[list[float]
     return planes
 
 
-def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+def hyperplane_bucket(vec_col: str, planes: list[list[float]]) -> Column:
     """Random-hyperplane (SimHash-for-vectors) LSH bucket id: bit p is
     the sign of ``vec · plane_p``; bucket = the packed bit vector.
     Pure JVM expressions — one O(n_planes · d) fold per row, no
     shuffle. Vectors whose cosine is high agree on most signs, so they
-    collide with probability (1 - θ/π)^n_planes."""
-    bucket = F.lit(0)
-    for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(dot(vec, lit_plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bucket + bit
-    return bucket.cast("long")
+    collide with probability (1 - θ/π)^n_planes.
+
+    Built as ONE F.expr over the named unit-vector column: the planes
+    embed as a single from_json literal and the per-plane sign fold is
+    a nested higher-order expression, all parsed JVM-side in one py4j
+    round trip. The previous per-plane Python construction (one F.lit
+    per plane COMPONENT plus one zip_with/aggregate pair per plane)
+    cost ~n_planes·d py4j round trips at plan-build time — measured
+    3.9 s / 21.5k round trips building the 8-table recall gate's plan.
+    Same math, same fold order, bit-identical buckets: json
+    round-trips the 6-decimal plane values to identical doubles, the
+    per-plane dot is the same zip_with/aggregate left fold, and a NULL
+    unit vector still yields bucket 0 (every CASE arm takes ELSE)."""
+    import json
+
+    if not planes:
+        return F.lit(0).cast("long")
+    pj = json.dumps(planes)
+    powers = ",".join(f"{1 << p}L" for p in range(len(planes)))
+    return F.expr(
+        f"CAST(aggregate(zip_with(from_json('{pj}', 'array<array<double>>'), "
+        f"array({powers}), (pl, pw) -> CASE WHEN aggregate(zip_with(`{vec_col}`, pl, "
+        f"(x, y) -> x * y), 0D, (acc, x) -> acc + x) >= 0 THEN pw ELSE 0L END), "
+        f"0L, (acc, x) -> acc + x) AS BIGINT)"
+    )
 
 
 def hyperplane_near_dup_pairs(
@@ -559,7 +580,7 @@ def hyperplane_near_dup_pairs(
         dim = len(first[0])
     planes = hyperplanes(n_planes, dim, seed)
     cells = _unit(corpus, [F.col(id_col)], vec_col, "__v")
-    cells = cells.withColumn("__bucket", hyperplane_bucket(F.col("__v"), planes))
+    cells = cells.withColumn("__bucket", hyperplane_bucket("__v", planes))
     a = cells.select("__bucket", F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
     b = cells.select("__bucket", F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
     pairs = a.join(b, "__bucket").filter(F.col("id_a") < F.col("id_b"))
@@ -646,7 +667,7 @@ def _lsh_tabled(
         *[
             F.struct(
                 F.lit(t).alias("t"),
-                hyperplane_bucket(F.col("__v"), planes[t * b : (t + 1) * b]).alias(
+                hyperplane_bucket("__v", planes[t * b : (t + 1) * b]).alias(
                     "bk"
                 ),
             )
@@ -1032,36 +1053,42 @@ def _bound(expr: Column, fn) -> Column:
     return F.get(F.transform(F.array(expr), fn), 0)
 
 
-def _pq_codes_expr(cb_lit: Column, m: int, k: int, bs: int) -> Column:
+def _cb_json_sql(codebook: list[list[list[float]]]) -> str:
+    """SQL fragment for the flat codebook literal (cb[b][j] at index
+    b*k + j) — from_json constant-folds to one ArrayData."""
+    import json
+
+    flat = [cw for block in codebook for cw in block]
+    return f"from_json('{json.dumps(flat)}', 'array<array<double>>')"
+
+
+def _pq_codes_expr(codebook: list[list[list[float]]]) -> Column:
     """codes array<int> over a materialized unit-vector attribute
     ``__v`` — per block, the index of the L2-nearest codeword (ties to
-    the lowest code — deterministic)."""
+    the lowest code — deterministic).
 
-    def code_for(b: int) -> Column:
-        # closures, not default-arg lambdas (pyspark HOF arity trap)
-        blk = F.slice(F.col("__v"), b * bs + 1, bs)
-
-        def dists_of(bb: Column) -> Column:
-            from matdb_spark.functions.vectors import squared_l2
-
-            return F.transform(
-                F.sequence(F.lit(0), F.lit(k - 1)),
-                lambda j: squared_l2(
-                    bb, F.element_at(cb_lit, (F.lit(b * k) + j + 1).cast("int"))
-                ),
-            )
-
-        return _bound(
-            blk,
-            lambda bb: _bound(
-                dists_of(bb),
-                lambda dd: (
-                    F.array_position(dd, F.array_min(dd)).cast("int") - 1
-                ),
-            ),
-        )
-
-    return F.array(*[code_for(b) for b in range(m)])
+    ONE F.expr (single py4j round trip): the previous per-block Python
+    construction cost ~250 ms at m=4·k=8 and ~1.8 s at m=32·k=64 per
+    call — per Lloyd iteration in the trainer, per encode in the index
+    writers. Same operators and fold orders (squared_l2's cast-then-
+    fold, array_position tie-to-lowest), so codes are bit-identical;
+    the block index just moves from a Python loop into a sequence()
+    lambda variable."""
+    m, k, bs = len(codebook), len(codebook[0]), len(codebook[0][0])
+    cb = _cb_json_sql(codebook)
+    d2 = (
+        "aggregate(zip_with(transform(bb, xx -> CAST(xx AS DOUBLE)), "
+        f"transform(element_at({cb}, CAST(b * {k} + j + 1 AS INT)), "
+        "xx -> CAST(xx AS DOUBLE)), (x, y) -> (x - y) * (x - y)), "
+        "0D, (acc, x) -> acc + x)"
+    )
+    dists = f"transform(sequence(0, {k - 1}), j -> {d2})"
+    code = (
+        f"get(transform(array(slice(`__v`, b * {bs} + 1, {bs})), bb -> "
+        f"get(transform(array({dists}), dd -> "
+        "CAST(array_position(dd, array_min(dd)) AS INT) - 1), 0)), 0)"
+    )
+    return F.expr(f"transform(sequence(0, {m - 1}), b -> {code})")
 
 
 def pq_encode(
@@ -1079,7 +1106,7 @@ def pq_encode(
     cb_lit, m, k, bs = _pq_lit(codebook)
     u = _unit(corpus, [F.col(id_col)], vec_col, "__v")
     return u.select(
-        id_col, _pq_codes_expr(cb_lit, m, k, bs).alias("codes")
+        id_col, _pq_codes_expr(codebook).alias("codes")
     )
 
 
@@ -1167,57 +1194,47 @@ def _collect_capped(df: DataFrame, cap_rows: int, cap_queries: int, fn_name: str
     return rows
 
 
-def _adc_lut_expr(qv_col: Column, cb_lit: Column, m: int, k: int, bs: int) -> Column:
+def _adc_lut_expr(qv_name: str, codebook: list[list[list[float]]]) -> Column:
     """Per-ROW flat ADC lookup table (m·k doubles; entry b*k+j =
     ⟨query block b, codeword[b][j]⟩) computed JVM-side — the
     distributed analog of _adc_tables. Same block layout and the same
     left-fold accumulation order as the driver's _pydot, so entries
-    are bit-identical to the driver-built table."""
+    are bit-identical to the driver-built table. ONE F.expr — the
+    per-entry Python construction paid ~m·k py4j round trips."""
+    m, k, bs = len(codebook), len(codebook[0]), len(codebook[0][0])
+    cb = _cb_json_sql(codebook)
+    return F.expr(
+        f"transform(sequence(0, {m * k - 1}), e -> "
+        f"aggregate(zip_with(slice(`{qv_name}`, CAST(FLOOR(e / {k}) AS INT) * {bs} + 1, {bs}), "
+        f"element_at({cb}, CAST(e + 1 AS INT)), (x, y) -> x * y), "
+        "0D, (acc, x) -> acc + x))"
+    )
 
-    def entry(e: Column) -> Column:
-        b = F.floor(e / k).cast("int")
-        blk = F.slice(qv_col, b * bs + 1, bs)
-        return dot(blk, F.element_at(cb_lit, (e + 1).cast("int")))
 
-    return F.transform(F.sequence(F.lit(0), F.lit(m * k - 1)), entry)
-
-
-def _adc_score_from_col(lut_col: Column, m: int, k: int) -> Column:
+def _adc_score_from_col(lut_name: str, m: int, k: int) -> Column:
     """Σ_b LUT[b*k + codes[b]] over a PER-ROW ``__lut`` array column —
     the joined-relation counterpart of _adc_score_expr (which indexes a
     plan-folded all-queries literal by __qi). Identical accumulation
     order, so the two paths score bit-identically."""
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, b: acc
-        + F.element_at(
-            lut_col,
-            (
-                b * k
-                + F.element_at(F.col("codes"), (b + 1).cast("int"))
-                + 1
-            ).cast("int"),
-        ),
+    return F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0D, (acc, b) -> acc + "
+        f"element_at(`{lut_name}`, CAST(b * {k} + "
+        "element_at(codes, CAST(b + 1 AS INT)) + 1 AS INT)))"
     )
 
 
-def _adc_score_expr(lut_lit: Column, m: int, k: int) -> Column:
+def _adc_score_expr(lut: list, m: int, k: int) -> Column:
     """Σ_b LUT[(__qi*m + b)*k + codes[b]] — the ADC score over a
     `__qi` (query index) column and a `codes` array column, terms
-    accumulating in block order."""
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, b: acc
-        + F.element_at(
-            lut_lit,
-            (
-                (F.col("__qi").cast("bigint") * m + b) * k
-                + F.element_at(F.col("codes"), (b + 1).cast("int"))
-                + 1
-            ).cast("int"),
-        ),
+    accumulating in block order. The all-queries LUT embeds as one
+    from_json literal inside a single F.expr."""
+    import json
+
+    lut_sql = f"from_json('{json.dumps(lut)}', 'array<double>')"
+    return F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0D, (acc, b) -> acc + "
+        f"element_at({lut_sql}, CAST((CAST(`__qi` AS BIGINT) * {m} + b) * {k} + "
+        "element_at(codes, CAST(b + 1 AS INT)) + 1 AS INT)))"
     )
 
 
@@ -1262,12 +1279,11 @@ def pq_adc_topk(
     spark = codes_df.sparkSession
     if distributed:
         bs = len(codebook[0][0])
-        cb_lit, _, _, _ = _pq_lit(codebook)
         q = _unit(
             queries, [F.col(id_col).alias(query_id_col)], vec_col, "__qv"
         ).filter(F.col("__qv").isNotNull())
         qlut = q.select(
-            query_id_col, _adc_lut_expr(F.col("__qv"), cb_lit, m, kk, bs).alias("__lut")
+            query_id_col, _adc_lut_expr("__qv", codebook).alias("__lut")
         )
         joined = (
             codes_df.select(F.col(id_col).alias("neighbor_id"), "codes")
@@ -1277,7 +1293,7 @@ def pq_adc_topk(
         scored = joined.select(
             query_id_col,
             "neighbor_id",
-            _adc_score_from_col(F.col("__lut"), m, kk).alias("approx_sim"),
+            _adc_score_from_col("__lut", m, kk).alias("approx_sim"),
         ).filter(F.col("approx_sim").isNotNull())
         return top_k_per_group(
             scored,
@@ -1293,7 +1309,6 @@ def pq_adc_topk(
         "pq_adc_topk",
     )
     lut, q_meta = _adc_tables(q_rows, codebook, query_id_col)
-    lut_lit = F.from_json(F.lit(json.dumps(lut)), "array<double>")
     # query id type from the INPUT schema (string/int ids work like
     # connected_components), never a hardcoded 'long'
     from pyspark.sql.types import IntegerType, StructField, StructType
@@ -1312,7 +1327,7 @@ def pq_adc_topk(
         .crossJoin(F.broadcast(qdf))
         .filter(F.col("neighbor_id") != F.col(query_id_col))
     )
-    score = _adc_score_expr(lut_lit, m, kk)
+    score = _adc_score_expr(lut, m, kk)
     scored = joined.select(
         query_id_col, "neighbor_id", score.alias("approx_sim")
     ).filter(F.col("approx_sim").isNotNull())
@@ -1412,7 +1427,7 @@ def _pq_train_iter(
     cb_lit, m, k, bs = _pq_lit(codebook)
     u = _vec_input(corpus, [F.col(id_col)], vec_col, normalize)
     # codes + slices from ONE scan (no self-join of derived plans)
-    both = u.select(_pq_codes_expr(cb_lit, m, k, bs).alias("codes"), "__v")
+    both = u.select(_pq_codes_expr(codebook).alias("codes"), "__v")
     exploded = both.select(
         F.posexplode("codes").alias("b", "code"), F.col("__v")
     ).select(
@@ -1513,7 +1528,7 @@ def pq_quantization_error(
         return sum((block_err(b) for b in range(m)), F.lit(0.0))
 
     per_row = u.select(
-        _bound(_pq_codes_expr(cb_lit, m, k, bs), err_given).alias("__e")
+        _bound(_pq_codes_expr(codebook), err_given).alias("__e")
     )
     row = per_row.agg(F.avg("__e").alias("mse")).first()
     return float(row["mse"])
@@ -1609,7 +1624,7 @@ def write_ivfpq_index(
             F.col(id_col), F.col("cell_id"), F.col(vec_col).alias("__v")
         )
     coded = enc_in.select(
-        id_col, "cell_id", _pq_codes_expr(cb_lit, m, k, bs).alias("codes")
+        id_col, "cell_id", _pq_codes_expr(codebook).alias("codes")
     )
     (
         coded.repartition(F.col("cell_id"))
@@ -1669,7 +1684,7 @@ def append_ivfpq_index(
             F.col(id_col), F.col("cell_id"), F.col(vec_col).alias("__v")
         )
     coded = enc_in.select(
-        id_col, "cell_id", _pq_codes_expr(cb_lit, m, k, bs).alias("codes")
+        id_col, "cell_id", _pq_codes_expr(codebook).alias("codes")
     )
     (
         coded.repartition(F.col("cell_id"))
@@ -1793,7 +1808,6 @@ def ivfpq_topk_indexed(
             # residual scoring adds q·centroid(cell) — already computed
             # for the probe choice, so it rides along for free
             probe_rows.append((qi, qid, cell, -negsim))
-    lut_lit = F.from_json(F.lit(json.dumps(lut)), "array<double>")
     # probe schema derived from the inputs (query ids from the query
     # relation, cell ids from the index), never hardcoded 'long'
     from pyspark.sql.types import (
@@ -1819,7 +1833,7 @@ def ivfpq_topk_indexed(
     cand = index.withColumnRenamed(id_col, "neighbor_id").join(
         F.broadcast(qcell), "cell_id"
     ).filter(F.col("neighbor_id") != F.col("query_id"))
-    score = _adc_score_expr(lut_lit, m, kk)
+    score = _adc_score_expr(lut, m, kk)
     if residual:
         # (Σ terms) + offset — fold FIRST, offset added once at the
         # end, matching the oracle's list_sum(...) + off association
@@ -1854,7 +1868,6 @@ def _ivfpq_topk_distributed(
     materialization is the probed-cell id set for partition pruning,
     bounded by ncells (an index constant), never by |queries|."""
     m, kk, bs = len(codebook), len(codebook[0]), len(codebook[0][0])
-    cb_lit, _, _, _ = _pq_lit(codebook)
     q = _unit(queries, [F.col(id_col).alias("query_id")], vec_col, "__qv").filter(
         F.col("__qv").isNotNull()
     )
@@ -1876,7 +1889,7 @@ def _ivfpq_topk_distributed(
         rank_col="__pr",
     ).drop("__pr")
     qlut = q.select(
-        "query_id", _adc_lut_expr(F.col("__qv"), cb_lit, m, kk, bs).alias("__lut")
+        "query_id", _adc_lut_expr("__qv", codebook).alias("__lut")
     )
     probe = probe.join(qlut, "query_id")
     # bounded driver set: distinct probed cells (≤ ncells) for the
@@ -1890,7 +1903,7 @@ def _ivfpq_topk_distributed(
         .join(probe, "cell_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
-    score = _adc_score_from_col(F.col("__lut"), m, kk)
+    score = _adc_score_from_col("__lut", m, kk)
     if residual:
         score = score + F.col("__off")
     scored = cand.select(
