@@ -452,9 +452,12 @@ def minhash_signatures(
         .withColumnRenamed("__id", id_col)
         .withColumn("__h", hash_hex(F.col("__s"), 7))
     )
+    # each min agg is one parsed F.expr (the Column-composed form cost
+    # ~10 ms of py4j per hash function — 0.4 s per plan build at k=32);
+    # int*bigint arithmetic and the Mersenne mod are unchanged
     mins = sh.groupBy(id_col).agg(
         *[
-            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"__m{i}")
+            F.expr(f"min((`__h` * {a} + {b}) % {MERSENNE_P})").alias(f"__m{i}")
             for i, (a, b) in enumerate(params)
         ]
     )
@@ -485,16 +488,18 @@ def banded_minhash(
         raise ValueError("k must be divisible by bands")
     r = k // bands
     sig = minhash_signatures(df, id_col, text_col, k, shingle_n)
-    band_struct = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.concat_ws(
-                    ",", *[F.col("sig")[bi * r + j].cast("string") for j in range(r)]
-                ).alias("key"),
+    # one parsed expression for the whole band array (same 0-based
+    # sig[] indexing and comma join as the Column-composed form)
+    band_struct = F.expr(
+        "array(" + ", ".join(
+            "struct({bi} AS band, concat_ws(',', {parts}) AS key)".format(
+                bi=bi,
+                parts=", ".join(
+                    f"CAST(`sig`[{bi * r + j}] AS STRING)" for j in range(r)
+                ),
             )
             for bi in range(bands)
-        ]
+        ) + ")"
     )
     return sig.select(
         F.col(id_col).alias("doc_id"), F.explode(band_struct).alias("b")
@@ -1347,26 +1352,20 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     hashed = toks.select(
         F.col(id_col), F.transform(F.col("__toks"), hash64).alias("__h")
     )
-    n = F.size(F.col("__h"))
-
-    def bit_count(mask_val: int):
-        # closure (NOT a default-arg lambda): pyspark infers lambda
-        # arity from the signature, and a second parameter would make
-        # filter() pass the array INDEX into it
-        mask = F.lit(mask_val)
-        return F.size(F.filter(F.col("__h"), lambda h: h.bitwiseAND(mask) != 0))
-
-    bit_terms = []
-    for bit in range(60):
-        cnt = bit_count(1 << bit)
-        bit_terms.append(
-            F.when(cnt * 2 > n, F.lit(1 << bit).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return hashed.select(
-        F.col(id_col), sum(bit_terms, F.lit(0).cast("long")).alias("simhash")
+    # ONE F.expr for the 60-bit fold (the per-bit Python construction —
+    # filter+size+when per bit — cost ~1.1 s of py4j round trips per
+    # plan build). Deliberately a FLAT 60-term sum with literal masks,
+    # not an aggregate(sequence(0,59), ...) lambda: the flat form is
+    # the exact expression tree the Column-built version produced
+    # (constant-folded masks, codegen-friendly), while the nested-HOF
+    # fold evaluated interpreted and made the pairs gate ~10x slower.
+    terms = " + ".join(
+        f"CASE WHEN size(filter(`__h`, h -> (h & {1 << bit}L) != 0)) * 2 "
+        f"> size(`__h`) THEN {1 << bit}L ELSE 0L END"
+        for bit in range(60)
     )
+    sim = F.expr(f"CAST(0 AS BIGINT) + {terms}")
+    return hashed.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_pairs(
