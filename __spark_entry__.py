@@ -2282,21 +2282,28 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality (constant memory vs exact distinct's shuffle of every
     value). Estimates are engine-specific, so the gate uses a
     TOLERANCE-BANDED oracle: the query emits the exact counts plus a
-    deterministic in-band verdict |approx-exact| <= 5%*exact
-    (rsd=0.01 => the band is ~5 sigma), and DuckDB emits the same
-    exact counts with TRUE verdicts — an out-of-band estimate flips
-    the boolean and fails the hash match without pretending the
-    estimate itself is deterministic."""
+    deterministic in-band verdict |approx-exact| <= 5%*exact, and
+    DuckDB emits the same exact counts with TRUE verdicts — an
+    out-of-band estimate flips the boolean and fails the hash match
+    without pretending the estimate itself is deterministic.
+
+    Estimator: hll_sketch_agg at lgConfigK=14 (Datasketches HLL, rsd
+    ≈ 0.81% => the 5% band is ~6 sigma — tighter than the previous
+    approx_count_distinct rsd=0.01 at ~5 sigma, measured worst margin
+    0.64% across sf0.001/0.01/0.1). Same HLL family, same emitted
+    values; chosen because HLL++'s rsd=0.01 aggregation buffer (2731
+    longs per group per column) made the aggregate ~3.5x slower
+    (2.4 s vs 0.7 s at sf0.1) for LESS accuracy."""
     li = load_table(spark, sf_dir, "lineitem")
     # Approx and exact in SEPARATE aggregations, joined on the 3-row
-    # group key: mixing approx_count_distinct with countDistinct in one
-    # agg makes Catalyst's distinct-expand rewrite key the partial
+    # group key: mixing approximate and exact distincts in one agg
+    # makes Catalyst's distinct-expand rewrite key the partial
     # hash-agg by (group, distinct value) — millions of groups EACH
     # carrying a multi-KB HLL buffer (~15x slower at sf0.1, worse with
     # scale). Two plain aggs keep HLL buffers at one per group.
     approx = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey", 14)).alias("approx_orders"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey", 14)).alias("approx_parts"),
         F.count(F.lit(1)).alias("n_rows"),
     )
     exact = li.groupBy("l_returnflag").agg(
