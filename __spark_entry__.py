@@ -4008,6 +4008,27 @@ def q_similarity_ivfpq_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+def _ncells_from_fixture(spark: SparkSession, path: str, emb: DataFrame) -> int:
+    """Centroid count for scaled_nprobe, read from the fixture's
+    `_centroids/` parquet FOOTERS (metadata, no Spark job) — the
+    sidecar is written as one row per centroid (`_unit(centroids)`, no
+    filter), so its row count equals `_centroids(emb).count()` by
+    construction; the previous eager count job scanned the embeddings
+    table once per recall gate. Falls back to the live count if the
+    footer read fails for any reason."""
+    try:
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        files = sorted(_glob.glob(os.path.join(path, "_centroids", "*.parquet")))
+        if files:
+            return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        pass
+    return _centroids(emb).count()
+
+
 def _recall_frame(
     spark: SparkSession, exact: DataFrame, approx: DataFrame, floor_hits: float
 ) -> DataFrame:
@@ -4072,7 +4093,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     _build_once(path, build)
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    npr = scaled_nprobe(_centroids(emb).count())
+    npr = scaled_nprobe(_ncells_from_fixture(spark, path, emb))
     approx = ivf_topk_indexed(spark, path, queries_df, k=10, nprobe=npr).select(
         "query_id", "neighbor_id"
     )
@@ -4174,7 +4195,7 @@ def q_ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_ivfpq_recall_fixture(spark, sf_dir, path)
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    npr = scaled_nprobe(_centroids(emb).count())
+    npr = scaled_nprobe(_ncells_from_fixture(spark, path, emb))
     approx = ivfpq_topk_indexed(spark, path, queries_df, k=10, nprobe=npr).select(
         "query_id", "neighbor_id"
     )
@@ -4229,7 +4250,7 @@ def q_ann_recall_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     _build_once(path, build, version="v2_sampled")
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    npr = scaled_nprobe(_centroids(emb).count())
+    npr = scaled_nprobe(_ncells_from_fixture(spark, path, emb))
     approx = opq_ivfpq_topk_indexed(
         spark, path, queries_df, k=10, nprobe=npr
     ).select("query_id", "neighbor_id")
@@ -4259,7 +4280,7 @@ def q_ann_recall_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_ivfpq_recall_fixture(spark, sf_dir, path)
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    npr = scaled_nprobe(_centroids(emb).count())
+    npr = scaled_nprobe(_ncells_from_fixture(spark, path, emb))
     approx = ivfpq_topk_refined(
         spark, path, queries_df, emb, k=10, nprobe=npr, shortlist=100
     ).select("query_id", "neighbor_id")

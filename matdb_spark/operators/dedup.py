@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from matdb_spark.sources.tables import read_parquet_cached_schema as _rp
+
 from matdb_spark.functions.text import fingerprint, hash64, hash_hex, normalize
 
 # Fixed, public hash-family parameters, reproducible in any engine.
@@ -749,7 +751,7 @@ def _index_pairs_from_banded(
     collapse them because each consumer prunes different columns,
     which de-canonicalizes the shared subtree)."""
     keys = nb.select("band", "key").distinct()
-    idx = spark.read.parquet(path).select("doc_id", "band", "key")
+    idx = _rp(spark, path).select("doc_id", "band", "key")
     if max_bucket is not None:
         # COUNTS FIRST, arrays second: the cap must be decided before
         # any member list exists, or a degenerate boilerplate bucket
@@ -835,7 +837,7 @@ def _admission_rejected_ids(
     if have_index:
         keys = nb.select("band", "key").distinct()
         idx = (
-            spark.read.parquet(path)
+            _rp(spark, path)
             .select("band", "key", "doc_id")
             .join(F.broadcast(keys), ["band", "key"], "leftsemi")
             .select("band", "key", "doc_id", F.lit(1).alias("__src"))

@@ -43,6 +43,8 @@ import json
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from matdb_spark.sources.tables import read_parquet_cached_schema as _rp
+
 from matdb_spark.functions.vectors import as_double
 
 
@@ -197,7 +199,7 @@ def write_opq_rotation(spark, path: str, R: list[list[float]]) -> None:
 
 
 def read_opq_rotation(spark, path: str) -> list[list[float]]:
-    rows = spark.read.parquet(path + "/_opq").collect()
+    rows = _rp(spark, path + "/_opq").collect()
     by_i = {r["i"]: list(r["row"]) for r in rows}
     missing = sorted(set(range(len(by_i))) - set(by_i))
     if missing:

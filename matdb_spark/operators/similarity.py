@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from matdb_spark.sources.tables import read_parquet_cached_schema as _rp
+
 from matdb_spark.functions.vectors import as_double, dot, norm
 from matdb_spark.operators.topk import top_k_per_group
 
@@ -362,7 +364,7 @@ def append_ivf_index(
     their centroids as the distribution shifts — rebuild centroids
     (``kmeans_centroids`` + ``write_ivf_index``) when probe recall
     degrades, exactly like any production IVF index."""
-    cents = spark.read.parquet(path + "/_centroids")
+    cents = _rp(spark, path + "/_centroids")
     cells = assign_cells(
         new_vecs, cents, id_col, vec_col, centroids_unit=True
     )
@@ -407,7 +409,7 @@ def ivf_topk_indexed(
     (corpus-×-corpus search belongs on cosine_near_dup_pairs /
     semantic_dedup, which bucket by cell instead of probing)."""
     cap = DEFAULT_MAX_DRIVER_QUERIES if max_driver_queries is None else max_driver_queries
-    cents = spark.read.parquet(path + "/_centroids").select(
+    cents = _rp(spark, path + "/_centroids").select(
         "cell_id", F.col(vec_col).alias("__cv")
     )
     q = _unit(queries, [F.col(id_col).alias("query_id")], vec_col, "__qv")
@@ -430,7 +432,7 @@ def ivf_topk_indexed(
     probe_schema = probe.schema
     probed_cells = sorted({r["cell_id"] for r in probe_rows})
     probe = spark.createDataFrame(probe_rows, probe_schema)
-    index = spark.read.parquet(path).filter(F.col("cell_id").isin(probed_cells))
+    index = _rp(spark, path).filter(F.col("cell_id").isin(probed_cells))
     cand = probe.join(index.withColumnRenamed(id_col, "neighbor_id"), "cell_id")
     if not include_self:
         cand = cand.filter(F.col("neighbor_id") != F.col("query_id"))
@@ -718,7 +720,7 @@ def write_lsh_index(
 
 
 def _lsh_params(spark, path: str) -> tuple[int, int, int, int]:
-    p = spark.read.parquet(path + "/_params").collect()[0]
+    p = _rp(spark, path + "/_params").collect()[0]
     return (
         int(p["planes_per_table"]),
         int(p["tables"]),
@@ -804,7 +806,7 @@ def lsh_topk_indexed(
         # query/index relations) instead of crashing the reduce
         from pyspark.sql.types import StructField, StructType, DoubleType, IntegerType
 
-        nbr_type = spark.read.parquet(path).schema[id_col].dataType
+        nbr_type = _rp(spark, path).schema[id_col].dataType
         return spark.createDataFrame(
             [],
             StructType(
@@ -824,7 +826,7 @@ def lsh_topk_indexed(
     for t, bks in sorted(by_table.items()):
         branch = (F.col("table") == t) & F.col("bucket").isin(bks)
         pred = branch if pred is None else (pred | branch)
-    index = spark.read.parquet(path).filter(pred)
+    index = _rp(spark, path).filter(pred)
     cand = probe.join(
         index.withColumnRenamed(id_col, "neighbor_id"), ["table", "bucket"]
     )
@@ -1664,7 +1666,7 @@ def append_ivfpq_index(
     exchange-free encode + one partitioned append per batch."""
     codebook, residual = read_pq_codebook_meta(spark, path + "/_codebook")
     cb_lit, m, k, bs = _pq_lit(codebook)
-    cents = spark.read.parquet(path + "/_centroids").select(
+    cents = _rp(spark, path + "/_centroids").select(
         "cell_id", F.col(vec_col)
     )
     cells = assign_cells(
@@ -1724,7 +1726,7 @@ def read_pq_codebook_meta(
     """(codebook, residual_flag) from a `_codebook/` parquet. Indexes
     written before the residual flag existed read as residual=False
     (they encoded raw vectors)."""
-    df = spark.read.parquet(path)
+    df = _rp(spark, path)
     has_flag = "residual" in df.columns
     rows = df.collect()
     m = 1 + max(r["b"] for r in rows)
@@ -1782,7 +1784,7 @@ def ivfpq_topk_indexed(
     m, kk = len(codebook), len(codebook[0])
     import json
 
-    cents_df = spark.read.parquet(path + "/_centroids")
+    cents_df = _rp(spark, path + "/_centroids")
     cell_id_type = cents_df.schema["cell_id"].dataType
     if distributed:
         return _ivfpq_topk_distributed(
@@ -1829,7 +1831,7 @@ def ivfpq_topk_indexed(
         ),
     )
     probed = sorted({r[2] for r in probe_rows})
-    index = spark.read.parquet(path).filter(F.col("cell_id").isin(probed))
+    index = _rp(spark, path).filter(F.col("cell_id").isin(probed))
     cand = index.withColumnRenamed(id_col, "neighbor_id").join(
         F.broadcast(qcell), "cell_id"
     ).filter(F.col("neighbor_id") != F.col("query_id"))
@@ -1897,7 +1899,7 @@ def _ivfpq_topk_distributed(
     probed = sorted(
         r["cell_id"] for r in probe.select("cell_id").distinct().collect()
     )
-    index = spark.read.parquet(path).filter(F.col("cell_id").isin(probed))
+    index = _rp(spark, path).filter(F.col("cell_id").isin(probed))
     cand = (
         index.withColumnRenamed(id_col, "neighbor_id")
         .join(probe, "cell_id")

@@ -100,6 +100,27 @@ def _estimated_scan_tasks(spark: SparkSession, fsize: int) -> int:
     return max(1, -(-fsize // max(1, max_split)))
 
 
+def read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read with the inferred schema cached per (path,
+    mtime_ns, size) — for ENGINE-WRITTEN fixture/index paths whose
+    column types are fixed by their writer (LSH/IVF/IVF-PQ indexes,
+    codebook/centroid/params sidecars, banding indexes). Saves the
+    ~80-150 ms footer-inference per read that every indexed probe pays
+    2-3 times; values still scan from parquet on every action, and
+    partition discovery (file listing) still happens per read, so
+    appended files are always visible. Do NOT use for paths whose
+    column set can evolve in place (the MVCC stores go through
+    manifest-driven reads, never this helper)."""
+    key, _ = _file_key(path)
+    schema = _SCHEMA_CACHE.get(key) if key else None
+    if schema is None:
+        df = spark.read.parquet(path)
+        if key:
+            _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, min_parallelism: int | None = None
 ) -> DataFrame:
