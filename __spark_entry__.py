@@ -2589,20 +2589,26 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
-    # materialized once: f feeds both the per-order aggregate and the
-    # join-back (without it the lineitem⋈orders join runs twice)
-    f = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select("l_orderkey", "l_suppkey", "l_shipdate")
-        .localCheckpoint()
+    # Per-order max / distinct-supplier count as WINDOWS over one
+    # l_orderkey shuffle (both specs share the exchange+sort), not the
+    # previous checkpoint + groupBy + join-back: that shape paid an
+    # eager materialization job plus two more exchanges to read the
+    # same relation twice. Rows per order are bounded (an order's line
+    # items), so the window state is small at any scale. Measured
+    # 2.49 -> 1.70 s at sf0.1; result identical row-for-row.
+    f = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    per_order = f.groupBy("l_orderkey").agg(
-        F.max("l_shipdate").alias("__mx"),
-        F.countDistinct("l_suppkey").alias("__nsupp"),
+    wo = W.partitionBy("l_orderkey")
+    f2 = f.select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        F.max("l_shipdate").over(wo).alias("__mx"),
+        F.size(F.collect_set("l_suppkey").over(wo)).alias("__nsupp"),
     )
     at_max = (
-        f.join(per_order, "l_orderkey")
-        .filter((F.col("l_shipdate") == F.col("__mx")) & (F.col("__nsupp") >= 2))
+        f2.filter((F.col("l_shipdate") == F.col("__mx")) & (F.col("__nsupp") >= 2))
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
