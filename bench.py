@@ -66,6 +66,9 @@ def main() -> None:
     # steady-state throughput number. Failures record -1.
     times: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
+        # label the jobs (guide §1.5) so UI/event-log work is
+        # attributable per query; no effect on timing methodology
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         best = None
         for _ in range(2):
             t0 = time.time()
@@ -86,6 +89,7 @@ def main() -> None:
 
     # Canary AFTER the suite: a stall mid-run shows up as pre/post
     # divergence even when both endpoints look quiet.
+    spark.sparkContext.setJobDescription(None)
     load_post = round(os.getloadavg()[0], 2)
     canary_post = _canary(spark, sf_dir)
 
