@@ -23,6 +23,18 @@ The hand-written plan tests (tests/test_plans.py) assert the WHY for
 the load-bearing operators; this file asserts the WHAT for all of
 them, so an innocent-looking refactor can't silently double a shuffle
 in a query nobody was watching.
+
+Counting convention (r9 verdict "what's wrong" #3 — stated so the
+numbers here can be reconciled against committed plan dumps):
+- plans are built at **sf0.001** (SF_DIR below). Dumps under plans/rNN
+  are captured at sf0.1, where ``load_table`` adds a round-robin
+  repartition Exchange per 100 KB+ table that sf0.001 never has — so a
+  dump can legitimately show MORE exchanges than the budget records.
+- ``exchanges`` counts ``(n) Exchange`` nodes in the PRE-EXECUTION
+  formatted plan (AdaptiveSparkPlan initial plan). BroadcastExchange
+  nodes are *not* counted (they are driver-side broadcasts, not
+  cluster shuffles); ReusedExchange is not counted (costs nothing).
+The same convention is embedded in the JSON under ``_convention``.
 """
 
 from __future__ import annotations
@@ -78,8 +90,15 @@ def main() -> int:
     for e in errors:
         print(f"BUILD-ERROR {e}")
     if mode == "--update":
+        out = dict(shapes)
+        out["_convention"] = (
+            "built at sf0.001 (no load_table repartition exchange); "
+            "exchanges = '(n) Exchange' nodes in the pre-execution "
+            "formatted plan; BroadcastExchange and ReusedExchange not "
+            "counted — see tools/plan_budget.py docstring"
+        )
         with open(BUDGET_PATH, "w") as f:
-            json.dump(shapes, f, indent=1, sort_keys=True)
+            json.dump(out, f, indent=1, sort_keys=True)
         print(f"recorded {len(shapes)} plan budgets -> {BUDGET_PATH}")
         return 1 if errors else 0
 
