@@ -229,6 +229,97 @@ def importance_weights(
     )
 
 
+def _keep_expr(
+    text_col: str,
+    lr_lit: Column,
+    min_unats_per_gram: int,
+    ns: tuple[int, ...],
+    num_buckets: int,
+) -> Column:
+    """The boolean ``weight_unats > min_unats_per_gram * n_grams`` as
+    ONE collapse-safe expression: every intermediate (word array, gram
+    array, bucket array) is bound as a HIGHER-ORDER-FUNCTION lambda
+    variable, so the pipeline evaluates exactly once per row no matter
+    where the optimizer moves the predicate.
+
+    Why this exists: ``importance_weights(...).filter(...)`` stages the
+    word/gram/bucket arrays as projected attributes — optimal as a
+    standalone scan — but PushDownPredicates substitutes those aliases
+    into the pushed filter CONDITION unconditionally, inlining the
+    ``split`` back inside the per-gram lambda: O(doc_len²)
+    re-evaluation. Measured on q_llm_pipeline's keep branch at sf0.1:
+    the scoring scan alone is ~0.2 s, the same scan collapsed into a
+    pushed filter is ~2.2 s. Same operators, same fold order, same
+    integer arithmetic as importance_weights — only the binding
+    structure differs, so the verdict is bit-identical
+    (tests/test_opt_r10.py pins this)."""
+    words = F.filter(
+        F.split(normalize(F.coalesce(F.col(text_col), F.lit(""))), " "),
+        lambda x: x != F.lit(""),
+    )
+    empty = F.array().cast("array<string>")
+
+    def verdict(w: Column) -> Column:
+        def gram_fn(n: int):
+            return lambda i: F.concat_ws(
+                " ", *[F.get(w, i + j) for j in range(n)]
+            )
+
+        parts = []
+        for n in ns:
+            count = F.greatest(F.size(w) - (n - 1), F.lit(0))
+            idx = F.sequence(F.lit(0), count - 1)
+            parts.append(
+                F.when(count > 0, F.transform(idx, gram_fn(n))).otherwise(empty)
+            )
+        g = parts[0] if len(parts) == 1 else F.concat(*parts)
+        buckets = F.transform(g, lambda x: _bucket(x, num_buckets))
+
+        def score(b: Column) -> Column:
+            w_unats = F.aggregate(
+                b,
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.element_at(lr_lit, x.cast("int") + 1),
+            )
+            return w_unats > F.lit(min_unats_per_gram) * F.size(b).cast("long")
+
+        return F.get(F.transform(F.array(buckets), score), 0)
+
+    return F.get(F.transform(F.array(words), verdict), 0)
+
+
+def importance_filter(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_unats_per_gram: int,
+    ns: tuple[int, ...] = (1, 2),
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """``corpus`` rows whose importance weight clears a per-gram
+    floor — exactly ``importance_weights(corpus, target, …)`` filtered
+    on ``weight_unats > min_unats_per_gram * n_grams`` and semi-joined
+    back, but as ONE exchange-free filtered scan of ``corpus`` (all
+    original columns kept).
+
+    This is the selection shape a pipeline should compose with a
+    downstream consumer: the two-step form re-scans the corpus for the
+    semi-join probe side and, worse, hands the optimizer a predicate
+    over staged projections that filter-pushdown re-inlines
+    quadratically (see _keep_expr). Documents with no grams score 0
+    over 0 grams, so their verdict is ``0 > 0`` — always dropped, the
+    same verdict the two-step form computes."""
+    c, t = _tagged_counts(
+        [(0, corpus, ns), (1, target, ns)], text_col, num_buckets
+    )
+    lr = _log_ratio_list(c, t, num_buckets, alpha)
+    return corpus.filter(
+        _keep_expr(text_col, _const_array(lr), min_unats_per_gram, ns, num_buckets)
+    )
+
+
 def bigram_lm_scores(
     corpus: DataFrame,
     reference: DataFrame,
