@@ -873,6 +873,88 @@ def _admission_rejected_ids(
     )
 
 
+def admit_batches(
+    spark,
+    path: str,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_batches: int,
+    batch_fn,
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """The full sequential admission lifecycle over ``n_batches``
+    disjoint batches of ``docs`` with ONE Spark job per batch —
+    decide + index-append FUSED into the append write (r10; the
+    per-batch ``admit_batch`` shape ran TWO actions per batch: an
+    admitted-id localCheckpoint to pin the decision before the index
+    mutates, then the append job).
+
+    ``batch_fn(Column) -> Column`` maps an id to its batch number in
+    ``0..n_batches-1`` (a pure expression, e.g. ``id % n_batches``).
+    Returns (``id_col``, ``admitted_in_batch`` int) for every admitted
+    document — bit-identical to chaining ``admit_batch`` per batch and
+    unioning (pinned by tests/test_opt_r10.py).
+
+    How the fusion stays correct without the per-batch checkpoint:
+    each batch's rejection relation (_admission_rejected_ids) reads
+    the index lazily, but here its ONLY consumer is the append write
+    job itself, which executes — and therefore pins the decision —
+    BEFORE the directory gains this batch's files (the scan's file
+    listing is snapshotted when the read DataFrame is built, before
+    the write starts). The returned frame never embeds a per-batch
+    decision plan at all: it re-derives admitted ids from the FINAL
+    index (admitted == appended), which is exact because this
+    lifecycle starts from an empty/absent index and ``batch_fn``
+    partitions ids disjointly — the preconditions this operator
+    declares (a replayed/pre-populated index needs admit_batch's
+    reject_identity contracts instead).
+
+    Signatures are still ONE corpus-sized job: the banding relation is
+    computed once and checkpointed, each batch filters its slice
+    (admit_batch's ``banded`` treatment)."""
+    if _index_has_bands(spark, path):
+        raise ValueError(
+            f"admit_batches requires a fresh index path (found band "
+            f"partitions at {path}); replay semantics live in admit_batch"
+        )
+    banded_all = banded_minhash(
+        docs, id_col, text_col, k, bands, shingle_n
+    ).localCheckpoint()
+    for b in range(n_batches):
+        nb = banded_all.filter(batch_fn(F.col("doc_id")) == F.lit(b))
+        have_index = b > 0
+        rejected = _admission_rejected_ids(
+            spark, path, nb, max_bucket, True, have_index
+        )
+        adm_banded = nb.join(
+            rejected, F.col("doc_id") == F.col("__rid"), "left_anti"
+        )
+        # ONE action per batch: the bucket aggregation, the admitted
+        # anti-join, and the partitioned index append all run inside
+        # this write job. Appends skip the range-clustered layout for
+        # batch-sized slices (admit_batch's rule).
+        _write_banded(
+            adm_banded,
+            path,
+            "append" if have_index else "overwrite",
+            cluster=not have_index,
+        )
+    # every admitted doc has exactly ONE banding row per band, so the
+    # band=0 partition alone IS the admitted id set — partition-pruned
+    # single-band scan, no distinct, zero exchanges in the returned
+    # plan (a distinct over the full index would shuffle doc_ids of
+    # the whole admitted corpus at scale for nothing)
+    idx_ids = _rp(spark, path).filter(F.col("band") == 0).select("doc_id")
+    return idx_ids.select(
+        F.col("doc_id").alias(id_col),
+        batch_fn(F.col("doc_id")).cast("int").alias("admitted_in_batch"),
+    )
+
+
 def admit_batch(
     spark,
     path: str,
