@@ -54,7 +54,44 @@ def _force_utc(spark: SparkSession) -> None:
 # regenerated testdata epoch invalidates the entry. Measured: schema
 # inference is ~80 ms of the ~170 ms per load_table call — paid by
 # every query, several hundred times per bench run.
-_SCHEMA_CACHE: dict = {}
+#
+# Invalidation assumptions (r9 advice item 2): os.stat identity works
+# on a LOCAL filesystem with ns-resolution mtimes. For a partitioned
+# DIRECTORY path st_size is the directory-entry size, so invalidation
+# rests on the dir's mtime alone — correct for append-only writers
+# that create/remove entries in the dir, fragile for in-place file
+# replacement or coarse-mtime filesystems; engine writers here are
+# append/overwrite-by-dir. The cache is LRU-capped so long sessions
+# touching many fixture/index paths cannot grow it unboundedly.
+_SCHEMA_CACHE: "OrderedDict" = __import__("collections").OrderedDict()
+_SCHEMA_CACHE_MAX = 512
+
+
+def _schema_cache_get(key):
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is not None:
+        _SCHEMA_CACHE.move_to_end(key)
+    return sch
+
+
+def _schema_cache_put(key, schema) -> None:
+    _SCHEMA_CACHE[key] = schema
+    _SCHEMA_CACHE.move_to_end(key)
+    while len(_SCHEMA_CACHE) > _SCHEMA_CACHE_MAX:
+        _SCHEMA_CACHE.popitem(last=False)
+
+
+def cached_schema(spark: SparkSession, path: str):
+    """Inferred parquet schema for ``path`` through the LRU cache
+    (same invalidation key and assumptions as above). For stable-
+    schema paths only: testdata tables and engine-written fixtures."""
+    key, _ = _file_key(path)
+    schema = _schema_cache_get(key) if key else None
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        if key:
+            _schema_cache_put(key, schema)
+    return schema
 
 
 def _file_key(path: str):
@@ -112,11 +149,11 @@ def read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
     column set can evolve in place (the MVCC stores go through
     manifest-driven reads, never this helper)."""
     key, _ = _file_key(path)
-    schema = _SCHEMA_CACHE.get(key) if key else None
+    schema = _schema_cache_get(key) if key else None
     if schema is None:
         df = spark.read.parquet(path)
         if key:
-            _SCHEMA_CACHE[key] = df.schema
+            _schema_cache_put(key, df.schema)
         return df
     return spark.read.schema(schema).parquet(path)
 
@@ -133,11 +170,11 @@ def load_table(
     _force_utc(spark)
     path = f"{sf_dir}/{name}.parquet"
     key, fsize = _file_key(path)
-    schema = _SCHEMA_CACHE.get(key) if key else None
+    schema = _schema_cache_get(key) if key else None
     if schema is None:
         schema = spark.read.parquet(path).schema
         if key:
-            _SCHEMA_CACHE[key] = schema
+            _schema_cache_put(key, schema)
     df = spark.read.schema(schema).parquet(path)
     for c in _TS_COLS.get(name, []):
         field = next((f for f in schema.fields if f.name == c), None)

@@ -52,10 +52,13 @@ def parquet_stream(
     # same foreign-session guard as sources.tables.load_table: window
     # starts/collected timestamps render in the session timezone
     # (_force_utc — conf.get with a '' default crashes on bare sessions)
-    from matdb_spark.sources.tables import _force_utc
+    from matdb_spark.sources.tables import _force_utc, cached_schema
 
     _force_utc(spark)
-    schema = spark.read.parquet(path).schema
+    # same LRU schema cache as the batch loader (~80 ms of footer
+    # inference per stream construction otherwise, paid by every
+    # streaming gate twice per bench entry)
+    schema = cached_schema(spark, path)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

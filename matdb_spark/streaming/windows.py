@@ -18,9 +18,52 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+import os
+import threading
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
+
+#: serializes the set/stream-start/restore of the session-global
+#: spark.sql.shuffle.partitions in run_to_memory_sink: two streams
+#: starting concurrently in one session would otherwise race on the
+#: restore (last restorer wins) — r9 advice item 3. The gates start
+#: streams sequentially; the lock makes the helper safe for any
+#: caller.
+_START_LOCK = threading.Lock()
+
+#: sizing target for the derived state-store count: ~bytes of source
+#: input one state-store instance absorbs per availableNow batch
+#: (~100k rows at the test tables' row widths). Deliberately coarse —
+#: the point is the SHAPE min(defaultParallelism, input/target), which
+#: grows stores with data volume and caps them at the cluster's
+#: parallelism, instead of a constant tuned to any one box.
+_BYTES_PER_STORE = 1 << 20
+
+
+def stream_state_partitions(spark, input_bytes: int | None = None) -> int:
+    """State-store instance count for a finite (availableNow) stream
+    run: ``$SPARK_GRAFT_STREAM_SHUFFLE`` if set, else
+    ``min(defaultParallelism, ceil(input_bytes / ~1MB))`` when the
+    caller knows its source size, else the legacy default 8.
+
+    Rationale (r9 verdict item 7): the r9 constant 8 was sized to the
+    bench box. Deriving from input volume bounded by cluster
+    parallelism gives the same small number for a small finite batch
+    (measured on the sf0.1 stream-stream join: 2 stores 2.45 s vs
+    8 stores 3.7 s vs 32 stores 17 s — the empty finalize micro-batch
+    alone costs ~130 ms per 8 stores) and scales to the cluster for a
+    TB-sized batch. Partition count never changes WHAT a stateful
+    operator computes, only how many state stores hold it (equality
+    probe-verified 8 vs 2 vs 1 on the interval join)."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    if env:
+        return int(env)
+    if input_bytes is not None and input_bytes > 0:
+        par = spark.sparkContext.defaultParallelism
+        return max(1, min(par, math.ceil(input_bytes / _BYTES_PER_STORE)))
+    return 8
 
 
 def _windowed(
@@ -105,6 +148,7 @@ def run_to_memory_sink(
     name: str,
     checkpoint: str,
     output_mode: str = "complete",
+    input_bytes: int | None = None,
 ):
     """Execute a (finite) streaming plan to completion into an
     in-memory table via availableNow, returning after the last batch.
@@ -113,30 +157,31 @@ def run_to_memory_sink(
 
     Shuffle partitions = the state-store instance count for stateful
     streaming operators, captured at stream START from the session
-    conf (not settable per-query). For a one-batch availableNow run,
-    32 stores is pure checkpoint overhead (measured 17 s vs 2.6 s on
-    the stream-stream join at sf0.1) — so the start is wrapped in a
-    small, env-overridable count ($SPARK_GRAFT_STREAM_SHUFFLE,
-    default 8). On a cluster this knob is sized to sustained
-    throughput, not to a single finite batch; partitioning never
-    changes WHAT a stateful operator computes, only how many state
-    stores hold it."""
-    import os
-
+    conf (not settable per-query) — sized by
+    ``stream_state_partitions``: the $SPARK_GRAFT_STREAM_SHUFFLE
+    override, else derived from ``input_bytes`` (the caller's source
+    size) bounded by the cluster's defaultParallelism, else the legacy
+    8. The set/start/restore of the session-global conf is serialized
+    by a module lock (concurrent streams in one session would race on
+    the restore); the conf value is only READ at stream start, so
+    holding the lock across awaitTermination is unnecessary — but the
+    restore must not run before start() returns, hence the lock spans
+    start."""
     spark = out.sparkSession
-    parts = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", parts)
-    try:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    parts = stream_state_partitions(spark, input_bytes)
+    with _START_LOCK:
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    q.awaitTermination()
     return q
