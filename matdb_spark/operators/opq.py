@@ -51,6 +51,9 @@ from matdb_spark.functions.vectors import as_double
 def rotation_lit(R: list[list[float]]) -> Column:
     """R as a constant-folded array<array<double>> literal (row-major:
     element_at(r, j+1) is row j, the weights of output component j)."""
+    from matdb_spark.operators.similarity import _require_finite
+
+    _require_finite(R, "OPQ rotation matrix")
     return F.from_json(
         F.lit(json.dumps([[float(v) for v in row] for row in R])),
         "array<array<double>>",

@@ -535,6 +535,9 @@ def hyperplane_bucket(vec_col: str, planes: list[list[float]]) -> Column:
 
     if not planes:
         return F.lit(0).cast("long")
+    # public API taking arbitrary planes: a non-finite component would
+    # serialize as invalid JSON and NULL every bucket (r9 advice)
+    _require_finite(planes, "hyperplanes")
     pj = json.dumps(planes)
     powers = ",".join(f"{1 << p}L" for p in range(len(planes)))
     return F.expr(
@@ -1031,6 +1034,25 @@ def pq_codebook_from_sample(
     ]
 
 
+def _require_finite(values, what: str) -> None:
+    """Reject NaN/Infinity in values destined for a from_json literal
+    (r9 advice, medium): json.dumps serializes non-finite floats as
+    bare ``NaN``/``Infinity`` — invalid JSON — so from_json would
+    yield NULL and every downstream bucket/code/score would silently
+    become NULL (empty candidate joins instead of an error). Walks
+    nested lists; cost is bounded by the literal's size, which is
+    bounded by construction (planes, codebooks, LUTs)."""
+    import math
+
+    stack = [values]
+    while stack:
+        v = stack.pop()
+        if isinstance(v, (list, tuple)):
+            stack.extend(v)
+        elif isinstance(v, float) and not math.isfinite(v):
+            raise ValueError(f"non-finite value {v!r} in {what}")
+
+
 def _pq_lit(codebook: list[list[list[float]]]) -> tuple:
     """(flat literal array<array<double>>, m, k, block_size). The flat
     layout is cb[b][j] at index b*k + j; a from_json literal constant-
@@ -1038,6 +1060,7 @@ def _pq_lit(codebook: list[list[list[float]]]) -> tuple:
     CreateArray re-materialized per evaluation)."""
     import json
 
+    _require_finite(codebook, "PQ codebook")
     m, k, bs = len(codebook), len(codebook[0]), len(codebook[0][0])
     flat = [cw for block in codebook for cw in block]
     return (
@@ -1060,6 +1083,7 @@ def _cb_json_sql(codebook: list[list[list[float]]]) -> str:
     b*k + j) — from_json constant-folds to one ArrayData."""
     import json
 
+    _require_finite(codebook, "PQ codebook")
     flat = [cw for block in codebook for cw in block]
     return f"from_json('{json.dumps(flat)}', 'array<array<double>>')"
 
@@ -1232,6 +1256,7 @@ def _adc_score_expr(lut: list, m: int, k: int) -> Column:
     from_json literal inside a single F.expr."""
     import json
 
+    _require_finite(lut, "ADC lookup table")
     lut_sql = f"from_json('{json.dumps(lut)}', 'array<double>')"
     return F.expr(
         f"aggregate(sequence(0, {m - 1}), 0D, (acc, b) -> acc + "
