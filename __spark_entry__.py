@@ -1206,6 +1206,28 @@ def q_zorder_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming (Structured Streaming over the events table)
 # ---------------------------------------------------------------------------
 
+def _events_bytes(sf_dir: str) -> int:
+    """Source size handed to stream_state_partitions (windows.py): the
+    events table is every streaming gate's input, so its byte size is
+    the per-batch volume an availableNow run pushes through the state
+    stores. Driver-side stat, no Spark job. Handles both the testdata
+    single-file layout and directory-shaped tables (e.g. the derived
+    sf1.0 of tools/sf1_cert), where getsize of the dir would read ~4KB
+    and under-derive the store count."""
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+                if not f.startswith(".")
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A REAL Structured Streaming execution: file-source readStream →
     5-minute tumbling event-time windows per event_type → memory sink
@@ -1229,7 +1251,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("value", 4)).cast("double").alias("sum_val"),
         ],
     )
-    run_to_memory_sink(out, name, ckpt, "complete")
+    run_to_memory_sink(out, name, ckpt, "complete", input_bytes=_events_bytes(sf_dir))
     return spark.table(name).drop("window_end")
 
 
@@ -1271,7 +1293,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_stream(spark, sf_dir), "ts", "10 minutes", "5 minutes",
         keys=["event_type"],
     )
-    run_to_memory_sink(out, name, ckpt, "complete")
+    run_to_memory_sink(out, name, ckpt, "complete", input_bytes=_events_bytes(sf_dir))
     return spark.table(name).drop("window_end")
 
 
@@ -1288,31 +1310,26 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_ss_join_{tag}"
     ckpt = os.path.join(SCRATCH, f"ckpt_{name}")
     shutil.rmtree(ckpt, ignore_errors=True)
-    # Shuffle partitions = state-store instance count for a streaming
-    # join; it is captured at stream START from the session conf (not
-    # settable per-query). 32 stores for one availableNow batch is
-    # pure checkpoint overhead — measured 17 s vs 2.6 s at sf0.1 with
-    # 8. On a cluster this knob is sized to sustained throughput.
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        clicks = events_stream(spark, sf_dir).filter(
-            F.col("event_type") == "click"
-        ).select("user_id", F.col("event_id").alias("click_id"), "ts")
-        purchases = events_stream(spark, sf_dir).filter(
-            F.col("event_type") == "purchase"
-        ).select("user_id", F.col("event_id").alias("purchase_id"), "ts")
-        out = interval_join(
-            clicks,
-            purchases,
-            keys=["user_id"],
-            lower="0 seconds",
-            upper="6 hours",
-            watermark="12 hours",
-        ).select("user_id", "click_id", F.col("purchase_id_r").alias("purchase_id"))
-        run_to_memory_sink(out, name, ckpt, "append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    # State-store count is derived inside run_to_memory_sink
+    # (stream_state_partitions: input-volume-scaled, cluster-bounded,
+    # env-overridable — r10; the r9 inline constant 8 was box-sized).
+    # Measured at sf0.1: 2 stores 2.45 s vs 8 stores 3.7 s vs 32
+    # stores 17 s for this one-batch run, output probe-identical.
+    clicks = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select("user_id", F.col("event_id").alias("click_id"), "ts")
+    purchases = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", F.col("event_id").alias("purchase_id"), "ts")
+    out = interval_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        lower="0 seconds",
+        upper="6 hours",
+        watermark="12 hours",
+    ).select("user_id", "click_id", F.col("purchase_id_r").alias("purchase_id"))
+    run_to_memory_sink(out, name, ckpt, "append", input_bytes=_events_bytes(sf_dir))
     return spark.table(name)
 
 
@@ -1334,21 +1351,16 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        enriched = static_enrich(
-            events_stream(spark, sf_dir).select("user_id", "event_id"),
-            cust,
-            ["user_id"],
-        )
-        out = enriched.groupBy("c_mktsegment").agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("event_id").alias("sum_event_id"),
-        )
-        run_to_memory_sink(out, name, ckpt, "complete")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    enriched = static_enrich(
+        events_stream(spark, sf_dir).select("user_id", "event_id"),
+        cust,
+        ["user_id"],
+    )
+    out = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("sum_event_id"),
+    )
+    run_to_memory_sink(out, name, ckpt, "complete", input_bytes=_events_bytes(sf_dir))
     return spark.table(name)
 
 
@@ -1364,18 +1376,16 @@ def q_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_sessions_{tag}"
     ckpt = os.path.join(SCRATCH, f"ckpt_{name}")
     shutil.rmtree(ckpt, ignore_errors=True)
-    # 8 state partitions for one availableNow batch (see
-    # q_stream_stream_join): fewer state stores AND fewer Python
-    # workers for the applyInPandasWithState stage.
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        out = sessionize_with_state(
-            events_stream(spark, sf_dir).select("user_id", "ts"), gap_ms=30 * 60 * 1000
-        )
-        run_to_memory_sink(out, name, ckpt, "append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    # deliberately NOT input-size-derived (no input_bytes): state
+    # partitions also set the Python-worker count of the
+    # applyInPandasWithState stage, which is pandas-CPU-bound — A/B at
+    # sf0.1: 8 workers 2.0 s, 4 workers 2.3 s, 2 workers 3.1 s. The
+    # size derivation targets JVM state-store fixed overhead; when the
+    # stateful operator IS Python compute, parallelism wins.
+    out = sessionize_with_state(
+        events_stream(spark, sf_dir).select("user_id", "ts"), gap_ms=30 * 60 * 1000
+    )
+    run_to_memory_sink(out, name, ckpt, "append")
     return spark.table(name)
 
 
@@ -1397,11 +1407,9 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_running_totals_{tag}"
     ckpt = os.path.join(SCRATCH, f"ckpt_{name}")
     shutil.rmtree(ckpt, ignore_errors=True)
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     old_provider = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
     )
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
@@ -1410,9 +1418,11 @@ def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = running_totals_with_state(
             events_stream(spark, sf_dir).select("user_id", "value")
         )
+        # no input_bytes: transformWithStateInPandas is Python-CPU-
+        # bound like the sessionizer — stores = workers (see
+        # q_stream_stateful_sessions)
         run_to_memory_sink(out, name, ckpt, "update")
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         if old_provider is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
@@ -1640,35 +1650,27 @@ def q_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything admitted so far (rejecting near-dups of admitted docs
     and of smaller-id batchmates), then appended. Output: every
     admitted doc with the batch that admitted it. Rebuilds its index
-    from scratch per call — the query IS the three-step lifecycle."""
+    from scratch per call — the query IS the three-step lifecycle.
+
+    r10: the lifecycle runs through dedup.admit_batches — ONE fused
+    decide+append job per batch instead of admit_batch's two actions
+    (admitted-id checkpoint, then append); banding stays one
+    checkpointed corpus job (the r5 treatment), and the admitted set
+    re-derives lazily from the final index (exact here: fresh index,
+    doc_id % 3 partitions the batches disjointly). Output
+    bit-identical to the chained-admit_batch form
+    (tests/test_opt_r10.py)."""
     import shutil
 
-    from matdb_spark.operators.dedup import admit_batch, banded_minhash
+    from matdb_spark.operators.dedup import admit_batches
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(SCRATCH, f"admission_index_{tag}")
     shutil.rmtree(path, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # ONE banding job for the whole corpus (signatures are a pure
-    # function of the text — admission-independent), each batch filters
-    # its slice: the r5 audit found per-batch banding jobs were ~half
-    # the lifecycle's wall time. Same math, same oracle.
-    all_banded = banded_minhash(docs, "doc_id", "text", 32, 8, 3).localCheckpoint()
-    out = None
-    for b in range(3):
-        # admit_batch returns a MATERIALIZED frame (checkpointed
-        # before the index mutates), so unioning the lazy selects
-        # across batches is safe
-        admitted = admit_batch(
-            spark,
-            path,
-            docs.filter(F.col("doc_id") % 3 == b),
-            "doc_id",
-            "text",
-            banded=all_banded.filter(F.col("doc_id") % 3 == b),
-        ).select("doc_id", F.lit(b).cast("int").alias("admitted_in_batch"))
-        out = admitted if out is None else out.union(admitted)
-    return out
+    return admit_batches(
+        spark, path, docs, "doc_id", "text", 3, lambda c: c % 3
+    )
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2094,8 +2096,9 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans (the bounded importance table collects in between). Scale
     shape: quality/chunking are exchange-free scans, dedup is one
     fingerprint shuffle, decontamination broadcasts the eval shingle
-    set, selection's scoring is exchange-free with a broadcast-free
-    literal table."""
+    set, selection is ONE filtered exchange-free scan fused with the
+    chunker (selection.importance_filter; the bounded log-ratio table
+    rides along as an array literal — no join, no broadcast)."""
     from matdb_spark.operators import selection
     from matdb_spark.operators.dedup import benchmark_overlap
     from matdb_spark.operators.packing import chunk_documents
@@ -2111,17 +2114,19 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated = benchmark_overlap(
         corpus, bench, "doc_id", "text", n=3, min_overlap=3
     ).select("doc_id")
-    # materialize the cleaned corpus ONCE: four consumers read it (the
-    # gram-count build, the scoring scan, the keep semi-join, and the
-    # chunker) — unmaterialized, each re-runs quality + window dedup +
-    # the decontamination shingle join (measured 25 s -> ~4 s at sf0.1)
+    # materialize the cleaned corpus ONCE: two consumers read it (the
+    # gram-count build and the fused select+chunk scan) —
+    # unmaterialized, each re-runs quality + window dedup + the
+    # decontamination shingle join (measured 25 s -> ~4 s at sf0.1).
+    # r10: selection is importance_filter — the two-step
+    # weights→filter→semi-join form re-scanned the checkpoint for the
+    # probe side AND its pushed keep-predicate re-inlined the gram
+    # pipeline quadratically (0.2 s standalone scan vs 2.2 s collapsed
+    # — selection._keep_expr docstring); same verdicts (guard test
+    # pins bit-equality), one pass, no join.
     clean = corpus.join(contaminated, "doc_id", "left_anti").localCheckpoint()
     target = docs.filter(F.col("doc_id") % 23 == 0)
-    w = selection.importance_weights(clean, target, "doc_id", "text")
-    keep = w.filter(
-        F.col("weight_unats") > F.lit(-720_000) * F.col("n_grams")
-    ).select("doc_id")
-    sel = clean.join(keep, "doc_id", "left_semi")
+    sel = selection.importance_filter(clean, target, "doc_id", "text", -720_000)
     return chunk_documents(sel, "doc_id", "text", 64, overlap=8)
 
 
@@ -3195,7 +3200,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
     )
-    run_to_memory_sink(out, name, ckpt, "append")
+    run_to_memory_sink(out, name, ckpt, "append", input_bytes=_events_bytes(sf_dir))
     return spark.table(name)
 
 
@@ -4021,7 +4026,14 @@ def _ncells_from_fixture(spark: SparkSession, path: str, emb: DataFrame) -> int:
     filter), so its row count equals `_centroids(emb).count()` by
     construction; the previous eager count job scanned the embeddings
     table once per recall gate. Falls back to the live count if the
-    footer read fails for any reason."""
+    footer read fails for any reason.
+
+    $SPARK_GRAFT_DEBUG_NCELLS=1 cross-checks footer vs live count and
+    raises on mismatch (r9 advice item 5: a SCRATCH fixture surviving
+    a testdata regeneration would silently diverge the probe budget
+    from the oracle's live-derived one — with the check on, that
+    failure mode names itself instead of surfacing as a recall-floor
+    miss)."""
     try:
         import glob as _glob
 
@@ -4029,7 +4041,18 @@ def _ncells_from_fixture(spark: SparkSession, path: str, emb: DataFrame) -> int:
 
         files = sorted(_glob.glob(os.path.join(path, "_centroids", "*.parquet")))
         if files:
-            return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+            n = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+            if os.environ.get("SPARK_GRAFT_DEBUG_NCELLS"):
+                live = _centroids(emb).count()
+                if n != live:
+                    raise AssertionError(
+                        f"stale recall fixture at {path}: _centroids footers "
+                        f"say {n} cells, live embeddings derive {live} — "
+                        f"delete the fixture (testdata epoch changed)"
+                    )
+            return n
+    except AssertionError:
+        raise
     except Exception:
         pass
     return _centroids(emb).count()
