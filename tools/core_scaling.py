@@ -1,0 +1,140 @@
+"""Core-scaling probe (r9 verdict item 6): sf0.1 suite wall-clock is
+task-scheduling-bound (8 cores beat 32), so it cannot show whether the
+operators PARALLELIZE. This probe times the headline query families on
+a COMPUTE-BOUND input — the 10x sf1.0 derivation from tools/sf1_cert
+(documents/embeddings/events replicated with salted text / epsilon
+vectors; relational dims symlinked from sf0.1) — at two core counts in
+separate processes, and reports t(low)/t(high) ratios. A ratio near
+the core ratio (4x here) means the family scales with cores; ~1 means
+it is fixed-cost (lifecycle/driver-bound) at any width.
+
+Usage:
+  PYTHONPATH=/root/repo python tools/core_scaling.py            # orchestrate 32 vs 8
+  PYTHONPATH=/root/repo python tools/core_scaling.py --worker --cpus=8 --out=f.json
+
+Writes CORE_SCALING_r10.json at the repo root (committed as the
+round's scale evidence). Methodology per query: one warm run (fixture
+build + JIT), then best-of-2 through the noop sink (bench.py's rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+OUT_PATH = os.path.join(ROOT, "CORE_SCALING_r10.json")
+
+#: headline families over the replicated tables (documents/embeddings/
+#: events only — the sf1.0 derivation does not scale the relational
+#: star, so TPC-H queries would dilute the signal with 1x inputs)
+QUERIES = [
+    "q_dedup_minhash_lsh",     # LSH pair mining (shingle+hash CPU, 1 shuffle)
+    "q_dedup_spans",           # span dedup (linear in corpus words)
+    "q_dedup_canonical",       # pairs -> components -> resolve
+    "q_line_dedup_keep_first", # line-hash dedup
+    "q_scrub_pipeline",        # PII regex + split (zero-shuffle scans)
+    "q_llm_pipeline",          # capstone: checkpoint + DSIR + chunk
+    "q_importance_weights",    # DSIR scoring scan
+    "q_bpe_tokenize",          # longest-match tokenizer scan
+    "q_pq_train",              # Lloyd iterations (sequential jobs, parallel maps)
+    "q_kmeans_train",          # same family, float path
+    "q_similarity_ivf",        # live IVF build + probe
+    "q_semantic_dedup",        # assign + within-cell pairs
+    "q_dedup_admission",       # fused 3-batch admission lifecycle
+    "q_stream_tumbling",       # streaming window agg (state stores)
+    "q_mvcc_scan",             # MVCC snapshot scan (events-derived store)
+]
+
+
+def ensure_sf1(spark) -> str:
+    """Generate the sf1.0 derivation (idempotent) and symlink the
+    relational tables so load_table works for any query."""
+    from tools import sf1_cert
+
+    sf1_cert.generate(spark)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        link = os.path.join(sf1_cert.DST, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(f"/root/testdata/sf0.1/{t}.parquet", link)
+    return sf1_cert.DST
+
+
+def worker(cpus: int, out_path: str) -> None:
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    import __spark_entry__ as entry
+    from matdb_spark.session import get_spark
+
+    spark = get_spark(app_name=f"core_scaling_{cpus}", cpus=cpus)
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    sf_dir = ensure_sf1(spark)
+    reg = entry.queries()
+    res = {}
+    for name in QUERIES:
+        fn = reg[name]
+        times = []
+        for i in range(3):  # run 0 = warm (fixture build + JIT), then best-of-2
+            spark.sparkContext.setJobDescription(f"core_scaling:{name}:{i}")
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times.append(round(time.perf_counter() - t0, 2))
+        res[name] = {"warm": times[0], "best2": min(times[1:]), "runs": times}
+        print(f"  [{cpus} cpus] {name:28s} best2={min(times[1:]):8.2f}  runs={times}",
+              flush=True)
+    with open(out_path, "w") as f:
+        json.dump(res, f)
+
+
+def main() -> int:
+    if "--worker" in sys.argv:
+        opts = {a.split("=", 1)[0]: a.split("=", 1)[1]
+                for a in sys.argv if a.startswith("--") and "=" in a}
+        worker(int(opts["--cpus"]), opts["--out"])
+        return 0
+
+    high = int(os.environ.get("CORE_SCALING_HIGH", "32"))
+    low = int(os.environ.get("CORE_SCALING_LOW", "8"))
+    results = {}
+    for cpus in (high, low):
+        out = f"/tmp/core_scaling_{cpus}.json"
+        rc = subprocess.call(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             f"--cpus={cpus}", f"--out={out}"],
+            env={**os.environ, "PYTHONPATH": ROOT},
+        )
+        if rc != 0:
+            print(f"worker at {cpus} cpus failed rc={rc}", file=sys.stderr)
+            return rc
+        with open(out) as f:
+            results[str(cpus)] = json.load(f)
+
+    table = {}
+    print(f"\nper-family core scaling (t_{low}cpu / t_{high}cpu; ideal {high/low:.1f}):")
+    for name in QUERIES:
+        th = results[str(high)][name]["best2"]
+        tl = results[str(low)][name]["best2"]
+        ratio = round(tl / th, 2) if th > 0 else None
+        table[name] = {f"t{high}_s": th, f"t{low}_s": tl, "ratio": ratio}
+        print(f"  {name:28s} {th:8.2f} -> {tl:8.2f} s   x{ratio}")
+    payload = {
+        "cpus_high": high,
+        "cpus_low": low,
+        "sf": "sf1.0-derived (tools/sf1_cert 10x of sf0.1 docs/emb/events)",
+        "methodology": "per query: 1 warm run then best-of-2, noop sink, separate process per core count",
+        "per_query": table,
+        "raw": results,
+    }
+    with open(OUT_PATH, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    print(f"wrote {OUT_PATH}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
