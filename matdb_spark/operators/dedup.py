@@ -1137,7 +1137,15 @@ def connected_components(
         )
         spark = pairs.sparkSession
         rows = [(n, find(n)) for n in parent]
-        return spark.createDataFrame(rows, schema)
+        # driver-built frames carry no size statistics, so downstream
+        # joins (resolve_clusters' verdict join, split assignment)
+        # degrade to sort-merge — shuffling the CORPUS side against a
+        # relation this tier guarantees is small (<= 2 nodes per edge,
+        # edges <= driver_threshold by the branch condition). The hint
+        # restores the broadcast join; the contraction tier below
+        # returns an unhinted distributed frame, as its size is
+        # unbounded.
+        return F.broadcast(spark.createDataFrame(rows, schema))
 
     # ---- partition-local contraction ----
     import math

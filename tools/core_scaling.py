@@ -66,6 +66,98 @@ def ensure_sf1(spark) -> str:
     return sf1_cert.DST
 
 
+def _kernels(spark):
+    """Compute-bound OPERATOR KERNELS at synthetic 1-2M-row scale —
+    the scale_probe generators driving the engine's real operators.
+    The gate queries stay lifecycle/fixed-cost-bound even at the 10x
+    derivation (measured: many ratios ~1), so operator parallelism is
+    demonstrated here, where per-row compute dominates."""
+    from pyspark.sql import functions as F
+
+    from matdb_spark.functions.pii import redact_pii
+    from matdb_spark.operators import selection
+    from matdb_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        remove_duplicate_spans,
+        simhash64,
+    )
+    from matdb_spark.operators.packing import chunk_documents
+    from matdb_spark.operators.similarity import pq_codebook_from_sample, pq_encode
+
+    def docs(n, words=12, tag=""):
+        cols = [
+            F.concat(
+                F.lit(f"{tag}w{j}_"),
+                ((F.col("id") * (j * 2 + 3)) % 9973).cast("string"),
+            )
+            for j in range(words)
+        ]
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"), F.concat_ws(" ", *cols).alias("text")
+        )
+
+    def vecs(n, d=64):
+        comps = [
+            (((F.col("id") * (j * 2 + 3)) % 1997) / 998.5 - 1.0) for j in range(d)
+        ]
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"), F.array(*comps).alias("embedding")
+        )
+
+    target = docs(10_000, tag="t_").localCheckpoint()
+    cb = pq_codebook_from_sample(vecs(10_000), m=8, k=16, sample_mod=31)
+    return {
+        "k_dsir_score_2M": lambda: selection.importance_weights(
+            docs(2_000_000), target, "doc_id", "text"
+        ),
+        "k_pq_encode_2M": lambda: pq_encode(vecs(2_000_000), cb),
+        "k_simhash_2M": lambda: simhash64(docs(2_000_000), "doc_id", "text"),
+        "k_minhash_pairs_1M": lambda: minhash_lsh_pairs(
+            docs(1_000_000), "doc_id", "text", k=32, bands=8
+        ),
+        "k_span_dedup_1M": lambda: remove_duplicate_spans(
+            docs(1_000_000, words=16), "doc_id", "text", n=10
+        ),
+        "k_pii_redact_2M": lambda: redact_pii(
+            docs(2_000_000).select(
+                "doc_id",
+                F.concat(
+                    F.col("text"),
+                    F.lit(" mail u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com 10.1.2.3 555-123-4567"),
+                ).alias("text"),
+            ),
+            "doc_id",
+            "text",
+        ),
+        "k_chunk_docs_2M": lambda: chunk_documents(
+            docs(2_000_000, words=24), "doc_id", "text", 16, overlap=4
+        ),
+    }
+
+
+def kernel_worker(cpus: int, out_path: str) -> None:
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    from matdb_spark.session import get_spark
+
+    spark = get_spark(app_name=f"kernel_scaling_{cpus}", cpus=cpus)
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    res = {}
+    for name, build in _kernels(spark).items():
+        times = []
+        for i in range(3):
+            spark.sparkContext.setJobDescription(f"kernel_scaling:{name}:{i}")
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            times.append(round(time.perf_counter() - t0, 2))
+        res[name] = {"best2": min(times[1:]), "runs": times}
+        print(f"  [{cpus} cpus] {name:28s} best2={min(times[1:]):8.2f}  runs={times}",
+              flush=True)
+    with open(out_path, "w") as f:
+        json.dump(res, f)
+
+
 def worker(cpus: int, out_path: str) -> None:
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     import __spark_entry__ as entry
@@ -92,19 +184,22 @@ def worker(cpus: int, out_path: str) -> None:
 
 
 def main() -> int:
-    if "--worker" in sys.argv:
+    if "--worker" in sys.argv or "--kworker" in sys.argv:
         opts = {a.split("=", 1)[0]: a.split("=", 1)[1]
                 for a in sys.argv if a.startswith("--") and "=" in a}
-        worker(int(opts["--cpus"]), opts["--out"])
+        fn = kernel_worker if "--kworker" in sys.argv else worker
+        fn(int(opts["--cpus"]), opts["--out"])
         return 0
 
+    mode = "kernels" if "--kernels" in sys.argv else "queries"
     high = int(os.environ.get("CORE_SCALING_HIGH", "32"))
     low = int(os.environ.get("CORE_SCALING_LOW", "8"))
+    flag = "--kworker" if mode == "kernels" else "--worker"
     results = {}
     for cpus in (high, low):
-        out = f"/tmp/core_scaling_{cpus}.json"
+        out = f"/tmp/core_scaling_{mode}_{cpus}.json"
         rc = subprocess.call(
-            [sys.executable, os.path.abspath(__file__), "--worker",
+            [sys.executable, os.path.abspath(__file__), flag,
              f"--cpus={cpus}", f"--out={out}"],
             env={**os.environ, "PYTHONPATH": ROOT},
         )
@@ -114,9 +209,10 @@ def main() -> int:
         with open(out) as f:
             results[str(cpus)] = json.load(f)
 
+    names = list(results[str(high)])
     table = {}
     print(f"\nper-family core scaling (t_{low}cpu / t_{high}cpu; ideal {high/low:.1f}):")
-    for name in QUERIES:
+    for name in names:
         th = results[str(high)][name]["best2"]
         tl = results[str(low)][name]["best2"]
         ratio = round(tl / th, 2) if th > 0 else None
@@ -125,14 +221,26 @@ def main() -> int:
     payload = {
         "cpus_high": high,
         "cpus_low": low,
-        "sf": "sf1.0-derived (tools/sf1_cert 10x of sf0.1 docs/emb/events)",
-        "methodology": "per query: 1 warm run then best-of-2, noop sink, separate process per core count",
+        "mode": mode,
+        "sf": ("synthetic 1-2M-row operator kernels (scale_probe generators)"
+               if mode == "kernels"
+               else "sf1.0-derived (tools/sf1_cert 10x of sf0.1 docs/emb/events)"),
+        "methodology": "per entry: 1 warm run then best-of-2, noop sink, separate process per core count",
         "per_query": table,
         "raw": results,
     }
+    # merge both modes into one committed evidence file
+    existing = {}
+    if os.path.exists(OUT_PATH):
+        try:
+            with open(OUT_PATH) as f:
+                existing = json.load(f)
+        except Exception:
+            existing = {}
+    existing[mode] = payload
     with open(OUT_PATH, "w") as f:
-        json.dump(payload, f, indent=1, sort_keys=True)
-    print(f"wrote {OUT_PATH}")
+        json.dump(existing, f, indent=1, sort_keys=True)
+    print(f"wrote {OUT_PATH} [{mode}]")
     return 0
 
 
