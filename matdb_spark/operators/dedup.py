@@ -260,40 +260,43 @@ def remove_duplicate_spans(
         )
         .select("__id", "__pos")
     )
-    cover = nonkeep.select(
+    # Removed-position SET per document, then a PER-ROW filtered
+    # reconstruction over the original word array. The previous
+    # rebuild exploded EVERY word position of EVERY document
+    # (~total_words rows), anti-joined the cover, and re-assembled
+    # docs with a collect_list + array_sort aggregation — two extra
+    # corpus-words-sized exchanges, and per-doc aggregation buffers
+    # holding every surviving word (the r10 kernel probe measured the
+    # operator anti-scaling with cores at 1M docs: 22.6 s at 8 cores
+    # vs 29.3 s at 32 — 32 concurrent collect_list buffers in one
+    # local JVM are a §5 memory story, not a compute one). Here the
+    # only post-cover shuffles are the cover's own distinct-set
+    # aggregation (removed positions only — a small fraction of
+    # corpus words) and one id-keyed join back to the word arrays;
+    # word order is preserved by construction, so clean_text is
+    # byte-identical to the sort-based rebuild (guard test +
+    # oracle-verified).
+    removed = nonkeep.select(
         F.col("__id").alias("__cid"),
         F.explode(
             F.sequence(F.col("__pos"), F.col("__pos") + F.lit(n - 1))
         ).alias("__p"),
-    ).distinct()
-    positions = words.select(
-        "__id", F.posexplode("__w").alias("__i", "__word")
-    ).select("__id", (F.col("__i") + 1).alias("__pos"), "__word")
-    kept = positions.join(
-        cover,
-        (F.col("__id") == F.col("__cid")) & (F.col("__pos") == F.col("__p")),
-        "left_anti",
+    ).groupBy("__cid").agg(F.collect_set("__p").alias("__rm"))
+    joined = words.join(
+        removed, F.col("__id") == F.col("__cid"), "left"
     )
-    rebuilt = kept.groupBy("__id").agg(
-        F.count(F.lit(1)).alias("__nk"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__word"))),
-                lambda s: s["__word"],
-            ),
-            " ",
-        ).alias("clean_text"),
+    # positions are 1-based; filter's index lambda variable is 0-based
+    kept_arr = F.when(F.col("__rm").isNull(), F.col("__w")).otherwise(
+        F.filter(
+            F.col("__w"),
+            lambda x, i: ~F.array_contains(F.col("__rm"), i + 1),
+        )
     )
-    # fully-scrubbed documents drop out of the rebuild groupBy; the
-    # left join restores them with an EMPTY clean_text
-    base = words.select("__id", F.size("__w").cast("long").alias("n_words"))
-    return base.join(rebuilt, "__id", "left").select(
+    return joined.select(
         F.col("__id").alias(id_col),
-        "n_words",
-        (F.col("n_words") - F.coalesce(F.col("__nk"), F.lit(0))).alias(
-            "n_removed"
-        ),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.size("__w").cast("long").alias("n_words"),
+        (F.size("__w") - F.size(kept_arr)).cast("long").alias("n_removed"),
+        F.coalesce(F.array_join(kept_arr, " "), F.lit("")).alias("clean_text"),
     )
 
 

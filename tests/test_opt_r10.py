@@ -127,6 +127,88 @@ def test_admit_batches_rejects_prepopulated_index(spark, tmp_db_path):
         D.admit_batches(spark, path, docs, "doc_id", "text", 2, lambda c: c % 2)
 
 
+# ------------------------------------- span-dedup rebuild equivalence
+def test_span_rebuild_matches_collect_list_form(spark):
+    """remove_duplicate_spans' r10 per-row filtered reconstruction vs
+    the previous explode-all-positions + anti-join + collect_list
+    rebuild — byte-identical outputs (word order is preserved by
+    F.filter, so no sort is needed)."""
+    from matdb_spark.functions.text import hash64, normalize
+
+    n = 10
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    new = D.remove_duplicate_spans(docs, "doc_id", "text", n=n)
+
+    # the pre-r10 rebuild, verbatim
+    words = docs.select(
+        F.col("doc_id").alias("__id"),
+        F.split(normalize(F.col("text")), " ").alias("__w"),
+    )
+    starts = F.when(
+        F.size("__w") >= n, F.sequence(F.lit(1), F.size("__w") - F.lit(n - 1))
+    )
+    occ = words.select("__id", "__w", F.explode(starts).alias("__pos")).select(
+        "__id",
+        "__pos",
+        hash64(F.array_join(F.slice("__w", F.col("__pos"), n), " ")).alias("__h"),
+    )
+    dups = (
+        occ.groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(
+                F.struct(F.col("__id").alias("d"), F.col("__pos").alias("p"))
+            ).alias("__keep"),
+        )
+        .filter(F.col("__c") > 1)
+        .select("__h", "__keep")
+    )
+    nonkeep = (
+        occ.join(dups, "__h")
+        .filter(
+            ~(
+                (F.col("__id") == F.col("__keep.d"))
+                & (F.col("__pos") == F.col("__keep.p"))
+            )
+        )
+        .select("__id", "__pos")
+    )
+    cover = nonkeep.select(
+        F.col("__id").alias("__cid"),
+        F.explode(
+            F.sequence(F.col("__pos"), F.col("__pos") + F.lit(n - 1))
+        ).alias("__p"),
+    ).distinct()
+    positions = words.select(
+        "__id", F.posexplode("__w").alias("__i", "__word")
+    ).select("__id", (F.col("__i") + 1).alias("__pos"), "__word")
+    kept = positions.join(
+        cover,
+        (F.col("__id") == F.col("__cid")) & (F.col("__pos") == F.col("__p")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__nk"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__word"))),
+                lambda s: s["__word"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = words.select("__id", F.size("__w").cast("long").alias("n_words"))
+    old = base.join(rebuilt, "__id", "left").select(
+        F.col("__id").alias("doc_id"),
+        "n_words",
+        (F.col("n_words") - F.coalesce(F.col("__nk"), F.lit(0))).alias("n_removed"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+    assert _symdiff(new, old) == 0
+    # teeth: the fixture plants real duplicated spans
+    assert new.filter(F.col("n_removed") > 0).count() > 0
+
+
 # --------------------------- r9 expr-rewrite guards (advice item 4)
 def test_minhash_signatures_match_column_built_form(spark):
     docs = load_table(spark, SF, "documents").select("doc_id", "text")
