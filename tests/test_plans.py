@@ -401,15 +401,19 @@ def test_gopher_quality_is_exchange_free(spark):
 
 
 def test_span_dedup_shuffle_budget(spark):
-    """remove_duplicate_spans: three exchanges — span-hash groupBy,
-    coverage distinct, per-doc rebuild (the non-keeper join
+    """remove_duplicate_spans: TWO exchanges — span-hash groupBy and
+    the removed-position set aggregation (the non-keeper join
     broadcasts at fixture scale; at corpus scale it shares the
-    span-hash key). No pairwise term anywhere."""
+    span-hash key). The r10 rewrite removed the third: documents are
+    rebuilt with a per-row filter over the original word array
+    instead of explode-all-positions + anti-join + collect_list
+    regroup (which also anti-scaled with cores — see
+    OPTIMIZATION_r10.md change 6). No pairwise term anywhere."""
     from matdb_spark.operators.dedup import remove_duplicate_spans
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = remove_duplicate_spans(docs, "doc_id", "text", n=10)
-    assert exchange_count(out) == 3
+    assert exchange_count(out) == 2
 
 
 def test_semantic_dedup_exchanges_are_keyed(spark):
